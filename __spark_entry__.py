@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin re-export of the engine's central catalog
+(:mod:`tmapreduce_spark.catalog`): every implemented operator from
+SURVEY.md §2 has a ``queries()`` entry, and every SQL-expressible one has a
+matching DuckDB ``oracle_sql()`` string with identical column aliases.
 """
 
 from __future__ import annotations
@@ -15,24 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's golden
+    char-histogram workload (SURVEY §2A item 17) as one exploded, partially
+    aggregated DataFrame plan."""
+    from tmapreduce_spark.functions.text import charcount
+
+    return charcount(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tmapreduce_spark.catalog import build_catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in build_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tmapreduce_spark.catalog import build_catalog
+
+    return {
+        name: spec.oracle
+        for name, spec in build_catalog().items()
+        if spec.oracle is not None
+    }

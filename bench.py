@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the `noop` sink so the full physical plan
+executes (a bare .count() would let Catalyst prune projections away) without
+paying collect/serialization costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (SURVEY §2 coverage), weighted toward
+# the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
+# similarity search, the MapReduce parity path).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "agg_cube",
+    "window_rank_topn",
+    "window_running_sum",
+    "topk_orders",
+    "scalar_json",
+    "events_tumbling_10min",
+    "charcount",
+    "wordcount",
+    "token_bpe_ish",
+    "text_quality",
+    "dedup_exact_groups",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_norms",
+    "ann_topk_cosine",
+    "similarity_pairs_blocked",
+    "mr_charcount",
+]
+
+
+def main() -> None:
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="tmapreduce-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = build_catalog()
+
+    # warm the JVM/parquet footer caches so per-query times measure the plans
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = catalog[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_set_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

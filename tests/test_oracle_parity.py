@@ -1,0 +1,71 @@
+"""Driver-predictive correctness gate: run every catalog query on Spark AND
+its DuckDB oracle at sf0.001 (fast inner loop; the driver re-runs at sf0.01),
+then compare row counts, column names, and exact values after column-name
+sort + row sort — a local replica of CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE, register_duck_views
+from tmapreduce_spark.catalog import build_catalog
+
+CATALOG = build_catalog()
+ORACLE_NAMES = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r}"
+            else:
+                assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    register_duck_views(duck, SF_SMOKE)
+    spec = CATALOG[name]
+    spark_pdf = spec.fn(spark, SF_SMOKE).toPandas()
+    duck_pdf = duck.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_all_queries_have_entries():
+    assert len(CATALOG) >= 20
+    for name, spec in CATALOG.items():
+        assert callable(spec.fn), name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,65 @@
+"""Structured Streaming tests: windowed aggregations over the events stream
+must equal their batch twins (complete mode), append mode must emit a
+watermark-bounded subset, and streaming dedup must preserve distinct events."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.operators.relational import events_tumbling_10min
+from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.streaming.events import (
+    dedup_stream,
+    run_stream_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _rows(df, columns):
+    return sorted(map(tuple, df.toPandas().reindex(columns=columns).astype(str).values.tolist()))
+
+
+def test_tumbling_matches_batch(spark):
+    s = tumbling_counts(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_tumbling", output_mode="complete")
+    batch = events_tumbling_10min(spark, SF_SMOKE)
+    assert _rows(mem, mem.columns) == _rows(batch, mem.columns)
+
+
+def test_append_mode_is_watermark_bounded_subset(spark):
+    s = tumbling_counts(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_tumbling_append", output_mode="append")
+    batch = events_tumbling_10min(spark, SF_SMOKE)
+    a = set(_rows(mem, mem.columns))
+    b = set(_rows(batch, mem.columns))
+    assert a <= b
+    # only windows newer than (max event time - watermark) may be withheld
+    assert len(b) - len(a) < 10
+
+
+def test_sliding_double_counts(spark):
+    s = sliding_counts(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_sliding", output_mode="complete")
+    total_sliding = sum(r["n_events"] for r in mem.collect())
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    # 10-min window sliding every 5 => every event in exactly 2 windows
+    assert total_sliding == 2 * n_events
+
+
+def test_session_windows_sane(spark):
+    s = session_windows(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_session", output_mode="complete")
+    rows = mem.collect()
+    assert rows
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stream_dedup_keeps_distinct(spark):
+    s = dedup_stream(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_dedup")
+    n = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert mem.select("event_id").distinct().count() == n

@@ -1,0 +1,362 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH banding,
+SimHash, n-gram Jaccard. North-star LLM-pipeline additions (absent in the
+reference, whose surface is ``mrf.h:9-11``).
+
+Design for oracle parity AND scale:
+
+- All hashing is derived from ``md5`` (identical in Spark and DuckDB), mapped
+  to integers via the first 15 hex chars (60 bits, fits BIGINT): Spark
+  ``conv(substr(md5(s),1,15),16,10)``, DuckDB ``('0x'||substr)::BIGINT``.
+  MinHash permutations are affine maps mod 1e9+7 in exact int64 arithmetic —
+  bit-identical across engines, no float drift.
+- Everything is expression-only (explode/groupBy/join); no Python UDFs. At
+  100 TB the shingle explode is a map-side op feeding a partial-aggregated
+  groupBy; the LSH band join shuffles only (band_id, band_key) pairs — the
+  classic scalable near-dup pipeline (shingle→minhash→band→bucket-join).
+- Exact pairwise Jaccard (the verifier) runs ONLY on LSH candidates, never
+  all-pairs; ``dedup_ngram_jaccard`` demonstrates the blocked all-pairs
+  variant with a blocking key to bound the quadratic term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.sources.catalog import load_table
+
+# MinHash parameters: NUM_PERMS affine permutations h_i(x) = (a_i*x + b_i) % P
+# over the md5-derived shingle hash, banded into bands of BAND_R rows.
+P = 1_000_000_007
+NUM_PERMS = 16
+BAND_R = 4
+PERM_A = [(17 * (i + 1) * 1_000_003 + 7919 * i + 1) % P for i in range(NUM_PERMS)]
+PERM_B = [(31 * (i + 1) * 999_983 + 104729 * i + 3) % P for i in range(NUM_PERMS)]
+
+# Spark-side md5→int60 for an expression `e`; DuckDB twin below.
+def _h60_spark(e: str) -> str:
+    return f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h60_duck(e: str) -> str:
+    return f"CAST(('0x' || substring(md5({e}), 1, 15)) AS BIGINT)"
+
+
+# token 3-gram shingles of the lowercased text
+_SHINGLES_SPARK = r"""
+filter(
+  transform(sequence(0, greatest(size(split(trim(lower(text)), '\\s+')) - 3, 0)),
+            i -> concat_ws(' ',
+                   split(trim(lower(text)), '\\s+')[i],
+                   split(trim(lower(text)), '\\s+')[i + 1],
+                   split(trim(lower(text)), '\\s+')[i + 2])),
+  s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
+"""
+
+_SHINGLES_DUCK = r"""
+list_filter(
+  list_transform(range(0, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1)),
+                 i -> string_split_regex(trim(lower(text)), '\s+')[i + 1] || ' ' ||
+                      string_split_regex(trim(lower(text)), '\s+')[i + 2] || ' ' ||
+                      string_split_regex(trim(lower(text)), '\s+')[i + 3]),
+  s -> s IS NOT NULL AND s <> '' AND len(string_split(s, ' ')) = 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content hash: keeper = min doc_id, n_copies.
+    The hash-groupBy dedup — one shuffle on the content hash; at 100 TB hash
+    first (md5 is 16 bytes) so the shuffle never carries document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_GROUPS_SQL = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: keep the lowest doc_id per distinct
+    text (dropDuplicates with a deterministic keeper)."""
+    d = load_table(spark, sf_dir, "documents")
+    w_min = (
+        d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return w_min.select("doc_id", F.length("text").alias("text_len"))
+
+
+DEDUP_EXACT_KEEP_SQL = """
+SELECT min(doc_id) AS doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding + verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES_SPARK})) AS shingle")
+        .selectExpr("doc_id", f"pmod({_h60_spark('shingle')}, {P}) AS h")
+    )
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, tall format: (doc_id, perm_id, min_hash). One
+    shuffle (groupBy doc_id+perm); the shingle explode is map-side."""
+    hashes = _exploded_shingle_hashes(spark, sf_dir)
+    perms = ", ".join(
+        f"named_struct('perm_id', {i}, 'ph', pmod({PERM_A[i]}L * h + {PERM_B[i]}L, {P}))"
+        for i in range(NUM_PERMS)
+    )
+    return (
+        hashes.selectExpr("doc_id", f"explode(array({perms})) AS p")
+        .selectExpr("doc_id", "p.perm_id AS perm_id", "p.ph AS ph")
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min("ph").alias("min_hash"))
+    )
+
+
+def _minhash_sql_core() -> str:
+    perms = ", ".join(
+        f"({i}, {PERM_A[i]}, {PERM_B[i]})" for i in range(NUM_PERMS)
+    )
+    return f"""
+WITH shingles AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
+  FROM documents),
+hashes AS (
+  SELECT doc_id, {_h60_duck('shingle')} % {P} AS h FROM shingles),
+perms(perm_id, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, perm_id, min((a * h + b) % {P}) AS min_hash
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, perm_id)
+"""
+
+
+DEDUP_MINHASH_SIG_SQL = _minhash_sql_core() + """
+SELECT doc_id, CAST(perm_id AS INTEGER) AS perm_id, min_hash FROM sig
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification.
+
+    Pipeline: signature -> band keys (md5 of the band's ordered minhashes) ->
+    self-join on (band_id, band_key) -> distinct candidate pairs -> verify
+    with exact shingle-set Jaccard. Only candidates pay the verification
+    cost; the band join shuffles 16-byte keys, not documents."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = (
+        sig.withColumn("band_id", (F.col("perm_id") / BAND_R).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm_id", "min_hash"))
+                        ),
+                        lambda s: s["min_hash"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shingle_sets = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    return (
+        cands.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+                * 1000000 + F.lit(0.5)) / 1000000
+            ).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = _minhash_sql_core() + f"""
+, bands AS (
+  SELECT doc_id, CAST(perm_id / {BAND_R} AS INTEGER) AS band_id,
+         md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY perm_id)) AS band_key
+  FROM sig
+  GROUP BY doc_id, CAST(perm_id / {BAND_R} AS INTEGER)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh FROM documents)
+SELECT doc_a, doc_b,
+       floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(sa.sh || sb.sh)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token hashes: bit j of the signature is the sign of
+    sum over tokens of ±1 according to bit j of each token's hash. Exact
+    integer arithmetic — bit-identical to the oracle. One groupBy(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id",
+        r"explode(split(trim(lower(text)), '\\s+')) AS tok",
+    ).filter(F.col("tok") != "")
+    h = toks.selectExpr("doc_id", f"pmod({_h60_spark('tok')}, 4294967296) AS h32")
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h32 >> {j}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bit_sums.selectExpr("doc_id", f"{sig} AS simhash")
+
+
+def _simhash_sql() -> str:
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+hashes AS (
+  SELECT doc_id, {_h60_duck('tok')} % 4294967296 AS h32
+  FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, {bit_cols} FROM hashes GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM bits
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard (all-pairs within a blocking key)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard for every doc pair within the same
+    ``source`` block, keeping pairs over 0.05. The blocking key bounds the
+    quadratic blowup (the unblocked version of this is exactly what MinHash
+    LSH avoids — kept here as the exact-verification operator)."""
+    sets = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    jac = (
+        F.floor(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh"))
+            * 1000000 + F.lit(0.5)
+        ) / 1000000
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, source, list_distinct({_SHINGLES_DUCK}) AS sh FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) * 1000000 + 0.5) / 1000000 >= 0.05
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL, "dedup"),
+    "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first, DEDUP_EXACT_KEEP_SQL, "dedup"),
+    "dedup_minhash_signature": QuerySpec(dedup_minhash_signature, DEDUP_MINHASH_SIG_SQL, "dedup"),
+    "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL, "dedup"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "dedup"),
+}

@@ -1,0 +1,283 @@
+"""Text-analysis operators over the ``documents`` table: char/word counting,
+token statistics, quality scoring, language-ID heuristic, fingerprinting.
+
+The char histogram is the DataFrame-native form of the reference's ONLY
+shipped workload (``/root/reference/example/word_count/word_count.cc:9-34``:
+map = per-document ``[a-z0-9]`` char histogram, reduce = per-char sum). Here
+it's ``explode(split(...)) -> groupBy -> count`` — pure built-ins, whole-stage
+codegen, automatic partial aggregation (the reference ships every map output
+pair over the wire instead, ``worker.cc:311-315``).
+
+All other operators are LLM-data-pipeline additions (north star): everything
+is expression-only (no Python UDFs) so they run JVM-side at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide ``[a-z0-9]`` char histogram — the reference's golden query
+    (SURVEY §2A item 17), as one exploded aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), "")
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("total"))
+    )
+
+
+CHARCOUNT_SQL = """
+SELECT ch, count(*) AS total
+FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '')) AS ch
+      FROM documents) t
+WHERE ch <> ''
+GROUP BY ch
+"""
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token count (the classic wordcount, token = whitespace
+    split)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("total"))
+    )
+
+
+WORDCOUNT_SQL = r"""
+SELECT tok, count(*) AS total
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) t
+WHERE tok <> ''
+GROUP BY tok
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: count, distinct count, mean token
+    length. Token counting is the whitespace tokenizer; a BPE-ish regex
+    tokenizer is `token_bpe_ish`."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.expr("floor(CAST(sum(length(tok)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000").alias("avg_tok_len"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       floor(CAST(sum(length(tok)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_tok_len
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) t
+WHERE tok <> ''
+GROUP BY doc_id
+"""
+
+
+def token_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token count: split on word boundaries AND digit/letter
+    transitions (a cheap GPT-2-pretokenizer approximation), then count
+    corpus-wide tokens. Regex-only — stays in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    # split letters/digits/other into separate runs, like the GPT-2 pretokenizer's
+    # coarse classes; 4-char max pieces approximate sub-word granularity.
+    pieces = F.expr(
+        r"""
+        flatten(transform(
+          split(lower(text), '[^a-z0-9]+'),
+          w -> transform(sequence(0, greatest(int(ceil(length(w) / 4.0)) - 1, 0)),
+                         i -> substring(w, i * 4 + 1, 4))))
+        """
+    )
+    return (
+        d.select(F.explode(pieces).alias("piece"))
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.count("*").alias("total"))
+    )
+
+
+TOKEN_BPE_SQL = r"""
+SELECT piece, count(*) AS total
+FROM (
+  SELECT unnest(flatten(list_transform(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           w -> list_transform(range(0, greatest(CAST(ceil(length(w) / 4.0) AS INTEGER), 1)),
+                               i -> substring(w, i * 4 + 1, 4))))) AS piece
+  FROM documents) t
+WHERE piece <> ''
+GROUP BY piece
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length, type-token ratio, mean word
+    length, and a composite score — the standard cheap pre-filter for LLM
+    training corpora (length + repetition heuristics)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id", "text_len").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.expr("floor(CAST(sum(length(tok)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000").alias("mean_word_len"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    return per_doc.select(
+        "doc_id",
+        "text_len",
+        "n_tokens",
+        (F.floor(ttr * 1000000 + F.lit(0.5)) / 1000000).alias("type_token_ratio"),
+        "mean_word_len",
+        (F.floor((ttr * 0.5 + len_score * 0.5) * 1000000 + F.lit(0.5)) / 1000000).alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id, text_len, n_tokens,
+       floor(n_distinct / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS type_token_ratio,
+       mean_word_len,
+       floor(((n_distinct / CAST(n_tokens AS DOUBLE)) * 0.5
+             + least(n_tokens / 64.0, 1.0) * 0.5) * 1000000 + 0.5) / 1000000 AS quality_score
+FROM (
+  SELECT doc_id, text_len, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         floor(CAST(sum(length(tok)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS mean_word_len
+  FROM (SELECT doc_id, length(text) AS text_len,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) x
+  WHERE tok <> ''
+  GROUP BY doc_id, text_len) t
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit scoring (n-gram-free heuristic): score each
+    language by how many of its marker stopwords appear as tokens; argmax with
+    a fixed tie order (en>fr>es>de>zh). Reported as a per-(label, prediction)
+    confusion-matrix count. Expression-only; markers broadcast as literals."""
+    d = load_table(spark, sf_dir, "documents")
+    markers = {
+        "en": ["the", "and", "of", "to", "in"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "de", "que", "los", "las"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "zh": ["de5", "shi4", "le5", "zai4", "you3"],
+    }
+    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    scores = {
+        lang: F.size(
+            F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in ws]))
+        )
+        for lang, ws in markers.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]) & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"])
+            & (scores["fr"] >= scores["zh"]),
+            "fr",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["de"] >= scores["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        d.select(F.col("lang").alias("label"), pred.alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+LANG_ID_SQL = r"""
+WITH scored AS (
+  SELECT lang AS label,
+         len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['the','and','of','to','in'])) AS s_en,
+         len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['le','la','et','les','des'])) AS s_fr,
+         len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['el','de','que','los','las'])) AS s_es,
+         len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['der','die','und','das','ist'])) AS s_de,
+         len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['de5','shi4','le5','zai4','you3'])) AS s_zh
+  FROM documents)
+SELECT label,
+       CASE
+         WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+         WHEN s_de >= s_zh THEN 'de'
+         ELSE 'zh'
+       END AS predicted,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 content hash plus a 61-bit rolling
+    polynomial hash (base-31 mod 1e9+7) over the cleaned text — the rolling
+    hash is the primitive under simhash/minhash and Rabin-Karp chunking.
+    Expression-only via the `aggregate` higher-order function."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.expr(
+            "aggregate(split(regexp_replace(lower(text), '[^a-z0-9]', ''), ''), "
+            "0L, (acc, ch) -> CASE WHEN ch = '' THEN acc "
+            "ELSE (acc * 31 + ascii(ch)) % 1000000007 END)"
+        ).alias("rolling_hash"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), ''),
+                          ch -> CAST(ord(ch) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "charcount": QuerySpec(charcount, CHARCOUNT_SQL, "text/flagship"),
+    "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, "text"),
+    "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, "text"),
+    "token_bpe_ish": QuerySpec(token_bpe_ish, TOKEN_BPE_SQL, "text"),
+    "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
+    "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL, "text"),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL, "text"),
+}

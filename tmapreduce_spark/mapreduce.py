@@ -1,0 +1,264 @@
+"""Reference-parity MapReduce job API on Spark.
+
+Implements the reference's complete engine-executed dataflow (SURVEY.md §2A
+items 1-10) as one Spark lineage:
+
+    validate -> sort-by-key -> contiguous partition -> flatMap(map_fn)
+      -> groupByKey -> key-sort -> flatMap(reduce_fn) -> ordered collect
+
+Reference semantics preserved (file:line into /root/reference/):
+
+- **Validation/admission**: ``mapper_num<=0``, ``reducer_num<=0`` or empty
+  ``kvs`` rejected (``src/tmapreduce/master.cc:530-535``); non-string keys or
+  values rejected (``src/tmapreduce/gateway.cc:15-51``).
+- **Ingest key-sort**: payload sorted by key before partitioning
+  (``master.cc:736-738``).
+- **Contiguous partitioning**: ``sc.parallelize`` slices the sorted list into
+  near-equal contiguous runs exactly like ``Job::Partition()``
+  (``src/tmapreduce/job.cc:10-43``).
+- **Map**: per-pair flatMap of the user function (C wrapper loop,
+  ``src/tmapreduce/wrapper.cc:10-31``).
+- **Shuffle/Merge**: group values by key, key-sorted output
+  (``src/tmapreduce/job.cc:45-66``); within-key value order is
+  (map-subjob index, emission order) — reproduced here by tagging each map
+  output with ``(partition_index, emission_seq)`` and sorting the group
+  (``job.cc:51-59`` ordering contract, SURVEY §1.4).
+- **Empty-shuffle short-circuit**: zero map output pairs skips reduce and
+  finishes with an empty result (``master.cc:624-627``).
+- **Reduce**: per-group flatMap of the user function
+  (``src/tmapreduce/wrapper.cc:33-55``).
+- **Finish**: results concatenated in key-sorted subjob order into one flat
+  string array (``src/tmapreduce/job.cc:68-77``).
+- **Result lifecycle**: per-job bearer token checked at get_result
+  (``master.cc:691-693``, ``src/tmapreduce/job.h:93``); finished results GC'd
+  after 3600 s (``master.cc:449-463``, ``master.h:27``).
+
+Everything the reference builds around this dataflow — raft replication,
+heartbeats, straggler requeue, etcd discovery (§2A items 11-16) — is Spark's
+scheduler and is deliberately not reimplemented.
+
+Scale note: ``launch`` mirrors the reference's REST contract and therefore
+takes a driver-side list (the reference holds the whole payload in master RAM,
+``job.h:86-88``, so list-shaped input *is* the parity surface). For 100 TB
+inputs use :meth:`MapReduceEngine.apply_df`, which runs the same two UDFs over
+an arbitrary ``DataFrame[key string, value string]`` without any driver-side
+materialization.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tmapreduce_spark.registry import JobRegistry, default_registry
+
+# Reference operational constant: finished-job result TTL
+# (/root/reference/src/tmapreduce/master.h:27).
+JOB_RESULT_TIMEOUT_SECOND = 3600.0
+
+
+class JobStage(Enum):
+    """Mirror of the reference's job stage machine for observability
+    (``/root/reference/src/tmapreduce/job.h:26-39``); Spark collapses the
+    wait/partition states into its own DAG scheduling."""
+
+    INIT = "INIT"
+    MAPPING = "MAPPING"
+    MERGING = "MERGING"
+    REDUCING = "REDUCING"
+    FINISHED = "FINISHED"
+
+
+class LaunchError(ValueError):
+    """Invalid launch payload (``master.cc:530-535``, ``gateway.cc:15-51``)."""
+
+
+class ResultError(RuntimeError):
+    """get_result failure: unknown job / bad token / unfinished job
+    (``master.cc:685-699``)."""
+
+
+@dataclass
+class _Job:
+    job_id: int
+    name: str
+    job_type: str
+    token: str
+    stage: JobStage = JobStage.INIT
+    results: list[str] = field(default_factory=list)
+    finish_time: float | None = None
+
+
+class MapReduceEngine:
+    """Driver-side job manager: the master+gateway capability surface as a
+    plain Python API over Spark lineages."""
+
+    def __init__(self, spark: SparkSession, registry: JobRegistry | None = None):
+        self.spark = spark
+        self.registry = registry if registry is not None else default_registry()
+        self._jobs: dict[int, _Job] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()
+
+    # -- launch (§2A items 1-9) --------------------------------------------
+
+    def launch(
+        self,
+        name: str,
+        job_type: str,
+        kvs: list[tuple[str, str]],
+        mapper_num: int = 2,
+        reducer_num: int = 2,
+        token: str = "",
+    ) -> int:
+        """Submit a job; returns job_id. Executes the full pipeline eagerly
+        (the reference is async behind a poll loop; the observable contract —
+        launch returns an id, get_result yields the flat string array — is
+        identical)."""
+        self._validate(job_type, kvs, mapper_num, reducer_num)
+        with self._lock:
+            job_id = self._next_id
+            self._next_id += 1
+            job = _Job(job_id, name, job_type, token)
+            self._jobs[job_id] = job
+
+        jt = self.registry.get(job_type)
+        map_fn, reduce_fn = jt.map_fn, jt.reduce_fn
+        sc = self.spark.sparkContext
+
+        # Ingest key-sort (master.cc:736-738). Python's sort is stable, so
+        # equal keys keep payload order, matching std::sort's effect on the
+        # observable contract (values later re-ordered by subjob/emission tag).
+        kvs_sorted = sorted(kvs, key=lambda kv: kv[0])
+        mapper_num = min(mapper_num, len(kvs_sorted))
+
+        job.stage = JobStage.MAPPING
+        # Contiguous near-equal slices == Job::Partition (job.cc:10-43).
+        indexed = sc.parallelize(list(enumerate(kvs_sorted)), mapper_num)
+
+        def run_map(part_idx: int, it):
+            # One C-wrapper loop per subjob slice (wrapper.cc:10-31); tag each
+            # emission with (subjob index, emission seq) to reproduce the
+            # reference's deterministic within-key value order (job.cc:51-59).
+            seq = 0
+            for _i, (k, v) in it:
+                for out_k, out_v in map_fn(k, v):
+                    yield out_k, (part_idx, seq, out_v)
+                    seq += 1
+
+        mapped = indexed.mapPartitionsWithIndex(run_map)
+
+        # Empty-shuffle short-circuit (master.cc:624-627).
+        if mapped.isEmpty():
+            job.stage = JobStage.FINISHED
+            job.results = []
+            job.finish_time = time.time()
+            return job_id
+
+        job.stage = JobStage.MERGING
+        # Merge: group by key + global key sort (job.cc:45-66). sortByKey's
+        # range partitioner yields key-ordered partitions, so collect()
+        # concatenates in key order == Job::Finish (job.cc:68-77).
+        grouped = mapped.groupByKey(numPartitions=max(reducer_num, 1)).sortByKey(
+            numPartitions=max(reducer_num, 1)
+        )
+
+        job.stage = JobStage.REDUCING
+
+        def run_reduce(kv):
+            k, tagged = kv
+            values = [v for _p, _s, v in sorted(tagged, key=lambda t: (t[0], t[1]))]
+            return list(reduce_fn(k, values))
+
+        job.results = grouped.flatMap(run_reduce).collect()
+        job.stage = JobStage.FINISHED
+        job.finish_time = time.time()
+        return job_id
+
+    # -- get_result (§2A item 10) ------------------------------------------
+
+    def get_result(self, job_id: int, token: str = "") -> list[str]:
+        """Fetch the flat, key-ordered result string array
+        (``master.cc:685-699`` semantics, including check order:
+        existence -> token -> finished)."""
+        self.gc()
+        job = self._jobs.get(job_id)
+        if job is None:
+            raise ResultError(f"no such job: {job_id}")
+        if job.token != token:
+            raise ResultError("wrong token")
+        if job.stage is not JobStage.FINISHED:
+            raise ResultError(f"job not finished (stage={job.stage.value})")
+        return list(job.results)
+
+    def stage_of(self, job_id: int) -> JobStage:
+        job = self._jobs.get(job_id)
+        if job is None:
+            raise ResultError(f"no such job: {job_id}")
+        return job.stage
+
+    def gc(self, now: float | None = None) -> int:
+        """Delete finished jobs older than the reference's 1 h TTL
+        (``master.cc:449-463``)."""
+        now = time.time() if now is None else now
+        with self._lock:
+            dead = [
+                jid
+                for jid, j in self._jobs.items()
+                if j.finish_time is not None
+                and now - j.finish_time > JOB_RESULT_TIMEOUT_SECOND
+            ]
+            for jid in dead:
+                del self._jobs[jid]
+        return len(dead)
+
+    # -- scale path ---------------------------------------------------------
+
+    def apply_df(self, df: DataFrame, job_type: str) -> DataFrame:
+        """Run a registered (map_fn, reduce_fn) pair over an arbitrary
+        ``DataFrame[key string, value string]`` fully distributed — the 100 TB
+        path the reference cannot take (its payload transits master RAM and
+        the raft log, ``master.cc:489-514``).
+
+        Returns ``DataFrame[key string, result string]``: one row per reduce
+        output string, keyed by its group key (key-wise parity with
+        :meth:`launch`; the flat-array concatenation order is a driver-side
+        presentation concern and is not materialized here). Within-key value
+        order follows Spark's shuffle arrival order — canonical for
+        associative reducers; order-sensitive reducers should sort inside the
+        UDF.
+        """
+        jt = self.registry.get(job_type)
+        map_fn, reduce_fn = jt.map_fn, jt.reduce_fn
+
+        rdd = df.select("key", "value").rdd.map(lambda r: (r[0], r[1]))
+        mapped = rdd.flatMap(lambda kv: map_fn(kv[0], kv[1]))
+        reduced = mapped.groupByKey().flatMap(
+            lambda kv: [(kv[0], out) for out in reduce_fn(kv[0], list(kv[1]))]
+        )
+        return reduced.toDF(["key", "result"])
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _validate(
+        job_type: str, kvs: list[tuple[str, str]], mapper_num: int, reducer_num: int
+    ) -> None:
+        if mapper_num <= 0 or reducer_num <= 0:
+            raise LaunchError("mapper_num and reducer_num must be > 0")
+        if not kvs:
+            raise LaunchError("empty kvs")
+        for kv in kvs:
+            if (
+                not isinstance(kv, tuple)
+                or len(kv) != 2
+                or not isinstance(kv[0], str)
+                or not isinstance(kv[1], str)
+            ):
+                # gateway.cc:15-51 — every element must be a {key,value} pair
+                # of strings.
+                raise LaunchError(f"invalid kv element: {kv!r}")

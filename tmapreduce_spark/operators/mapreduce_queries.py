@@ -1,0 +1,72 @@
+"""Catalog entries that exercise the reference-parity MapReduce path itself
+(:mod:`tmapreduce_spark.mapreduce`) end-to-end over the documents table, with
+SQL oracles expressing the reference's observable output contract.
+
+The reference's charcount job emits, per char key, the flat strings
+``[key, str(total)]`` (``/root/reference/example/word_count/word_count.cc:24-34``,
+consumed pairwise by ``word_count_client.cc:63-65``). ``apply_df`` surfaces
+that as rows ``(key, result)`` — so for every char there are exactly two rows:
+``(ch, ch)`` and ``(ch, str(total))``. The oracle reproduces that contract
+relationally (histogram UNION ALL histogram-as-strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.mapreduce import MapReduceEngine
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def _kv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+
+
+def mr_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only shipped job (char histogram), run through the
+    distributed MapReduce path (Python map/reduce fns over RDDs)."""
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(_kv_documents(spark, sf_dir), "charcount")
+
+
+MR_CHARCOUNT_SQL = """
+WITH counts AS (
+  SELECT ch, count(*) AS total
+  FROM (SELECT unnest(string_split(regexp_replace(text, '[^a-z0-9]', '', 'g'), '')) AS ch
+        FROM documents) t
+  WHERE ch <> ''
+  GROUP BY ch)
+SELECT ch AS key, ch AS result FROM counts
+UNION ALL
+SELECT ch AS key, CAST(total AS VARCHAR) AS result FROM counts
+"""
+
+
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count through the MapReduce path (map emits (token,'1'), reduce
+    sums — the canonical MapReduce program on this engine)."""
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(_kv_documents(spark, sf_dir), "wordcount")
+
+
+MR_WORDCOUNT_SQL = r"""
+WITH counts AS (
+  SELECT tok, count(*) AS total
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) t
+  WHERE tok <> ''
+  GROUP BY tok)
+SELECT tok AS key, tok AS result FROM counts
+UNION ALL
+SELECT tok AS key, CAST(total AS VARCHAR) AS result FROM counts
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),
+    "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),
+}

@@ -1,0 +1,711 @@
+"""Relational operator layer: scans, projection/filter, joins (all types,
+broadcast), aggregations (plain/distinct/rollup/cube), sorts/limits/top-k,
+scalar functions (string/date/math/json/conditional).
+
+The reference has NONE of these as engine operators — its total programmable
+surface is the Map/Reduce UDF pair (``/root/reference/src/tmapreduce/mrf.h:9-11``);
+filtering/projection happen only inside opaque user code (e.g. the char filter
+``example/word_count/word_count.cc:5-7``). SURVEY.md §2B maps each required
+category to the Spark primitive used here. Everything below is declarative
+DataFrame API so Catalyst applies pushdown/pruning/join-selection; no Python
+touches row data.
+
+Money/float outputs go through :mod:`tmapreduce_spark.parity` (exact integer
+summation + binary-deterministic rounding) so DuckDB-oracle value hashes match
+bit-for-bit regardless of reduction order — see that module's docstring.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/part/supplier) are explicitly broadcast —
+  no shuffle of the fact table;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE handles
+  skew;
+- aggregations rely on Catalyst's automatic partial (map-side) aggregation —
+  the reference ships ALL map output over the wire (``worker.cc:311-315``),
+  which is exactly the anti-pattern partial agg avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
+from tmapreduce_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape) — full-scan aggregation, partial-agg path
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(msum2("l_quantity", SPARK)).alias("sum_qty"),
+            F.expr(msum2("l_extendedprice", SPARK)).alias("sum_base_price"),
+            F.expr(msum2(_DISC_PRICE, SPARK)).alias("sum_disc_price"),
+            F.expr(msum2(_CHARGE, SPARK)).alias("sum_charge"),
+            F.expr(mavg("l_quantity")).alias("avg_qty"),
+            F.expr(mavg("l_extendedprice")).alias("avg_price"),
+            F.expr(mavg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {msum2("l_quantity", DUCK)} AS sum_qty,
+       {msum2("l_extendedprice", DUCK)} AS sum_base_price,
+       {msum2(_DISC_PRICE, DUCK)} AS sum_disc_price,
+       {msum2(_CHARGE, DUCK)} AS sum_charge,
+       {mavg("l_quantity")} AS avg_qty,
+       {mavg("l_extendedprice")} AS avg_price,
+       {mavg("l_discount")} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shipping-priority revenue (TPC-H Q3 shape) — fact⋈fact join + top-k
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # customer is small relative to the facts: broadcast the semi-filter
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(msum2(_DISC_PRICE, SPARK)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       {msum2(_DISC_PRICE, DUCK)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Local-supplier revenue (TPC-H Q5 shape) — snowflake join through dims
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # dims chain broadcast end-to-end; only orders⋈lineitem shuffles.
+    nr = F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.expr(msum2(_DISC_PRICE, SPARK)).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       {msum2(_DISC_PRICE, DUCK)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forecast revenue change (TPC-H Q6 shape) — pure pushdown filter + scalar agg
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(msum2("l_extendedprice * l_discount", SPARK)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT {msum2("l_extendedprice * l_discount", DUCK)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(mround(_DISC_PRICE, 2)).alias("net_price"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+
+
+FILTER_PROJECT_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {mround(_DISC_PRICE, 2)} AS net_price,
+       CAST(l_quantity AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins: inner-broadcast, left outer, semi, anti, full outer, range(theta)
+# ---------------------------------------------------------------------------
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast: per-brand net revenue. At 100 TB
+    the part table is the broadcast side; lineitem never shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.expr(msum2(_DISC_PRICE, SPARK)).alias("brand_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = f"""
+SELECT p_brand,
+       {msum2(_DISC_PRICE, DUCK)} AS brand_revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with their order counts, keeping order-less customers
+    (COALESCE'd to 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        c.join(counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("order_count"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment,
+       COALESCE(cnt, 0) AS order_count
+FROM customer LEFT JOIN
+  (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t
+  ON c_custkey = o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that placed at least one urgent order (left_semi — no
+    duplication, no columns from the right side shuffled)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left_anti)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier account totals."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    ca = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.expr(msum2("c_acctbal", SPARK)).alias("cust_bal")
+    )
+    sa = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.expr(msum2("s_acctbal", SPARK)).alias("supp_bal")
+    )
+    return (
+        ca.join(sa, F.col("nk_c") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("cust_bal"), F.lit(0.0)).alias("cust_bal"),
+            F.coalesce(F.col("supp_bal"), F.lit(0.0)).alias("supp_bal"),
+        )
+    )
+
+
+JOIN_FULL_SQL = f"""
+SELECT COALESCE(nk_c, nk_s) AS nationkey,
+       COALESCE(cust_bal, 0.0) AS cust_bal,
+       COALESCE(supp_bal, 0.0) AS supp_bal
+FROM (SELECT c_nationkey AS nk_c, {msum2("c_acctbal", DUCK)} AS cust_bal
+      FROM customer GROUP BY c_nationkey) a
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk_s, {msum2("s_acctbal", DUCK)} AS supp_bal
+      FROM supplier GROUP BY s_nationkey) b
+ON nk_c = nk_s
+"""
+
+
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: price-band classification of orders by a
+    small in-line band table. On Spark a non-equi join against a broadcast
+    side is a BroadcastNestedLoopJoin — correct plan for tiny band tables;
+    never do this with two large sides."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 200_000.0), ("high", 200_000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(msum2("o_totalprice", SPARK)).alias("band_total"),
+        )
+    )
+
+
+JOIN_RANGE_SQL = f"""
+SELECT band, count(*) AS n_orders, {msum2("o_totalprice", DUCK)} AS band_total
+FROM orders
+JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 200000.0), ('high', 200000.0, 1e18))
+     AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations: distinct, rollup, cube, conditional, stats
+# ---------------------------------------------------------------------------
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus); NULL grouping cells surfaced as
+    'ALL' so string semantics match the oracle exactly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(msum2("l_quantity", SPARK)).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {msum2("l_quantity", DUCK)} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(msum2("o_totalprice", SPARK)).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+        )
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       {msum2("o_totalprice", DUCK)} AS sum_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-based conditional aggregation (pivot-style manual spread)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty_f = "CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END"
+    qty_o = "CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END"
+    return l.groupBy("l_returnflag").agg(
+        F.expr(msum2(qty_f, SPARK)).alias("qty_f"),
+        F.expr(msum2(qty_o, SPARK)).alias("qty_o"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+AGG_CONDITIONAL_SQL = f"""
+SELECT l_returnflag,
+       {msum2("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END", DUCK)} AS qty_f,
+       {msum2("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END", DUCK)} AS qty_o,
+       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: min/max (exact picks, manual round) and
+    stddev/variance (engine algorithms differ in ulp; 4/2-digit rounding
+    absorbs it)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(mround("min(o_totalprice)", 2)).alias("min_price"),
+        F.expr(mround("max(o_totalprice)", 2)).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+    )
+
+
+AGG_STATS_SQL = f"""
+SELECT o_orderstatus,
+       {mround("min(o_totalprice)", 2)} AS min_price,
+       {mround("max(o_totalprice)", 2)} AS max_price,
+       round(stddev_samp(o_totalprice), 4) AS stddev_price,
+       round(var_samp(o_totalprice), 2) AS var_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — each partition
+    keeps only k rows, then the driver merges k*partitions rows; no full sort
+    at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(mround("o_totalprice", 2)).alias("total_price"),
+        )
+        .limit(20)
+    )
+
+
+TOPK_SQL = f"""
+SELECT o_orderkey, o_custkey, {mround("o_totalprice", 2)} AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / json
+# ---------------------------------------------------------------------------
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_brand"), 7, 10).alias("brand_num"),
+        F.concat_ws("/", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_brand, 7, 10) AS brand_num,
+       concat_ws('/', p_type, p_brand) AS type_brand,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       string_split(p_name, ' ')[1] AS first_word
+FROM part
+"""
+
+
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(msum2("o_totalprice", SPARK)).alias("revenue"),
+        )
+    )
+
+
+SCALAR_DATE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       count(*) AS n_orders,
+       {msum2("o_totalprice", DUCK)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(mround("sqrt(l_extendedprice)", 6)).alias("sqrt_price"),
+        F.expr(mround("ln(l_extendedprice + 1.0)", 6)).alias("ln_price"),
+        F.ceil(F.col("l_quantity")).alias("qty_ceil"),
+        F.floor(F.col("l_quantity")).alias("qty_floor"),
+        F.abs(F.col("l_discount") - 0.05).cast("double").alias("disc_dev"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).alias("key_mod"),
+        F.expr(mround("power(l_tax + 1.0, 2.0)", 6)).alias("tax_sq"),
+    )
+
+
+SCALAR_MATH_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {mround("sqrt(l_extendedprice)", 6)} AS sqrt_price,
+       {mround("ln(l_extendedprice + 1.0)", 6)} AS ln_price,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+       l_orderkey % 97 AS key_mod,
+       {mround("power(l_tax + 1.0, 2.0)", 6)} AS tax_sq
+FROM lineitem
+WHERE l_linenumber = 1
+"""
+
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events ``props`` column."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            F.expr(mround("CAST(sum(k_val) AS DOUBLE) / count(*)", 6)).alias("avg_k"),
+        )
+    )
+
+
+SCALAR_JSON_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       {mround("CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*)", 6)} AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped time-bucket aggregation over events (batch form of tumbling window)
+# ---------------------------------------------------------------------------
+
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation, batch form. Bucketing is done in
+    epoch arithmetic (floor(epoch/600)*600) so Spark and the oracle agree
+    bit-for-bit; the streaming form lives in tmapreduce_spark.streaming."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("bucket_epoch"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(msum2("value", SPARK)).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_epoch,
+       event_type,
+       count(*) AS n_events,
+       {msum2("value", DUCK)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
+    "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "join"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "filter+agg"),
+    "filter_project": QuerySpec(filter_project, FILTER_PROJECT_SQL, "projection"),
+    "join_broadcast_dim": QuerySpec(join_broadcast_dim, JOIN_BROADCAST_SQL, "join"),
+    "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_SQL, "join"),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, "join"),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, "join"),
+    "join_full_outer": QuerySpec(join_full_outer, JOIN_FULL_SQL, "join"),
+    "join_range_theta": QuerySpec(join_range_theta, JOIN_RANGE_SQL, "join"),
+    "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
+    "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),
+    "agg_conditional": QuerySpec(agg_conditional, AGG_CONDITIONAL_SQL, "aggregation"),
+    "agg_stats": QuerySpec(agg_stats, AGG_STATS_SQL, "aggregation"),
+    "topk_orders": QuerySpec(topk_orders, TOPK_SQL, "sort/limit"),
+    "scalar_string": QuerySpec(scalar_string, SCALAR_STRING_SQL, "scalar"),
+    "scalar_date": QuerySpec(scalar_date, SCALAR_DATE_SQL, "scalar"),
+    "scalar_math": QuerySpec(scalar_math, SCALAR_MATH_SQL, "scalar"),
+    "scalar_json": QuerySpec(scalar_json, SCALAR_JSON_SQL, "scalar"),
+    "events_tumbling_10min": QuerySpec(events_tumbling_10min, EVENTS_TUMBLING_SQL, "time-window"),
+}

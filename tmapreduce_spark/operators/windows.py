@@ -1,0 +1,180 @@
+"""Window functions: ranking, offsets (lag/lead), frames (running/moving
+aggregates), ntile. Absent in the reference (SURVEY §2B — total surface is
+``mrf.h:9-11``); built on ``pyspark.sql.Window``.
+
+Determinism: every window ORDER BY carries a unique tiebreak column so ordered
+frames (running sums, lag/lead) are bit-reproducible and oracle-comparable.
+
+Scale: a window partitioned by a key is one shuffle on that key; frames are
+evaluated streaming within each partition. The thing to avoid at 100 TB is a
+global (un-partitioned) ordered window — everything lands in one task. None of
+these use one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import mround, mround_col
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — row_number over a per-key window.
+    The grouped-top-n pattern: no global sort, one shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            mround_col(F.col("o_totalprice"), 2).alias("total_price"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS total_price, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank over part price within brand."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.rank().over(w).cast("bigint").alias("price_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 5)
+    )
+
+
+WINDOW_DENSE_SQL = """
+SELECT p_brand, p_partkey,
+       CAST(price_rank AS BIGINT) AS price_rank,
+       CAST(price_dense_rank AS BIGINT) AS price_dense_rank
+FROM (
+  SELECT p_brand, p_partkey,
+         rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS price_rank,
+         dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS price_dense_rank
+  FROM part) t
+WHERE price_rank <= 5
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue in order-date order (rows-between
+    unbounded-preceding frame). Fully specified ordering ⇒ bit-reproducible."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        mround_col(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+         AS running_total
+FROM orders
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap in days between a customer's consecutive orders (lag offset)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate").cast("date"), prev), F.lit(-1)
+        ).cast("bigint").alias("days_since_prev"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(COALESCE(date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC),
+                     CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row centered moving average of event value per user (bounded frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-1, 1)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        mround_col(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+WINDOW_MOVING_SQL = """
+SELECT user_id, event_id,
+       floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) * 1000000 + 0.5) / 1000000 AS moving_avg
+FROM events
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by account balance within segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS bal_quartile
+FROM customer
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
+    "window_rank_dense": QuerySpec(window_rank_dense, WINDOW_DENSE_SQL, "window"),
+    "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL, "window"),
+    "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_SQL, "window"),
+    "window_moving_avg": QuerySpec(window_moving_avg, WINDOW_MOVING_SQL, "window"),
+    "window_ntile": QuerySpec(window_ntile, WINDOW_NTILE_SQL, "window"),
+}

@@ -1,0 +1,111 @@
+"""Job-type UDF registry.
+
+Replaces the reference's worker-side UDF discovery and loading: workers scan
+``mrf_path`` for ``{type}.so`` files to learn their acceptable job types
+(``/root/reference/src/tmapreduce/worker_server.cc:37-45``), register them in
+etcd, then ``dlopen``/``dlsym("c_Map"/"c_Reduce")`` at execution time
+(``/root/reference/src/tmapreduce/worker.cc:96-121,225,270``). Here a job type
+is simply a name bound to a pair of Python callables:
+
+- ``map_fn(key: str, value: str) -> Iterable[tuple[str, str]]`` — flatMap
+  semantics, 0..n output pairs per input pair (``src/tmapreduce/job.h:18``).
+- ``reduce_fn(key: str, values: list[str]) -> Iterable[str]`` — flat list of
+  result strings per key group (``src/tmapreduce/job.h:19-20``).
+
+The built-in job types reproduce the reference's shipped example and the
+golden jobs in FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+
+MapFn = Callable[[str, str], Iterable[tuple[str, str]]]
+ReduceFn = Callable[[str, list[str]], Iterable[str]]
+
+
+@dataclass(frozen=True)
+class JobType:
+    name: str
+    map_fn: MapFn
+    reduce_fn: ReduceFn
+
+
+class JobRegistry:
+    """In-process replacement for etcd type discovery (``master.cc:203-215``)."""
+
+    def __init__(self) -> None:
+        self._types: dict[str, JobType] = {}
+
+    def register(self, name: str, map_fn: MapFn, reduce_fn: ReduceFn) -> None:
+        self._types[name] = JobType(name, map_fn, reduce_fn)
+
+    def get(self, name: str) -> JobType:
+        if name not in self._types:
+            # mirrors the reference's "no worker for this type" stall — but we
+            # fail fast instead of queueing forever (master.cc:203-210).
+            raise KeyError(f"unknown job type: {name!r}")
+        return self._types[name]
+
+    def types(self) -> list[str]:
+        return sorted(self._types)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._types
+
+
+# ---------------------------------------------------------------------------
+# Built-in job types (reference example + FIXTURES.md §3 golden jobs)
+# ---------------------------------------------------------------------------
+
+def charcount_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Per-document histogram of ``[a-z0-9]`` chars -> (char, str(count)).
+
+    Parity with the reference's shipped example Map
+    (``/root/reference/example/word_count/word_count.cc:9-22``): counts only
+    lowercase letters and digits, emits stringified counts.
+    """
+    counts = Counter(c for c in value if ("a" <= c <= "z") or ("0" <= c <= "9"))
+    return [(ch, str(n)) for ch, n in counts.items()]
+
+
+def charcount_reduce(key: str, values: list[str]) -> Iterable[str]:
+    """Sum of int(v) over values -> emits [key, str(total)].
+
+    Parity with ``/root/reference/example/word_count/word_count.cc:24-34``:
+    the reduce emits the key and the total as two flat strings (the client
+    consumes the result array pairwise, ``word_count_client.cc:63-65``).
+    """
+    return [key, str(sum(int(v) for v in values))]
+
+
+def identity_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    return [(key, value)]
+
+
+def identity_reduce(key: str, values: list[str]) -> Iterable[str]:
+    return list(values)
+
+
+def empty_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Maps every pair to nothing — exercises the empty-shuffle short-circuit
+    (``/root/reference/src/tmapreduce/master.cc:624-627``)."""
+    return []
+
+
+def wordcount_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Whitespace word count map (the classic; generalizes the reference's
+    char-histogram example to tokens)."""
+    return [(w, "1") for w in value.split()]
+
+
+def default_registry() -> JobRegistry:
+    reg = JobRegistry()
+    reg.register("charcount", charcount_map, charcount_reduce)
+    reg.register("identity", identity_map, identity_reduce)
+    reg.register("empty-map", empty_map, identity_reduce)
+    reg.register("wordcount", wordcount_map, charcount_reduce)
+    return reg

@@ -1,0 +1,80 @@
+"""Table catalog over the parquet testdata (TESTDATA.md).
+
+The reference's only sources are a REST JSON body (``gateway.cc:87-106``) and
+a client-side file slurp (``word_count_client.cc:30-43``); this engine's scan
+layer is columnar parquet with Catalyst predicate pushdown and column pruning
+— the load-bearing difference at 100 TB (only referenced columns reach IO,
+filters reach the parquet row-group statistics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as LONG nanos.
+        # Truncate (not round) to microseconds — matching how DuckDB presents
+        # the same column as its µs TIMESTAMP — so both engines see identical
+        # instants. Integer `div` avoids double-precision loss at ~1e18 ns.
+        from pyspark.sql import functions as F  # local import to avoid cycle
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so ``spark.sql`` works
+    against the same names DuckDB's oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_kv_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines KV ingestion — the scan analog of the reference's REST
+    ``/launch`` payload shape (``gateway.cc:43-48``: string key, string value)."""
+    df = spark.read.json(path)
+    return df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+
+def read_kv_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.option("header", "true").csv(path)
+    return df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+
+def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-line text source: key = file path + line offset surrogate is not
+    needed for parity — the reference client keys by file name
+    (``word_count_client.cc:30-43``); here each line keys by its source file."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Structured Streaming over the ``events`` table: watermarked tumbling /
+sliding / session windows, streaming dedup, and a run-to-completion helper.
+
+The reference is strictly batch (its job stage machine terminates at FINISHED,
+``/root/reference/src/tmapreduce/job.h:26-39``); streaming is a required
+category from SURVEY §2B. Each windowed transform here is defined over ANY
+DataFrame — batch or streaming — so correctness is testable by running the
+same function in both modes (and against the batch oracle in the catalog:
+``events_tumbling_10min`` is the batch twin of :func:`tumbling_counts`).
+
+Scale notes: watermark + windowed aggregation is incremental state in the
+state store, keyed by (window, event_type) — bounded by watermark horizon, not
+input size. ``dropDuplicatesWithinWatermark`` state is likewise bounded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.parity import SPARK, msum2
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts arrives as LONG nanos (spark.sql.legacy.parquet.nanosAsLong — the
+# testdata stores TIMESTAMP(NANOS)); stream_events converts to a µs timestamp
+# exactly like sources.catalog.load_table does for batch.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file-per-trigger keeps
+    the smoke deterministic; a production deployment points this at a
+    landing directory or Kafka with the same downstream plan). The file
+    source requires a directory, so point it at sf_dir with a glob filter."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute tumbling windows per event_type; late rows beyond the
+    watermark are dropped. Batch twin: catalog query ``events_tumbling_10min``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.expr(msum2("value", SPARK)).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "15 minutes", watermark: str = "60 minutes") -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.expr(msum2("value", SPARK)).alias("session_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            F.unix_timestamp(F.col("win.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    bounded-state streaming analog of ``dedup_exact_*``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a stream with availableNow (process-everything-then-stop) into an
+    in-memory table; returns the materialized result as a batch DataFrame."""
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
