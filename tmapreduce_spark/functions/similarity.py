@@ -74,16 +74,24 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    # per-vector norms computed ONCE on each side (not per pair) — same
+    # binary value as inlining sqrt(dot(x,x)) at every pair, ~half the flops.
+    cand = e.selectExpr(
+        "vec_id AS neighbor_id",
+        "embedding AS c_emb",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS c_norm",
+    )
+    q = q.selectExpr(
+        "query_id", "q_emb", f"sqrt({_dot_spark('q_emb', 'q_emb')}) AS q_norm"
+    )
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"floor(({_dot_spark('q_emb', 'c_emb')} / "
-            f"(sqrt({_dot_spark('q_emb', 'q_emb')}) * sqrt({_dot_spark('c_emb', 'c_emb')}))) * 1000000 + 0.5) / 1000000"
-            " AS cosine",
+            f"floor(({_dot_spark('q_emb', 'c_emb')} / (q_norm * c_norm))"
+            " * 1000000 + 0.5) / 1000000 AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -95,15 +103,18 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-           WHERE vec_id < {N_QUERIES}),
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  sqrt({_dot_duck('embedding', 'embedding')}) AS q_norm
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb,
+             sqrt({_dot_duck('embedding', 'embedding')}) AS c_norm
+      FROM embeddings),
 scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-         floor(({_dot_duck('q_emb', 'e.embedding')} /
-               (sqrt({_dot_duck('q_emb', 'q_emb')}) * sqrt({_dot_duck('e.embedding', 'e.embedding')}))) * 1000000 + 0.5) / 1000000
+  SELECT query_id, neighbor_id,
+         floor(({_dot_duck('q_emb', 'c_emb')} / (q_norm * c_norm)) * 1000000 + 0.5) / 1000000
            AS cosine
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> query_id),
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
@@ -118,34 +129,37 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by embedding cosine within a label block
     (cosine >= 0.3). The label acts as the IVF-style bucket: only intra-bucket
     pairs are scored, bounding the quadratic term."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("lab_a")
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "label",
+        "embedding",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS nrm",
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("lab_b")
-    )
+    a = e.selectExpr("vec_id AS vec_a", "embedding AS emb_a", "label AS lab_a", "nrm AS nrm_a")
+    b = e.selectExpr("vec_id AS vec_b", "embedding AS emb_b", "label AS lab_b", "nrm AS nrm_b")
     return (
         a.join(b, (F.col("lab_a") == F.col("lab_b")) & (F.col("vec_a") < F.col("vec_b")))
         .selectExpr(
             "vec_a",
             "vec_b",
             "lab_a AS label",
-            f"floor(({_dot_spark('emb_a', 'emb_b')} / "
-            f"(sqrt({_dot_spark('emb_a', 'emb_a')}) * sqrt({_dot_spark('emb_b', 'emb_b')}))) * 1000000 + 0.5) / 1000000"
-            " AS cosine",
+            f"floor(({_dot_spark('emb_a', 'emb_b')} / (nrm_a * nrm_b))"
+            " * 1000000 + 0.5) / 1000000 AS cosine",
         )
         .filter(F.col("cosine") >= 0.3)
     )
 
 
 SIMILARITY_PAIRS_SQL = f"""
-WITH pairs AS (
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         floor(({_dot_duck('a.embedding', 'b.embedding')} /
-               (sqrt({_dot_duck('a.embedding', 'a.embedding')}) * sqrt({_dot_duck('b.embedding', 'b.embedding')}))) * 1000000 + 0.5) / 1000000
+         floor(({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
            AS cosine
-  FROM embeddings a JOIN embeddings b
+  FROM e a JOIN e b
     ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.3
 """
