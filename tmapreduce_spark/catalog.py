@@ -30,12 +30,22 @@ class QuerySpec:
 
 
 def build_catalog() -> dict[str, QuerySpec]:
-    from tmapreduce_spark.operators import relational, windows, setops
-    from tmapreduce_spark.functions import text, dedup, similarity
-    from tmapreduce_spark.operators import mapreduce_queries
+    from tmapreduce_spark.operators import advanced, mapreduce_queries, relational, setops, windows
+    from tmapreduce_spark.functions import dedup, multimodal, similarity, text, udfs
 
     catalog: dict[str, QuerySpec] = {}
-    for mod in (relational, windows, setops, text, dedup, similarity, mapreduce_queries):
+    for mod in (
+        relational,
+        advanced,
+        windows,
+        setops,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        udfs,
+        mapreduce_queries,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in catalog:
                 raise ValueError(f"duplicate query name {name!r}")

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual decode is STUBBED
+(:func:`decode_image_stub` raises unless PIL is importable — clearly marked);
+everything Spark-side is real and tested: the binary column synthesis, the
+metadata schema, the mapInPandas UDF signature, and the batch shapes. The
+"fake decode" derives deterministic pseudo-dimensions from the payload's md5,
+which makes even the Python mapInPandas path DuckDB-oracle-checkable.
+
+Scale notes: binary payloads ride Parquet like any column (Tungsten handles
+them off-heap); mapInPandas streams Arrow batches so per-batch memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — resize that
+down for multi-MB images. Partition by content size (or store large blobs as
+paths + ranged reads) before fanning out decode at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.sources.catalog import load_table
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, fake_width bigint, fake_height bigint, "
+    "fake_channels bigint"
+)
+
+
+def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with an opaque binary payload column + typed metadata —
+    the storage shape for multimodal data (FIXTURES §4 documents as carrier)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """REAL decode is stubbed: the container ships no imaging libraries.
+    Falls back to NotImplementedError unless PIL is available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - PIL absent by design
+        raise NotImplementedError(
+            "image decode requires PIL/pillow which this environment does not "
+            "ship; use fake_decode_batch for plumbing tests"
+        ) from exc
+    raise NotImplementedError("real decode path not exercised in this container")
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: md5-derived dimensions (same formula as
+    the DuckDB oracle SQL below)."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return 64 + h % 577, 64 + (h // 577) % 577, 1 + h % 3
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: binary payload -> (doc_id, n_bytes, fake dims).
+    Arrow-batched; the per-batch loop is vectorizable when a real decoder
+    exists (PIL/torchvision operate per-image anyway)."""
+    for pdf in batches:
+        dims = [_fake_dims(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "fake_width": [d[0] for d in dims],
+                "fake_height": [d[1] for d in dims],
+                "fake_channels": [d[2] for d in dims],
+            }
+        )
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing path: binary column -> mapInPandas
+    pseudo-decode -> typed metadata rows. Oracle-checked because the fake
+    decode is md5-deterministic."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        fake_decode_batch, schema=DECODE_SCHEMA
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       64 + hv % 577 AS fake_width,
+       64 + (hv // 577) % 577 AS fake_height,
+       1 + hv % 3 AS fake_channels
+FROM h
+"""
+
+
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the typed metadata struct (payload sizes per origin)
+    — struct access stays JVM-side."""
+    b = binary_documents(spark, sf_dir)
+    return (
+        b.select(F.col("meta.origin").alias("origin"), F.col("meta.n_bytes").alias("n_bytes"))
+        .groupBy("origin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT source AS origin, count(*) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_decode_stats": QuerySpec(multimodal_decode_stats, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "multimodal_meta_stats": QuerySpec(multimodal_meta_stats, MULTIMODAL_META_SQL, "multimodal"),
+}

@@ -1,0 +1,159 @@
+"""User-defined function surface: scalar pandas UDF (Arrow fast path),
+row-at-a-time Python UDF (the slow path, kept for API parity), grouped
+applyInPandas, and a Python UDTF.
+
+This is the DataFrame-era analog of the reference's entire extensibility
+story: C functions resolved per job type via ``dlopen``/``dlsym``
+(``/root/reference/src/tmapreduce/worker.cc:107,225,270``, ABI
+``wrapper.h:10-19``). The registry analog for MapReduce jobs lives in
+:mod:`tmapreduce_spark.registry`; here the same user-code capability is
+exposed at the SQL/DataFrame layer.
+
+Performance ranking (keep in docstrings because the 100 TB plan depends on
+it): built-in expressions >> pandas UDF (Arrow, vectorized) >> Python UDF
+(per-row pickling). The catalog entries below intentionally compute things
+expressible as built-ins so the DuckDB oracle can verify the UDF machinery
+itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.sources.catalog import load_table
+
+
+@pandas_udf(DoubleType())
+def net_price_pandas(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized net-price: identical IEEE ops to the SQL expression, so the
+    result is bit-identical to the oracle (np.floor == SQL floor)."""
+    x = price * (1.0 - discount) * (1.0 + tax)
+    return np.floor(x * 100.0 + 0.5) / 100.0
+
+
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over lineitem — the Arrow-vectorized Python path."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        net_price_pandas("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    )
+
+
+UDF_PANDAS_SQL = """
+SELECT l_orderkey,
+       floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) / 100.0
+         AS net_price
+FROM lineitem
+WHERE l_linenumber = 1
+"""
+
+
+def _priority_class(p: str) -> str:
+    return "urgent" if p in ("1-URGENT", "2-HIGH") else "normal"
+
+
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (slow path — each row crosses the JVM↔Python
+    boundary pickled; ~10-100x slower than the pandas UDF; never use in a
+    100 TB hot path, shown for API-surface completeness)."""
+    prio_udf = F.udf(_priority_class, StringType())
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(prio_udf("o_orderpriority").alias("prio_class"))
+        .groupBy("prio_class")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+UDF_PYTHON_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'urgent' ELSE 'normal' END AS prio_class,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def _demean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: per-segment balance deviation from the segment
+    mean. The mean divides an exact integer-cents sum so it is
+    order-independent; all subsequent ops are elementwise IEEE."""
+    cents = np.floor(pdf["c_acctbal"].to_numpy() * 1000000.0 + 0.5).astype("int64")
+    mean = float(cents.sum()) / 1000000.0 / len(cents)
+    dev = pdf["c_acctbal"] - mean
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "bal_dev": np.floor(dev * 100.0 + 0.5) / 100.0,
+        }
+    )
+
+
+def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDF): the faithful Spark tool for the
+    reference's flatMap-shaped Reduce (SURVEY §7 hard-part 1) — full group in
+    one pandas frame, arbitrary n-rows-out."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy(
+        "c_mktsegment"
+    ).applyInPandas(_demean_group, "c_custkey bigint, c_mktsegment string, bal_dev double")
+
+
+UDF_GROUPED_SQL = """
+WITH m AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / count(*) AS seg_mean
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_custkey, c.c_mktsegment,
+       floor((c_acctbal - seg_mean) * 100.0 + 0.5) / 100.0 AS bal_dev
+FROM customer c JOIN m ON c.c_mktsegment = m.c_mktsegment
+"""
+
+
+def udf_mapinpandas_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (iterator-of-batches UDF): per-partition streaming pass —
+    here a partition-local row counter proving batch iteration; aggregated to
+    a deterministic total so the oracle can check it."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "o_orderstatus": pdf["o_orderstatus"],
+                    "one": np.ones(len(pdf), dtype="int64"),
+                }
+            )
+
+    return (
+        o.select("o_orderstatus")
+        .mapInPandas(count_batches, "o_orderstatus string, one bigint")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("one").alias("n_rows"))
+    )
+
+
+UDF_MAPINPANDAS_SQL = """
+SELECT o_orderstatus, count(*) AS n_rows
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "udf_pandas_scalar": QuerySpec(udf_pandas_scalar, UDF_PANDAS_SQL, "udf"),
+    "udf_python_scalar": QuerySpec(udf_python_scalar, UDF_PYTHON_SQL, "udf"),
+    "udf_grouped_demean": QuerySpec(udf_grouped_demean, UDF_GROUPED_SQL, "udf"),
+    "udf_mapinpandas_running": QuerySpec(udf_mapinpandas_running, UDF_MAPINPANDAS_SQL, "udf"),
+}

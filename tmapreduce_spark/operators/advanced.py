@@ -1,0 +1,367 @@
+"""Advanced relational operators: as-of join, pivot, exact percentiles,
+correlated/EXISTS subqueries, HAVING, disjunctive-predicate scans, and
+additional TPC-H-shaped queries (promo share, large orders, supplier stats).
+
+All absent in the reference (surface = ``/root/reference/src/tmapreduce/
+mrf.h:9-11``); category list from SURVEY §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
+from tmapreduce_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase event, the user's most recent prior view
+# ---------------------------------------------------------------------------
+
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior) join between two event streams of the same
+    user: purchase rows pick up the latest 'view' row with view.ts <= p.ts.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union-and-window trick: tag both sides, sort by (user, ts) within one
+    shuffle, and carry the last view forward with last_value(ignoreNulls)
+    — O(n log n) in one partition pass, no range join explosion. Ties on ts
+    are broken by event_id so both engines agree deterministically."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("bigint").alias("purchase_event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("bigint").alias("view_event_id"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    unioned = views.unionByName(purchases)
+    # views sort before purchases at identical ts (is_purchase 0 < 1), so a
+    # same-instant view IS visible to the purchase — the <= contract.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_purchase"), F.asc("view_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ts",
+        "is_purchase",
+        "purchase_event_id",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("matched_view_id"),
+        F.last("view_value", ignorenulls=True).over(w).alias("matched_view_value"),
+    )
+    return (
+        carried.filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("purchase_event_id").alias("event_id"),
+            "user_id",
+            F.coalesce("matched_view_id", F.lit(-1)).alias("prior_view_id"),
+            F.expr(mround("coalesce(matched_view_value, -1.0)", 2)).alias("prior_view_value"),
+        )
+    )
+
+
+JOIN_ASOF_SQL = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+matched AS (
+  SELECT p.event_id, p.user_id, v.event_id AS view_id, v.value AS view_value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+SELECT p.event_id, p.user_id,
+       COALESCE(m.view_id, -1) AS prior_view_id,
+       {mround("COALESCE(m.view_value, -1.0)", 2)} AS prior_view_value
+FROM p LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m ON p.event_id = m.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation) over order status x priority
+# ---------------------------------------------------------------------------
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot(): order counts per status, one column per priority
+    class. Pivot values are enumerated explicitly — at scale never let Spark
+    run the extra distinct-scan to discover them."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"n_p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_p1,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_p2,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_p3,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_p4,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_p5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based; both engines linear-interpolate)
+# ---------------------------------------------------------------------------
+
+def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(mround("percentile(l_extendedprice, 0.5)", 4)).alias("p50"),
+        F.expr(mround("percentile(l_extendedprice, 0.9)", 4)).alias("p90"),
+        F.expr(mround("percentile(l_extendedprice, 0.99)", 4)).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = f"""
+SELECT l_returnflag,
+       {mround("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+       {mround("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+       {mround("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated / EXISTS subqueries
+# ---------------------------------------------------------------------------
+
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose balance exceeds their nation's average (correlated
+    scalar subquery, decorrelated into a join against the per-nation agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.expr(mavg("c_acctbal", 6)).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+SUBQUERY_ABOVE_AVG_SQL = f"""
+SELECT c_custkey, c_nationkey, c_acctbal AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {mavg("c_acctbal", 6)}
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in nations that have at least one customer with negative
+    balance (EXISTS → left_semi)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    neg_nations = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    return (
+        s.join(neg_nations, F.col("s_nationkey") == F.col("nk"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+SUBQUERY_EXISTS_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# HAVING / promo share / supplier-part stats (TPC-H Q18/Q14/Q16 shapes)
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 150 (groupBy + HAVING + join back)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.expr(msum2("l_quantity", SPARK)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(mround("o_totalprice", 2)).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT o_orderkey, o_custkey, {mround("o_totalprice", 2)} AS total_price, total_qty
+FROM (SELECT l_orderkey, {msum2("l_quantity", DUCK)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey) t
+JOIN orders ON l_orderkey = o_orderkey
+WHERE total_qty > 150.0
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of 1997 revenue from PROMO-type parts (conditional agg over a
+    broadcast dim join). The ratio divides two exact integer-cent sums, so it
+    is order-independent and oracle-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    promo_cents = (
+        "sum(CASE WHEN p_type = 'PROMO' THEN"
+        " CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)"
+        " ELSE 0 END)"
+    )
+    total_cents = (
+        "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT))"
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                mround(f"100.0 * CAST({promo_cents} AS DOUBLE) / CAST({total_cents} AS DOUBLE)", 6)
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT {mround(
+    "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN"
+    " CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)"
+    " ELSE 0 END) AS DOUBLE)"
+    " / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)",
+    6,
+)} AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) — Q16 shape without
+    the exclusion list."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .filter(F.col("supplier_cnt") >= 4)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type, p_size
+HAVING count(DISTINCT l_suppkey) >= 4
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicates (Q19 shape): OR of three
+    brand/size/quantity bands — exercises predicate normalization; at the scan
+    level the common l_partkey join survives, the OR evaluates post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.expr(msum2("l_extendedprice * (1 - l_discount)", SPARK)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {msum2("l_extendedprice * (1 - l_discount)", DUCK)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 30)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns (Q10 shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(msum2("l_extendedprice * (1 - l_discount)", SPARK)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {msum2("l_extendedprice * (1 - l_discount)", DUCK)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
+    "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
+    "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),
+    "subquery_above_avg": QuerySpec(subquery_above_avg, SUBQUERY_ABOVE_AVG_SQL, "subquery"),
+    "subquery_exists": QuerySpec(subquery_exists, SUBQUERY_EXISTS_SQL, "subquery"),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "aggregation"),
+    "q14_promo_share": QuerySpec(q14_promo_share, Q14_SQL, "join+agg"),
+    "q16_supplier_part_count": QuerySpec(q16_supplier_part_count, Q16_SQL, "aggregation"),
+    "q19_disjunctive": QuerySpec(q19_disjunctive, Q19_SQL, "join+filter"),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL, "join+topk"),
+}
