@@ -1,0 +1,65 @@
+"""Physical-plan guardrails: assert the optimizations the 100 TB design
+depends on actually appear in the plans (SURVEY §7 scale rules). These fail
+loudly if a future change silently blocks pushdown, drops a broadcast, or
+degrades top-k to a global sort."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.operators.relational import (
+    filter_project,
+    join_broadcast_dim,
+    q1_pricing_summary,
+    topk_orders,
+)
+from tmapreduce_spark.operators.windows import window_rank_topn
+from tmapreduce_spark.functions.dedup import _minhash_wide
+from tmapreduce_spark.plans import assert_plan_contains, assert_plan_lacks, physical_plan
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: never reads the join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_filter_project_pushdown(spark):
+    df = filter_project(spark, SF_SMOKE)
+    assert_plan_contains(df, "EqualTo(l_returnflag,R)", "GreaterThan(l_quantity,45.0)")
+
+
+def test_dim_join_broadcasts(spark):
+    df = join_broadcast_dim(spark, SF_SMOKE)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "SortMergeJoin")
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    df = topk_orders(spark, SF_SMOKE)
+    assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_grouped_topn_has_windowgrouplimit(spark):
+    """Spark 3.5+ pushes rn<=k into WindowGroupLimit — each partition keeps
+    k rows per key before the full window sort."""
+    df = window_rank_topn(spark, SF_SMOKE)
+    assert_plan_contains(df, "WindowGroupLimit")
+
+
+def test_minhash_has_partial_aggregation(spark):
+    """The 16 min() aggregates must run map-side (partial_min) before the
+    shuffle — the reference ships raw map output instead (worker.cc:311-315),
+    which is the anti-pattern this plan avoids."""
+    df = _minhash_wide(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "partial_min" in plan or "Partial" in plan
+
+
+def test_aggregates_partial_before_shuffle(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # HashAggregate appears twice: partial (before exchange) + final (after)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

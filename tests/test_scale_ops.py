@@ -1,0 +1,69 @@
+"""Tests for scale-path operators: LSH ANN recall vs brute force, salted
+aggregation equivalence, sketch accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tmapreduce_spark.functions.scale import (
+    ann_lsh_topk,
+    approx_distinct_sketch,
+    approx_quantiles_sketch,
+    salted_token_counts,
+)
+from tmapreduce_spark.functions.similarity import ann_topk_cosine
+from tmapreduce_spark.functions.text import wordcount
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def test_lsh_bucket_prunes_but_finds_near_neighbors(spark):
+    """LSH top-k must be a subset of each query's bucket and overlap the
+    brute-force top-k on the nearest ranks (same-bucket vectors are the
+    similar ones by construction)."""
+    lsh = ann_lsh_topk(spark, SF_CORRECT).collect()
+    brute = ann_topk_cosine(spark, SF_CORRECT).collect()
+    assert lsh, "LSH returned nothing"
+    lsh_best = {r["query_id"]: r["cosine"] for r in lsh if r["rank"] == 1}
+    brute_all = {}
+    for r in brute:
+        brute_all.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every LSH rank-1 neighbor should be among brute-force's top-10 OR have a
+    # cosine no worse than brute's rank-10 (bucket may exclude some top hits).
+    brute_rank10 = {
+        r["query_id"]: r["cosine"] for r in brute if r["rank"] == 10
+    }
+    for qid, best in lsh_best.items():
+        assert best >= brute_rank10[qid] - 0.2
+
+
+def test_salted_equals_direct(spark):
+    a = {(r["tok"], r["total"]) for r in salted_token_counts(spark, SF_CORRECT).collect()}
+    b = {(r["tok"], r["total"]) for r in wordcount(spark, SF_CORRECT).collect()}
+    assert a == b
+
+
+def test_approx_distinct_within_rsd(spark):
+    e = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r["event_type"]: r["approx_users"] for r in approx_distinct_sketch(spark, SF_CORRECT).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.15 * n, 2), (k, approx[k], n)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    o = load_table(spark, SF_CORRECT, "orders")
+    exact = {
+        r["o_orderstatus"]: r["p"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p"))
+        .collect()
+    }
+    approx = {r["o_orderstatus"]: r["pcts"][0] for r in approx_quantiles_sketch(spark, SF_CORRECT).collect()}
+    for k, p in exact.items():
+        assert abs(approx[k] - p) / p < 0.05

@@ -1,0 +1,87 @@
+"""Source/sink coverage: KV ingestion from JSON/CSV/text (the REST-payload
+analog, FIXTURES §1), parquet write round-trips, partitioned writes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.sources.catalog import (
+    load_table,
+    read_kv_csv,
+    read_kv_json,
+    read_kv_text,
+)
+
+KVS = [("1", "alpha"), ("2", "bravo"), ("3", "charlie")]
+
+
+def test_read_kv_json(spark, tmp_path):
+    p = tmp_path / "kv.jsonl"
+    p.write_text("\n".join(json.dumps({"key": k, "value": v}) for k, v in KVS))
+    got = sorted((r["key"], r["value"]) for r in read_kv_json(spark, str(p)).collect())
+    assert got == KVS
+
+
+def test_read_kv_csv(spark, tmp_path):
+    p = tmp_path / "kv.csv"
+    p.write_text("key,value\n" + "\n".join(f"{k},{v}" for k, v in KVS))
+    got = sorted((r["key"], r["value"]) for r in read_kv_csv(spark, str(p)).collect())
+    assert got == KVS
+
+
+def test_read_kv_text(spark, tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("line one\nline two\n")
+    rows = read_kv_text(spark, str(p)).collect()
+    assert sorted(r["value"] for r in rows) == ["line one", "line two"]
+    assert all(r["key"].endswith("doc.txt") for r in rows)
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "lineitem_out")
+    df = load_table(spark, SF_SMOKE, "lineitem")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partitioned layout: reading one partition must scan only that
+    directory (partition pruning — the at-rest layout lever for 100 TB)."""
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_SMOKE, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    ) == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+    one = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = one.queryExecution() if False else one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0
+    # pruned scan must not mention the other partition dirs
+    assert "o_orderstatus=O" not in plan
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: final per-user running totals must equal the
+    batch groupBy (take the last update per user)."""
+    from tmapreduce_spark.streaming.events import run_stream_to_memory, stream_events
+    from tmapreduce_spark.streaming.stateful import running_user_totals
+    from pyspark.sql import functions as F
+
+    s = running_user_totals(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_stateful", output_mode="update")
+    # update mode may emit a row per micro-batch; the file arrives as one
+    # batch here, so rows are already final — still, take the max to be safe.
+    final = mem.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    a = {(r["user_id"], r["n_events"]) for r in final.collect()}
+    b = {(r["user_id"], r["n_events"]) for r in batch.collect()}
+    assert a == b

@@ -31,7 +31,7 @@ class QuerySpec:
 
 def build_catalog() -> dict[str, QuerySpec]:
     from tmapreduce_spark.operators import advanced, mapreduce_queries, relational, setops, windows
-    from tmapreduce_spark.functions import dedup, multimodal, similarity, text, udfs
+    from tmapreduce_spark.functions import dedup, multimodal, scale, similarity, text, udfs
 
     catalog: dict[str, QuerySpec] = {}
     for mod in (
@@ -44,6 +44,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         udfs,
+        scale,
         mapreduce_queries,
     ):
         for name, spec in mod.QUERIES.items():
