@@ -30,12 +30,20 @@ class QuerySpec:
 
 
 def build_catalog() -> dict[str, QuerySpec]:
-    from tmapreduce_spark.operators import advanced, mapreduce_queries, relational, setops, windows
+    from tmapreduce_spark.operators import (
+        advanced,
+        mapreduce_queries,
+        relational,
+        setops,
+        tpch_extra,
+        windows,
+    )
     from tmapreduce_spark.functions import dedup, multimodal, scale, similarity, text, udfs
 
     catalog: dict[str, QuerySpec] = {}
     for mod in (
         relational,
+        tpch_extra,
         advanced,
         windows,
         setops,

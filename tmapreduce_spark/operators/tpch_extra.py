@@ -1,0 +1,477 @@
+"""Extended TPC-H-shape query set (q4/q7/q8/q9/q12/q13/q15/q17/q21/q22),
+adapted to the driver's synthetic schema (no partsupp / commitdate /
+receiptdate / shipmode / phone columns — substitutes noted per query).
+
+The reference cannot express ANY of these: its total programmable surface is
+the Map/Reduce UDF pair (``/root/reference/src/tmapreduce/mrf.h:9-11``); a
+two-input operator (every join below) is impossible there because a job
+carries exactly one ``kvs`` payload (``protos/master_service.proto:37``).
+Here each query is a declarative DataFrame plan — Catalyst handles pushdown,
+join selection and partial aggregation; parity arithmetic (exact integer
+micro-cent sums) comes from :mod:`tmapreduce_spark.parity`.
+
+Scale notes (100 TB):
+- every dim side (region/nation/supplier/part/customer) is explicitly
+  broadcast — the lineitem/orders facts never shuffle for them;
+- fact-fact joins shuffle once on the join key (orderkey / partkey), and
+  per-key aggregations reuse that partitioning;
+- q13/q15/q17/q21/q22 need a scalar or per-key aggregate of a fact table:
+  computed distributed and re-joined (broadcast when scalar) — never
+  collect()'d through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
+from tmapreduce_spark.sources.catalog import load_table
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking. Adaptation: "late line" means shipped more
+# than 30 days after the order date (no commit/receipt dates in the schema).
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        # EXISTS(correlated) as a left-semi join: equi key + range residual.
+        .join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by year.
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(msum2(_DISC_PRICE, SPARK)).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {msum2("volume", DUCK)} AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {_DISC_PRICE} AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region for one part type.
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_nations = F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    vol = (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_nations, F.col("c_nationkey") == F.col("cust_nk"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target = f"CASE WHEN nation = 'NATION_5' THEN {_DISC_PRICE} ELSE 0.0 END"
+    return (
+        vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(msum2(target, SPARK)).alias("nat_rev"),
+            F.expr(msum2(_DISC_PRICE, SPARK)).alias("tot_rev"),
+        )
+        .select("o_year", F.expr(mround("nat_rev / tot_rev", 6)).alias("mkt_share"))
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year, {mround("nat_rev / tot_rev", 6)} AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {msum2("CASE WHEN n2.n_name = 'NATION_5' THEN " + _DISC_PRICE + " ELSE 0.0 END", DUCK)} AS nat_rev,
+             {msum2(_DISC_PRICE, DUCK)} AS tot_rev
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by supplier nation and year. Adaptation: supply
+# cost proxy = 0.5 * p_retailprice * l_quantity (no partsupp table).
+# ---------------------------------------------------------------------------
+
+_AMOUNT = "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.expr(msum2(_AMOUNT, SPARK)).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, {msum2("amount", DUCK)} AS sum_profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_AMOUNT} AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay classification. Adaptation: no l_shipmode column, so
+# the grouping key is the ship-delay band (FAST/MEDIUM/SLOW) instead.
+# ---------------------------------------------------------------------------
+
+_DELAY_BAND = (
+    "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'SLOW' "
+    "WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'MEDIUM' "
+    "ELSE 'FAST' END"
+)
+_HIGH = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+_LOW = "CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.expr(_DELAY_BAND).alias("delay_band"))
+        .agg(
+            F.expr(f"sum({_HIGH})").alias("high_line_count"),
+            F.expr(f"sum({_LOW})").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT {_DELAY_BAND} AS delay_band,
+       CAST(sum({_HIGH}) AS BIGINT) AS high_line_count,
+       CAST(sum({_LOW}) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (includes zero-order customers).
+# ---------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue (scalar max re-joined, no collect).
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(msum2(_DISC_PRICE, SPARK)).alias("total_revenue"))
+    )
+    # msum2 totals are exact on the money grid, so equality-to-max is safe.
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {msum2(_DISC_PRICE, DUCK)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue for one brand (correlated avg → join).
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    # l_quantity is integer-valued: sum/avg are exact in double, so the
+    # 0.2*avg threshold is bit-identical across engines and reduction orders.
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")),
+               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(avg_qty, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.expr(mround(f"({msum2('l_extendedprice', SPARK)}) / 7.0", 2)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT {mround(f"({msum2('l_extendedprice', DUCK)}) / 7.0", 2)} AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS ap, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting. Adaptation: "late" = shipped more
+# than 60 days after order date; counts DISTINCT orders per supplier. The
+# classic EXISTS/NOT-EXISTS pair is expressed as one per-order aggregation
+# (multi-supplier order whose ONLY late supplier is this one) — one shuffle
+# on l_orderkey instead of three self-joins of lineitem.
+# ---------------------------------------------------------------------------
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (
+        l.join(o.filter(F.col("o_orderstatus") == "F"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .cast("int").alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity. Adaptations: the "country code" predicate
+# becomes a nationkey subset (no phone column); "no orders" becomes "no
+# orders since 2000-01-01" (this synthetic data has ~10 orders/customer, so
+# literal zero-order customers in the subset would make the query vacuous);
+# threshold is the exact micro-cent average so > is engine-independent.
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = [1, 3, 5, 7, 9]
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cc = c.filter(F.col("c_nationkey").isin(_Q22_NATIONS))
+    thr = cc.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr(mavg("c_acctbal")).alias("thr")
+    )
+    return (
+        cc.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(msum2("c_acctbal", SPARK)).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_IN = ", ".join(str(k) for k in _Q22_NATIONS)
+
+Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust, {msum2("c_acctbal", DUCK)} AS totacctbal
+FROM customer
+WHERE c_nationkey IN ({_Q22_IN})
+  AND c_acctbal > (SELECT {mavg("c_acctbal")} FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN ({_Q22_IN}))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "join"),
+    "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "join+agg"),
+    "q8_market_share": QuerySpec(q8_market_share, Q8_SQL, "join+agg"),
+    "q9_product_profit": QuerySpec(q9_product_profit, Q9_SQL, "join+agg"),
+    "q12_ship_delay": QuerySpec(q12_ship_delay, Q12_SQL, "join+agg"),
+    "q13_customer_distribution": QuerySpec(q13_customer_distribution, Q13_SQL, "join+agg"),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL, "join+agg"),
+    "q17_small_quantity": QuerySpec(q17_small_quantity, Q17_SQL, "join+agg"),
+    "q21_waiting_supplier": QuerySpec(q21_waiting_supplier, Q21_SQL, "join+agg"),
+    "q22_sales_opportunity": QuerySpec(q22_sales_opportunity, Q22_SQL, "join+agg"),
+}
