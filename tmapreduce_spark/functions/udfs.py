@@ -151,8 +151,42 @@ GROUP BY o_orderstatus
 """
 
 
+def udf_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1 row → n rows, the exact shape of the reference's Map
+    UDF, ``mrf.h:9``) applied laterally per document: positional tokens.
+    Kept off the hot path by design — the same result as posexplode(split()),
+    which is what production pipelines should use; this entry verifies the
+    UDTF machinery itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for tok in (text or "").split():
+                yield pos, tok
+                pos += 1
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.tok
+           FROM documents_udtf_v d, LATERAL tokenize_udtf(d.text) t"""
+    )
+
+
+UDF_UDTF_SQL = r"""
+SELECT doc_id,
+       CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+       unnest(toks) AS tok
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> '')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "udf_pandas_scalar": QuerySpec(udf_pandas_scalar, UDF_PANDAS_SQL, "udf"),
+    "udf_udtf_tokens": QuerySpec(udf_udtf_tokens, UDF_UDTF_SQL, "udf"),
     "udf_python_scalar": QuerySpec(udf_python_scalar, UDF_PYTHON_SQL, "udf"),
     "udf_grouped_demean": QuerySpec(udf_grouped_demean, UDF_GROUPED_SQL, "udf"),
     "udf_mapinpandas_running": QuerySpec(udf_mapinpandas_running, UDF_MAPINPANDAS_SQL, "udf"),

@@ -685,6 +685,95 @@ GROUP BY 1, 2
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-status,
+    per-priority, and grand-total aggregates in one pass. Catalyst expands
+    this to a single Expand + one aggregation — one scan at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               {msum2("o_totalprice", SPARK)} AS sum_price,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+AGG_GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       {msum2("o_totalprice", DUCK)} AS sum_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min every 5), batch form of streaming
+    ``sliding_counts`` — uses the REAL ``window()`` function (each event lands
+    in exactly 2 windows); the oracle reproduces the window-start arithmetic
+    with an unnest."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.expr(msum2("value", SPARK)).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT bucket_epoch, event_type, count(*) AS n_events, {msum2("value", DUCK)} AS sum_value
+FROM (SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS bucket_epoch,
+             event_type, value
+      FROM events) t
+GROUP BY bucket_epoch, event_type
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (15-min inactivity gap), batch form of
+    streaming ``session_windows`` — uses the REAL ``session_window()``;
+    the oracle derives identical sessions via gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.expr(msum2("value", SPARK)).alias("session_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 900 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, user_id,
+       count(*) AS n_events, {msum2("value", DUCK)} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
@@ -708,4 +797,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_math": QuerySpec(scalar_math, SCALAR_MATH_SQL, "scalar"),
     "scalar_json": QuerySpec(scalar_json, SCALAR_JSON_SQL, "scalar"),
     "events_tumbling_10min": QuerySpec(events_tumbling_10min, EVENTS_TUMBLING_SQL, "time-window"),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),
+    "events_sliding_10x5": QuerySpec(events_sliding_10x5, EVENTS_SLIDING_SQL, "time-window"),
+    "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL, "time-window"),
 }
