@@ -26,6 +26,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q12_ship_delay",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "join_broadcast_dim",
     "join_left_outer",
     "agg_cube",
@@ -34,6 +39,7 @@ HEADLINE = [
     "topk_orders",
     "scalar_json",
     "events_tumbling_10min",
+    "events_sessions",
     "charcount",
     "wordcount",
     "token_bpe_ish",
@@ -43,9 +49,12 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "embedding_norms",
     "ann_topk_cosine",
+    "ann_lsh_topk",
     "similarity_pairs_blocked",
+    "salted_token_counts",
     "mr_charcount",
 ]
 

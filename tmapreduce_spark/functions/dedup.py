@@ -389,57 +389,33 @@ WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: a vector is a duplicate if an EARLIER
-    vector in its label block has cosine >= 0.35; it is attributed to the
-    smallest such vec_id (deterministic canonical representative). Completes
-    the near-dup family (exact / MinHash / SimHash / n-gram Jaccard /
-    embedding-cosine).
+    vector in its label block has quantized-exact cosine >= 0.35; it is
+    attributed to the smallest such vec_id (deterministic canonical
+    representative). Completes the near-dup family (exact / MinHash /
+    SimHash / n-gram Jaccard / embedding-cosine).
 
-    Scale shape: identical to the blocked similarity join — label (or an LSH
-    bucket) bounds the quadratic term; the argmin-per-vector is a partial-
-    aggregated groupBy on the pair stream, not a window over all pairs."""
-    from tmapreduce_spark.functions.similarity import _dot_spark
+    Pair generation is the shared vectorized block engine
+    (:func:`tmapreduce_spark.functions.similarity.blocked_pair_cosines` —
+    int64 Gram matmul per block); the argmin-per-vector on top is a
+    partial-aggregated groupBy on the pair stream, not a window over all
+    pairs."""
+    from tmapreduce_spark.functions.similarity import blocked_pair_cosines
 
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        "label",
-        "embedding",
-        f"sqrt({_dot_spark('embedding', 'embedding')}) AS nrm",
-    )
-    a = e.selectExpr("vec_id AS keep_cand", "embedding AS emb_a", "label AS lab_a", "nrm AS nrm_a")
-    b = e.selectExpr("vec_id AS dup_id", "embedding AS emb_b", "label AS lab_b", "nrm AS nrm_b")
-    pairs = (
-        a.join(b, (F.col("lab_a") == F.col("lab_b")) & (F.col("keep_cand") < F.col("dup_id")))
-        .selectExpr(
-            "dup_id",
-            "keep_cand",
-            f"floor(({_dot_spark('emb_a', 'emb_b')} / (nrm_a * nrm_b))"
-            " * 1000000 + 0.5) / 1000000 AS cosine",
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
-    return pairs.groupBy("dup_id").agg(
-        F.min("keep_cand").alias("dup_of"),
+    pairs = blocked_pair_cosines(spark, sf_dir, 0.35)
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("dup_of"),
         F.count("*").alias("n_matches"),
         F.max("cosine").alias("max_cosine"),
     )
 
 
 def _dedup_embedding_sql() -> str:
-    from tmapreduce_spark.functions.similarity import _dot_duck
+    from tmapreduce_spark.functions.similarity import _pairs_sql
 
     return f"""
-WITH e AS (
-  SELECT vec_id, label, embedding,
-         sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
-  FROM embeddings),
-pairs AS (
-  SELECT b.vec_id AS dup_id, a.vec_id AS keep_cand,
-         floor(({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
-           AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT dup_id, min(keep_cand) AS dup_of, count(*) AS n_matches, max(cosine) AS max_cosine
-FROM pairs WHERE cosine >= 0.35
-GROUP BY dup_id
+SELECT vec_b AS dup_id, min(vec_a) AS dup_of, count(*) AS n_matches, max(cosine) AS max_cosine
+FROM ({_pairs_sql(0.35)}) pairs
+GROUP BY vec_b
 """
 
 

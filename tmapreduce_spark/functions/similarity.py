@@ -125,44 +125,97 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- quantized-exact blocked pair cosines (the vectorized scale path) -------
+#
+# Pairwise float dot products fold element-by-element (deterministic but
+# interpreted — Spark's `aggregate` HOF runs outside codegen, ~µs/pair).
+# The scale path quantizes each float32 component to int64 micro-units
+# (floor(x*1e6+0.5) — exact for |x| <= ~9e12/1e6) and computes the block's
+# Gram matrix with one int64 matmul inside applyInPandas: EXACT integer
+# arithmetic, so the result is reduction-order-independent and bit-identical
+# to the DuckDB oracle's integer list fold. cosine = int_dot / (sqrt(aa) *
+# sqrt(bb)) is then a fixed chain of IEEE double ops on identical integers.
+#
+# At 100 TB: one shuffle on the block key, numpy does O(block²·dim) work at
+# BLAS speed per block; block size is the knob that bounds worker memory (a
+# production corpus would block on an LSH bucket or IVF centroid instead of
+# a 10-value label).
+
+QUANT = 1_000_000
+
+
+def _quant_duck(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT))"
+    )
+
+
+def _qdot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def blocked_pair_cosines(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """All intra-block pairs (vec_a < vec_b) with quantized-exact cosine >=
+    threshold. Shared engine for the similarity join and embedding near-dup."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        Q = np.floor(E * QUANT + 0.5).astype(np.int64)
+        G = Q @ Q.T  # exact int64; |G| <= dim * (QUANT*max|x|)^2 << 2^53
+        nrm = np.sqrt(G.diagonal().astype(np.float64))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = G[ia, ib].astype(np.float64) / (nrm[ia] * nrm[ib])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        m = cos >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[m]].astype("int64"),
+                "vec_b": ids[ib[m]].astype("int64"),
+                "label": np.full(int(m.sum()), pdf["label"].iloc[0], dtype="int32"),
+                "cosine": cos[m],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInPandas(
+        pairs_block, "vec_a bigint, vec_b bigint, label int, cosine double"
+    )
+
+
+def _pairs_sql(threshold: float) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, {_quant_duck("embedding")} AS qe
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         floor((CAST({_qdot_duck('a.qe', 'b.qe')} AS DOUBLE)
+                / (sqrt(CAST({_qdot_duck('a.qe', 'a.qe')} AS DOUBLE))
+                   * sqrt(CAST({_qdot_duck('b.qe', 'b.qe')} AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q a JOIN q b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by embedding cosine within a label block
     (cosine >= 0.3). The label acts as the IVF-style bucket: only intra-bucket
     pairs are scored, bounding the quadratic term."""
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        "label",
-        "embedding",
-        f"sqrt({_dot_spark('embedding', 'embedding')}) AS nrm",
-    )
-    a = e.selectExpr("vec_id AS vec_a", "embedding AS emb_a", "label AS lab_a", "nrm AS nrm_a")
-    b = e.selectExpr("vec_id AS vec_b", "embedding AS emb_b", "label AS lab_b", "nrm AS nrm_b")
-    return (
-        a.join(b, (F.col("lab_a") == F.col("lab_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .selectExpr(
-            "vec_a",
-            "vec_b",
-            "lab_a AS label",
-            f"floor(({_dot_spark('emb_a', 'emb_b')} / (nrm_a * nrm_b))"
-            " * 1000000 + 0.5) / 1000000 AS cosine",
-        )
-        .filter(F.col("cosine") >= 0.3)
-    )
+    return blocked_pair_cosines(spark, sf_dir, 0.3)
 
 
-SIMILARITY_PAIRS_SQL = f"""
-WITH e AS (
-  SELECT vec_id, label, embedding,
-         sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
-  FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         floor(({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
-           AS cosine
-  FROM e a JOIN e b
-    ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.3
-"""
+SIMILARITY_PAIRS_SQL = _pairs_sql(0.3)
 
 
 QUERIES: dict[str, QuerySpec] = {
