@@ -132,7 +132,96 @@ GROUP BY source
 """
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_width bigint, out_height bigint, out_bytes bigint"
+TARGET_EDGE = 224  # standard vision-model input edge
+
+
+def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: 'resize' each payload to fit TARGET_EDGE. The pixel
+    work is stubbed (no imaging libs — a real impl calls PIL.Image.resize
+    here); the size bookkeeping is exact integer arithmetic so the oracle
+    reproduces it. Batch shape (binary in, metadata out) is the real one."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            w, h, _c = _fake_dims(p)
+            ow, oh = min(w, TARGET_EDGE), min(h, TARGET_EDGE)
+            n = len(p)
+            rows.append((int(doc_id), ow, oh, (n * ow * oh) // (w * h)))
+        yield pd.DataFrame(rows, columns=["doc_id", "out_width", "out_height", "out_bytes"])
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload -> bounded-dimension output metadata
+    (1 row in, 1 row out, new payload size proportional to area ratio)."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        fake_resize_batch, schema=RESIZE_SCHEMA
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+dims AS (
+  SELECT doc_id, n_bytes,
+         64 + hv % 577 AS w, 64 + (hv // 577) % 577 AS h
+  FROM h)
+SELECT doc_id,
+       least(w, {TARGET_EDGE}) AS out_width,
+       least(h, {TARGET_EDGE}) AS out_height,
+       (n_bytes * least(w, {TARGET_EDGE}) * least(h, {TARGET_EDGE})) // (w * h) AS out_bytes
+FROM dims
+"""
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sig bigint"
+FRAME_STRIDE = 30  # sample one frame per stride (e.g. 1 fps at 30 fps video)
+
+
+def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: treat each payload as a pseudo-video with an
+    md5-derived frame count and emit every FRAME_STRIDE-th frame (1 row in,
+    n rows out — the real video-sampling batch shape). frame_sig stands in
+    for the extracted frame payload."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            h = int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+            n_frames = 1 + h % 240
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                # reduce h before multiplying so the oracle's BIGINT math
+                # cannot overflow (h < 2^60 but (h % P)*31 + idx < 2^35)
+                rows.append((int(doc_id), idx, ((h % 1_000_000_007) * 31 + idx) % 1_000_000_007))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sig"])
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over pseudo-video payloads (1 → n rows)."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        fake_frame_sample_batch, schema=FRAME_SCHEMA
+    )
+
+
+MULTIMODAL_FRAME_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id,
+       CAST(unnest(range(0, 1 + hv % 240, {FRAME_STRIDE})) AS BIGINT) AS frame_idx,
+       CAST(unnest(list_transform(range(0, 1 + hv % 240, {FRAME_STRIDE}),
+                                  i -> ((hv % 1000000007) * 31 + i) % 1000000007)) AS BIGINT) AS frame_sig
+FROM h
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode_stats": QuerySpec(multimodal_decode_stats, MULTIMODAL_DECODE_SQL, "multimodal"),
     "multimodal_meta_stats": QuerySpec(multimodal_meta_stats, MULTIMODAL_META_SQL, "multimodal"),
+    "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL, "multimodal"),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
 }

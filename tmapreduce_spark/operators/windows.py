@@ -170,8 +170,38 @@ FROM customer
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per-customer trailing 30-day
+    revenue. The frame is defined on the order-date day number, so all orders
+    on tied days enter the frame together — and the sum is exact integer
+    cents, making it reduction-order-independent."""
+    from tmapreduce_spark.parity import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("int")
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day_num"),
+        F.sum(F.expr(cents("o_totalprice"))).over(w).alias("trailing_cents"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS day_num,
+       CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
+    "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_SQL, "window"),
     "window_rank_dense": QuerySpec(window_rank_dense, WINDOW_DENSE_SQL, "window"),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL, "window"),
     "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_SQL, "window"),
