@@ -88,3 +88,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_tpch_extra_dims_broadcast(spark):
+    """Snowflake-shaped queries must broadcast every dim chain — no
+    SortMergeJoin should appear at this SF (facts would SMJ only at scale,
+    chosen by AQE, never for the dims we broadcast explicitly)."""
+    from tmapreduce_spark.operators.tpch_extra import (
+        q7_volume_shipping,
+        q9_product_profit,
+    )
+
+    for fn in (q7_volume_shipping, q9_product_profit):
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The EXISTS subquery must plan as a LeftSemi join (no duplication, no
+    right-side columns materialized)."""
+    from tmapreduce_spark.operators.tpch_extra import q4_order_priority
+
+    assert "LeftSemi" in physical_plan(q4_order_priority(spark, SF_SMOKE))
