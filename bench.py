@@ -53,6 +53,7 @@ HEADLINE = [
     "embedding_norms",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "similarity_pairs_blocked",
     "salted_token_counts",
     "mr_charcount",

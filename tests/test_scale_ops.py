@@ -67,3 +67,18 @@ def test_approx_quantiles_close_to_exact(spark):
     approx = {r["o_orderstatus"]: r["pcts"][0] for r in approx_quantiles_sketch(spark, SF_CORRECT).collect()}
     for k, p in exact.items():
         assert abs(approx[k] - p) / p < 0.05
+
+
+def test_ivf_bucket_finds_near_neighbors(spark):
+    """IVF (nprobe=1) rank-1 neighbors must be competitive with brute-force:
+    in-bucket vectors share the query's nearest centroid, so the best
+    in-bucket cosine should not trail brute-force rank-10 by much."""
+    from tmapreduce_spark.functions.scale import ann_ivf_topk
+
+    ivf = ann_ivf_topk(spark, SF_CORRECT).collect()
+    brute = ann_topk_cosine(spark, SF_CORRECT).collect()
+    assert ivf, "IVF returned nothing"
+    ivf_best = {r["query_id"]: r["cosine"] for r in ivf if r["rank"] == 1}
+    brute_rank10 = {r["query_id"]: r["cosine"] for r in brute if r["rank"] == 10}
+    for qid, best in ivf_best.items():
+        assert best >= brute_rank10[qid] - 0.2

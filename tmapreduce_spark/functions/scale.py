@@ -171,8 +171,134 @@ def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer buckets (inverted file) + exact re-rank in-bucket
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # centroids; "training" stand-in: the first K vectors ARE the
+           # centroids (deterministic, oracle-reproducible — production runs
+           # k-means and broadcasts the learned centroids the same way)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of IVF_K centroids
+    by quantized-exact cosine (int64 dots, ties to the lowest centroid id),
+    then answer each query from its own centroid's bucket only (nprobe=1)
+    with exact cosine top-k.
+
+    Scale path: assignment is one mapInPandas pass against broadcast
+    centroids (tiny model in the closure — not a data-path collect);
+    the inverted file is the `centroid` column, so the candidate join is a
+    bucket equi-join exactly like the LSH variant, and the corpus can be
+    written partitioned/bucketed by centroid at rest. Recall is tuned by
+    nprobe (probing the q nearest centroids) — 1 suffices for the parity
+    check."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+    c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+            dots = Q @ C.T  # exact int64
+            nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+            cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
+            # np.argmax returns the FIRST maximum → ties go to the lowest
+            # centroid id, matching the oracle's (cosine DESC, cid ASC).
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+    corpus = e.join(assigned, "vec_id")
+    q = corpus.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid").alias("q_centroid"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("centroid") == F.col("q_centroid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.floor(np.stack(pdf["q_emb"].to_numpy()).astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            B = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+            cos = dots.astype(np.float64) / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _ivf_sql() -> str:
+    from tmapreduce_spark.functions.similarity import _qdot_duck, _quant_duck
+
+    qd = _qdot_duck
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_quant_duck("embedding")} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < {IVF_K}),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST({qd('v.qe', 'c.ce')} AS DOUBLE)
+                      / (sqrt(CAST({qd('v.qe', 'v.qe')} AS DOUBLE))
+                         * sqrt(CAST({qd('c.ce', 'c.ce')} AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM q v CROSS JOIN cent c) t
+  WHERE rn = 1),
+corpus AS (SELECT q.vec_id, q.qe, a.centroid FROM q JOIN assign a ON q.vec_id = a.vec_id),
+queries AS (SELECT vec_id AS query_id, qe AS q_qe, centroid AS q_centroid
+            FROM corpus WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         floor((CAST({qd('q_qe', 'c.qe')} AS DOUBLE)
+                / (sqrt(CAST({qd('q_qe', 'q_qe')} AS DOUBLE))
+                   * sqrt(CAST({qd('c.qe', 'c.qe')} AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM corpus c JOIN queries ON c.centroid = q_centroid AND c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
     "approx_distinct_sketch": QuerySpec(approx_distinct_sketch, None, "sketch"),
     "approx_quantiles_sketch": QuerySpec(approx_quantiles_sketch, None, "sketch"),
