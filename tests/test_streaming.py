@@ -63,3 +63,26 @@ def test_stream_dedup_keeps_distinct(spark):
     mem = run_stream_to_memory(spark, s, "t_dedup")
     n = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
     assert mem.select("event_id").distinct().count() == n
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream click→purchase join (watermarked both sides) must emit
+    exactly the batch join's matches when the whole file arrives."""
+    from tmapreduce_spark.sources.catalog import load_table
+    from tmapreduce_spark.streaming.events import (
+        click_purchase_join,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    streamed = run_stream_to_memory(
+        spark,
+        click_purchase_join(stream_events(spark, SF_SMOKE)),
+        "t_ss_join",
+        output_mode="append",
+    )
+    batch = click_purchase_join(load_table(spark, SF_SMOKE, "events"))
+    a = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in streamed.collect()}
+    b = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert a == b
+    assert len(a) > 0

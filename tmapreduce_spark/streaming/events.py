@@ -111,6 +111,45 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_join(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``horizon``. Both sides carry watermarks so the
+    join state store evicts clicks older than the horizon — state is bounded
+    by (watermark window × click rate), not stream length. Works identically
+    on batch DataFrames (the test's oracle twin)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
