@@ -86,3 +86,56 @@ def test_stream_stream_join_matches_batch(spark):
     b = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_stream_file_sink_parquet(spark, tmp_path):
+    """writeStream to a parquet directory sink (the production landing-zone
+    pattern): drained rows must equal the batch twin."""
+    from tmapreduce_spark.operators.relational import events_tumbling_10min
+    from tmapreduce_spark.streaming.events import stream_events, tumbling_counts
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        tumbling_counts(stream_events(spark, SF_SMOKE))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    # append mode emits only watermark-closed windows: a subset of the batch
+    # twin, keyed identically.
+    batch = {
+        (r["bucket_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_tumbling_10min(spark, SF_SMOKE).collect()
+    }
+    emitted = got.collect()
+    assert emitted, "file sink emitted nothing"
+    for r in emitted:
+        assert batch[(r["bucket_epoch"], r["event_type"])] == (r["n_events"], r["sum_value"])
+
+
+def test_stream_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary per-microbatch sink logic (upserts, external
+    systems). Collects batch ids + row counts through the hook."""
+    from tmapreduce_spark.streaming.events import stream_events, tumbling_counts
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        tumbling_counts(stream_events(spark, SF_SMOKE))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and sum(n for _, n in seen) > 0

@@ -685,6 +685,41 @@ GROUP BY 1, 2
 """
 
 
+def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar-function coverage with higher-order functions, all
+    JVM-side: build an array (split), filter it (HOF lambda), transform it,
+    fold it (aggregate), index a map built from it. DuckDB twins: list_*
+    functions and map construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        r"split(trim(text), '\\s+') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "size(toks) AS n_toks",
+        "size(filter(toks, t -> length(t) > 4)) AS n_long",
+        "aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) AS total_chars",
+        "array_max(transform(toks, t -> length(t))) AS max_tok_len",
+        "element_at(map('first', element_at(toks, 1), 'last', element_at(toks, -1)), 'first') AS first_tok",
+        "array_contains(toks, 'the') AS has_the",
+    )
+
+
+SCALAR_ARRAY_MAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_toks,
+       CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
+       CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS INTEGER))),
+                        (acc, x) -> acc + x) AS INTEGER) AS total_chars,
+       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_tok_len,
+       map(['first', 'last'], [toks[1], toks[-1]])['first'][1] AS first_tok,
+       list_contains(toks, 'the') AS has_the
+FROM t
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube): per-status,
     per-priority, and grand-total aggregates in one pass. Catalyst expands
@@ -798,6 +833,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_json": QuerySpec(scalar_json, SCALAR_JSON_SQL, "scalar"),
     "events_tumbling_10min": QuerySpec(events_tumbling_10min, EVENTS_TUMBLING_SQL, "time-window"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),
+    "scalar_array_map": QuerySpec(scalar_array_map, SCALAR_ARRAY_MAP_SQL, "scalar"),
     "events_sliding_10x5": QuerySpec(events_sliding_10x5, EVENTS_SLIDING_SQL, "time-window"),
     "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL, "time-window"),
 }
