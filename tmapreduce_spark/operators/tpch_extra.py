@@ -378,9 +378,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("late"),
         )
     )
+    # size(collect_set(...)) instead of two countDistincts: one aggregation
+    # pass with partial aggregation, no Expand duplicating the shuffle rows
+    # (supplier sets per order are tiny, so the set state is bounded).
     per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey")))).alias("n_late_supp"),
         F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     return (
