@@ -466,7 +466,190 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema ships no partsupp table, so q2/q11/
+# q20 run against a DETERMINISTIC pseudo-partsupp derived from lineitem's
+# distinct (partkey, suppkey) pairs with integer-arithmetic supplycost and
+# availqty — identical in both engines, so the classic query shapes
+# (correlated min, global-total HAVING, nested IN chains) stay oracle-exact.
+# ---------------------------------------------------------------------------
+
+_PS_COST = "(l_partkey * 31 + l_suppkey * 17) % 1000 + 1"
+_PS_AVAIL = "(l_partkey * 7 + l_suppkey * 13) % 9999 + 1"
+
+_PARTSUPP_DUCK = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST({_PS_COST} AS BIGINT) AS ps_supplycost,
+         CAST({_PS_AVAIL} AS BIGINT) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) t
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .distinct()
+        .selectExpr(
+            "l_partkey AS ps_partkey",
+            "l_suppkey AS ps_suppkey",
+            f"CAST({_PS_COST} AS BIGINT) AS ps_supplycost",
+            f"CAST({_PS_AVAIL} AS BIGINT) AS ps_availqty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part within a region (correlated min).
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eur_supp = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eligible = ps.join(eur_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    # correlated min as a co-partitioned self-aggregation + equality re-join
+    # (exact integer costs — equality is safe)
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mp")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mp"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select("s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+
+
+Q2_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_DUCK}),
+eur AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'),
+eligible AS (
+  SELECT ps_partkey, ps_supplycost, s_name, n_name
+  FROM partsupp JOIN eur ON ps_suppkey = s_suppkey)
+SELECT s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM eligible
+JOIN (SELECT ps_partkey AS mp, min(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey) m
+  ON ps_partkey = mp AND ps_supplycost = min_cost
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type = 'ECONOMY'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (global-total HAVING).
+# ---------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat_supp = F.broadcast(
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    scoped = ps.join(nat_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("stock_value")
+    )
+    total = per_part.agg((F.sum("stock_value") / 10000.0).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("threshold"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+Q11_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_DUCK}),
+scoped AS (
+  SELECT ps_partkey, ps_supplycost, ps_availqty
+  FROM partsupp
+  WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier, nation
+                       WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7')),
+per_part AS (
+  SELECT ps_partkey, CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS stock_value
+  FROM scoped GROUP BY ps_partkey)
+SELECT ps_partkey, stock_value
+FROM per_part
+WHERE stock_value > (SELECT sum(stock_value) / 10000.0 FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN chain; availqty vs shipped qty).
+# ---------------------------------------------------------------------------
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("qp"), F.col("l_suppkey").alias("qs"))
+        .agg(F.sum("l_quantity").alias("qty"))  # integer-valued doubles: exact
+    )
+    qualifying = (
+        ps.join(F.broadcast(p.filter(F.col("p_name").like("small%"))),
+                F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(shipped, (F.col("ps_partkey") == F.col("qp")) & (F.col("ps_suppkey") == F.col("qs")))
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+    )
+    nat = F.broadcast(
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_4")),
+               F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+    )
+    return (
+        nat.join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_DUCK})
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > (
+      SELECT 0.5 * sum(l_quantity) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_4')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL, "join+agg"),
+    "q11_important_stock": QuerySpec(q11_important_stock, Q11_SQL, "join+agg"),
+    "q20_part_promotion": QuerySpec(q20_part_promotion, Q20_SQL, "join"),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "join"),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "join+agg"),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL, "join+agg"),
