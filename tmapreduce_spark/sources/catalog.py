@@ -32,6 +32,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # The driver may hand us a session built WITHOUT get_spark(): the
+        # events footer is TIMESTAMP(NANOS), which Spark only reads (as LONG)
+        # under this session-scoped legacy flag — set it defensively here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
