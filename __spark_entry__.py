@@ -13,19 +13,35 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Oracle parity holds for ANY caller-provided session: date functions
+    must evaluate in UTC (DuckDB's timestamps are zone-naive) and the events
+    TIMESTAMP(NANOS) footer needs the legacy long read."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's golden
     char-histogram workload (SURVEY §2A item 17) as one exploded, partially
     aggregated DataFrame plan."""
     from tmapreduce_spark.functions.text import charcount
 
+    _pin_session_confs(spark)
     return charcount(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tmapreduce_spark.catalog import build_catalog
 
-    return {name: spec.fn for name, spec in build_catalog().items()}
+    def bind(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {name: bind(spec.fn) for name, spec in build_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:

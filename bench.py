@@ -31,6 +31,8 @@ HEADLINE = [
     "q12_ship_delay",
     "q13_customer_distribution",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
     "join_broadcast_dim",
     "join_left_outer",
     "agg_cube",
