@@ -59,7 +59,7 @@ def test_partitioned_write_prunes(spark, tmp_path):
         d for d in os.listdir(out) if d.startswith("o_orderstatus=")
     ) == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
     one = spark.read.parquet(out).filter("o_orderstatus = 'F'")
-    plan = one.queryExecution() if False else one._jdf.queryExecution().executedPlan().toString()
+    plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() > 0
     # pruned scan must not mention the other partition dirs
     assert "o_orderstatus=O" not in plan
