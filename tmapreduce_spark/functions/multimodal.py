@@ -219,7 +219,57 @@ FROM h
 """
 
 
+FEAT_PRIMES = (3, 7, 11, 17)
+FEATURE_SCHEMA = "doc_id bigint, f0 double, f1 double, f2 double, f3 double, feat_norm double"
+
+
+def fake_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: binary payload -> fixed-dim pseudo-embedding + norm
+    (the feature-extraction batch shape: a real impl runs a vision/audio
+    encoder here and emits the model's vector). md5-derived components and an
+    explicit left-fold norm keep it oracle-exact."""
+    import math
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            h = int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+            fs = [((h // pr) % 1000) / 1000.0 for pr in FEAT_PRIMES]
+            s = 0.0
+            for v in fs:  # fixed accumulation order == the oracle's + chain
+                s += v * v
+            rows.append((int(doc_id), *fs, math.sqrt(s)))
+        yield pd.DataFrame(rows, columns=["doc_id", "f0", "f1", "f2", "f3", "feat_norm"])
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: payload -> pseudo-embedding components +
+    L2 norm. Completes the decode / feature-extract / resize / frame-sample
+    multimodal operator set."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        fake_feature_batch, schema=FEATURE_SCHEMA
+    )
+
+
+MULTIMODAL_FEATURE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         (hv // {FEAT_PRIMES[0]}) % 1000 / 1000.0 AS f0,
+         (hv // {FEAT_PRIMES[1]}) % 1000 / 1000.0 AS f1,
+         (hv // {FEAT_PRIMES[2]}) % 1000 / 1000.0 AS f2,
+         (hv // {FEAT_PRIMES[3]}) % 1000 / 1000.0 AS f3
+  FROM h)
+SELECT doc_id, f0, f1, f2, f3,
+       sqrt(f0 * f0 + f1 * f1 + f2 * f2 + f3 * f3) AS feat_norm
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_feature_extract": QuerySpec(multimodal_feature_extract, MULTIMODAL_FEATURE_SQL, "multimodal"),
     "multimodal_decode_stats": QuerySpec(multimodal_decode_stats, MULTIMODAL_DECODE_SQL, "multimodal"),
     "multimodal_meta_stats": QuerySpec(multimodal_meta_stats, MULTIMODAL_META_SQL, "multimodal"),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL, "multimodal"),

@@ -272,7 +272,44 @@ FROM documents
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: exact dedup
+    (keep-lowest-doc_id per text) → quality filter (score >= 0.5) → per-lang
+    corpus stats. Demonstrates that the cleaning stages fuse into a single
+    lineage Catalyst optimizes as one DAG — no intermediate materialization.
+
+    Scale: dedup shuffles (text-hash, id) pairs; quality is a token explode
+    with partial aggregation; the final per-lang rollup is tiny. One pass
+    over the corpus plus the dedup shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    keepers = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    cleaned = (
+        q.join(keepers, "doc_id", "left_semi")
+        .filter(F.col("quality_score") >= 0.5)
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+PIPELINE_CLEAN_SQL = f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+cleaned AS (
+  SELECT q.doc_id, q.n_tokens
+  FROM q
+  WHERE q.doc_id IN (SELECT doc_id FROM keepers) AND q.quality_score >= 0.5)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM cleaned JOIN documents USING (doc_id)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, PIPELINE_CLEAN_SQL, "pipeline"),
     "charcount": QuerySpec(charcount, CHARCOUNT_SQL, "text/flagship"),
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, "text"),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, "text"),
