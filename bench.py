@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "similarity_pairs_blocked",
     "salted_token_counts",
+    "pipeline_clean_corpus",
+    "multimodal_decode_stats",
     "mr_charcount",
 ]
 
