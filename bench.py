@@ -72,8 +72,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = build_catalog()
 
-    # warm the JVM/parquet footer caches so per-query times measure the plans
+    # warm the JVM/parquet footer caches AND the Python worker daemons so
+    # per-query times measure the plans, not one-time process startup
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    spark.sparkContext.parallelize(range(64), 32).map(lambda x: x).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
