@@ -184,8 +184,47 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
 """
 
 
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python batch path — RecordBatches
+    straight from the JVM, no pandas conversion. Same IEEE op chain as the
+    SQL expression, so oracle-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def net_price(batches):
+        for b in batches:
+            net = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            net = pc.divide(
+                pc.floor(pc.add(pc.multiply(net, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), net], ["l_orderkey", "net_price"]
+            )
+
+    return (
+        l.filter(F.col("l_linenumber") == 2)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .mapInArrow(net_price, "l_orderkey bigint, net_price double")
+    )
+
+
+UDF_MAPINARROW_SQL = """
+SELECT l_orderkey,
+       floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS net_price
+FROM lineitem
+WHERE l_linenumber = 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "udf_pandas_scalar": QuerySpec(udf_pandas_scalar, UDF_PANDAS_SQL, "udf"),
+    "udf_mapinarrow": QuerySpec(udf_mapinarrow, UDF_MAPINARROW_SQL, "udf"),
     "udf_udtf_tokens": QuerySpec(udf_udtf_tokens, UDF_UDTF_SQL, "udf"),
     "udf_python_scalar": QuerySpec(udf_python_scalar, UDF_PYTHON_SQL, "udf"),
     "udf_grouped_demean": QuerySpec(udf_grouped_demean, UDF_GROUPED_SQL, "udf"),
