@@ -21,9 +21,10 @@ from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.functions.similarity import TOP_K, _dot_duck, _dot_spark
 from tmapreduce_spark.sources.catalog import load_table
 
+from tmapreduce_spark.functions.similarity import N_QUERIES as ANN_QUERIES
+
 N_PLANES = 8
 SALT_N = 16
-ANN_QUERIES = 5
 
 
 def _plane_dot_spark(j: int) -> str:
@@ -186,15 +187,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then answer each query from its own centroid's bucket only (nprobe=1)
     with exact cosine top-k.
 
-    Scale path: assignment is one mapInPandas pass against broadcast
-    centroids (tiny model in the closure — not a data-path collect);
-    the inverted file is the `centroid` column, so the candidate join is a
-    bucket equi-join exactly like the LSH variant, and the corpus can be
-    written partitioned/bucketed by centroid at rest. Recall is tuned by
-    nprobe (probing the q nearest centroids) — 1 suffices for the parity
-    check."""
+    Scale path: assignment is ONE mapInPandas pass over the corpus against
+    broadcast centroids (tiny model in the closure — not a data-path
+    collect); the query set's own assignments are computed driver-side from
+    the already-collected centroid rows (the deterministic query set
+    vec_id < ANN_QUERIES is a subset of vec_id < IVF_K), so no second corpus
+    scan happens. The inverted file is the `centroid` column: the candidate
+    join is a bucket equi-join exactly like the LSH variant, and the corpus
+    can be written partitioned/bucketed by centroid at rest. Recall is tuned
+    by nprobe (probing the q nearest centroids) — 1 suffices here."""
     import numpy as np
     import pandas as pd
+
+    assert ANN_QUERIES <= IVF_K, "query assignments derive from the centroid collect"
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
@@ -204,26 +209,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).astype(np.int64)
     c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
 
+    def nearest_centroids(Q: "np.ndarray") -> "np.ndarray":
+        dots = Q @ C.T  # exact int64
+        nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+        cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
+        # np.argmax returns the FIRST maximum → ties go to the lowest
+        # centroid id, matching the oracle's (cosine DESC, cid ASC).
+        return np.argmax(cos, axis=1)
+
     def assign(batches):
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Q = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
-            dots = Q @ C.T  # exact int64
-            nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
-            cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
-            # np.argmax returns the FIRST maximum → ties go to the lowest
-            # centroid id, matching the oracle's (cosine DESC, cid ASC).
-            best = np.argmax(cos, axis=1)
+            best = nearest_centroids(np.floor(E * 1_000_000 + 0.5).astype(np.int64))
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
             )
 
     assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
     corpus = e.join(assigned, "vec_id")
-    q = corpus.filter(F.col("vec_id") < ANN_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("centroid").alias("q_centroid"),
+
+    # query-side assignment driver-side (queries ⊂ collected centroid rows)
+    q_best = nearest_centroids(C[:ANN_QUERIES])
+    q = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(r["embedding"]), int(q_best[i]))
+            for i, r in enumerate(cent_rows[:ANN_QUERIES])
+        ],
+        "query_id bigint, q_emb array<float>, q_centroid int",
     )
     cand = corpus.join(
         F.broadcast(q),

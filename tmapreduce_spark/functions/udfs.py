@@ -157,15 +157,22 @@ def udf_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept off the hot path by design — the same result as posexplode(split()),
     which is what production pipelines should use; this entry verifies the
     UDTF machinery itself."""
+    import re
+
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, tok string")
     class Tokenize:
         def eval(self, text: str):
+            # ASCII \s+ split with empties dropped — exactly the oracle's
+            # list_filter(string_split_regex(text,'\s+'), x -> x <> '')
+            # (RE2 \s is ASCII-only; Python str.split() is not, and DuckDB
+            # trim() strips only spaces — both were latent mismatches).
             pos = 0
-            for tok in (text or "").split():
-                yield pos, tok
-                pos += 1
+            for tok in re.split(r"\s+", text or "", flags=re.ASCII):
+                if tok:
+                    yield pos, tok
+                    pos += 1
 
     spark.udtf.register("tokenize_udtf", Tokenize)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
@@ -179,8 +186,10 @@ UDF_UDTF_SQL = r"""
 SELECT doc_id,
        CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
        unnest(toks) AS tok
-FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents WHERE trim(text) <> '')
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+WHERE len(toks) > 0
 """
 
 

@@ -714,6 +714,8 @@ SELECT doc_id,
        CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS INTEGER))),
                         (acc, x) -> acc + x) AS INTEGER) AS total_chars,
        CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_tok_len,
+       -- DuckDB 1.x map extraction returns a LIST; [1] unwraps it (on a
+       -- DuckDB returning scalars this would instead take the first char)
        map(['first', 'last'], [toks[1], toks[-1]])['first'][1] AS first_tok,
        list_contains(toks, 'the') AS has_the
 FROM t
@@ -793,7 +795,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SESSIONS_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 900 OR lag(ts) OVER w IS NULL
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 900 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
