@@ -308,7 +308,46 @@ GROUP BY lang
 """
 
 
+SAMPLE_BUCKETS = 100
+SAMPLE_KEEP = 10  # keep buckets 0..9 => deterministic ~10% sample
+
+
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling: keep documents whose md5-derived
+    bucket falls below the keep threshold (~10%). This — not rand() — is how
+    a training pipeline samples at scale: reproducible across runs, engines,
+    and partitionings; stable under re-partitioning; and stratifiable by
+    keying the hash on any column. Summarized per lang so the sample rate is
+    visible."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {SAMPLE_BUCKETS})"
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < SAMPLE_KEEP)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (SELECT lang, doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {SAMPLE_BUCKETS} AS bucket
+      FROM documents) t
+WHERE bucket < {SAMPLE_KEEP}
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL, "pipeline"),
     "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, PIPELINE_CLEAN_SQL, "pipeline"),
     "charcount": QuerySpec(charcount, CHARCOUNT_SQL, "text/flagship"),
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, "text"),

@@ -199,9 +199,37 @@ FROM orders
 """
 
 
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a fully-specified order (totalprice,
+    orderkey tiebreak) — both are pure rank arithmetic, so cross-engine
+    doubles are identical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    from tmapreduce_spark.parity import mround_col
+
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        mround_col(F.percent_rank().over(w), 6).alias("pct_rank"),
+        mround_col(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_PERCENTILES_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_SQL, "window"),
+    "window_percentiles": QuerySpec(window_percentiles, WINDOW_PERCENTILES_SQL, "window"),
     "window_rank_dense": QuerySpec(window_rank_dense, WINDOW_DENSE_SQL, "window"),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL, "window"),
     "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_SQL, "window"),
