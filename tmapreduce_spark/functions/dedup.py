@@ -254,10 +254,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_PAIRS_SQL = _minhash_sql_core() + f"""
 , bands AS (
-  SELECT doc_id, CAST(perm_id / {BAND_R} AS INTEGER) AS band_id,
+  SELECT doc_id, CAST(perm_id // {BAND_R} AS INTEGER) AS band_id,
          md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY perm_id)) AS band_key
   FROM sig
-  GROUP BY doc_id, CAST(perm_id / {BAND_R} AS INTEGER)),
+  GROUP BY doc_id, CAST(perm_id // {BAND_R} AS INTEGER)),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
