@@ -85,3 +85,32 @@ def test_stateful_running_totals(spark):
     a = {(r["user_id"], r["n_events"]) for r in final.collect()}
     b = {(r["user_id"], r["n_events"]) for r in batch.collect()}
     assert a == b
+
+
+def test_range_partitioned_sorted_write(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions: the at-rest layout for
+    time-ordered data — parquet files cover disjoint date ranges, so a date
+    filter prunes to ~1/N of the files via row-group stats."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "orders_ranged")
+    (
+        load_table(spark, SF_SMOKE, "orders")
+        .repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    assert len(parts) == 4
+    ranges = []
+    for p in parts:
+        r = (
+            spark.read.parquet(os.path.join(out, p))
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
