@@ -75,3 +75,28 @@ kv_strategy = st.lists(
 def test_engine_matches_reference_model(engine, kvs, mapper_num, reducer_num):
     job_id = engine.launch("prop-job", "prop", kvs, mapper_num, reducer_num, token="t")
     assert engine.get_result(job_id, token="t") == model(kvs)
+
+
+def test_msum2_engine_parity_on_adversarial_values(spark):
+    """msum2 must be bit-identical across engines on the nasty cases: x.xx5
+    rounding boundaries, negatives, large magnitudes, and many tiny values
+    whose float sum depends on order."""
+    import duckdb
+
+    from tmapreduce_spark.parity import DUCK, SPARK, msum2
+
+    cases = [
+        [0.005, 0.015, 0.025],
+        [-0.005, -0.015, 10.105],
+        [12345678.91, -12345678.905, 0.005],
+        [0.01] * 999,
+        [1e9, -1e9 + 0.01, 0.335, -0.335],
+    ]
+    con = duckdb.connect()
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.selectExpr(f"{msum2('x', SPARK)} AS s").collect()[0]["s"]
+        con.execute("CREATE OR REPLACE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        want = con.execute(f"SELECT {msum2('x', DUCK)} AS s FROM t").fetchone()[0]
+        assert got == want, (vals[:3], got, want)

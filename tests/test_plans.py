@@ -111,3 +111,27 @@ def test_q4_exists_is_semi_join(spark):
     from tmapreduce_spark.operators.tpch_extra import q4_order_priority
 
     assert "LeftSemi" in physical_plan(q4_order_priority(spark, SF_SMOKE))
+
+
+def test_session_gap_exactly_at_boundary_merges(spark, duck):
+    """An event exactly `gap` seconds after the previous MERGES into the
+    session (session_window's semantics, verified here so the oracle's
+    strictly-greater break condition can't be 'fixed' to >= again)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:15:00"),  # exactly 900s later -> same session
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:15:00.000001"),  # 900.000001s -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["n"])
+        for r in df.groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {(1, 2), (2, 1)}

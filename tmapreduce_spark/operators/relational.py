@@ -795,7 +795,10 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SESSIONS_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 900 OR lag(ts) OVER w IS NULL
+         -- strictly greater: session_window MERGES an event exactly gap
+         -- seconds after the previous one (verified empirically; an
+         -- earlier review claimed >= — that splits what Spark merges)
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 900 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
