@@ -117,3 +117,14 @@ def test_apply_df_matches_launch(engine, spark):
         flat.extend(by_key[k])
     job_id = engine.launch("wc", "charcount", KVS)
     assert flat == engine.get_result(job_id)
+
+
+def test_combiner_results_identical_to_plain(spark):
+    """The map-side combiner must not change results — only shuffle volume."""
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    engine = MapReduceEngine(spark)
+    kvs = [("d1", "aab bb a"), ("d2", "bb cc aab"), ("d3", "a a a")]
+    plain = engine.get_result(engine.launch("p", "wordcount", kvs, 3, 2, token="t"), token="t")
+    combined = engine.get_result(engine.launch("c", "wordcount+c", kvs, 3, 2, token="t"), token="t")
+    assert plain == combined

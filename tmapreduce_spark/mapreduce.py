@@ -152,6 +152,25 @@ class MapReduceEngine:
 
         mapped = indexed.mapPartitionsWithIndex(run_map)
 
+        if jt.combine_fn is not None:
+            combine_fn = jt.combine_fn
+
+            # Map-side combine (see apply_df): per-partition pre-aggregation
+            # before the shuffle. Combined values keep the (subjob, seq) tag
+            # shape so downstream is unchanged; registering a combiner
+            # asserts the reducer is insensitive to within-key value order.
+            def run_combine(part_idx: int, it):
+                groups: dict[str, list[str]] = {}
+                for k, (_p, _s, v) in it:
+                    groups.setdefault(k, []).append(v)
+                seq = 0
+                for k, vs in groups.items():
+                    for v in combine_fn(k, vs):
+                        yield k, (part_idx, seq, v)
+                        seq += 1
+
+            mapped = mapped.mapPartitionsWithIndex(run_combine)
+
         # Empty-shuffle short-circuit (master.cc:624-627).
         if mapped.isEmpty():
             job.stage = JobStage.FINISHED
@@ -233,10 +252,26 @@ class MapReduceEngine:
         UDF.
         """
         jt = self.registry.get(job_type)
-        map_fn, reduce_fn = jt.map_fn, jt.reduce_fn
+        map_fn, reduce_fn, combine_fn = jt.map_fn, jt.reduce_fn, jt.combine_fn
 
         rdd = df.select("key", "value").rdd.map(lambda r: (r[0], r[1]))
         mapped = rdd.flatMap(lambda kv: map_fn(kv[0], kv[1]))
+        if combine_fn is not None:
+            # map-side combine: per-partition grouping BEFORE the shuffle,
+            # so the shuffle carries one partial per (partition, key) instead
+            # of every map emission — the optimization the reference
+            # structurally lacks (all map output transits the master,
+            # worker.cc:311-315). Result-identical for the associative
+            # reducers a combiner is registered for.
+            def combine_partition(it):
+                groups: dict[str, list[str]] = {}
+                for k, v in it:
+                    groups.setdefault(k, []).append(v)
+                for k, vs in groups.items():
+                    for v in combine_fn(k, vs):
+                        yield k, v
+
+            mapped = mapped.mapPartitions(combine_partition)
         reduced = mapped.groupByKey().flatMap(
             lambda kv: [(kv[0], out) for out in reduce_fn(kv[0], list(kv[1]))]
         )

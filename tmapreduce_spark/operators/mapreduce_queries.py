@@ -66,7 +66,18 @@ SELECT tok AS key, CAST(total AS VARCHAR) AS result FROM counts
 """
 
 
+def mr_charcount_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char histogram through the MapReduce path WITH the map-side combiner
+    ('charcount+c'): identical results, but the shuffle carries one partial
+    count per (partition, char) instead of one record per char occurrence —
+    the optimization the reference structurally lacks (all map output
+    transits the master and its raft log, ``worker.cc:311-315``)."""
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(_kv_documents(spark, sf_dir), "charcount+c")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),
     "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),
+    "mr_charcount_combined": QuerySpec(mr_charcount_combined, MR_CHARCOUNT_SQL, "mapreduce"),
 }

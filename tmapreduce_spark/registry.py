@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 MapFn = Callable[[str, str], Iterable[tuple[str, str]]]
 ReduceFn = Callable[[str, list[str]], Iterable[str]]
+CombineFn = Callable[[str, list[str]], list[str]]
 
 
 @dataclass(frozen=True)
@@ -32,6 +33,12 @@ class JobType:
     name: str
     map_fn: MapFn
     reduce_fn: ReduceFn
+    # Optional map-side combiner: values -> fewer values, per partition,
+    # BEFORE the shuffle. The one optimization the reference structurally
+    # cannot do (all map output funnels through the master and its raft log,
+    # worker.cc:311-315). Registering one asserts the reduce is insensitive
+    # to value order and to pre-combination (e.g. summing counters).
+    combine_fn: CombineFn | None = None
 
 
 class JobRegistry:
@@ -40,8 +47,14 @@ class JobRegistry:
     def __init__(self) -> None:
         self._types: dict[str, JobType] = {}
 
-    def register(self, name: str, map_fn: MapFn, reduce_fn: ReduceFn) -> None:
-        self._types[name] = JobType(name, map_fn, reduce_fn)
+    def register(
+        self,
+        name: str,
+        map_fn: MapFn,
+        reduce_fn: ReduceFn,
+        combine_fn: CombineFn | None = None,
+    ) -> None:
+        self._types[name] = JobType(name, map_fn, reduce_fn, combine_fn)
 
     def get(self, name: str) -> JobType:
         if name not in self._types:
@@ -102,10 +115,19 @@ def wordcount_map(key: str, value: str) -> Iterable[tuple[str, str]]:
     return [(w, "1") for w in value.split()]
 
 
+def sum_combine(key: str, values: list[str]) -> list[str]:
+    """Partial-sum combiner for stringified-count jobs (associative)."""
+    return [str(sum(int(v) for v in values))]
+
+
 def default_registry() -> JobRegistry:
     reg = JobRegistry()
     reg.register("charcount", charcount_map, charcount_reduce)
     reg.register("identity", identity_map, identity_reduce)
     reg.register("empty-map", empty_map, identity_reduce)
     reg.register("wordcount", wordcount_map, charcount_reduce)
+    # combiner variants: identical results, shuffle carries one partial
+    # count per (partition, key) instead of every emission
+    reg.register("charcount+c", charcount_map, charcount_reduce, sum_combine)
+    reg.register("wordcount+c", wordcount_map, charcount_reduce, sum_combine)
     return reg
