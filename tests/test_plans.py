@@ -113,7 +113,7 @@ def test_q4_exists_is_semi_join(spark):
     assert "LeftSemi" in physical_plan(q4_order_priority(spark, SF_SMOKE))
 
 
-def test_session_gap_exactly_at_boundary_merges(spark, duck):
+def test_session_gap_exactly_at_boundary_merges(spark):
     """An event exactly `gap` seconds after the previous MERGES into the
     session (session_window's semantics, verified here so the oracle's
     strictly-greater break condition can't be 'fixed' to >= again)."""

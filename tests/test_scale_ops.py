@@ -87,16 +87,16 @@ def test_ivf_bucket_finds_near_neighbors(spark):
 def test_hash_sample_invariant_under_repartitioning(spark):
     """The hash-bucket sample must be identical regardless of physical
     partitioning — the reproducibility property rand()-based sampling lacks."""
-    from tmapreduce_spark.functions.text import SAMPLE_BUCKETS, SAMPLE_KEEP
+    from tmapreduce_spark.functions.text import SAMPLE_KEEP, sample_bucket_col
     from pyspark.sql import functions as F
 
     d = load_table(spark, SF_CORRECT, "documents")
-    bucket = F.expr(
-        f"pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {SAMPLE_BUCKETS})"
-    )
-    base = {r["doc_id"] for r in d.withColumn("b", bucket).filter(F.col("b") < SAMPLE_KEEP).select("doc_id").collect()}
+    base = {
+        r["doc_id"]
+        for r in d.withColumn("b", sample_bucket_col()).filter(F.col("b") < SAMPLE_KEEP).select("doc_id").collect()
+    }
     shuffled = {
         r["doc_id"]
-        for r in d.repartition(17, "lang").withColumn("b", bucket).filter(F.col("b") < SAMPLE_KEEP).select("doc_id").collect()
+        for r in d.repartition(17, "lang").withColumn("b", sample_bucket_col()).filter(F.col("b") < SAMPLE_KEEP).select("doc_id").collect()
     }
     assert base == shuffled and base

@@ -102,7 +102,8 @@ def test_range_partitioned_sorted_write(spark, tmp_path):
         .parquet(out)
     )
     parts = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
-    assert len(parts) == 4
+    # repartitionByRange guarantees AT MOST 4 non-empty partitions
+    assert 2 <= len(parts) <= 4
     ranges = []
     for p in parts:
         r = (

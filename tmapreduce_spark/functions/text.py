@@ -312,6 +312,14 @@ SAMPLE_BUCKETS = 100
 SAMPLE_KEEP = 10  # keep buckets 0..9 => deterministic ~10% sample
 
 
+def sample_bucket_col() -> "F.Column":
+    """The md5-derived sample bucket of doc_id — shared by the catalog query
+    and the repartitioning-invariance test so they can't drift apart."""
+    return F.expr(
+        f"pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {SAMPLE_BUCKETS})"
+    )
+
+
 def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket sampling: keep documents whose md5-derived
     bucket falls below the keep threshold (~10%). This — not rand() — is how
@@ -320,11 +328,8 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     keying the hash on any column. Summarized per lang so the sample rate is
     visible."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(
-        f"pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {SAMPLE_BUCKETS})"
-    )
     return (
-        d.withColumn("bucket", bucket)
+        d.withColumn("bucket", sample_bucket_col())
         .filter(F.col("bucket") < SAMPLE_KEEP)
         .groupBy("lang")
         .agg(

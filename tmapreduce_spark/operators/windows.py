@@ -207,8 +207,6 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.asc("o_totalprice"), F.asc("o_orderkey")
     )
-    from tmapreduce_spark.parity import mround_col
-
     return o.select(
         "o_orderkey",
         "o_orderstatus",
