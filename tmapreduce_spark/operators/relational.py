@@ -722,6 +722,99 @@ FROM t
 """
 
 
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL aggregation: money summed as DECIMAL(18,2) — exact fixed-point
+    arithmetic in BOTH engines, no micro-cent tricks needed. Demonstrates the
+    full numeric type system (the reference has only strings, job.h:17-24);
+    at 100 TB decimal sums are also the documented replacement for the BIGINT
+    micro-unit cap (parity.py docstring)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        .groupBy("o_orderstatus")
+        # decimal arithmetic throughout (exact fixed-point); final CAST to
+        # DOUBLE only for presentation — pandas renders Spark's Decimal and
+        # DuckDB's decimal-as-float differently, which would sink the string
+        # compare even on equal values
+        .agg(
+            F.sum("p").cast("double").alias("total_dec"),
+            F.max("p").cast("double").alias("max_dec"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+AGG_DECIMAL_SQL = """
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_dec,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_dec,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / add_months / datediff arithmetic: monthly revenue with
+    the order's age (in days) at a fixed reference date."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+            F.date_format(F.add_months(F.date_trunc("month", "o_orderdate"), 3), "yyyy-MM-dd").alias("quarter_out"),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("age_days"),
+            "o_totalprice",
+        )
+        .groupBy("month", "quarter_out")
+        .agg(
+            F.expr(msum2("o_totalprice", SPARK)).alias("revenue"),
+            F.min("age_days").alias("min_age_days"),
+        )
+    )
+
+
+SCALAR_DATE_TRUNC_SQL = f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       strftime(date_trunc('month', o_orderdate) + INTERVAL 3 MONTH, '%Y-%m-%d') AS quarter_out,
+       {msum2("o_totalprice", DUCK)} AS revenue,
+       CAST(min(datediff('day', o_orderdate, DATE '2002-01-01')) AS INTEGER) AS min_age_days
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling coverage: nullif manufactures nulls, then null-safe
+    equality (<=>), coalesce, and null-skipping vs null-counting aggregates
+    exercise the three-valued-logic surface."""
+    o = load_table(spark, sf_dir, "orders")
+    with_nulls = o.select(
+        "o_orderkey",
+        F.expr("nullif(o_orderstatus, 'P')").alias("status_n"),
+        F.expr("CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END").alias("price_n"),
+    )
+    return with_nulls.groupBy(
+        F.expr("status_n <=> NULL").alias("status_is_null"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("price_n").alias("n_price_nonnull"),
+        F.expr(msum2("coalesce(price_n, 0.0)", SPARK)).alias("sum_price_coalesced"),
+        F.coalesce(F.min("status_n"), F.lit("NONE")).alias("min_status"),
+    )
+
+
+SCALAR_NULL_SQL = f"""
+SELECT (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS status_is_null,
+       count(*) AS n_rows,
+       count(CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END) AS n_price_nonnull,
+       {msum2("coalesce(CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END, 0.0)", DUCK)}
+         AS sum_price_coalesced,
+       coalesce(min(nullif(o_orderstatus, 'P')), 'NONE') AS min_status
+FROM orders
+GROUP BY 1
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube): per-status,
     per-priority, and grand-total aggregates in one pass. Catalyst expands
@@ -839,6 +932,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_10min": QuerySpec(events_tumbling_10min, EVENTS_TUMBLING_SQL, "time-window"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),
     "scalar_array_map": QuerySpec(scalar_array_map, SCALAR_ARRAY_MAP_SQL, "scalar"),
+    "agg_decimal_exact": QuerySpec(agg_decimal_exact, AGG_DECIMAL_SQL, "aggregation"),
+    "scalar_date_trunc": QuerySpec(scalar_date_trunc, SCALAR_DATE_TRUNC_SQL, "scalar"),
+    "scalar_null_semantics": QuerySpec(scalar_null_semantics, SCALAR_NULL_SQL, "scalar"),
     "events_sliding_10x5": QuerySpec(events_sliding_10x5, EVENTS_SLIDING_SQL, "time-window"),
     "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL, "time-window"),
 }
