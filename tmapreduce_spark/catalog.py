@@ -29,6 +29,58 @@ class QuerySpec:
     category: str
 
 
+# Names that already landed a green driver row in CORRECTNESS_r01.json.  The
+# round-1 driver verified exactly the first 50 catalog entries in dict order
+# (an enumeration cap), leaving zero rows for the window/setop/text/dedup/
+# similarity/multimodal/udf/mapreduce families.  We therefore enumerate the
+# not-yet-covered entries FIRST — round-robin across categories, so that under
+# ANY cap every operator family lands at least one driver row — and the
+# already-proven 50 last.
+_ROUND1_COVERED: frozenset[str] = frozenset(
+    {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "filter_project", "join_broadcast_dim",
+        "join_left_outer", "join_semi", "join_anti", "join_full_outer",
+        "join_range_theta", "agg_distinct", "agg_rollup", "agg_cube",
+        "agg_conditional", "agg_stats", "topk_orders", "scalar_string",
+        "scalar_date", "scalar_math", "scalar_json", "events_tumbling_10min",
+        "agg_grouping_sets", "scalar_array_map", "agg_decimal_exact",
+        "scalar_date_trunc", "scalar_null_semantics", "events_sliding_10x5",
+        "events_sessions", "q2_min_cost_supplier", "q11_important_stock",
+        "q20_part_promotion", "q4_order_priority", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q12_ship_delay",
+        "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+        "q21_waiting_supplier", "q22_sales_opportunity", "join_asof_events",
+        "pivot_status_priority", "percentiles_price", "subquery_above_avg",
+        "subquery_exists", "q18_large_orders", "q14_promo_share",
+        "q16_supplier_part_count",
+    }
+)
+
+
+def _driver_priority_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Reorder the catalog for driver enumeration: uncovered entries first,
+    round-robin across categories (family coverage survives any cap), then the
+    round-1-proven entries in their original order."""
+    # Entries that most need a fresh driver row jump the round-robin queue
+    # (dedup_ngram_jaccard carried round 1's only perf-weak flag).
+    bumped = [n for n in ("dedup_ngram_jaccard",) if n in catalog]
+
+    uncovered_by_cat: dict[str, list[str]] = {}
+    for name, spec in catalog.items():
+        if name not in _ROUND1_COVERED and name not in bumped:
+            uncovered_by_cat.setdefault(spec.category, []).append(name)
+
+    ordered: list[str] = list(bumped)
+    while any(uncovered_by_cat.values()):
+        for cat in list(uncovered_by_cat):
+            names = uncovered_by_cat[cat]
+            if names:
+                ordered.append(names.pop(0))
+    ordered.extend(n for n in catalog if n in _ROUND1_COVERED)
+    return {name: catalog[name] for name in ordered}
+
+
 def build_catalog() -> dict[str, QuerySpec]:
     from tmapreduce_spark.operators import (
         advanced,
@@ -59,4 +111,4 @@ def build_catalog() -> dict[str, QuerySpec]:
             if name in catalog:
                 raise ValueError(f"duplicate query name {name!r}")
             catalog[name] = spec
-    return catalog
+    return _driver_priority_order(catalog)
