@@ -41,7 +41,7 @@ def test_charcount_golden(engine):
     """The reference's shipped example job: flat [k1, n1, k2, n2, ...] sorted
     by key (word_count.cc:9-34, job.cc:63-77)."""
     job_id = engine.launch("wc", "charcount", KVS, mapper_num=2, reducer_num=2, token="tk")
-    assert engine.stage_of(job_id) is JobStage.FINISHED
+    assert engine.wait(job_id) is JobStage.FINISHED
     result = engine.get_result(job_id, token="tk")
     assert result == expected_charcount(KVS)
 
@@ -51,6 +51,7 @@ def test_identity_ordering_contract(engine):
     (SURVEY §1.4)."""
     kvs = [("b", "2"), ("a", "1"), ("b", "3"), ("a", "4"), ("c", "5"), ("a", "6")]
     job_id = engine.launch("id", "identity", kvs, mapper_num=3, reducer_num=2)
+    engine.wait(job_id)
     result = engine.get_result(job_id)
     # sorted payload: a1,a4,a6,b2,b3,c5 -> slices keep contiguous order, so
     # values per key appear in sorted-payload order.
@@ -61,6 +62,7 @@ def test_empty_map_short_circuit(engine):
     """Zero map output => job finishes with empty result, reduce never runs
     (master.cc:624-627)."""
     job_id = engine.launch("em", "empty-map", KVS)
+    engine.wait(job_id)
     assert engine.get_result(job_id) == []
     assert engine.stage_of(job_id) is JobStage.FINISHED
 
@@ -68,6 +70,7 @@ def test_empty_map_short_circuit(engine):
 def test_single_reducer_matches_many(engine):
     job1 = engine.launch("wc", "charcount", KVS, mapper_num=1, reducer_num=1)
     job2 = engine.launch("wc", "charcount", KVS, mapper_num=3, reducer_num=4)
+    engine.wait(job1), engine.wait(job2)  # the two jobs run concurrently
     assert engine.get_result(job1) == engine.get_result(job2)
 
 
@@ -90,6 +93,7 @@ def test_get_result_errors(engine):
     with pytest.raises(ResultError):
         engine.get_result(999999)
     job_id = engine.launch("tk", "identity", KVS, token="secret")
+    engine.wait(job_id)
     with pytest.raises(ResultError):
         engine.get_result(job_id, token="wrong")
     assert engine.get_result(job_id, token="secret")
@@ -98,6 +102,7 @@ def test_get_result_errors(engine):
 def test_result_ttl_gc(engine):
     """Finished jobs GC'd after 1h (master.cc:449-463, master.h:27)."""
     job_id = engine.launch("ttl", "identity", KVS)
+    engine.wait(job_id)
     job = engine._jobs[job_id]
     job.finish_time -= JOB_RESULT_TIMEOUT_SECOND + 1
     with pytest.raises(ResultError):
@@ -116,6 +121,7 @@ def test_apply_df_matches_launch(engine, spark):
     for k in sorted(by_key):
         flat.extend(by_key[k])
     job_id = engine.launch("wc", "charcount", KVS)
+    engine.wait(job_id)
     assert flat == engine.get_result(job_id)
 
 
@@ -125,6 +131,66 @@ def test_combiner_results_identical_to_plain(spark):
 
     engine = MapReduceEngine(spark)
     kvs = [("d1", "aab bb a"), ("d2", "bb cc aab"), ("d3", "a a a")]
-    plain = engine.get_result(engine.launch("p", "wordcount", kvs, 3, 2, token="t"), token="t")
-    combined = engine.get_result(engine.launch("c", "wordcount+c", kvs, 3, 2, token="t"), token="t")
+    pj = engine.launch("p", "wordcount", kvs, 3, 2, token="t")
+    cj = engine.launch("c", "wordcount+c", kvs, 3, 2, token="t")
+    engine.wait(pj), engine.wait(cj)
+    plain = engine.get_result(pj, token="t")
+    combined = engine.get_result(cj, token="t")
     assert plain == combined
+
+def test_async_launch_observable_lifecycle(spark):
+    """launch returns before the job finishes (gateway.cc:131-157): another
+    thread can observe intermediate stages, and get_result refuses with
+    'job not finished' while the job runs (master.cc:685-699) — the exact
+    poll loop the reference client runs (word_count_client.cc:54)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from tmapreduce_spark.registry import JobRegistry, charcount_reduce
+
+    # Filesystem gate (a threading.Event would not pickle into the closure).
+    gate_path = os.path.join(tempfile.mkdtemp(), "gate")
+
+    def slow_map(key, value):
+        deadline = _time.time() + 30
+        while not os.path.exists(gate_path) and _time.time() < deadline:
+            _time.sleep(0.05)
+        return [(c, "1") for c in value]
+
+    reg = JobRegistry()
+    reg.register("slow-charcount", slow_map, charcount_reduce)
+    engine = MapReduceEngine(spark, registry=reg)
+
+    job_id = engine.launch("slow", "slow-charcount", KVS, token="t")
+    # launch returned while the map stage is blocked on the gate: the job
+    # must be observably in-flight, and get_result must refuse.
+    deadline = _time.time() + 10
+    while engine.stage_of(job_id) is JobStage.INIT and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert engine.stage_of(job_id) in (JobStage.MAPPING, JobStage.MERGING, JobStage.REDUCING)
+    with pytest.raises(ResultError, match="not finished"):
+        engine.get_result(job_id, token="t")
+
+    with open(gate_path, "w") as f:
+        f.write("go")
+    assert engine.wait(job_id, timeout=60) is JobStage.FINISHED
+    assert engine.get_result(job_id, token="t") == expected_charcount(KVS)
+
+
+def test_async_launch_error_surfaces(spark):
+    """A user-function failure is captured on the background thread and
+    re-raised to the caller (wait and get_result)."""
+    from tmapreduce_spark.registry import JobRegistry, charcount_reduce
+
+    def bad_map(key, value):
+        raise RuntimeError("boom in map")
+
+    reg = JobRegistry()
+    reg.register("bad-map", bad_map, charcount_reduce)
+    engine = MapReduceEngine(spark, registry=reg)
+    job_id = engine.launch("bad", "bad-map", KVS, token="t")
+    with pytest.raises(Exception, match="boom in map"):
+        engine.wait(job_id, timeout=60)
+    with pytest.raises(ResultError, match="job failed"):
+        engine.get_result(job_id, token="t")

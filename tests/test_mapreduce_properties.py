@@ -74,6 +74,7 @@ kv_strategy = st.lists(
 @given(kvs=kv_strategy, mapper_num=st.integers(1, 5), reducer_num=st.integers(1, 5))
 def test_engine_matches_reference_model(engine, kvs, mapper_num, reducer_num):
     job_id = engine.launch("prop-job", "prop", kvs, mapper_num, reducer_num, token="t")
+    engine.wait(job_id)
     assert engine.get_result(job_id, token="t") == model(kvs)
 
 

@@ -91,6 +91,8 @@ class _Job:
     stage: JobStage = JobStage.INIT
     results: list[str] = field(default_factory=list)
     finish_time: float | None = None
+    error: BaseException | None = None
+    thread: threading.Thread | None = None
 
 
 class MapReduceEngine:
@@ -115,18 +117,62 @@ class MapReduceEngine:
         reducer_num: int = 2,
         token: str = "",
     ) -> int:
-        """Submit a job; returns job_id. Executes the full pipeline eagerly
-        (the reference is async behind a poll loop; the observable contract —
-        launch returns an id, get_result yields the flat string array — is
-        identical)."""
+        """Submit a job; returns the job_id IMMEDIATELY while the pipeline
+        runs on a background thread — the reference's async contract: launch
+        responds as soon as the job is admitted (``gateway.cc:131-157``,
+        ``master.cc:489-514``) and the client polls get_result until the
+        master stops answering "job not finished"
+        (``example/word_count/word_count_client.cc:54``). Stage transitions
+        (MAPPING/MERGING/REDUCING, ``job.h:26-39``) are observable from other
+        threads via :meth:`stage_of`; use :meth:`wait` to block."""
         self._validate(job_type, kvs, mapper_num, reducer_num)
+        jt = self.registry.get(job_type)  # unknown type rejected at admission
         with self._lock:
             job_id = self._next_id
             self._next_id += 1
             job = _Job(job_id, name, job_type, token)
             self._jobs[job_id] = job
 
-        jt = self.registry.get(job_type)
+        def run() -> None:
+            try:
+                self._run_job(job, jt, kvs, mapper_num, reducer_num)
+            except BaseException as exc:  # surfaced via wait()/get_result()
+                job.error = exc
+                job.stage = JobStage.FINISHED
+                job.finish_time = time.time()
+
+        # InheritableThread propagates the driver's local properties (job
+        # groups, scheduler pool) into the background Spark actions.
+        try:
+            from pyspark import InheritableThread
+
+            job.thread = InheritableThread(target=run, daemon=True)
+        except ImportError:  # pragma: no cover
+            job.thread = threading.Thread(target=run, daemon=True)
+        job.thread.start()
+        return job_id
+
+    def wait(self, job_id: int, timeout: float | None = None) -> JobStage:
+        """Block until the job finishes (the client's poll loop,
+        ``word_count_client.cc:54``, without the 1 s sleeps). Re-raises the
+        job's exception, if any."""
+        job = self._jobs.get(job_id)
+        if job is None:
+            raise ResultError(f"no such job: {job_id}")
+        if job.thread is not None:
+            job.thread.join(timeout)
+        if job.error is not None:
+            raise job.error
+        return job.stage
+
+    def _run_job(
+        self,
+        job: _Job,
+        jt,
+        kvs: list[tuple[str, str]],
+        mapper_num: int,
+        reducer_num: int,
+    ) -> None:
         map_fn, reduce_fn = jt.map_fn, jt.reduce_fn
         sc = self.spark.sparkContext
 
@@ -171,12 +217,19 @@ class MapReduceEngine:
 
             mapped = mapped.mapPartitionsWithIndex(run_combine)
 
+        # Cache before the emptiness probe: isEmpty() would otherwise run the
+        # map (and combine) stage once for the probe and again for the real
+        # shuffle — wasteful, and a non-deterministic user map_fn could make
+        # the probe disagree with the run.
+        mapped = mapped.cache()
+
         # Empty-shuffle short-circuit (master.cc:624-627).
         if mapped.isEmpty():
+            mapped.unpersist()
             job.stage = JobStage.FINISHED
             job.results = []
             job.finish_time = time.time()
-            return job_id
+            return
 
         job.stage = JobStage.MERGING
         # Merge: group by key + global key sort (job.cc:45-66). sortByKey's
@@ -194,9 +247,9 @@ class MapReduceEngine:
             return list(reduce_fn(k, values))
 
         job.results = grouped.flatMap(run_reduce).collect()
+        mapped.unpersist()
         job.stage = JobStage.FINISHED
         job.finish_time = time.time()
-        return job_id
 
     # -- get_result (§2A item 10) ------------------------------------------
 
@@ -212,6 +265,8 @@ class MapReduceEngine:
             raise ResultError("wrong token")
         if job.stage is not JobStage.FINISHED:
             raise ResultError(f"job not finished (stage={job.stage.value})")
+        if job.error is not None:
+            raise ResultError(f"job failed: {job.error!r}") from job.error
         return list(job.results)
 
     def stage_of(self, job_id: int) -> JobStage:

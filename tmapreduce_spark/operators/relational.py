@@ -326,8 +326,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+# NOT EXISTS (not NOT IN): a NULL o_custkey would make NOT IN return zero
+# rows while Spark's left_anti still returns every unmatched customer.
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:

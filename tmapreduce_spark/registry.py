@@ -18,6 +18,7 @@ golden jobs in FIXTURES.md §3.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
@@ -111,8 +112,12 @@ def empty_map(key: str, value: str) -> Iterable[tuple[str, str]]:
 
 def wordcount_map(key: str, value: str) -> Iterable[tuple[str, str]]:
     """Whitespace word count map (the classic; generalizes the reference's
-    char-histogram example to tokens)."""
-    return [(w, "1") for w in value.split()]
+    char-histogram example to tokens).
+
+    Tokenizes on ASCII whitespace only (not str.split(), which also splits on
+    Unicode spaces like NBSP) so results agree with the ``mr_wordcount``
+    DuckDB oracle's ``string_split_regex(v, '\\s+')`` tokenization."""
+    return [(w, "1") for w in re.split(r"\s+", value, flags=re.ASCII) if w]
 
 
 def sum_combine(key: str, values: list[str]) -> list[str]:

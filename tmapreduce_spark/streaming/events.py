@@ -50,6 +50,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoke deterministic; a production deployment points this at a
     landing directory or Kafka with the same downstream plan). The file
     source requires a directory, so point it at sf_dir with a glob filter."""
+    # The events footer is TIMESTAMP(NANOS); a caller-provided session may
+    # lack the legacy long read (get_spark sets it, arbitrary sessions don't).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
