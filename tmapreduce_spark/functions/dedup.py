@@ -334,7 +334,19 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 # Blocked n-gram Jaccard (all-pairs within a blocking key)
 # ---------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# A shingle present in more than this many documents of one source block is a
+# "stop shingle": it is excluded from pair GENERATION (bounding the equi-join
+# fan-out of a k-document shingle to cap*(cap-1)/2 instead of k^2/2) but still
+# counted EXACTLY for every surviving pair via the per-document hot-shingle
+# array correction below. Testdata max DF is 6 (sf0.1), so 256 changes nothing
+# at parity scale while bounding any single key's fan-out at 100 TB to ~32k
+# rows.
+SHINGLE_DF_CAP = 256
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Exact token-3-gram Jaccard for every doc pair within the same
     ``source`` block, keeping pairs over 0.05.
 
@@ -343,15 +355,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∪B| = |A|+|B|-|A∩B|. This replaces the naive
     blocked-crossJoin-with-array_intersect formulation (quadratic array
     scans per pair) with one shuffle keyed on the shingle — pairs that share
-    nothing never materialize, which is what makes the operator survive
-    scale-up. At 100 TB add stop-shingle removal (drop shingles with
-    document-frequency above a cap) to bound hot-key fan-out; the threshold
-    filter makes the result identical because zero/low-overlap pairs are
-    dropped either way."""
+    nothing never materialize.
+
+    Hot-shingle bound (the 100 TB guard): shingles with per-block document
+    frequency above ``max_shingle_df`` are dropped from the pair-generation
+    join (a k-document shingle would emit O(k^2) join rows), then added back
+    EXACTLY: each document's hot shingles form a tiny array (at most the
+    number of globally-hot shingles), and every candidate pair's intersection
+    is corrected with ``size(array_intersect(hot_a, hot_b))``. The result is
+    therefore byte-identical to the uncapped computation for every pair that
+    shares at least one non-hot shingle; a pair whose ENTIRE overlap is
+    stop-shingles is exactly the spurious boilerplate match stop-shingle
+    removal exists to suppress (and none exist in testdata — max DF 6 << 256).
+    Fan-out bound + exactness under an artificially tiny cap are locked by
+    ``tests/test_dedup_ops.py``."""
     ex = _shingle_rows(spark, sf_dir, with_source=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = ex.selectExpr("doc_id AS doc_a", "source AS src_a", "sh AS sh_a")
-    b = ex.selectExpr("doc_id AS doc_b", "source AS src_b", "sh AS sh_b")
+
+    dfreq = ex.groupBy("source", "sh").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > max_shingle_df).select("source", "sh")
+    # Hot set is tiny by construction (each member occurs in >cap docs, so
+    # there are at most n_rows/cap of them) — broadcast the anti/semi joins.
+    cold_ex = ex.join(F.broadcast(hot), ["source", "sh"], "left_anti")
+    hot_arrays = (
+        ex.join(F.broadcast(hot), ["source", "sh"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hot_sh"))
+    )
+
+    a = cold_ex.selectExpr("doc_id AS doc_a", "source AS src_a", "sh AS sh_a")
+    b = cold_ex.selectExpr("doc_id AS doc_b", "source AS src_b", "sh AS sh_b")
     inter = (
         a.join(
             b,
@@ -360,10 +393,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("icnt"))
+        .agg(F.count("*").alias("icnt_cold"))
+    )
+    with_hot = (
+        inter.join(
+            hot_arrays.selectExpr("doc_id AS doc_a", "hot_sh AS hot_a"), "doc_a", "left"
+        )
+        .join(
+            hot_arrays.selectExpr("doc_id AS doc_b", "hot_sh AS hot_b"), "doc_b", "left"
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "icnt_cold + size(array_intersect("
+            "coalesce(hot_a, array()), coalesce(hot_b, array()))) AS icnt",
+        )
     )
     return (
-        inter.join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+        with_hot.join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
         .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
         .selectExpr(
             "doc_a",
