@@ -135,3 +135,16 @@ def test_session_gap_exactly_at_boundary_merges(spark):
         .collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """dedup_ngram_jaccard derives pair generation AND hot-shingle arrays from
+    the same (source, sh) aggregation; the corpus must be tokenized/shuffled
+    once, with the second consumer reading the reused exchange. The marker
+    only appears in the AQE final plan, so execute first."""
+    from tmapreduce_spark.functions.dedup import dedup_ngram_jaccard
+
+    df = dedup_ngram_jaccard(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final

@@ -100,3 +100,42 @@ def test_hash_sample_invariant_under_repartitioning(spark):
         for r in d.repartition(17, "lang").withColumn("b", sample_bucket_col()).filter(F.col("b") < SAMPLE_KEEP).select("doc_id").collect()
     }
     assert base == shuffled and base
+
+def _recall_at_10(approx_rows, exact_rows):
+    """Mean per-query |approx top-10 ∩ exact top-10| / 10."""
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_rows:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ap.get(q, set()) & ns) / len(ns) for q, ns in ex.items()]
+    return sum(recalls) / len(recalls)
+
+
+def test_ann_recall_knobs_monotone_and_floored(spark):
+    """The recall knobs must actually buy recall: multi-probe LSH (probe_bits)
+    and IVF nprobe candidate sets are supersets of their base variants, so
+    recall@10 vs the exact baseline is monotone non-decreasing — and the
+    widened settings must clear an absolute floor."""
+    from tmapreduce_spark.functions.scale import ann_ivf_topk
+
+    exact = ann_topk_cosine(spark, SF_CORRECT).collect()
+
+    r_lsh = {
+        p: _recall_at_10(ann_lsh_topk(spark, SF_CORRECT, probe_bits=p).collect(), exact)
+        for p in (0, 1, 2)
+    }
+    assert r_lsh[0] <= r_lsh[1] <= r_lsh[2], r_lsh
+    # measured on this testdata: 0.04 / 0.26 / 0.46 — 8 sign-planes are a
+    # coarse partition; the knob's job is the monotone climb.
+    assert r_lsh[2] >= 0.4, r_lsh
+
+    r_ivf = {
+        n: _recall_at_10(ann_ivf_topk(spark, SF_CORRECT, nprobe=n).collect(), exact)
+        for n in (1, 2, 4, 8)
+    }
+    assert r_ivf[1] <= r_ivf[2] <= r_ivf[4] <= r_ivf[8], r_ivf
+    # nprobe=8 probes every centroid => candidate set == full corpus => exact.
+    assert r_ivf[8] == 1.0, r_ivf
+    assert r_ivf[4] >= 0.5, r_ivf
+    print("recall@10:", {"lsh": r_lsh, "ivf": r_ivf})

@@ -370,30 +370,43 @@ def dedup_ngram_jaccard(
     Fan-out bound + exactness under an artificially tiny cap are locked by
     ``tests/test_dedup_ops.py``."""
     ex = _shingle_rows(spark, sf_dir, with_source=True)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
-    dfreq = ex.groupBy("source", "sh").agg(F.count("*").alias("df"))
-    hot = dfreq.filter(F.col("df") > max_shingle_df).select("source", "sh")
-    # Hot set is tiny by construction (each member occurs in >cap docs, so
-    # there are at most n_rows/cap of them) — broadcast the anti/semi joins.
-    cold_ex = ex.join(F.broadcast(hot), ["source", "sh"], "left_anti")
-    hot_arrays = (
-        ex.join(F.broadcast(hot), ["source", "sh"], "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("sh")).alias("hot_sh"))
-    )
-
-    a = cold_ex.selectExpr("doc_id AS doc_a", "source AS src_a", "sh AS sh_a")
-    b = cold_ex.selectExpr("doc_id AS doc_b", "source AS src_b", "sh AS sh_b")
+    # ONE shuffle of the exploded shingles: group to (source, sh) -> doc list.
+    # Everything below (sizes, pair generation, hot arrays) derives from this
+    # same aggregation, so Catalyst reuses its Exchange instead of
+    # re-tokenizing + re-exploding the corpus per branch (ReusedExchange —
+    # asserted in tests/test_plans.py).
+    groups = ex.groupBy("source", "sh").agg(F.collect_list("doc_id").alias("docs"))
+    # Per-doc set sizes are row-local (size of the distinct shingle array):
+    # no shuffle, stays in whole-stage codegen, and never touches `groups`.
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.selectExpr(
+        "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
+    ).selectExpr("doc_id", f"size(array_distinct({_SHINGLES_SPARK_TOKS})) AS sz")
+    # Cold shingles generate their doc pairs directly from the doc list —
+    # k*(k-1)/2 pairs with k <= cap, no self-join needed. List order doesn't
+    # matter: the a < b filter selects each unordered pair exactly once.
     inter = (
-        a.join(
-            b,
-            (F.col("src_a") == F.col("src_b"))
-            & (F.col("sh_a") == F.col("sh_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        groups.filter(F.size("docs") <= max_shingle_df)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(docs, a -> transform(docs, "
+                    "b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("icnt_cold"))
+    )
+    # Hot set is tiny by construction (each member occurs in >cap docs, so
+    # there are at most n_shingle_rows/cap of them): per-doc hot arrays stay
+    # small.
+    hot_arrays = (
+        groups.filter(F.size("docs") > max_shingle_df)
+        .select("sh", F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hot_sh"))
     )
     with_hot = (
         inter.join(

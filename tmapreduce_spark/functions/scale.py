@@ -15,10 +15,17 @@ catalog stop being viable at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
-from tmapreduce_spark.functions.similarity import TOP_K, _dot_duck, _dot_spark
+from tmapreduce_spark.functions.similarity import (
+    QUANT,
+    TOP_K,
+    _qdot_duck,
+    _quant_duck,
+    collect_query_model,
+    topk_ranked,
+)
 from tmapreduce_spark.sources.catalog import load_table
 
 from tmapreduce_spark.functions.similarity import N_QUERIES as ANN_QUERIES
@@ -27,30 +34,35 @@ N_PLANES = 8
 SALT_N = 16
 
 
-def _plane_dot_spark(j: int) -> str:
-    # deterministic integer hyperplane weights w(i,j) = ((i*31 + j*17) % 7) - 3;
-    # Spark arrays are 0-based.
-    return (
-        f"aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * "
-        f"CAST((i * 31 + {j} * 17) % 7 - 3 AS DOUBLE))"
-    )
+def _plane_matrix(dim: int):
+    """Deterministic integer hyperplanes w(i,j) = ((i*31 + j*17) % 7) - 3 as
+    an (N_PLANES, dim) int64 matrix. Integer weights on the quantized grid
+    make every plane dot EXACT int64 — bucket bits can never disagree between
+    numpy (pairwise/BLAS summation) and the oracle's ordered fold, which a
+    float plane dot could near zero."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    return np.stack([(i * 31 + j * 17) % 7 - 3 for j in range(N_PLANES)])
+
+
+def _buckets_of(Q):
+    """Bucket id per row of a quantized int64 matrix: sign bits of the plane
+    dots."""
+    import numpy as np
+
+    W = _plane_matrix(Q.shape[1])
+    bits = (Q @ W.T) >= 0  # exact int64 comparison
+    return (bits * (1 << np.arange(N_PLANES, dtype=np.int64))).sum(axis=1)
 
 
 def _plane_dot_duck(j: int) -> str:
-    # DuckDB lists are 1-based: weight index shifts by one.
+    # DuckDB lists are 1-based: weight index shifts by one. qe is the
+    # quantized int64 embedding — the plane dot is exact integer arithmetic.
     return (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, len(embedding) + 1), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * "
-        f"CAST(((i - 1) * 31 + {j} * 17) % 7 - 3 AS DOUBLE))), (acc, v) -> acc + v)"
-    )
-
-
-def _bucket_spark() -> str:
-    return " + ".join(
-        f"(CASE WHEN {_plane_dot_spark(j)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len(qe) + 1), "
+        f"i -> qe[i] * (((i - 1) * 31 + {j} * 17) % 7 - 3))), (acc, v) -> acc + v)"
     )
 
 
@@ -61,54 +73,85 @@ def _bucket_duck() -> str:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-linear ANN: random-hyperplane LSH buckets (deterministic planes so
-    the oracle reproduces them), candidates restricted to the query's bucket,
-    exact cosine + top-k inside the bucket.
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_bits: int = 0) -> DataFrame:
+    """Sub-linear ANN: random-hyperplane LSH buckets (deterministic integer
+    planes on the quantized grid, so the oracle reproduces every bucket bit),
+    candidates pruned to the query's probe set, quantized-exact cosine + top-k.
 
-    At 100 TB this is a bucket equi-join instead of a crossJoin: the corpus
-    side shuffles once on bucket id (or is written bucketed at rest), and each
-    query probes ~1/256th of the data. Recall is tunable by multi-probe
-    (querying neighboring buckets) — not needed for the parity check."""
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        "embedding",
-        f"({_bucket_spark()}) AS bucket",
-        f"sqrt({_dot_spark('embedding', 'embedding')}) AS nrm",
+    One Arrow-batched corpus scan: each batch computes its bucket ids with one
+    int64 matmul against the plane matrix, keeps only rows whose bucket falls
+    in a query's probe set, and scores the survivors with the int64 Gram
+    matmul (shared grid with ``ann_topk_cosine``). At 100 TB the scan is
+    linear and shuffle-free with ~1/256th of rows scored per query; with a
+    LARGE query set the same bucket column becomes a materialized equi-join
+    key (write the corpus bucketed at rest) — the plans are interchangeable.
+
+    Multi-probe (``probe_bits`` > 0) also scores buckets within that Hamming
+    distance of the query's bucket — 1+8 buckets at 1 bit, +28 at 2 — the
+    standard recall knob, trading a linear candidate increase for recall
+    (measured against the exact baseline in ``tests/test_scale_ops.py``).
+    The catalog/oracle entry pins probe_bits=0."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_ids, Qm, q_nrm = collect_query_model(e, ANN_QUERIES)
+    q_buckets = _buckets_of(Qm)
+
+    # probe_ok[qi, b]: does bucket b fall inside query qi's probe set?
+    all_b = np.arange(1 << N_PLANES, dtype=np.int64)
+    hamming = np.array(
+        [[bin(int(qb ^ b)).count("1") for b in all_b] for qb in q_buckets]
     )
-    q = e.filter(F.col("vec_id") < ANN_QUERIES).selectExpr(
-        "vec_id AS query_id", "embedding AS q_emb", "bucket AS q_bucket", "nrm AS q_norm"
-    )
-    scored = (
-        e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
-        .selectExpr(
-            "query_id",
-            "vec_id AS neighbor_id",
-            f"floor(({_dot_spark('q_emb', 'embedding')} / (q_norm * nrm))"
-            " * 1000000 + 0.5) / 1000000 AS cosine",
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    probe_ok = hamming <= probe_bits
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            buckets = _buckets_of(C)
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            frames = []
+            for qi in range(len(q_ids)):
+                m = probe_ok[qi][buckets] & (ids != q_ids[qi])
+                if not m.any():
+                    continue
+                dots = C[m] @ Qm[qi]  # exact int64
+                cos = dots.astype(np.float64) / (c_nrm[m] * q_nrm[qi])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(m.sum()), q_ids[qi]),
+                            "neighbor_id": ids[m],
+                            "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = e.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+    return topk_ranked(scored)
 
 
 ANN_LSH_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding,
-         ({_bucket_duck()}) AS bucket,
-         sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
-  FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket, nrm AS q_norm
-      FROM e WHERE vec_id < {ANN_QUERIES}),
+  SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+eb AS (
+  SELECT vec_id, qe, ({_bucket_duck()}) AS bucket,
+         sqrt(CAST({_qdot_duck('qe', 'qe')} AS DOUBLE)) AS nrm
+  FROM e),
+q AS (SELECT vec_id AS query_id, qe AS q_qe, bucket AS q_bucket, nrm AS q_norm
+      FROM eb WHERE vec_id < {ANN_QUERIES}),
 scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-         floor(({_dot_duck('q_emb', 'e.embedding')} / (q_norm * e.nrm)) * 1000000 + 0.5) / 1000000
-           AS cosine
-  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id),
+  SELECT query_id, eb.vec_id AS neighbor_id,
+         floor((CAST({_qdot_duck('q_qe', 'eb.qe')} AS DOUBLE) / (q_norm * eb.nrm))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM eb JOIN q ON eb.bucket = q.q_bucket AND eb.vec_id <> q.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -181,21 +224,23 @@ IVF_K = 8  # centroids; "training" stand-in: the first K vectors ARE the
            # k-means and broadcasts the learned centroids the same way)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of IVF_K centroids
     by quantized-exact cosine (int64 dots, ties to the lowest centroid id),
-    then answer each query from its own centroid's bucket only (nprobe=1)
+    then answer each query from its ``nprobe`` nearest centroids' buckets
     with exact cosine top-k.
 
     Scale path: assignment is ONE mapInPandas pass over the corpus against
     broadcast centroids (tiny model in the closure — not a data-path
-    collect); the query set's own assignments are computed driver-side from
+    collect); the query set's own probe lists are computed driver-side from
     the already-collected centroid rows (the deterministic query set
     vec_id < ANN_QUERIES is a subset of vec_id < IVF_K), so no second corpus
     scan happens. The inverted file is the `centroid` column: the candidate
     join is a bucket equi-join exactly like the LSH variant, and the corpus
     can be written partitioned/bucketed by centroid at rest. Recall is tuned
-    by nprobe (probing the q nearest centroids) — 1 suffices here."""
+    by ``nprobe`` — each extra probed centroid adds ~1/IVF_K of the corpus to
+    the candidate set (recall-vs-exact measured in ``tests/test_scale_ops.py``).
+    The catalog/oracle entry pins nprobe=1."""
     import numpy as np
     import pandas as pd
 
@@ -209,18 +254,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).astype(np.int64)
     c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
 
-    def nearest_centroids(Q: "np.ndarray") -> "np.ndarray":
+    def centroid_ranks(Q: "np.ndarray") -> "np.ndarray":
+        """Centroid ids ordered best-first per row (cosine DESC, cid ASC —
+        argsort is stable, so equal cosines keep ascending-cid order,
+        matching the oracle)."""
         dots = Q @ C.T  # exact int64
         nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
         cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
-        # np.argmax returns the FIRST maximum → ties go to the lowest
-        # centroid id, matching the oracle's (cosine DESC, cid ASC).
-        return np.argmax(cos, axis=1)
+        return np.argsort(-cos, axis=1, kind="stable")
 
     def assign(batches):
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            best = nearest_centroids(np.floor(E * 1_000_000 + 0.5).astype(np.int64))
+            best = centroid_ranks(np.floor(E * 1_000_000 + 0.5).astype(np.int64))[:, 0]
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
             )
@@ -228,12 +274,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
     corpus = e.join(assigned, "vec_id")
 
-    # query-side assignment driver-side (queries ⊂ collected centroid rows)
-    q_best = nearest_centroids(C[:ANN_QUERIES])
+    # query-side probe lists driver-side (queries ⊂ collected centroid rows):
+    # one broadcast row per (query, probed centroid) keeps the candidate
+    # lookup a plain equi-join.
+    q_ranks = centroid_ranks(C[:ANN_QUERIES])
     q = spark.createDataFrame(
         [
-            (int(r["vec_id"]), list(r["embedding"]), int(q_best[i]))
+            (int(r["vec_id"]), list(r["embedding"]), int(q_ranks[i, p]))
             for i, r in enumerate(cent_rows[:ANN_QUERIES])
+            for p in range(min(nprobe, IVF_K))
         ],
         "query_id bigint, q_emb array<float>, q_centroid int",
     )
@@ -261,12 +310,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     scored = cand.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return topk_ranked(scored)
 
 
 def _ivf_sql() -> str:

@@ -1,17 +1,21 @@
 """Similarity search over the ``embeddings`` table (``array<float>``):
 brute-force cosine top-k (the exact baseline) and blocked threshold pairs.
 
-Cosine is computed as an explicit index-ordered left fold in double precision
-on BOTH engines (Spark ``aggregate``/``zip_with``, DuckDB
-``list_reduce``/``list_transform``), so results are bit-identical — float32
-elements cast exactly to double, IEEE mult/add/sqrt/divide are deterministic
-given identical operation order.
+All pairwise cosine math runs on the quantized int64 grid (components scaled
+by 1e6 and floored): integer dot products are reduction-order independent, so
+numpy's BLAS-speed matmuls on the Spark side are bit-identical to DuckDB's
+ordered list folds — exactness AND vectorization, where a float fold would
+pin both engines to interpreted element-ordered evaluation
+(``aggregate()``/``list_reduce``, ~µs/element).
 
-Scale path: brute-force top-k is a broadcast of the query set against a full
-scan of the corpus — linear, shuffle-free, embarrassingly parallel; this is
-the correct exact-ANN baseline even at 100 TB when the query set is small.
-The sub-linear variant (LSH / IVF bucketing to prune candidates) follows the
-same skeleton with a bucket equi-join instead of the crossJoin.
+Scale path: brute-force top-k is one Arrow-batched scan of the corpus scored
+against the broadcast query model — linear, shuffle-free, embarrassingly
+parallel; the correct exact-ANN baseline even at 100 TB when the query set is
+small. The sub-linear variants (LSH / IVF in functions/scale.py) prune the
+same scan to probed buckets.
+
+Single-vector stats (``embedding_norms``) keep the float64 ordered fold: one
+dot per row is linear work and the fold pins the exact float semantics.
 """
 
 from __future__ import annotations
@@ -66,53 +70,89 @@ FROM embeddings
 """
 
 
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for the query set (vec_id < N_QUERIES):
-    broadcast queries × scan corpus → per-query top-k via window. Ordering is
-    on the rounded score with vec_id tiebreak so ranks are reproducible."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    # per-vector norms computed ONCE on each side (not per pair) — same
-    # binary value as inlining sqrt(dot(x,x)) at every pair, ~half the flops.
-    cand = e.selectExpr(
-        "vec_id AS neighbor_id",
-        "embedding AS c_emb",
-        f"sqrt({_dot_spark('embedding', 'embedding')}) AS c_norm",
-    )
-    q = q.selectExpr(
-        "query_id", "q_emb", f"sqrt({_dot_spark('q_emb', 'q_emb')}) AS q_norm"
-    )
-    scored = (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .selectExpr(
-            "query_id",
-            "neighbor_id",
-            f"floor(({_dot_spark('q_emb', 'c_emb')} / (q_norm * c_norm))"
-            " * 1000000 + 0.5) / 1000000 AS cosine",
-        )
-    )
+def collect_query_model(e: DataFrame, n_queries: int = N_QUERIES):
+    """Collect the (tiny) ANN query set as a quantized int64 numpy model:
+    (ids, Q matrix, norms). This is a model-side collect like the IVF
+    centroids — n_queries rows, never the data path."""
+    import numpy as np
+
+    rows = e.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+    return ids, Q, nrm
+
+
+def topk_ranked(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Per-query top-k on the (query_id, neighbor_id, cosine) stream; rounded
+    score with vec_id tiebreak keeps ranks reproducible across engines."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
     )
 
 
-ANN_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
-                  sqrt({_dot_duck('embedding', 'embedding')}) AS q_norm
-           FROM embeddings WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb,
-             sqrt({_dot_duck('embedding', 'embedding')}) AS c_norm
-      FROM embeddings),
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set (vec_id < N_QUERIES):
+    ONE Arrow-batched scan of the corpus scored against the broadcast query
+    matrix with an int64 Gram matmul (the same quantized-exact grid as
+    :func:`blocked_pair_cosines` — integer arithmetic is reduction-order
+    independent, so numpy BLAS matches DuckDB's ordered list fold exactly).
+    Replaces the r01 formulation (crossJoin + interpreted ``aggregate()`` HOF,
+    ~µs/element outside codegen) with one vectorized matmul per batch: the
+    scan stays linear, shuffle-free, and embarrassingly parallel — the correct
+    exact-ANN baseline at 100 TB for a small query set."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_ids, Qm, q_nrm = collect_query_model(e)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            dots = C @ Qm.T  # exact int64
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            cos = dots.astype(np.float64) / (c_nrm[:, None] * q_nrm[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            n, k = cos.shape
+            out_q = np.tile(q_ids, n)
+            out_n = np.repeat(ids, k)
+            m = out_n != out_q
+            yield pd.DataFrame(
+                {"query_id": out_q[m], "neighbor_id": out_n[m], "cosine": cos.ravel()[m]}
+            )
+
+    scored = e.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+    return topk_ranked(scored)
+
+
+def _ann_topk_sql() -> str:
+    qd = _qdot_duck
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+q AS (SELECT vec_id AS query_id, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, qe AS c_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS c_norm
+      FROM v),
 scored AS (
   SELECT query_id, neighbor_id,
-         floor(({_dot_duck('q_emb', 'c_emb')} / (q_norm * c_norm)) * 1000000 + 0.5) / 1000000
-           AS cosine
+         floor((CAST({qd('q_qe', 'c_qe')} AS DOUBLE) / (q_norm * c_norm))
+               * 1000000 + 0.5) / 1000000 AS cosine
   FROM c CROSS JOIN q
   WHERE neighbor_id <> query_id),
 ranked AS (
@@ -220,6 +260,6 @@ SIMILARITY_PAIRS_SQL = _pairs_sql(0.3)
 
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, "similarity"),
-    "ann_topk_cosine": QuerySpec(ann_topk_cosine, ANN_TOPK_SQL, "similarity"),
+    "ann_topk_cosine": QuerySpec(ann_topk_cosine, _ann_topk_sql(), "similarity"),
     "similarity_pairs_blocked": QuerySpec(similarity_pairs_blocked, SIMILARITY_PAIRS_SQL, "similarity"),
 }
