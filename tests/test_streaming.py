@@ -28,6 +28,50 @@ def test_tumbling_matches_batch(spark):
     assert _rows(mem, mem.columns) == _rows(batch, mem.columns)
 
 
+def test_tumbling_matches_batch_from_kafka_mock(spark, tmp_path):
+    """The windowed plan is source-independent: the same tumbling_counts over
+    a Kafka-shaped JSON envelope stream (topic dir + from_json decode) must
+    equal the batch twin exactly, like the file source does."""
+    from tmapreduce_spark.streaming.events import read_stream, write_kafka_mock
+
+    topic_dir = str(tmp_path / "topic-events")
+    write_kafka_mock(spark, SF_SMOKE, topic_dir)
+    s = tumbling_counts(read_stream(spark, kind="kafka_mock", path=topic_dir))
+    mem = run_stream_to_memory(spark, s, "t_tumbling_kafka", output_mode="complete")
+    batch = events_tumbling_10min(spark, SF_SMOKE)
+    assert _rows(mem, mem.columns) == _rows(batch, mem.columns)
+
+
+def test_read_stream_rate_kind_runs_same_plan(spark):
+    """kind='rate' lands in the canonical schema, so the identical windowed
+    transform runs on the generator source (schema + liveness smoke)."""
+    from tmapreduce_spark.streaming.events import read_stream
+
+    src = read_stream(spark, kind="rate")
+    assert src.schema.simpleString() == (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    )
+    s = tumbling_counts(src, watermark="0 seconds")
+    q = (
+        s.writeStream.format("memory")
+        .queryName("t_rate_kind")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and not spark.table("t_rate_kind").count():
+            time.sleep(0.5)
+        rows = spark.table("t_rate_kind").collect()
+    finally:
+        q.stop()
+    assert rows and all(r["event_type"] in ("click", "view", "purchase") for r in rows)
+
+
 def test_append_mode_is_watermark_bounded_subset(spark):
     s = tumbling_counts(stream_events(spark, SF_SMOKE))
     mem = run_stream_to_memory(spark, s, "t_tumbling_append", output_mode="append")

@@ -153,6 +153,113 @@ def click_purchase_join(events: DataFrame, horizon: str = "30 minutes") -> DataF
     )
 
 
+# ---------------------------------------------------------------------------
+# Source-agnostic ingestion: the windowed plans above consume ANY stream that
+# lands in the canonical events schema. read_stream() is the single front
+# door; each kind is a different physical source producing the same columns,
+# so swapping file -> Kafka in production is a one-argument change, not a
+# replumb.
+# ---------------------------------------------------------------------------
+
+# Kafka record envelope (the exact columns Spark's real kafka source emits:
+# key/value payload + topic/partition/offset/timestamp metadata). The mock
+# layout is a directory of JSON files with these columns, partitioned like a
+# topic; the decode path (from_json on `value`) is byte-for-byte what a real
+# Kafka deployment runs after `.format("kafka")`.
+KAFKA_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+        StructField("topic", StringType()),
+        StructField("partition", LongType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+# payload carried in the Kafka value: events row with ts as LONG microseconds
+# (serializing the timestamp as an integer dodges JSON timestamp-format
+# truncation; decode is timestamp_micros on both engines).
+EVENTS_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def write_kafka_mock(spark: SparkSession, sf_dir: str, out_dir: str, n_partitions: int = 4) -> None:
+    """Materialize the events table as a mock Kafka topic directory:
+    JSON-envelope files partitioned by a key-hash 'partition' column, one
+    monotone offset per record — the at-rest shape of a topic dump."""
+    from tmapreduce_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("event_id"), F.lit(n_partitions)).alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    env.write.mode("overwrite").partitionBy("partition").json(out_dir)
+
+
+def read_stream(
+    spark: SparkSession, sf_dir: str | None = None, kind: str = "file", path: str | None = None
+) -> DataFrame:
+    """One events stream, three physical sources — all landing in the
+    canonical (event_id, ts, user_id, event_type, value, props) schema:
+
+    - ``file``: the parquet landing-directory source over ``sf_dir``.
+    - ``kafka_mock``: Kafka-shaped JSON envelope directory at ``path``
+      (see :func:`write_kafka_mock`); decode = from_json on `value`,
+      exactly the real ``.format("kafka")`` read path minus the broker.
+    - ``rate``: Spark's rate source mapped to deterministic synthetic
+      events — an infinite load generator for soak/perf runs.
+    """
+    if kind == "file":
+        if sf_dir is None:
+            raise ValueError("kind='file' requires sf_dir")
+        return stream_events(spark, sf_dir)
+    if kind == "kafka_mock":
+        if path is None:
+            raise ValueError("kind='kafka_mock' requires path")
+        raw = spark.readStream.schema(KAFKA_ENVELOPE_SCHEMA).option(
+            "maxFilesPerTrigger", 8
+        ).json(path)
+        return (
+            raw.select(F.from_json("value", EVENTS_PAYLOAD_SCHEMA).alias("e"))
+            .select("e.*")
+            .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+            .drop("ts_us")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+    if kind == "rate":
+        rate = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+        return rate.selectExpr(
+            "value AS event_id",
+            "timestamp AS ts",
+            "value % 50 AS user_id",
+            "element_at(array('click','view','purchase'), CAST(value % 3 + 1 AS INT)) AS event_type",
+            "CAST(value % 100 AS DOUBLE) / 10 AS value",
+            "CAST(NULL AS STRING) AS props",
+        )
+    raise ValueError(f"unknown stream kind: {kind!r}")
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
