@@ -199,6 +199,92 @@ FROM orders
 """
 
 
+def window_frame_following(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED FOLLOWING frames: per-customer revenue still to come
+    (CURRENT ROW → UNBOUNDED FOLLOWING) plus first/last order key over the
+    full partition frame. Sums are exact integer cents (order-independent);
+    last_value needs the explicit full frame — the default frame would stop
+    at CURRENT ROW."""
+    from tmapreduce_spark.parity import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w_rest = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.expr(cents("o_totalprice"))).over(w_rest).alias("remaining_cents"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+WINDOW_FOLLOWING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS remaining_cents,
+       first_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+"""
+
+
+def window_range_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered RANGE frame (±15 days around each order's day number): the
+    moving-range variant of window_range_frame — preceding AND following on a
+    value axis, with tied days entering together. nth_value(2) over the running
+    row frame exercises the offset-into-frame accessor."""
+    from tmapreduce_spark.parity import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("int")
+    w_range = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-15, 15)
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day_num"),
+        F.sum(F.expr(cents("o_totalprice"))).over(w_range).alias("centered_cents"),
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("centered_n"),
+        F.nth_value("o_orderkey", 2).over(w_rows).alias("second_order_so_far"),
+    )
+
+
+WINDOW_RANGE_CENTERED_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS day_num,
+       CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+                    RANGE BETWEEN 15 PRECEDING AND 15 FOLLOWING) AS BIGINT) AS centered_cents,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+                           ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+                           RANGE BETWEEN 15 PRECEDING AND 15 FOLLOWING) AS BIGINT) AS centered_n,
+       nth_value(o_orderkey, 2)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order_so_far
+FROM orders
+"""
+
+
 def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist over a fully-specified order (totalprice,
     orderkey tiebreak) — both are pure rank arithmetic, so cross-engine
@@ -227,6 +313,8 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey AS
 QUERIES: dict[str, QuerySpec] = {
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_SQL, "window"),
+    "window_frame_following": QuerySpec(window_frame_following, WINDOW_FOLLOWING_SQL, "window"),
+    "window_range_centered": QuerySpec(window_range_centered, WINDOW_RANGE_CENTERED_SQL, "window"),
     "window_percentiles": QuerySpec(window_percentiles, WINDOW_PERCENTILES_SQL, "window"),
     "window_rank_dense": QuerySpec(window_rank_dense, WINDOW_DENSE_SQL, "window"),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL, "window"),
