@@ -148,3 +148,63 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew-join evidence: a manufactured hot key (one join partition ~100x
+    the median) must trigger AQE's OptimizeSkewedJoin in Spark 4.1 —
+    observable ONLY in the post-execution adaptive plan as
+    ``SortMergeJoin(skew=true)`` / ``AQEShuffleRead ... skewed``.
+
+    Two non-obvious preconditions, pinned here so they aren't rediscovered:
+    partition sizes are COMPRESSED map-output bytes (a constant-pad payload
+    compresses below any threshold — use md5 chains), and the consumer after
+    the join must not require the join key's partitioning (a same-key groupBy
+    makes the rule bail to avoid an extra shuffle unless forced)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+
+        pad = F.md5(F.col("id").cast("string"))
+        for i in range(3):
+            pad = F.concat(pad, F.md5((F.col("id") + i + 1).cast("string")))
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 100 == 0, (F.col("id") % 7) + 1)
+            .otherwise(F.lit(0))
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(0, 700).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("rv")
+        )
+        agg = left.join(right, "k").agg(F.sum(F.length("pad")).alias("s"))
+        [row] = agg.collect()
+        assert row["s"] > 0
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "skewed" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
