@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.sources.catalog import load_table
@@ -268,7 +268,171 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end multimodal pipeline: pseudo-decode -> 64-dim pseudo-embedding ->
+# LSH-bucketed ANN join against the embeddings corpus -> best match per doc.
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64  # matches the embeddings fixture's vector dimensionality
+
+
+def _doc_embed_components(payload: bytes):
+    """Deterministic 64-dim int64 pseudo-embedding of a binary payload: 8 md5
+    chains x 8 four-hex-char chunks, each mapped to [-1000, 1000]. Stands in
+    for a real vision/audio encoder; integer components keep every downstream
+    dot product exact (same contract as the quantized corpus grid)."""
+    import numpy as np
+
+    comps = np.empty(EMBED_DIM, dtype=np.int64)
+    for g in range(EMBED_DIM // 8):
+        hexd = hashlib.md5(payload + b"#" + str(g).encode()).hexdigest()
+        for s in range(8):
+            comps[g * 8 + s] = int(hexd[s * 4 : s * 4 + 4], 16) % 2001 - 1000
+    return comps
+
+
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end multimodal pipeline in one lineage: binary payload ->
+    pseudo-decode (width from the decode stage rides along) -> fixed-dim
+    pseudo-embedding -> LSH bucket -> equi-join against the identically
+    bucketed ``embeddings`` corpus -> quantized-exact cosine -> best corpus
+    match per document.
+
+    Scale shape: both sides are bucketed by the SAME deterministic hyperplane
+    LSH (one Arrow-batched pass each, no shuffle until the bucket equi-join),
+    so the candidate set per doc is ~1/256th of the corpus — the
+    large-query-set regime where the LSH bucket column becomes a join key
+    (write both sides bucketed at rest and the join is exchange-free).
+    Documents whose bucket holds no corpus vector drop out (inner-join
+    semantics, deterministic in both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from tmapreduce_spark.functions.scale import _buckets_of
+    from tmapreduce_spark.functions.similarity import QUANT
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def bucket_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "qe": [c.tolist() for c in C],
+                    "bucket": _buckets_of(C).astype("int64"),
+                    "nrm": np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64)),
+                }
+            )
+
+    corp = corpus.mapInPandas(
+        bucket_corpus, "vec_id bigint, qe array<bigint>, bucket bigint, nrm double"
+    )
+
+    docs = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def embed_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                w, _h, _c = _fake_dims(p)  # the decode stage of the pipeline
+                recs.append((int(doc_id), w, _doc_embed_components(p)))
+            D = np.stack([r[2] for r in recs])
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in recs],
+                    "fake_width": [r[1] for r in recs],
+                    "dq": [d.tolist() for d in D],
+                    "bucket": _buckets_of(D).astype("int64"),
+                    "dnrm": np.sqrt(np.einsum("ij,ij->i", D, D).astype(np.float64)),
+                }
+            )
+
+    docf = docs.mapInPandas(
+        embed_docs, "doc_id bigint, fake_width bigint, dq array<bigint>, bucket bigint, dnrm double"
+    )
+
+    cand = docf.join(corp, "bucket")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["dq"]])
+            B = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qe"]])
+            dots = np.einsum("ij,ij->i", A, B)  # exact int64
+            cos = dots.astype(np.float64) / (
+                pdf["dnrm"].to_numpy() * pdf["nrm"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fake_width": pdf["fake_width"].astype("int64"),
+                    "neighbor_id": pdf["vec_id"].astype("int64"),
+                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "doc_id bigint, fake_width bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fake_width", F.col("neighbor_id").alias("best_vec"), "cosine")
+    )
+
+
+def _embed_ann_sql() -> str:
+    from tmapreduce_spark.functions.scale import _bucket_duck
+    from tmapreduce_spark.functions.similarity import _qdot_duck, _quant_duck
+
+    doc_comps = (
+        "list_transform(range(0, 64), j -> "
+        "CAST(CAST(('0x' || substring(md5(text || '#' || CAST(j // 8 AS VARCHAR)), "
+        "(j % 8) * 4 + 1, 4)) AS BIGINT) % 2001 - 1000 AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+eb AS (
+  SELECT vec_id, qe, ({_bucket_duck()}) AS bucket,
+         sqrt(CAST({_qdot_duck('qe', 'qe')} AS DOUBLE)) AS nrm
+  FROM e),
+doc AS (
+  SELECT doc_id,
+         64 + CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 577 AS fake_width,
+         {doc_comps} AS qe
+  FROM documents),
+db AS (
+  SELECT doc_id, fake_width, qe, ({_bucket_duck()}) AS bucket,
+         sqrt(CAST({_qdot_duck('qe', 'qe')} AS DOUBLE)) AS dnrm
+  FROM doc),
+scored AS (
+  SELECT doc_id, fake_width, eb.vec_id AS neighbor_id,
+         floor((CAST({_qdot_duck('db.qe', 'eb.qe')} AS DOUBLE) / (db.dnrm * eb.nrm))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM db JOIN eb ON db.bucket = eb.bucket),
+ranked AS (
+  SELECT doc_id, fake_width, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT doc_id, fake_width, neighbor_id AS best_vec, cosine
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_embed_ann": QuerySpec(multimodal_embed_ann, _embed_ann_sql(), "multimodal"),
     "multimodal_feature_extract": QuerySpec(multimodal_feature_extract, MULTIMODAL_FEATURE_SQL, "multimodal"),
     "multimodal_decode_stats": QuerySpec(multimodal_decode_stats, MULTIMODAL_DECODE_SQL, "multimodal"),
     "multimodal_meta_stats": QuerySpec(multimodal_meta_stats, MULTIMODAL_META_SQL, "multimodal"),
