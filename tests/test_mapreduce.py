@@ -194,3 +194,102 @@ def test_async_launch_error_surfaces(spark):
         engine.wait(job_id, timeout=60)
     with pytest.raises(ResultError, match="job failed"):
         engine.get_result(job_id, token="t")
+
+
+# -- HTTP/REST gateway (gateway.cc observable contract) ----------------------
+
+
+def _http(method, port, path, body=None):
+    import http.client
+    import json as _json
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    payload = _json.dumps(body) if isinstance(body, dict) else body
+    conn.request(method, path, body=payload)
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    try:
+        return resp.status, _json.loads(raw)
+    except (ValueError, UnicodeDecodeError):
+        return resp.status, raw.decode(errors="replace")
+
+
+def test_gateway_end_to_end_wordcount(spark):
+    """POST /launch -> poll GET /getresult until the job stops answering
+    'job not finished' -> key-ordered flat results, matching the reference
+    client's loop (word_count_client.cc:54-63)."""
+    import time
+
+    from tmapreduce_spark.gateway import Gateway
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    with Gateway(MapReduceEngine(spark)) as gw:
+        status, body = _http("GET", gw.port, "/helloworld")
+        assert (status, body) == (200, "Hello world.")
+
+        status, body = _http(
+            "POST", gw.port, "/launch",
+            {
+                "name": "wc", "type": "wordcount", "mapper_num": 2,
+                "reducer_num": 2, "token": "tok",
+                "kvs": [
+                    {"key": "a", "value": "x y x"},
+                    {"key": "b", "value": "y"},
+                ],
+            },
+        )
+        assert status == 200 and body["ok"] is True
+        job_id = body["job_id"]
+
+        deadline = time.time() + 120
+        while True:
+            status, body = _http(
+                "GET", gw.port, f"/getresult?job_id={job_id}&token=tok"
+            )
+            if status == 200:
+                break
+            assert body["ok"] is False
+            assert time.time() < deadline, body
+            time.sleep(0.2)
+        assert body == {"ok": True, "message": "", "result": ["x", "2", "y", "2"]}
+
+
+def test_gateway_error_paths(spark):
+    from tmapreduce_spark.gateway import Gateway
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    ok_req = {
+        "name": "wc", "type": "wordcount", "mapper_num": 1, "reducer_num": 1,
+        "token": "", "kvs": [{"key": "a", "value": "x"}],
+    }
+    with Gateway(MapReduceEngine(spark)) as gw:
+        # shape violations -> bare 400 (check_launch_request, gateway.cc:15-51)
+        for broken in (
+            "not json",
+            {**ok_req, "mapper_num": "2"},
+            {**ok_req, "mapper_num": -1},
+            {k: v for k, v in ok_req.items() if k != "token"},
+            {**ok_req, "kvs": [{"key": "a", "value": 3}]},
+            {**ok_req, "kvs": "nope"},
+        ):
+            status, _ = _http("POST", gw.port, "/launch", broken)
+            assert status == 400, broken
+
+        # shape-valid but rejected by admission -> 500 {"ok": false}
+        for rejected in (
+            {**ok_req, "mapper_num": 0},
+            {**ok_req, "kvs": []},
+            {**ok_req, "type": "no_such_type"},
+        ):
+            status, body = _http("POST", gw.port, "/launch", rejected)
+            assert status == 500 and body["ok"] is False, rejected
+
+        # getresult failures: unknown job, wrong token
+        status, body = _http("GET", gw.port, "/getresult?job_id=99&token=")
+        assert status == 500 and "no such job" in body["message"]
+
+        status, body = _http("POST", gw.port, "/launch", {**ok_req, "token": "s3"})
+        job_id = body["job_id"]
+        status, body = _http("GET", gw.port, f"/getresult?job_id={job_id}&token=bad")
+        assert status == 500 and "wrong token" in body["message"]
