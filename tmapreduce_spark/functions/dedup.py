@@ -479,7 +479,115 @@ GROUP BY vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: connected components over the verified pair
+# graph -> canonical document per cluster (the op that actually SHRINKS a
+# training corpus once pairs are known).
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD_MIN = 0.5
+
+
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Connected components over MinHash near-dup pairs (jaccard >=
+    CLUSTER_JACCARD_MIN) by min-label propagation, then canonical-keeper
+    resolution: every clustered doc labeled with its component's lowest
+    doc_id, flagged canonical iff it IS that keeper, with the component size.
+
+    Scale design: each iteration is two shuffles on doc_id (neighbor-min
+    groupBy + label join) over the EDGE set (already banding-bounded — never
+    all pairs); iterations are bounded by component diameter, and near-dup
+    graphs are overwhelmingly tiny star/clique components, so 3-4 rounds
+    converge in practice (cap + convergence check here). localCheckpoint
+    truncates the growing lineage each round. The driver-side loop touches
+    only a per-round changed-count — the data never leaves executors. This is
+    the standard alternating-min-label CC (cf. large-star/small-star); at
+    petabyte graph scale swap in that two-phase variant, same join shapes."""
+    pairs = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint()  # pair pipeline runs once, not once per iteration
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.selectExpr("doc_id AS doc_b", "label AS nbr_label"), "doc_b"
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+            .selectExpr("doc_a AS doc_id", "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .selectExpr(
+            "doc_id",
+            "label AS cluster_id",
+            "doc_id = label AS is_canonical",
+            "cluster_size",
+        )
+    )
+
+
+DEDUP_CLUSTER_SQL = (
+    "WITH RECURSIVE pairs AS (" + DEDUP_MINHASH_PAIRS_SQL + ")"
+    + f"""
+, strong AS (
+  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM strong
+  UNION
+  SELECT doc_b, doc_a FROM strong),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+comp AS (
+  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id,
+       comp.doc_id = comp.cluster_id AS is_canonical,
+       sized.cluster_size
+FROM comp JOIN sized USING (cluster_id)
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_sql(), "dedup"),
     "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL, "dedup"),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first, DEDUP_EXACT_KEEP_SQL, "dedup"),

@@ -351,7 +351,54 @@ GROUP BY lang
 """
 
 
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model n-gram counting: top-10 token bigrams per source with
+    counts — the map-side array build (tokenize once, slide a width-2 window)
+    feeding a partial-aggregated groupBy, then a per-source WindowGroupLimit
+    top-k. At 100 TB this is the canonical LM-corpus-statistics shape: the
+    shuffle carries (source, bigram, partial count), never documents."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr("source", r"split(trim(lower(text)), '\\s+') AS toks")
+    bigrams = toks.selectExpr(
+        "source",
+        """explode(filter(
+             transform(sequence(0, greatest(size(toks) - 2, 0)),
+                       i -> concat_ws(' ', toks[i], toks[i + 1])),
+             s -> s IS NOT NULL AND size(split(s, ' ')) = 2)) AS bigram""",
+    )
+    counts = bigrams.groupBy("source", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "bigram", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+TEXT_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+bigrams AS (
+  SELECT source, unnest(list_filter(
+           list_transform(range(0, greatest(len(toks) - 1, 1)),
+                          i -> toks[i + 1] || ' ' || toks[i + 2]),
+           s -> s IS NOT NULL AND len(string_split(s, ' ')) = 2)) AS bigram
+  FROM toks),
+counts AS (
+  SELECT source, bigram, count(*) AS n FROM bigrams GROUP BY source, bigram)
+SELECT source, bigram, n, CAST(rk AS BIGINT) AS rk
+FROM (SELECT source, bigram, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram ASC) AS rk
+      FROM counts) t
+WHERE rk <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL, "pipeline"),
     "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, PIPELINE_CLEAN_SQL, "pipeline"),
     "charcount": QuerySpec(charcount, CHARCOUNT_SQL, "text/flagship"),

@@ -353,7 +353,50 @@ LIMIT 20
 """
 
 
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join: part pairs within a brand whose names differ
+    but are within Levenshtein distance 2 — the entity-resolution join shape.
+    The brand is the blocking key: the self-join is an EQUI-join on p_brand
+    with the edit-distance predicate applied post-match, so the quadratic term
+    is bounded per block (at 100 TB block on a cheap canopy key — brand,
+    length bucket, first-k chars, or an n-gram LSH bucket — never all-pairs).
+    Spark and DuckDB both implement classic Levenshtein, so distances agree
+    exactly."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(
+            (F.col("a.p_name") != F.col("b.p_name"))
+            & (F.levenshtein("a.p_name", "b.p_name") <= 2)
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+JOIN_FUZZY_SQL = """
+SELECT a.p_brand AS brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),

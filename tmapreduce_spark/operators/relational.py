@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
@@ -909,7 +909,109 @@ GROUP BY user_id, session_id
 """
 
 
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly event counts per type on a DENSE hour
+    grid (missing hours zero-filled) with the last observed hourly sum
+    forward-filled — the gap-fill + ffill pair every metrics/feature pipeline
+    needs and Spark has no builtin for.
+
+    Shape: the grid is sequence()+explode of a one-row global bounds
+    aggregate cross-joined with the (tiny, broadcast) distinct type set —
+    never a driver-side loop; the fill is a left join back to the hourly
+    aggregate; the ffill is last(ignorenulls) over an hour-ordered window per
+    type. At 100 TB the grid is |types| x |hours| (trivial) and the only big
+    shuffle is the hourly pre-aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    hourly = e.groupBy(F.col("event_type"), hour.alias("hour_epoch")).agg(
+        F.count("*").alias("n"),
+        F.expr(msum2("value", SPARK)).alias("s"),
+    )
+    bounds = e.agg(
+        (F.floor(F.min(F.unix_timestamp("ts")) / 3600) * 3600).cast("bigint").alias("h0"),
+        (F.floor(F.max(F.unix_timestamp("ts")) / 3600) * 3600).cast("bigint").alias("h1"),
+    )
+    hours = bounds.selectExpr("explode(sequence(h0, h1, 3600)) AS hour_epoch")
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    filled = grid.join(hourly, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
+        F.coalesce(F.last("s", ignorenulls=True).over(w), F.lit(0.0)).alias("ffill_sum"),
+    )
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+         count(*) AS n, {msum2("value", DUCK)} AS s
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT CAST(floor(min(epoch(ts)) / 3600) * 3600 AS BIGINT) AS h0,
+         CAST(floor(max(epoch(ts)) / 3600) * 3600 AS BIGINT) AS h1
+  FROM events),
+hours AS (SELECT CAST(unnest(range(h0, h1 + 3600, 3600)) AS BIGINT) AS hour_epoch FROM bounds),
+grid AS (SELECT t.event_type, h.hour_epoch
+         FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+filled AS (
+  SELECT g.event_type, g.hour_epoch, hourly.n, hourly.s
+  FROM grid g LEFT JOIN hourly USING (event_type, hour_epoch))
+SELECT event_type, hour_epoch,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       coalesce(s, 0.0) AS sum_value,
+       coalesce(last_value(s IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY hour_epoch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS ffill_sum
+FROM filled
+"""
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass over events producing
+    hourly, daily, and grand-total aggregates via ROLLUP (day, hour) — the
+    continuous-aggregate materialization shape (compute once, serve three
+    granularities). NULL grouping cells surfaced as sentinels so levels are
+    distinguishable and string-comparable across engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hr = F.hour("ts").cast("bigint")
+    return (
+        e.rollup(day.alias("day"), hr.alias("hr"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(msum2("value", SPARK)).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hr"), F.lit(-1)).alias("hr"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_TIME_ROLLUP_SQL = f"""
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       CAST(COALESCE(hour(ts), -1) AS BIGINT) AS hr,
+       count(*) AS n_events,
+       {msum2("value", DUCK)} AS sum_value
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_gapfill_ffill": QuerySpec(events_gapfill_ffill, EVENTS_GAPFILL_SQL, "time-window"),
+    "events_time_rollup": QuerySpec(events_time_rollup, EVENTS_TIME_ROLLUP_SQL, "time-window"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "join"),
