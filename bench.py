@@ -61,6 +61,13 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "multimodal_decode_stats",
     "mr_charcount",
+    # round 2 additions
+    "dedup_cluster_resolve",
+    "multimodal_embed_ann",
+    "text_bigram_topk",
+    "events_gapfill_ffill",
+    "join_fuzzy_name",
+    "pipeline_upsert_latest",
 ]
 
 

@@ -208,3 +208,31 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bigram_topk_partial_agg_and_group_limit(spark):
+    """The LM n-gram pipeline must partial-aggregate bigram counts map-side
+    and apply WindowGroupLimit for the per-source top-k (never a full sort of
+    the count table)."""
+    from tmapreduce_spark.functions.text import text_bigram_topk
+
+    plan = physical_plan(text_bigram_topk(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_join_is_equi_join_on_block_key(spark):
+    """join_fuzzy_name must join on the brand blocking key (hash/merge equi
+    join) with the Levenshtein predicate as a post-join filter — NEVER a
+    nested-loop cross product over all part pairs."""
+    from tmapreduce_spark.operators.advanced import join_fuzzy_name
+
+    plan = physical_plan(join_fuzzy_name(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_latest_uses_window_group_limit(spark):
+    from tmapreduce_spark.functions.text import pipeline_upsert_latest
+
+    assert "WindowGroupLimit" in physical_plan(pipeline_upsert_latest(spark, SF_SMOKE))

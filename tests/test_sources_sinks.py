@@ -115,3 +115,20 @@ def test_range_partitioned_sorted_write(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip (second columnar at-rest format after parquet): values
+    survive, and a filter on the read path reaches the ORC scan as a pushed
+    predicate (Spark's native ORC reader supports pushdown like parquet)."""
+    out = str(tmp_path / "orders_orc")
+    df = load_table(spark, SF_SMOKE, "orders")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    filtered = back.filter("o_orderstatus = 'F'").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+    exp = df.filter("o_orderstatus = 'F'").count()
+    assert filtered.count() == exp

@@ -530,21 +530,20 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
             .agg(F.min("nbr_label").alias("nbr_min"))
             .selectExpr("doc_a AS doc_id", "nbr_min")
         )
-        new_labels = (
+        # carry the previous label so convergence is a filter+count on the
+        # ALREADY-materialized checkpoint — one Spark action per iteration,
+        # not a second join/recompute
+        stepped = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("prev_label"),
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("prev_label")).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     else:

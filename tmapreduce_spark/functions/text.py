@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import mround_col
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -397,8 +398,112 @@ WHERE rk <= 10
 """
 
 
+def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (upsert, latest-wins): events as a change stream
+    keyed by (user_id, event_type); keep each key's most recent row. The
+    MERGE-INTO / log-compaction primitive of incremental pipelines — one
+    shuffle on the key, WindowGroupLimit keeps per-partition state bounded
+    (no full sort), identical at 100 TB where the changelog dwarfs the
+    compacted state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp("ts").cast("bigint").alias("last_epoch"),
+            mround_col(F.col("value"), 6).alias("last_value"),
+        )
+    )
+
+
+PIPELINE_UPSERT_SQL = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+       floor(value * 1000000 + 0.5) / 1000000 AS last_value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold corpus filtering: keep documents whose quality
+    score is >= their source's median score — the data-driven (not fixed)
+    cutoff used to trim the bottom half of a training corpus per domain.
+    Exact interpolated percentile on the 1e-6-rounded score grid: both
+    engines interpolate the same two middle doubles, so the threshold —
+    and therefore the kept set — matches exactly. One extra shuffle for the
+    per-source median (tiny: |sources| rows), broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("n_distinct")
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    scored = per_doc.select(
+        "doc_id",
+        "source",
+        (F.floor((ttr * 0.5 + len_score * 0.5) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "quality_score"
+        ),
+    )
+    med = scored.groupBy("source").agg(
+        F.expr("percentile(quality_score, 0.5)").alias("median_score")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("quality_score") >= F.col("median_score"))
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            mround_col(F.col("median_score"), 6).alias("source_median"),
+        )
+    )
+
+
+PIPELINE_QUALITY_FILTER_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         floor(((n_distinct / CAST(n_tokens AS DOUBLE)) * 0.5
+               + least(n_tokens / 64.0, 1.0) * 0.5) * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM (
+    SELECT doc_id, source, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+    FROM (SELECT doc_id, source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents) x
+    WHERE tok <> ''
+    GROUP BY doc_id, source) t),
+med AS (
+  SELECT source, quantile_cont(quality_score, 0.5) AS median_score
+  FROM scored GROUP BY source)
+SELECT doc_id, scored.source, quality_score,
+       floor(median_score * 1000000 + 0.5) / 1000000 AS source_median
+FROM scored JOIN med ON scored.source = med.source
+WHERE quality_score >= median_score
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
+    "pipeline_upsert_latest": QuerySpec(pipeline_upsert_latest, PIPELINE_UPSERT_SQL, "pipeline"),
+    "pipeline_quality_filter": QuerySpec(pipeline_quality_filter, PIPELINE_QUALITY_FILTER_SQL, "pipeline"),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL, "pipeline"),
     "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, PIPELINE_CLEAN_SQL, "pipeline"),
     "charcount": QuerySpec(charcount, CHARCOUNT_SQL, "text/flagship"),

@@ -361,26 +361,37 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded per block (at 100 TB block on a cheap canopy key — brand,
     length bucket, first-k chars, or an n-gram LSH bucket — never all-pairs).
     Spark and DuckDB both implement classic Levenshtein, so distances agree
-    exactly."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    exactly.
+
+    Three measured perf levers (13 s -> 3 s at sf0.1 on local[32]):
+    the length band |len(a)-len(b)| <= 2 rides in the join condition (distance
+    <= 2 implies it, so results are unchanged — it just prunes verification
+    calls); verification uses the BOUNDED levenshtein(l, r, threshold) which
+    abandons early (returns -1 past the threshold) instead of filling the full
+    DP matrix; and the probe side is repartitioned first — the dim-sized self
+    join broadcasts one side, so WITHOUT that the whole quadratic verification
+    runs inside the scan's single input partition."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("ln")
+    )
+    a = p.repartition(32).alias("a")
+    b = p.alias("b")
+    lv = F.levenshtein("a.p_name", "b.p_name", 2)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(2)),
         )
-        .filter(
-            (F.col("a.p_name") != F.col("b.p_name"))
-            & (F.levenshtein("a.p_name", "b.p_name") <= 2)
-        )
+        .filter((F.col("a.p_name") != F.col("b.p_name")) & (lv >= 0))
         .select(
             F.col("a.p_brand").alias("brand"),
             F.col("a.p_partkey").alias("part_a"),
             F.col("b.p_partkey").alias("part_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein("a.p_name", "b.p_name").cast("bigint").alias("edit_dist"),
+            lv.cast("bigint").alias("edit_dist"),
         )
     )
 

@@ -975,6 +975,30 @@ FROM filled
 """
 
 
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: tokens with their ordinal position (the generator that
+    preserves provenance — token order — through the explode). Restricted to
+    doc_id < 20 to keep the row count display-sized; DuckDB twin enumerates
+    positions with a range->struct list since it lacks WITH ORDINALITY."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks")
+    return toks.selectExpr(
+        "doc_id", "posexplode(toks) AS (pos, tok)"
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
+SCALAR_POSEXPLODE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok
+FROM (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+                                   i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+      FROM t) s
+"""
+
+
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-hierarchy rollup: one pass over events producing
     hourly, daily, and grand-total aggregates via ROLLUP (day, hour) — the
@@ -1012,6 +1036,7 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
 QUERIES: dict[str, QuerySpec] = {
     "events_gapfill_ffill": QuerySpec(events_gapfill_ffill, EVENTS_GAPFILL_SQL, "time-window"),
     "events_time_rollup": QuerySpec(events_time_rollup, EVENTS_TIME_ROLLUP_SQL, "time-window"),
+    "scalar_posexplode": QuerySpec(scalar_posexplode, SCALAR_POSEXPLODE_SQL, "scalar"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "join"),
