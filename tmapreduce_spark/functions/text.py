@@ -500,7 +500,40 @@ WHERE quality_score >= median_score
 """
 
 
+def sample_stratified_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sampling: exactly 20 docs per source, chosen by
+    md5 hash priority — deterministic (replayable, oracle-checkable, unlike
+    rand()), uniform within each stratum, and WindowGroupLimit-shaped so each
+    partition keeps only k rows per stratum before the shuffle. Complements
+    `sample_hash_bucket` (Bernoulli-style rate sampling) with the
+    equal-allocation quota sampler a training mix needs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat_ws("|", F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('strat' || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_stratified_fixed": QuerySpec(sample_stratified_fixed, SAMPLE_STRATIFIED_SQL, "pipeline"),
     "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
     "pipeline_upsert_latest": QuerySpec(pipeline_upsert_latest, PIPELINE_UPSERT_SQL, "pipeline"),
     "pipeline_quality_filter": QuerySpec(pipeline_quality_filter, PIPELINE_QUALITY_FILTER_SQL, "pipeline"),
