@@ -999,6 +999,69 @@ FROM (SELECT doc_id,
 """
 
 
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract / replace / count / match-test. Patterns
+    are restricted to the dialect-neutral subset (character classes, +,
+    anchors) that Java's regex (Spark) and RE2 (DuckDB) evaluate identically
+    — no backrefs, no lookaround, no \\d-style classes whose Unicode scope
+    differs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.expr("regexp_count(text, '[aeiou]')").cast("bigint").alias("n_vowels"),
+        F.col("text").rlike("^[A-Za-z]").alias("starts_alpha"),
+        F.substring(F.regexp_replace("text", "[ ]+", "_"), 1, 40).alias("squashed40"),
+    )
+
+
+SCALAR_REGEX_SQL = """
+SELECT doc_id,
+       regexp_extract(text, '([0-9]+)', 1) AS first_num,
+       CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+       regexp_matches(text, '^[A-Za-z]') AS starts_alpha,
+       substring(regexp_replace(text, '[ ]+', '_', 'g'), 1, 40) AS squashed40
+FROM documents
+"""
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): group keys made deliberately nullable via
+    nullif; the NULL customer group must pair with the NULL supplier group
+    (plain = would drop both). Spark's eqNullSafe maps to DuckDB's
+    IS NOT DISTINCT FROM; the join stays a hash equi-join — null-safe
+    equality is still a shuffle key, not a theta predicate."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.pmod("c_custkey", F.lit(7)), F.lit(0)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.nullif(F.pmod("s_suppkey", F.lit(7)), F.lit(0)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.grp").eqNullSafe(F.col("s.grp")))
+        .select(F.col("c.grp").alias("grp"), "n_cust", "n_supp")
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH c AS (
+  SELECT nullif(c_custkey % 7, 0) AS grp, count(*) AS n_cust
+  FROM customer GROUP BY 1),
+s AS (
+  SELECT nullif(s_suppkey % 7, 0) AS grp, count(*) AS n_supp
+  FROM supplier GROUP BY 1)
+SELECT c.grp, n_cust, n_supp
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+"""
+
+
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-hierarchy rollup: one pass over events producing
     hourly, daily, and grand-total aggregates via ROLLUP (day, hour) — the
@@ -1037,6 +1100,8 @@ QUERIES: dict[str, QuerySpec] = {
     "events_gapfill_ffill": QuerySpec(events_gapfill_ffill, EVENTS_GAPFILL_SQL, "time-window"),
     "events_time_rollup": QuerySpec(events_time_rollup, EVENTS_TIME_ROLLUP_SQL, "time-window"),
     "scalar_posexplode": QuerySpec(scalar_posexplode, SCALAR_POSEXPLODE_SQL, "scalar"),
+    "scalar_regex": QuerySpec(scalar_regex, SCALAR_REGEX_SQL, "scalar"),
+    "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "join"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "join"),

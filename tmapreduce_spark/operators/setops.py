@@ -80,6 +80,39 @@ SELECT DISTINCT nationkey FROM (
 """
 
 
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — multiplicities survive, unlike
+    set_except's distinct): per nation, how many MORE customers than
+    suppliers, counted bag-wise."""
+    diff = _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir))
+    return diff.groupBy("nationkey").agg(F.count("*").alias("surplus"))
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT nationkey, count(*) AS surplus
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier) t
+GROUP BY nationkey
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): per nation,
+    min(#customers, #suppliers) occurrences survive."""
+    both = _cust_nations(spark, sf_dir).intersectAll(_supp_nations(spark, sf_dir))
+    return both.groupBy("nationkey").agg(F.count("*").alias("n_common"))
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT nationkey, count(*) AS n_common
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier) t
+GROUP BY nationkey
+"""
+
+
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (hash-aggregate with partial combine)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -96,5 +129,7 @@ QUERIES: dict[str, QuerySpec] = {
     "set_union_distinct": QuerySpec(set_union_distinct, SET_UNION_DISTINCT_SQL, "setop"),
     "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL, "setop"),
     "set_except": QuerySpec(set_except, SET_EXCEPT_SQL, "setop"),
+    "set_except_all": QuerySpec(set_except_all, SET_EXCEPT_ALL_SQL, "setop"),
+    "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "setop"),
     "distinct_pairs": QuerySpec(distinct_pairs, DISTINCT_SQL, "setop"),
 }
