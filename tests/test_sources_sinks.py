@@ -132,3 +132,21 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
     exp = df.filter("o_orderstatus = 'F'").count()
     assert filtered.count() == exp
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution at rest: a second batch adds a column; reading with
+    mergeSchema unions the schemas (old rows NULL in the new column) —
+    the append-only ingest pattern where producers upgrade over time."""
+    out = str(tmp_path / "evolving")
+    o = load_table(spark, SF_SMOKE, "orders")
+    o.select("o_orderkey", "o_totalprice").write.parquet(out + "/batch=1")
+    o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_orderstatus", "batch"}
+    n = o.count()
+    assert merged.count() == 2 * n
+    assert merged.filter("o_orderstatus IS NULL").count() == n
+    assert merged.filter("batch = 1 AND o_orderstatus IS NOT NULL").count() == 0

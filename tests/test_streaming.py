@@ -266,3 +266,75 @@ def test_rate_source_windowed_counts(spark, tmp_path):
         assert rows >= 7, f"rate stream produced only {rows} window rows"
     finally:
         q.stop()
+
+
+def test_stream_upsert_converges_to_batch_compaction(spark, tmp_path):
+    """Streaming MERGE: foreachBatch upserts each micro-batch's latest-wins
+    rows into a keyed parquet state table; after draining the stream, that
+    state must EQUAL the batch changelog compaction (pipeline_upsert_latest).
+    This is the incremental-materialization contract: stream-maintained state
+    == recompute-from-scratch."""
+    from pyspark.sql import Window, functions as F
+
+    from tmapreduce_spark.functions.text import pipeline_upsert_latest
+    from tmapreduce_spark.streaming.events import stream_events
+
+    state_dir = str(tmp_path / "state")
+
+    def upsert(batch_df, batch_id: int) -> None:
+        # latest-wins within the micro-batch, then merge against prior state
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        fresh = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+        )
+        try:
+            prior = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            prior = None
+        merged = fresh if prior is None else prior.unionByName(fresh)
+        w2 = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        out = (
+            merged.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # overwrite-by-rewrite (a real deployment uses a table format's MERGE;
+        # the convergence contract under test is identical)
+        out.cache().count()
+        out.write.mode("overwrite").parquet(state_dir + ".tmp")
+        batch_df.sparkSession.read.parquet(state_dir + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = (
+        stream_events(spark, SF_SMOKE)
+        .writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["last_epoch"])
+        for r in spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_timestamp("ts").cast("bigint").alias("last_epoch"),
+        )
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["last_event_id"], r["last_epoch"])
+        for r in pipeline_upsert_latest(spark, SF_SMOKE).collect()
+    }
+    assert got == want
