@@ -999,6 +999,76 @@ FROM (SELECT doc_id,
 """
 
 
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distribution aggregates: percentile_disc (the smallest value
+    whose cume_dist >= q — an ACTUAL data value, no interpolation, so
+    cross-engine equality is exact) plus interpolated percentile_cont median.
+    Expressed through the SQL front door (WITHIN GROUP syntax)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pd_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                     * 1000000 + 0.5) / 1000000 AS median_cont
+        FROM _pd_orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+AGG_PERCENTILE_DISC_SQL = """
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       floor(quantile_cont(o_totalprice, 0.5) * 1000000 + 0.5) / 1000000 AS median_cont
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: keep each doc with probability equal to
+    its length-based weight — deterministic (hash-uniform, not rand()) and
+    TRANSCENDENTAL-FREE so both engines agree bit-for-bit: keep iff
+    h60 < floor(weight * 2^60). 2^60 is a power of two, so weight * 2^60 is
+    an EXACT IEEE scaling — no ulp drift, unlike the -ln(u)/w reservoir key.
+    Map-side filter, no shuffle; at 100 TB this is the quality-weighted
+    downsampling pass of a training mix."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", "source", r"size(split(trim(text), '\\s+')) AS n_toks"
+    )
+    w = F.least(F.col("n_toks") / F.lit(64.0), F.lit(1.0))
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('wsamp|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        toks.withColumn("keep_thresh", F.floor(w * F.lit(float(2**60))).cast("bigint"))
+        .filter(h < F.col("keep_thresh"))
+        .select(
+            "doc_id",
+            "source",
+            (F.floor(w * 1000000 + F.lit(0.5)) / 1000000).alias("weight"),
+        )
+    )
+
+
+SAMPLE_WEIGHTED_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0) AS w,
+         CAST(('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, source, floor(w * 1000000 + 0.5) / 1000000 AS weight
+FROM t
+WHERE h < CAST(floor(w * 1152921504606846976) AS BIGINT)
+"""
+
+
 def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family: extract / replace / count / match-test. Patterns
     are restricted to the dialect-neutral subset (character classes, +,
@@ -1102,6 +1172,8 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_posexplode": QuerySpec(scalar_posexplode, SCALAR_POSEXPLODE_SQL, "scalar"),
     "scalar_regex": QuerySpec(scalar_regex, SCALAR_REGEX_SQL, "scalar"),
     "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "join"),
+    "agg_percentile_disc": QuerySpec(agg_percentile_disc, AGG_PERCENTILE_DISC_SQL, "aggregation"),
+    "sample_weighted_bernoulli": QuerySpec(sample_weighted_bernoulli, SAMPLE_WEIGHTED_SQL, "pipeline"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "join"),
