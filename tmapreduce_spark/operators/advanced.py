@@ -406,8 +406,78 @@ WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def join_fuzzy_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fuzzy join computed the way it scales past brand blocking:
+    SymSpell-style deletion-neighborhood candidates. If lev(a, b) <= 2 then
+    some string is reachable from BOTH names by <= 2 character deletions (an
+    optimal edit script keeps a common core: a loses subs+dels <= 2 chars, b
+    loses subs+ins <= 2), so joining deletion variants is a LOSSLESS canopy —
+    verification only ever prunes.
+
+    Plan: distinct (brand, name) first — duplicate names would make every
+    shared variant a hot key, and identical-name pairs are excluded by the
+    predicate anyway — then explode each distinct name's <=2-deletion
+    neighborhood (expression-only, no Python), self-join on (brand, variant),
+    distinct name pairs, verify with bounded levenshtein, and expand back to
+    part-key pairs. Candidate volume is O(names x len^2) INDEPENDENT of block
+    sizes — the shape that survives when no small blocking key exists.
+    Shares `join_fuzzy_name`'s oracle verbatim: both strategies must produce
+    identical rows."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    names = p.select("p_brand", "p_name").distinct()
+    # del0 ∪ del1 ∪ del2 as nested HOF expressions (flatten of per-position
+    # deletions of each 1-deletion variant), deduped before the explode
+    variants = names.selectExpr(
+        "p_brand",
+        "p_name",
+        """explode(array_distinct(concat(
+             array(p_name),
+             transform(sequence(1, length(p_name)),
+                       i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1))),
+             flatten(transform(
+               transform(sequence(1, length(p_name)),
+                         i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1))),
+               v -> transform(sequence(1, length(v)),
+                              j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))
+           ))) AS variant""",
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    name_pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_name").alias("name_x"),
+            F.col("b.p_name").alias("name_y"),
+        )
+        .distinct()
+    )
+    verified = (
+        name_pairs.withColumn("edit_dist", F.levenshtein("name_x", "name_y", 2))
+        .filter(F.col("edit_dist") >= 0)
+    )
+    pa = p.selectExpr("p_brand AS brand", "p_partkey AS key_x", "p_name AS name_x")
+    pb = p.selectExpr("p_brand AS brand", "p_partkey AS key_y", "p_name AS name_y")
+    pairs = verified.join(pa, ["brand", "name_x"]).join(pb, ["brand", "name_y"])
+    # name-pair orientation was (name_x < name_y); re-orient by part key so
+    # the output contract (part_a < part_b) matches join_fuzzy_name exactly
+    return pairs.selectExpr(
+        "brand",
+        "least(key_x, key_y) AS part_a",
+        "greatest(key_x, key_y) AS part_b",
+        "CASE WHEN key_x < key_y THEN name_x ELSE name_y END AS name_a",
+        "CASE WHEN key_x < key_y THEN name_y ELSE name_x END AS name_b",
+        "CAST(edit_dist AS BIGINT) AS edit_dist",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
+    "join_fuzzy_symdel": QuerySpec(join_fuzzy_symdel, JOIN_FUZZY_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),
