@@ -1166,7 +1166,115 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over events: first `view` per user, then the
+    first `click` within 1 hour AFTER that view, then the first `purchase`
+    within 1 hour after that click — the product-analytics conversion query
+    (cf. MATCH_RECOGNIZE / funnel UDFs in other engines).
+
+    Shape: three stage aggregations, each a groupBy(user_id) min(ts) feeding
+    the next stage as an equi-join on user_id with a range predicate on ts —
+    every stage shuffles on user_id only, so at 100 TB the per-stage state is
+    one row per surviving user and the event scan is filtered to one type
+    before the join. No window over the full event stream, no per-user
+    collect_list."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(purchases.agg(F.count("*").alias("n_purchased")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+  GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the DAY of their first
+    `signup` event; each later active day counts toward (cohort_day,
+    day_offset) with distinct users — the classic triangle every growth
+    dashboard renders.
+
+    Shape: one groupBy(user_id) for cohort assignment, one equi-join back to
+    events on user_id (cohort side is one row per user — broadcastable at any
+    corpus size where users ≪ events), then a distinct-count grouped by
+    (cohort_day, offset). Day arithmetic is integer datediff — exact across
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", F.to_date("t0").alias("cohort_day"), "t0")
+    )
+    return (
+        e.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, min(ts) AS t0, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN cohorts c USING (user_id)
+WHERE e.ts >= c.t0
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL, "time-window"),
+    "events_retention": QuerySpec(events_retention, EVENTS_RETENTION_SQL, "time-window"),
     "events_gapfill_ffill": QuerySpec(events_gapfill_ffill, EVENTS_GAPFILL_SQL, "time-window"),
     "events_time_rollup": QuerySpec(events_time_rollup, EVENTS_TIME_ROLLUP_SQL, "time-window"),
     "scalar_posexplode": QuerySpec(scalar_posexplode, SCALAR_POSEXPLODE_SQL, "scalar"),
