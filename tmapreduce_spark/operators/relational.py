@@ -1166,6 +1166,66 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
 """
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent o_orderpriority within
+    each o_orderstatus, ties broken by the smallest priority string. Built as
+    count-group + grouped-top-1 (row_number over cnt DESC, value ASC) rather
+    than a native mode() so the tie-break is EXPLICIT — native modes pick
+    arbitrary winners on ties, which can never hash-match across engines.
+    Scale: the heavy groupBy partial-aggregates map-side to (status, priority)
+    cells; the window runs over ≤ groups×values tiny rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_rows"),
+        )
+    )
+
+
+AGG_MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_rows
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rn = 1
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(price / 25000).
+    The binning is a single IEEE division + floor — bit-identical across
+    engines (no data-dependent bounds, no round()) — so the histogram is one
+    map-side-combined groupBy; min/max per bucket carry stored doubles with
+    zero arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 25000.0).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel over events: first `view` per user, then the
     first `click` within 1 hour AFTER that view, then the first `purchase`
@@ -1273,6 +1333,8 @@ GROUP BY 1, 2
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "agg_mode": QuerySpec(agg_mode, AGG_MODE_SQL, "aggregation"),
+    "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL, "time-window"),
     "events_retention": QuerySpec(events_retention, EVENTS_RETENTION_SQL, "time-window"),
     "events_gapfill_ffill": QuerySpec(events_gapfill_ffill, EVENTS_GAPFILL_SQL, "time-window"),

@@ -310,7 +310,39 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey AS
 """
 
 
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) via ``last(..., ignorenulls)``
+    over a per-user ordered frame — the sparse-sensor forward-fill done as a
+    WINDOW (one shuffle on user_id), no dense grid needed. Values < 5 are
+    NULLed deterministically to manufacture gaps; the carried value itself is
+    untouched (no float arithmetic, so raw doubles compare exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.withColumn(
+        "masked", F.when(F.col("value") >= 5, F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.last("masked", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+WINDOW_IGNORE_NULLS_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN value >= 5 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_ignore_nulls": QuerySpec(window_ignore_nulls, WINDOW_IGNORE_NULLS_SQL, "window"),
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_SQL, "window"),
     "window_frame_following": QuerySpec(window_frame_following, WINDOW_FOLLOWING_SQL, "window"),
