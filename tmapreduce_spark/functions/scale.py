@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import DUCK, SPARK, msum2
 from tmapreduce_spark.functions.similarity import (
     QUANT,
     TOP_K,
@@ -352,7 +353,44 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim equi-join: events.user_id is Zipf-hot (150 users,
+    10k+ events), so a plain shuffle join lands hot keys on single tasks. The
+    salting pattern: the fact side gets a deterministic per-row salt in
+    [0, SALT_N); the dim side is replicated SALT_N× via explode(sequence);
+    the join key becomes (key, salt), spreading each hot key over SALT_N
+    tasks. This is the MANUAL fallback for when AQE skew-split can't fire
+    (e.g. the skewed side feeds a same-key aggregation — exactly this plan;
+    see tests/test_plans.py for the AQE variant). At local dim size Catalyst
+    may still broadcast the replicated dim — the salted key shape is what's
+    under test; with two fact-sized sides the same plan shuffles on
+    (key, salt). Oracle: the identical UNsalted join+agg."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_N)))
+    dim = c.withColumn(
+        "salt", F.explode(F.expr(f"sequence(CAST(0 AS BIGINT), CAST({SALT_N - 1} AS BIGINT))"))
+    )
+    return (
+        fact.join(dim, (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(msum2("value", SPARK)).alias("total_value"),
+        )
+    )
+
+
+JOIN_SALTED_SQL = f"""
+SELECT c_custkey, c_name, count(*) AS n_events,
+       {msum2("value", DUCK)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),

@@ -532,7 +532,41 @@ WHERE rn <= 20
 """
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: (token, doc_id, term-frequency) postings plus
+    per-token document frequency — the retrieval-side twin of wordcount and
+    the substrate for BM25/TF-IDF scoring (df and tf are the exact-integer
+    inputs; the log-weighting is deliberately left to the consumer — see
+    PARITY note on transcendentals in compared columns).
+
+    Scale: explode is map-side; postings are one partial-aggregated groupBy
+    on (tok, doc_id); df rides a count window partitioned by tok over the
+    ALREADY-aggregated postings (vocabulary-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings.select(
+        "tok", "doc_id", "tf", F.count("*").over(Window.partitionBy("tok")).alias("df")
+    )
+
+
+TEXT_INVERTED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id)
+SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS df FROM postings
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
     "sample_stratified_fixed": QuerySpec(sample_stratified_fixed, SAMPLE_STRATIFIED_SQL, "pipeline"),
     "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
     "pipeline_upsert_latest": QuerySpec(pipeline_upsert_latest, PIPELINE_UPSERT_SQL, "pipeline"),
