@@ -236,3 +236,49 @@ def test_upsert_latest_uses_window_group_limit(spark):
     from tmapreduce_spark.functions.text import pipeline_upsert_latest
 
     assert "WindowGroupLimit" in physical_plan(pipeline_upsert_latest(spark, SF_SMOKE))
+
+
+def test_symdel_join_is_equi_join_on_variant(spark):
+    """join_fuzzy_symdel must candidate-generate via an equi self-join on
+    (brand, deletion-variant) — the lossless canopy — never a nested-loop
+    over name pairs."""
+    from tmapreduce_spark.operators.advanced import join_fuzzy_symdel
+
+    plan = physical_plan(join_fuzzy_symdel(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "variant" in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The skew-salted join must key on (custkey, salt) — the whole point is
+    that a hot user_id hashes to SALT_N different shuffle/broadcast keys."""
+    from tmapreduce_spark.functions.scale import join_salted_skew
+
+    plan = physical_plan(join_salted_skew(spark, SF_SMOKE))
+    assert "salt" in plan
+    # the equi-join condition carries both keys (hash or broadcast both fine)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_aggregates_before_window(spark):
+    """Postings must partial-aggregate (tok, doc_id) map-side BEFORE the df
+    window — the window then runs over vocabulary-sized postings, not the
+    exploded token stream."""
+    from tmapreduce_spark.functions.text import text_inverted_index
+
+    plan = physical_plan(text_inverted_index(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    # window comes after the aggregate in the tree (appears earlier in text)
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_funnel_pushes_stage_filters(spark):
+    """Each funnel stage must push its event_type literal into the parquet
+    scan — at 100 TB the three stage scans read only their own event type."""
+    from tmapreduce_spark.operators.relational import events_funnel
+
+    plan = physical_plan(events_funnel(spark, SF_SMOKE))
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan
