@@ -532,6 +532,70 @@ WHERE rn <= 20
 """
 
 
+def pipeline_merge_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (Delta/Iceberg ``MERGE INTO``) as a plain
+    full-outer join + CASE — WHEN MATCHED AND op='D' THEN DELETE, WHEN
+    MATCHED AND op='U' THEN UPDATE, WHEN NOT MATCHED THEN INSERT, ELSE keep.
+    The change feed is derived deterministically from the base table
+    (doc_id % 10: 0→update upper(text), 1→delete, 2→insert a reversed copy
+    under doc_id+10M) so the merge is oracle-checkable without external
+    fixtures.
+
+    Scale: MERGE is exactly one co-partitioned full-outer join on the key —
+    the same shape Delta executes after file pruning; no collect, no window.
+    Complements ``pipeline_upsert_latest`` (changelog compaction = MERGE
+    collapsed to last-writer-wins) and the streaming foreachBatch upsert test
+    (incremental MERGE)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.pmod("doc_id", F.lit(10))
+    changes = (
+        d.withColumn("mod", mod)
+        .filter(F.col("mod").isin(0, 1, 2))
+        .select(
+            F.when(F.col("mod") == 2, F.col("doc_id") + 10_000_000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.when(F.col("mod") == 0, F.upper("text"))
+            .when(F.col("mod") == 2, F.reverse("text"))
+            .alias("new_text"),
+            F.when(F.col("mod") == 0, F.lit("U"))
+            .when(F.col("mod") == 1, F.lit("D"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+        )
+    )
+    merged = d.alias("b").join(changes.alias("c"), "doc_id", "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "doc_id",
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("action"),
+            F.length(F.coalesce("new_text", "text")).cast("bigint").alias("len_final"),
+        )
+    )
+
+
+PIPELINE_MERGE_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents),
+changes AS (
+  SELECT CASE WHEN doc_id % 10 = 2 THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN upper(text)
+              WHEN doc_id % 10 = 2 THEN reverse(text) END AS new_text,
+         CASE WHEN doc_id % 10 = 0 THEN 'U'
+              WHEN doc_id % 10 = 1 THEN 'D' ELSE 'I' END AS op
+  FROM documents WHERE doc_id % 10 IN (0, 1, 2))
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN c.op IS NULL THEN 'kept'
+            WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS action,
+       CAST(length(COALESCE(c.new_text, b.text)) AS BIGINT) AS len_final
+FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: (token, doc_id, term-frequency) postings plus
     per-token document frequency — the retrieval-side twin of wordcount and
@@ -567,6 +631,7 @@ SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS df FROM postings
 
 QUERIES: dict[str, QuerySpec] = {
     "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
+    "pipeline_merge_scd": QuerySpec(pipeline_merge_scd, PIPELINE_MERGE_SQL, "pipeline"),
     "sample_stratified_fixed": QuerySpec(sample_stratified_fixed, SAMPLE_STRATIFIED_SQL, "pipeline"),
     "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
     "pipeline_upsert_latest": QuerySpec(pipeline_upsert_latest, PIPELINE_UPSERT_SQL, "pipeline"),

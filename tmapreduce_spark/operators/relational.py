@@ -1166,6 +1166,78 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
 """
 
 
+def events_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing lite (MATCH_RECOGNIZE's most common pattern):
+    per user, find runs of 3 consecutive `error` events within 24 hours —
+    lag(ts, 2) over the per-user ordered error stream, exact integer
+    microsecond arithmetic (unix_micros / epoch_us). One shuffle on user_id;
+    the scan reads only error rows (pushed filter)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn("lag2_us", F.lag("us", 2).over(w))
+    )
+    return (
+        errs.filter(F.col("us") - F.col("lag2_us") <= 86_400_000_000)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_bursts"),
+            F.min("event_id").alias("first_burst_event"),
+        )
+    )
+
+
+EVENTS_PATTERN_BURST_SQL = """
+WITH errs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts), 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag2_us
+  FROM events WHERE event_type = 'error')
+SELECT user_id, count(*) AS n_bursts, min(event_id) AS first_burst_event
+FROM errs WHERE us - lag2_us <= 86400000000
+GROUP BY user_id
+"""
+
+
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with Spark's native ``parse_url`` (HOST /
+    PATH / keyed QUERY) — the log-pipeline scalar family. URLs are built
+    deterministically from document fields so the parse is verifiable; the
+    oracle extracts the same components with RE2 regexes (DuckDB has no
+    parse_url). Expression-only, whole-stage-codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+SCALAR_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang AS url
+  FROM documents)
+SELECT doc_id, url,
+       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https://[^/]+([^?]+)', 1) AS path,
+       regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+FROM u
+"""
+
+
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group mode: the most frequent o_orderpriority within
     each o_orderstatus, ties broken by the smallest priority string. Built as
@@ -1333,6 +1405,8 @@ GROUP BY 1, 2
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "events_pattern_burst": QuerySpec(events_pattern_burst, EVENTS_PATTERN_BURST_SQL, "time-window"),
+    "scalar_url_parse": QuerySpec(scalar_url_parse, SCALAR_URL_SQL, "scalar"),
     "agg_mode": QuerySpec(agg_mode, AGG_MODE_SQL, "aggregation"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL, "time-window"),
