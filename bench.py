@@ -68,6 +68,14 @@ HEADLINE = [
     "events_gapfill_ffill",
     "join_fuzzy_name",
     "pipeline_upsert_latest",
+    # round 2, second wave
+    "join_fuzzy_symdel",
+    "events_funnel",
+    "events_retention",
+    "events_pattern_burst",
+    "text_inverted_index",
+    "join_salted_skew",
+    "pipeline_merge_scd",
 ]
 
 
