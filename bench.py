@@ -76,6 +76,7 @@ HEADLINE = [
     "text_inverted_index",
     "join_salted_skew",
     "pipeline_merge_scd",
+    "ann_pq_topk",
 ]
 
 

@@ -353,6 +353,158 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace (codebook = sub-vectors of vec_id < PQ_K)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring — the memory-bounded scale
+    path that completes the family (brute / LSH / IVF / PQ): each corpus
+    vector is compressed to PQ_M codeword ids (here 4 bytes-worth instead of
+    64 floats), and queries score candidates via per-subspace lookup tables
+    without ever touching the original vectors.
+
+    Codebook: sub-vectors of the first PQ_K corpus vectors on the quantized
+    int64 grid (the IVF sampled-centroid trick — deterministic, and the
+    oracle can rebuild it in SQL). Encoding = argmin over codewords of exact
+    int64 L2² per subspace (ties → lowest codeword id, numpy argmin ==
+    ORDER BY d2, c). ADC dot = Σ_m LUT[q][m][code] — exact int64 (< 2^53, so
+    the float64 division chain is bit-identical across engines);
+    reconstruction norm is sqrt of an exact int64 sum.
+
+    Scale: TWO Arrow-batched linear passes (encode, score) with only the
+    tiny codebook / LUTs in the closure — no shuffle until the final
+    per-query top-k window over candidates. At 100 TB the encoded corpus is
+    ~PQ_M bytes/vector at rest (vs 4·dim), and the scoring scan reads ONLY
+    codes — the reason PQ is the billion-vector default."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_rows = e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    CB = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cb_rows])
+        * QUANT + 0.5
+    ).astype(np.int64)  # (PQ_K, dim)
+    dim = CB.shape[1]
+    dm = dim // PQ_M
+    subcb = [CB[:, m * dm : (m + 1) * dm] for m in range(PQ_M)]  # (PQ_K, dm) each
+    sub_n2 = [np.einsum("ij,ij->i", c, c) for c in subcb]  # |codeword|² int64
+
+    q_ids, Q, q_nrm = collect_query_model(e)
+    # LUT[qi, m, c] = int64 dot(query sub-vector m, codeword c of subspace m)
+    LUT = np.stack(
+        [np.stack([Q[:, m * dm : (m + 1) * dm] @ subcb[m].T for m in range(PQ_M)], axis=1)]
+    )[0]  # (n_queries, PQ_M, PQ_K)
+
+    code_cols = [f"c{m}" for m in range(PQ_M)]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"].to_numpy().astype("int64")}
+            rnorm2 = np.zeros(len(V), dtype=np.int64)
+            for m in range(PQ_M):
+                Vm = V[:, m * dm : (m + 1) * dm]
+                # argmin_c |v - c|² == argmin_c (|c|² - 2 v·c); exact int64
+                d2 = sub_n2[m][None, :] - 2 * (Vm @ subcb[m].T)
+                code = np.argmin(d2, axis=1)  # first occurrence == lowest c
+                out[f"c{m}"] = code.astype("int64")
+                rnorm2 += sub_n2[m][code]
+            out["rnorm2"] = rnorm2
+            yield pd.DataFrame(out)
+
+    enc_schema = "vec_id bigint, " + ", ".join(f"{c} bigint" for c in code_cols) + ", rnorm2 bigint"
+    enc = e.mapInPandas(encode, enc_schema)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            codes = pdf[code_cols].to_numpy().astype(np.int64)  # (n, PQ_M)
+            adc = np.zeros((len(q_ids), len(ids)), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += LUT[:, m, codes[:, m]]
+            rn = np.sqrt(pdf["rnorm2"].to_numpy().astype(np.float64))
+            cos = adc.astype(np.float64) / (q_nrm[:, None] * rn[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            k, n = cos.shape
+            out_q = np.repeat(q_ids, n)
+            out_n = np.tile(ids, k)
+            mask = out_n != out_q
+            yield pd.DataFrame(
+                {"query_id": out_q[mask], "neighbor_id": out_n[mask], "cosine": cos.ravel()[mask]}
+            )
+
+    scored = enc.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+    return topk_ranked(scored)
+
+
+def _pq_sql() -> str:
+    dm = 16  # dim 64 / PQ_M 4; the oracle pins the testdata dimensionality
+    qd = _qdot_duck
+    sub_dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, {dm} + 1), i -> {a}[{off} + i] * {b}[{off} + i])), "
+        "(acc, x) -> acc + x)"
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, {dm} + 1), "
+        "i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+sub AS (SELECT m FROM (VALUES (0), (1), (2), (3)) t(m)),
+cb AS (SELECT vec_id AS c, qe AS cb_qe FROM v WHERE vec_id < {PQ_K}),
+dist AS (
+  SELECT v.vec_id, s.m, cb.c,
+         {d2.format(dm=dm, a='v.qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS d2,
+         {sub_dot.format(dm=dm, a='cb.cb_qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS cn2
+  FROM v CROSS JOIN sub s CROSS JOIN cb),
+enc AS (
+  SELECT vec_id, m, c, cn2 FROM (
+    SELECT vec_id, m, c, cn2,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM dist) WHERE rn = 1),
+rnorm AS (
+  SELECT vec_id, sqrt(CAST(CAST(sum(cn2) AS BIGINT) AS DOUBLE)) AS rnorm
+  FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id < {ANN_QUERIES}),
+lut AS (
+  SELECT q.query_id, s.m, cb.c,
+         {sub_dot.format(dm=dm, a='q.q_qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS dot
+  FROM q CROSS JOIN sub s CROSS JOIN cb),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
+  FROM enc e JOIN lut l ON l.m = e.m AND l.c = e.c
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         floor((CAST(a.adc_dot AS DOUBLE) / (q.q_norm * r.rnorm)) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM adc a
+  JOIN q ON q.query_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-dim equi-join: events.user_id is Zipf-hot (150 users,
     10k+ events), so a plain shuffle join lands hot keys on single tasks. The
@@ -393,6 +545,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
+    "ann_pq_topk": QuerySpec(ann_pq_topk, _pq_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
     "approx_distinct_sketch": QuerySpec(approx_distinct_sketch, None, "sketch"),
     "approx_quantiles_sketch": QuerySpec(approx_quantiles_sketch, None, "sketch"),
