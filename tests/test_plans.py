@@ -282,3 +282,15 @@ def test_funnel_pushes_stage_filters(spark):
     plan = physical_plan(events_funnel(spark, SF_SMOKE))
     for stage in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{stage})" in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate to the
+    grouped-top-n shape (WindowGroupLimit + equi-join) — never a per-customer
+    re-execution (nested loop over the orders scan)."""
+    from tmapreduce_spark.operators.advanced import join_lateral_topn
+
+    plan = physical_plan(join_lateral_topn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.sources.catalog import load_table
@@ -231,7 +231,42 @@ WHERE l_linenumber = 2
 """
 
 
+@pandas_udf(LongType())  # type object, not a DDL string: decoration happens at
+# import time, before any SparkSession exists to parse "long"
+def _cents_sum_udaf(cents: pd.Series) -> int:
+    """GROUPED_AGG pandas UDAF: exact int64 fold over pre-quantized cents —
+    the custom-aggregate API with arithmetic the oracle can replay
+    (integer sum is reduction-order independent; a float sum here would
+    drift vs DuckDB's ordered fold)."""
+    return int(cents.sum())
+
+
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (the 4th pandas-UDF variant beside
+    scalar / applyInPandas / mapInPandas): per return-flag total of exact
+    price cents. Spark plans a full shuffle per group for pandas UDAFs (no
+    partial aggregation — unlike built-ins, documented trade-off): fine for
+    bounded group counts, the wrong tool for high-cardinality keys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = l.select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return cents.groupBy("l_returnflag").agg(
+        _cents_sum_udaf("cents").alias("total_cents")
+    )
+
+
+UDF_GROUPED_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "udf_pandas_grouped_agg": QuerySpec(udf_pandas_grouped_agg, UDF_GROUPED_AGG_SQL, "udf"),
     "udf_pandas_scalar": QuerySpec(udf_pandas_scalar, UDF_PANDAS_SQL, "udf"),
     "udf_mapinarrow": QuerySpec(udf_mapinarrow, UDF_MAPINARROW_SQL, "udf"),
     "udf_udtf_tokens": QuerySpec(udf_udtf_tokens, UDF_UDTF_SQL, "udf"),

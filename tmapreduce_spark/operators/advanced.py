@@ -406,6 +406,32 @@ WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL front door): each customer's top-2
+    orders by price via a per-row correlated subquery with ORDER BY + LIMIT.
+    Catalyst decorrelates this into the grouped-top-n window shape — the
+    SQL-standard spelling of `window_rank_topn`, NOT a per-row nested loop.
+    DuckDB runs the identical text."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM _lat_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM _lat_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """)
+
+
+JOIN_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
 def join_fuzzy_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME fuzzy join computed the way it scales past brand blocking:
     SymSpell-style deletion-neighborhood candidates. If lev(a, b) <= 2 then
@@ -478,6 +504,7 @@ def join_fuzzy_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
     "join_fuzzy_symdel": QuerySpec(join_fuzzy_symdel, JOIN_FUZZY_SQL, "join"),
+    "join_lateral_topn": QuerySpec(join_lateral_topn, JOIN_LATERAL_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),

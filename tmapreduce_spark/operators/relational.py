@@ -1166,6 +1166,84 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), hour(ts))
 """
 
 
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested-type) scalar family: build, field-access, nest, and
+    serialize — the complex-type surface beside array/map/json. Output stays
+    flat (extracted fields + compact to_json, identical text in both
+    engines); no raw struct column ships to the comparator."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"), F.col("c_nationkey").alias("nation")
+        ).alias("s"),
+    ).select(
+        "c_custkey",
+        F.col("s.name").alias("name"),
+        F.col("s.nation").alias("nation"),
+        F.to_json(F.struct(F.col("s").alias("who"), F.col("c_custkey").alias("id"))).alias(
+            "as_json"
+        ),
+    )
+
+
+SCALAR_STRUCT_SQL = """
+WITH s AS (
+  SELECT c_custkey, struct_pack(name := c_name, nation := c_nationkey) AS s
+  FROM customer)
+SELECT c_custkey, s.name AS name, s.nation AS nation,
+       to_json(struct_pack(who := s, id := c_custkey)) AS as_json
+FROM s
+"""
+
+
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family over integer keys: AND/OR/XOR, shifts, bit
+    count — exact int64, codegen-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 1").alias("set_lsb"),
+        F.expr("o_orderkey ^ 21845").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr2"),
+        F.expr("CAST(bit_count(o_orderkey) AS BIGINT)").alias("popcount"),
+    )
+
+
+SCALAR_BITWISE_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 1 AS set_lsb,
+       xor(o_orderkey, 21845) AS xored,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders
+"""
+
+
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    priorities per order status, sorted then joined — deterministic because
+    the collect_set is array_sort'ed BEFORE the join (never rely on
+    collection order out of a shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+AGG_STRING_AGG_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def events_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing lite (MATCH_RECOGNIZE's most common pattern):
     per user, find runs of 3 consecutive `error` events within 24 hours —
@@ -1405,6 +1483,9 @@ GROUP BY 1, 2
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "scalar_struct": QuerySpec(scalar_struct, SCALAR_STRUCT_SQL, "scalar"),
+    "scalar_bitwise": QuerySpec(scalar_bitwise, SCALAR_BITWISE_SQL, "scalar"),
+    "agg_string_agg": QuerySpec(agg_string_agg, AGG_STRING_AGG_SQL, "aggregation"),
     "events_pattern_burst": QuerySpec(events_pattern_burst, EVENTS_PATTERN_BURST_SQL, "time-window"),
     "scalar_url_parse": QuerySpec(scalar_url_parse, SCALAR_URL_SQL, "scalar"),
     "agg_mode": QuerySpec(agg_mode, AGG_MODE_SQL, "aggregation"),
