@@ -77,6 +77,7 @@ HEADLINE = [
     "join_salted_skew",
     "pipeline_merge_scd",
     "ann_pq_topk",
+    "dedup_span_exact",
 ]
 
 

@@ -20,7 +20,7 @@ Design for oracle parity AND scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.sources.catalog import load_table
@@ -560,6 +560,91 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
     )
 
 
+SPAN_W = 4  # token window for exact shared-span detection
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-span detection — the distributed form of exact-substring
+    training-data dedup (cf. Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for every same-`source` doc pair, the total
+    number of matching SPAN_W-token windows and the LONGEST exact shared
+    token span.
+
+    Relational algorithm: positional shingles (doc, pos, md5(window)) join
+    on (source, hash); matches at a constant diagonal (pos_a - pos_b) that
+    are consecutive in pos_a form one contiguous shared span, recovered with
+    gaps-and-islands (pos_a - row_number per (pair, diagonal)) — so the
+    longest span = max run length + SPAN_W - 1 tokens, exactly, without ever
+    materializing substrings. One shuffle on the shingle hash, one window
+    over the (tiny) matched-position set.
+
+    Scale: join volume is bounded the same way as ``dedup_ngram_jaccard`` —
+    a shingle in k same-source docs emits O(k²) rows, so production corpora
+    drop boilerplate shingles above a DF cap first (here max DF ≈ 6 at
+    sf0.01; the cap machinery lives in the jaccard entry). True
+    suffix-array dedup covers the residual case of monster spans built
+    entirely from hot shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.selectExpr("doc_id", "source", r"split(trim(lower(text)), '\\s+') AS t")
+        .filter(F.size("t") >= SPAN_W)  # sequence(1, 0) would run DESCENDING
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"posexplode(transform(sequence(1, size(t) - {SPAN_W} + 1), "
+            f"i -> md5(array_join(slice(t, i, {SPAN_W}), ' ')))) AS (pos, h)",
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        joined.withColumn("rk", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "rk")
+        .agg(F.count("*").alias("runlen"))
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.sum("runlen").cast("bigint").alias("n_matches"),
+        (F.max("runlen") + SPAN_W - 1).cast("bigint").alias("longest_span_tokens"),
+    )
+
+
+DEDUP_SPAN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, source, i AS pos,
+         md5(list_aggregate(t[i:i + {SPAN_W} - 1], 'string_agg', ' ')) AS h
+  FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)),
+joined AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rk
+  FROM joined),
+spans AS (
+  SELECT doc_a, doc_b, count(*) AS runlen
+  FROM runs GROUP BY doc_a, doc_b, diag, rk)
+SELECT doc_a, doc_b,
+       CAST(sum(runlen) AS BIGINT) AS n_matches,
+       CAST(max(runlen) + {SPAN_W} - 1 AS BIGINT) AS longest_span_tokens
+FROM spans GROUP BY doc_a, doc_b
+"""
+
+
 def dedup_cc_twophase(spark: SparkSession, sf_dir: str, max_iters: int = 15) -> DataFrame:
     """The SAME connected-components resolution as ``dedup_cluster_resolve``
     computed with the two-phase large-star / small-star algorithm (Kiveris et
@@ -672,6 +757,7 @@ FROM comp JOIN sized USING (cluster_id)
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
     "dedup_cc_twophase": QuerySpec(dedup_cc_twophase, DEDUP_CLUSTER_SQL, "dedup"),
+    "dedup_span_exact": QuerySpec(dedup_span_exact, DEDUP_SPAN_SQL, "dedup"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_sql(), "dedup"),
     "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL, "dedup"),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first, DEDUP_EXACT_KEEP_SQL, "dedup"),
