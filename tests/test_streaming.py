@@ -338,3 +338,22 @@ def test_stream_upsert_converges_to_batch_compaction(spark, tmp_path):
         for r in pipeline_upsert_latest(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_converges_to_batch_funnel(spark):
+    """The stateful streaming funnel's final per-user stages must reproduce
+    the batch events_funnel counts exactly: n_viewed = users at stage >= 1,
+    n_clicked >= 2, n_purchased = 3 (in-order replay of the same events)."""
+    from tmapreduce_spark.operators.relational import events_funnel
+    from tmapreduce_spark.streaming.stateful import streaming_funnel
+
+    s = streaming_funnel(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_funnel", output_mode="update")
+    stages = {int(r["user_id"]): int(r["stage"]) for r in mem.collect()}
+    got = (
+        sum(1 for v in stages.values() if v >= 1),
+        sum(1 for v in stages.values() if v >= 2),
+        sum(1 for v in stages.values() if v >= 3),
+    )
+    want = events_funnel(spark, SF_SMOKE).collect()[0]
+    assert got == (want["n_viewed"], want["n_clicked"], want["n_purchased"]), (got, want)

@@ -51,3 +51,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming funnel: per-user conversion state machine --------------------
+#
+# The streaming twin of the batch `events_funnel` catalog entry: stage 0→1 on
+# the user's FIRST view, 1→2 on the first click within 1 hour after that
+# view, 2→3 on the first purchase within 1 hour after that click. State per
+# user is (stage, t_view_us, t_click_us) — three int64s, O(distinct users)
+# total, the conversion-tracking shape every growth pipeline runs on a live
+# stream. Rows are sorted by event time inside each micro-batch group, so
+# with in-order delivery (or any replay from an ordered log) the final state
+# reproduces the batch funnel exactly — asserted in tests/test_streaming.py.
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, stage bigint"
+FUNNEL_STATE_SCHEMA = "stage bigint, t_view bigint, t_click bigint"
+_HOUR_US = 3_600_000_000
+
+
+def _update_funnel_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    stage, t_view, t_click = state.get if state.exists else (0, -1, -1)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("ts_us", kind="stable")
+    for typ, ts in zip(rows["event_type"], rows["ts_us"]):
+        if stage == 0 and typ == "view":
+            stage, t_view = 1, int(ts)
+        elif stage == 1 and typ == "click" and t_view < ts <= t_view + _HOUR_US:
+            stage, t_click = 2, int(ts)
+        elif stage == 2 and typ == "purchase" and t_click < ts <= t_click + _HOUR_US:
+            stage = 3
+    state.update((stage, t_view, t_click))
+    yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming view→click→purchase funnel with explicit per-user state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel_state,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
