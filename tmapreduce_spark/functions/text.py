@@ -532,6 +532,159 @@ WHERE rn <= 20
 """
 
 
+CHUNK_LEN = 50  # tokens per chunk
+CHUNK_STRIDE = 40  # 10-token overlap
+
+
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding/RAG pipelines: fixed-length token
+    windows (CHUNK_LEN) at a fixed stride (CHUNK_STRIDE, i.e. 10-token
+    overlap), emitting (doc_id, chunk_idx, n_tokens, chunk_fingerprint).
+    Expression-only: the chunk starts are a sequence() explode, the chunk
+    text is slice()+array_join — map-side, no shuffle at all; the
+    fingerprint is md5 so chunks are joinable/dedupable downstream without
+    shipping text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", r"split(trim(text), '\\s+') AS t")
+        .filter(F.size("t") >= 1)
+        .selectExpr(
+            "doc_id",
+            "size(t) AS n_doc_tokens",
+            f"posexplode(transform(sequence(1, greatest(size(t) - {CHUNK_LEN}, 0) + 1, {CHUNK_STRIDE}), "
+            f"s -> slice(t, s, {CHUNK_LEN}))) AS (chunk_idx, chunk)",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            "CAST(size(chunk) AS BIGINT) AS n_tokens",
+            "md5(array_join(chunk, ' ')) AS chunk_fingerprint",
+        )
+    )
+
+
+PIPELINE_CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, u.s
+  FROM toks, unnest(range(1, greatest(len(t) - {CHUNK_LEN}, 0) + 2, {CHUNK_STRIDE})) AS u(s)
+  WHERE len(t) >= 1)
+SELECT doc_id,
+       (s - 1) // {CHUNK_STRIDE} AS chunk_idx,
+       CAST(len(t[s:s + {CHUNK_LEN} - 1]) AS BIGINT) AS n_tokens,
+       md5(list_aggregate(t[s:s + {CHUNK_LEN} - 1], 'string_agg', ' ')) AS chunk_fingerprint
+FROM starts
+"""
+
+
+PACK_TARGET = 512  # tokens per packed sequence bin
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (ordered by doc_id within source)
+    to fixed-capacity context bins by running token count — bin =
+    floor(exclusive-prefix-sum / PACK_TARGET), the deterministic streaming
+    packer every pretraining pipeline runs before batching. One window per
+    source partition (cumsum is a streaming frame — no materialized
+    per-doc lists); the final groupBy reports per-bin fill so over/underflow
+    is auditable."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "source", "doc_id", r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TARGET)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+PIPELINE_PACK_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_TARGET}.0) AS BIGINT) AS bin_id
+  FROM toks)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM binned GROUP BY source, bin_id
+"""
+
+
+DECONTAM_W = 6  # benchmark-overlap shingle width
+
+
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile protocol): flag every
+    training document sharing an exact DECONTAM_W-token shingle with the
+    held-out set (here: source 'src0' plays the benchmark). One distinct
+    shingle explode per side and a LEFT SEMI join on the md5 shingle hash —
+    contaminated docs are identified without ever joining text, and the
+    flagged set is returned with its token count so the removal cost is
+    visible. At 100 TB the benchmark side is tiny ⇒ broadcast semi-join;
+    the corpus side is the same map-side explode the dedup family uses."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", "source", "n_chars", r"split(trim(lower(text)), '\\s+') AS t"
+    ).filter(F.size("t") >= DECONTAM_W)
+    sh = toks.selectExpr(
+        "doc_id",
+        "source",
+        f"explode(array_distinct(transform(sequence(1, size(t) - {DECONTAM_W} + 1), "
+        f"i -> md5(array_join(slice(t, i, {DECONTAM_W}), ' '))))) AS h",
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    train = sh.filter(F.col("source") != "src0")
+    flagged = (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return flagged.join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+PIPELINE_DECONTAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         md5(list_aggregate(t[i:i + {DECONTAM_W} - 1], 'string_agg', ' ')) AS h
+  FROM toks, unnest(range(1, len(t) - {DECONTAM_W} + 2)) AS u(i)
+  WHERE len(t) >= {DECONTAM_W}),
+bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+flagged AS (
+  SELECT DISTINCT s.doc_id, s.source
+  FROM sh s WHERE s.source <> 'src0' AND s.h IN (SELECT h FROM bench))
+SELECT f.doc_id, f.source, d.n_chars
+FROM flagged f JOIN documents d USING (doc_id)
+"""
+
+
 def pipeline_merge_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MERGE semantics (Delta/Iceberg ``MERGE INTO``) as a plain
     full-outer join + CASE — WHEN MATCHED AND op='D' THEN DELETE, WHEN
@@ -632,6 +785,9 @@ SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS df FROM postings
 QUERIES: dict[str, QuerySpec] = {
     "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
     "pipeline_merge_scd": QuerySpec(pipeline_merge_scd, PIPELINE_MERGE_SQL, "pipeline"),
+    "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, PIPELINE_CHUNK_SQL, "pipeline"),
+    "pipeline_pack_sequences": QuerySpec(pipeline_pack_sequences, PIPELINE_PACK_SQL, "pipeline"),
+    "pipeline_decontaminate": QuerySpec(pipeline_decontaminate, PIPELINE_DECONTAM_SQL, "pipeline"),
     "sample_stratified_fixed": QuerySpec(sample_stratified_fixed, SAMPLE_STRATIFIED_SQL, "pipeline"),
     "text_bigram_topk": QuerySpec(text_bigram_topk, TEXT_BIGRAM_SQL, "text"),
     "pipeline_upsert_latest": QuerySpec(pipeline_upsert_latest, PIPELINE_UPSERT_SQL, "pipeline"),
