@@ -341,7 +341,39 @@ FROM events
 """
 
 
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count over an ordered frame — Spark has no
+    count(DISTINCT) OVER, so the idiom is size(collect_set() OVER): per user,
+    how many distinct event types seen so far. The frame must be ROWS (ties
+    in a RANGE frame would make 'so far' ambiguous); (ts, event_id) is a
+    total order. Set state is bounded by the type cardinality (5), not the
+    stream — the distinct-over-window trick is only safe for low-cardinality
+    payloads; high cardinality wants the HLL sketch instead."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_so_far"),
+    )
+
+
+WINDOW_RUNNING_DISTINCT_SQL = """
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS types_so_far
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_running_distinct": QuerySpec(window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
     "window_ignore_nulls": QuerySpec(window_ignore_nulls, WINDOW_IGNORE_NULLS_SQL, "window"),
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_SQL, "window"),
