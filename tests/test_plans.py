@@ -247,18 +247,35 @@ def test_symdel_join_is_equi_join_on_variant(spark):
     plan = physical_plan(join_fuzzy_symdel(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "variant" in plan
+    # the variant column must be INSIDE a join node's key list — a projected
+    # variant with a brand-only join (per-brand all-pairs) must not pass
+    assert _join_keys_contain(plan, "variant")
+
+
+def _join_keys_contain(plan: str, key: str) -> bool:
+    """True iff some equi-join node carries `key` inside its key lists —
+    `key` merely appearing as a projected column elsewhere doesn't count."""
+    import re
+
+    return bool(
+        # simple mode: `BroadcastHashJoin [user_id#2L, salt#14L], [...]`;
+        # formatted mode: `Left keys [2]: [user_id#2L, salt#14L]`
+        re.search(
+            rf"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*{key}", plan
+        )
+        or re.search(rf"(Left|Right) keys \[\d+\]: \[[^\]]*{key}", plan)
+    )
 
 
 def test_salted_join_keys_include_salt(spark):
     """The skew-salted join must key on (custkey, salt) — the whole point is
-    that a hot user_id hashes to SALT_N different shuffle/broadcast keys."""
+    that a hot user_id hashes to SALT_N different shuffle/broadcast keys. The
+    assertion requires salt INSIDE the join node's key list; salt as a merely
+    projected column would not pass."""
     from tmapreduce_spark.functions.scale import join_salted_skew
 
     plan = physical_plan(join_salted_skew(spark, SF_SMOKE))
-    assert "salt" in plan
-    # the equi-join condition carries both keys (hash or broadcast both fine)
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert _join_keys_contain(plan, "salt")
     assert "CartesianProduct" not in plan
 
 

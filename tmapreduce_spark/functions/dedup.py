@@ -659,7 +659,7 @@ def dedup_cc_twophase(spark: SparkSession, sf_dir: str, max_iters: int = 15) -> 
     groupBy(node).min + one equi-join back to the edge list — no
     collect_list, state per node is one label. Fixed point = every component
     a star rooted at its minimum, detected by an exact edge-set signature
-    (count + sum of xxhash64), two scalar actions per round on a
+    (count + bit_xor of xxhash64), two scalar actions per round on a
     localCheckpoint-truncated lineage. Near-dup graphs are tiny stars/cliques
     so this converges in 2-3 rounds here; its value is the worst-case bound
     at petabyte graph scale. Shares ``dedup_cluster_resolve``'s oracle —
@@ -678,8 +678,10 @@ def dedup_cc_twophase(spark: SparkSession, sf_dir: str, max_iters: int = 15) -> 
     )
 
     def signature(e: DataFrame) -> tuple:
-        # bit_xor, not sum: order-independent, collision-free on a DISTINCT
-        # edge set, and cannot overflow ANSI BIGINT arithmetic
+        # bit_xor, not sum: order-independent and cannot overflow ANSI BIGINT.
+        # A false fixed-point needs equal counts AND a 64-bit hash-XOR
+        # collision between consecutive edge sets (~2^-64/round) — and the
+        # shared oracle would catch the wrong clusters it produced.
         row = e.agg(
             F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
         ).collect()[0]

@@ -394,8 +394,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids, Q, q_nrm = collect_query_model(e)
     # LUT[qi, m, c] = int64 dot(query sub-vector m, codeword c of subspace m)
     LUT = np.stack(
-        [np.stack([Q[:, m * dm : (m + 1) * dm] @ subcb[m].T for m in range(PQ_M)], axis=1)]
-    )[0]  # (n_queries, PQ_M, PQ_K)
+        [Q[:, m * dm : (m + 1) * dm] @ subcb[m].T for m in range(PQ_M)], axis=1
+    )  # (n_queries, PQ_M, PQ_K)
 
     code_cols = [f"c{m}" for m in range(PQ_M)]
 

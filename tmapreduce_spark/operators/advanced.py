@@ -451,18 +451,22 @@ def join_fuzzy_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rows."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     names = p.select("p_brand", "p_name").distinct()
-    # del0 ∪ del1 ∪ del2 as nested HOF expressions (flatten of per-position
-    # deletions of each 1-deletion variant), deduped before the explode
-    variants = names.selectExpr(
+    # del0 ∪ del1 ∪ del2, deduped before the explode; del1 is materialized as
+    # a column so the O(len) substring loop runs once per name, not twice
+    # (lambda HOFs get no common-subexpression elimination)
+    variants = names.withColumn(
+        "del1",
+        F.expr(
+            "transform(sequence(1, length(p_name)), "
+            "i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1)))"
+        ),
+    ).selectExpr(
         "p_brand",
         "p_name",
         """explode(array_distinct(concat(
              array(p_name),
-             transform(sequence(1, length(p_name)),
-                       i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1))),
-             flatten(transform(
-               transform(sequence(1, length(p_name)),
-                         i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1))),
+             del1,
+             flatten(transform(del1,
                v -> transform(sequence(1, length(v)),
                               j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))
            ))) AS variant""",
