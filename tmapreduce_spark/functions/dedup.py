@@ -515,10 +515,12 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
         .distinct()
         .localCheckpoint()  # pair pipeline runs once, not once per iteration
     )
+    # Seed with min(self, neighbors) directly off the edge list — exactly
+    # the fixed point of propagation round 1, for the cost of one groupBy
+    # instead of a full join+checkpoint+count round.
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
