@@ -97,3 +97,80 @@ def test_cap_bounds_pair_join_fanout(spark, hotcorpus_dir):
     # the join is bounded by the number of rare shingles, not any DF^2 term.
     assert join_rows <= 20 * 16
     assert SHINGLE_DF_CAP == 256  # default documented in the docstring
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_exact occurrence cap (VERDICT r02 item #1 — the last scale-killer)
+# ---------------------------------------------------------------------------
+
+
+def _spans_as_tuples(df):
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["n_matches"], r["longest_span_tokens"])
+        for r in df.collect()
+    )
+
+
+def test_span_cap_identical_on_testdata(spark):
+    """Default cap (256) drops nothing at parity scale: identical span set to
+    an effectively-uncapped run."""
+    from tmapreduce_spark.functions.dedup import SPAN_OCC_CAP, dedup_span_exact
+
+    capped = _spans_as_tuples(dedup_span_exact(spark, SF_SMOKE))
+    uncapped = _spans_as_tuples(dedup_span_exact(spark, SF_SMOKE, max_span_occ=1 << 30))
+    assert capped == uncapped
+    assert capped  # non-vacuous: testdata has shared spans
+    assert SPAN_OCC_CAP == 256
+
+
+@pytest.fixture(scope="module")
+def spancorpus_dir(spark, tmp_path_factory):
+    """Documents with an engineered hot SPAN: all 46 docs of source 'web'
+    open with the same 8-token boilerplate header, so its 5 pure-boilerplate
+    windows occur 46 times each. Near-dup pairs (2i, 2i+1) additionally share
+    a rare 12-token body; 6 'solo' docs are boilerplate-ONLY."""
+    out = str(tmp_path_factory.mktemp("spancorpus"))
+    boiler = " ".join(f"b{j}" for j in range(8))
+    rows = []
+    for i in range(20):
+        body = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((2 * i, f"{boiler} {body}", "en", "web", 0))
+        rows.append((2 * i + 1, f"{boiler} {body} extra{i}", "en", "web", 0))
+    for i in range(6):
+        rows.append((100 + i, boiler, "en", "web", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_span_cap_bounds_fanout_and_truncation_semantics(spark, spancorpus_dir):
+    """With a cap that classifies the boilerplate windows as hot (46 occ >
+    cap 8), pairs whose ENTIRE overlap is boilerplate (1035 - 20 of the 1035
+    uncapped pairs) vanish, while the engineered near-dup pairs keep their
+    rare-window runs truncated by exactly the hot prefix."""
+    from tmapreduce_spark.functions.dedup import SPAN_W, dedup_span_exact
+
+    uncapped = dedup_span_exact(spark, spancorpus_dir, max_span_occ=1 << 30)
+    capped = dedup_span_exact(spark, spancorpus_dir, max_span_occ=8)
+    un = {(a, b): (n, s) for a, b, n, s in _spans_as_tuples(uncapped)}
+    cp = {(a, b): (n, s) for a, b, n, s in _spans_as_tuples(capped)}
+
+    # Uncapped: every same-source doc pair shares the boilerplate windows —
+    # the quadratic blowup the cap exists to kill.
+    assert len(un) == 46 * 45 // 2
+    # Capped: ONLY the engineered near-dup pairs survive; every
+    # boilerplate-only overlap is gone.
+    near_dups = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert set(cp) == near_dups
+    for p in near_dups:
+        n_cp, s_cp = cp[p]
+        n_un, s_un = un[p]
+        assert n_cp < n_un and s_cp < s_un  # truncated, not dropped
+        # The 20-token shared prefix (8 boiler + 12 rare) has 17 windows;
+        # 5 are pure-boilerplate (hot), the 12 touching a rare token survive
+        # as one consecutive run -> span of 12 + SPAN_W - 1 = 15 tokens.
+        assert n_cp == 12
+        assert s_cp == 12 + SPAN_W - 1
+        assert s_un == 20  # uncapped sees the full 20-token shared prefix

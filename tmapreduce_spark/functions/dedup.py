@@ -564,28 +564,45 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
 
 SPAN_W = 4  # token window for exact shared-span detection
 
+# A SPAN_W-token window hash occurring more than this many times within one
+# source (counting every positional occurrence, across AND within documents)
+# is boilerplate — licenses, headers, navigation chrome.  It is dropped
+# BEFORE pair generation, bounding any single (source, hash) group's fan-out
+# to cap*(cap-1)/2 rows instead of k².  Semantics of the drop: a span made
+# PURELY of hot windows is truncated/omitted (exactly the spurious
+# boilerplate match the cap exists to suppress); any span containing at
+# least one sub-cap window still surfaces, with its run shortened by the
+# hot prefix/suffix only.  Testdata max occurrence count is ~6 at sf0.1, so
+# 256 changes nothing at parity scale.  The DuckDB oracle applies the
+# IDENTICAL cap, so driver parity holds at any cap value.
+SPAN_OCC_CAP = 256
 
-def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def dedup_span_exact(
+    spark: SparkSession, sf_dir: str, max_span_occ: int = SPAN_OCC_CAP
+) -> DataFrame:
     """Exact shared-span detection — the distributed form of exact-substring
     training-data dedup (cf. Lee et al., "Deduplicating Training Data Makes
     Language Models Better"): for every same-`source` doc pair, the total
     number of matching SPAN_W-token windows and the LONGEST exact shared
     token span.
 
-    Relational algorithm: positional shingles (doc, pos, md5(window)) join
-    on (source, hash); matches at a constant diagonal (pos_a - pos_b) that
-    are consecutive in pos_a form one contiguous shared span, recovered with
-    gaps-and-islands (pos_a - row_number per (pair, diagonal)) — so the
-    longest span = max run length + SPAN_W - 1 tokens, exactly, without ever
-    materializing substrings. One shuffle on the shingle hash, one window
-    over the (tiny) matched-position set.
+    Relational algorithm: positional shingles (doc, pos, md5(window)) are
+    grouped by (source, hash) in ONE shuffle; each sub-cap group emits its
+    occurrence pairs in place (k*(k-1)/2 with k <= cap — no self-join, no
+    second shuffle of the corpus). Matches at a constant diagonal
+    (pos_a - pos_b) that are consecutive in pos_a form one contiguous shared
+    span, recovered with gaps-and-islands (pos_a - row_number per (pair,
+    diagonal)) — so the longest span = max run length + SPAN_W - 1 tokens,
+    exactly, without ever materializing substrings.
 
-    Scale: join volume is bounded the same way as ``dedup_ngram_jaccard`` —
-    a shingle in k same-source docs emits O(k²) rows, so production corpora
-    drop boilerplate shingles above a DF cap first (here max DF ≈ 6 at
-    sf0.01; the cap machinery lives in the jaccard entry). True
-    suffix-array dedup covers the residual case of monster spans built
-    entirely from hot shingles."""
+    Scale (the 100 TB guard): groups with more than ``max_span_occ``
+    occurrences are boilerplate and are dropped before pair generation —
+    see ``SPAN_OCC_CAP`` for the truncation semantics. This bounds the
+    quadratic exactly as ``dedup_ngram_jaccard``'s stop-shingle cap does;
+    fan-out bound + parity-scale no-op are locked by
+    ``tests/test_dedup_ops.py``. True suffix-array dedup covers the
+    residual case of monster spans built entirely from hot windows."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
         d.selectExpr("doc_id", "source", r"split(trim(lower(text)), '\\s+') AS t")
@@ -597,17 +614,22 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> md5(array_join(slice(t, i, {SPAN_W}), ' ')))) AS (pos, h)",
         )
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.pos").alias("pa"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    groups = sh.groupBy("source", "h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("occ")
+    )
+    joined = (
+        groups.filter(F.size("occ") <= max_span_occ)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(occ, a -> transform(occ, b -> "
+                    "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                    "a.pos AS pa, a.pos - b.pos AS diag)))), "
+                    "p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.pa", "p.diag")
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     spans = (
@@ -625,10 +647,15 @@ DEDUP_SPAN_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM documents),
-sh AS (
+sh_all AS (
   SELECT doc_id, source, i AS pos,
          md5(list_aggregate(t[i:i + {SPAN_W} - 1], 'string_agg', ' ')) AS h
   FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)),
+cold AS (  -- identical boilerplate-window cap to the Spark side (SPAN_OCC_CAP)
+  SELECT source, h FROM sh_all
+  GROUP BY source, h HAVING count(*) <= {SPAN_OCC_CAP}),
+sh AS (
+  SELECT sh_all.* FROM sh_all JOIN cold USING (source, h)),
 joined AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
   FROM sh a JOIN sh b
