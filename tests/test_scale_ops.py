@@ -64,7 +64,10 @@ def test_approx_quantiles_close_to_exact(spark):
         .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p"))
         .collect()
     }
-    approx = {r["o_orderstatus"]: r["pcts"][0] for r in approx_quantiles_sketch(spark, SF_CORRECT).collect()}
+    rows = approx_quantiles_sketch(spark, SF_CORRECT).collect()
+    # exploded scalar shape: (o_orderstatus, pct, value), driver-canonicalizable
+    assert {tuple(r.asDict()) for r in rows} == {("o_orderstatus", "pct", "value")}
+    approx = {r["o_orderstatus"]: r["value"] for r in rows if r["pct"] == 0.5}
     for k, p in exact.items():
         assert abs(approx[k] - p) / p < 0.05
 

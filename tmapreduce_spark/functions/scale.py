@@ -209,10 +209,29 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles of order totals. NO oracle
-    (sketch-specific); tests bound the error against exact percentiles."""
+    (sketch-specific); tests bound the error against exact percentiles.
+
+    Output is EXPLODED to scalar rows (o_orderstatus, pct, value) — a
+    list-valued column would crash the correctness driver's canonicalizer
+    (CORRECTNESS_r02's one err row), and scalar rows are the shape a
+    downstream consumer joins on anyway."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").alias("pcts")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts")
+        )
+        .select(
+            "o_orderstatus",
+            F.posexplode("pcts").alias("idx", "value"),
+        )
+        .select(
+            "o_orderstatus",
+            F.element_at(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.col("idx") + 1).alias("pct"),
+            "value",
+        )
     )
 
 
