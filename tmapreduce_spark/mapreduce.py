@@ -220,34 +220,36 @@ class MapReduceEngine:
         # Cache before the emptiness probe: isEmpty() would otherwise run the
         # map (and combine) stage once for the probe and again for the real
         # shuffle — wasteful, and a non-deterministic user map_fn could make
-        # the probe disagree with the run.
+        # the probe disagree with the run.  try/finally so a failing
+        # groupByKey/collect or user reduce_fn can't leak the cached RDD for
+        # the session (failed jobs would otherwise pin executor memory).
         mapped = mapped.cache()
+        try:
+            # Empty-shuffle short-circuit (master.cc:624-627).
+            if mapped.isEmpty():
+                job.stage = JobStage.FINISHED
+                job.results = []
+                job.finish_time = time.time()
+                return
 
-        # Empty-shuffle short-circuit (master.cc:624-627).
-        if mapped.isEmpty():
+            job.stage = JobStage.MERGING
+            # Merge: group by key + global key sort (job.cc:45-66). sortByKey's
+            # range partitioner yields key-ordered partitions, so collect()
+            # concatenates in key order == Job::Finish (job.cc:68-77).
+            grouped = mapped.groupByKey(numPartitions=max(reducer_num, 1)).sortByKey(
+                numPartitions=max(reducer_num, 1)
+            )
+
+            job.stage = JobStage.REDUCING
+
+            def run_reduce(kv):
+                k, tagged = kv
+                values = [v for _p, _s, v in sorted(tagged, key=lambda t: (t[0], t[1]))]
+                return list(reduce_fn(k, values))
+
+            job.results = grouped.flatMap(run_reduce).collect()
+        finally:
             mapped.unpersist()
-            job.stage = JobStage.FINISHED
-            job.results = []
-            job.finish_time = time.time()
-            return
-
-        job.stage = JobStage.MERGING
-        # Merge: group by key + global key sort (job.cc:45-66). sortByKey's
-        # range partitioner yields key-ordered partitions, so collect()
-        # concatenates in key order == Job::Finish (job.cc:68-77).
-        grouped = mapped.groupByKey(numPartitions=max(reducer_num, 1)).sortByKey(
-            numPartitions=max(reducer_num, 1)
-        )
-
-        job.stage = JobStage.REDUCING
-
-        def run_reduce(kv):
-            k, tagged = kv
-            values = [v for _p, _s, v in sorted(tagged, key=lambda t: (t[0], t[1]))]
-            return list(reduce_fn(k, values))
-
-        job.results = grouped.flatMap(run_reduce).collect()
-        mapped.unpersist()
         job.stage = JobStage.FINISHED
         job.finish_time = time.time()
 

@@ -52,6 +52,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     source requires a directory, so point it at sf_dir with a glob filter."""
     # The events footer is TIMESTAMP(NANOS); a caller-provided session may
     # lack the legacy long read (get_spark sets it, arbitrary sessions don't).
+    # Deliberately NOT restored: the lazy scan needs the flag at every
+    # micro-batch, not just at definition time (documented in read_stream).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -229,7 +231,16 @@ def read_stream(
       exactly the real ``.format("kafka")`` read path minus the broker.
     - ``rate``: Spark's rate source mapped to deterministic synthetic
       events — an infinite load generator for soak/perf runs.
-    """
+
+    .. warning:: ``kind='file'`` sets ``spark.sql.legacy.parquet.nanosAsLong
+       = true`` on the CALLER'S session and leaves it set: the testdata
+       stores TIMESTAMP(NANOS) and the flag must still be active whenever a
+       micro-batch executes, so it cannot be snapshot-and-restored around
+       this call. Session-wide effect: unrelated batch reads of
+       TIMESTAMP(NANOS) parquet on the same session will also decode the
+       column as LONG nanos. ``get_spark()`` sessions already run with the
+       flag on; only callers bringing their own session and mixing nanos
+       parquet reads need care."""
     if kind == "file":
         if sf_dir is None:
             raise ValueError("kind='file' requires sf_dir")
