@@ -368,7 +368,15 @@ def dedup_ngram_jaccard(
     stop-shingles is exactly the spurious boilerplate match stop-shingle
     removal exists to suppress (and none exist in testdata — max DF 6 << 256).
     Fan-out bound + exactness under an artificially tiny cap are locked by
-    ``tests/test_dedup_ops.py``."""
+    ``tests/test_dedup_ops.py``.
+
+    Cost of the correction branch when the hot set is EMPTY (measured warm
+    at sf0.1, local[32], 4 runs): full query 2.0-2.3 s vs cold-only variant
+    1.9-2.6 s — <=0.2 s, pure stage-scheduling overhead on ~zero rows, since
+    the branch reuses the ``groups`` Exchange (ReusedExchange, plan-asserted)
+    and the left joins broadcast an empty build side under AQE. A driver-side
+    empty-check short-circuit would need its own action over the same shuffle
+    and cost more than it saves, so none is attempted."""
     ex = _shingle_rows(spark, sf_dir, with_source=True)
     # ONE shuffle of the exploded shingles: group to (source, sh) -> doc list.
     # Everything below (sizes, pair generation, hot arrays) derives from this

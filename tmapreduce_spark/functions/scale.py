@@ -20,8 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import DUCK, SPARK, msum2
 from tmapreduce_spark.functions.similarity import (
+    N_PLANES,
     QUANT,
     TOP_K,
+    _bucket_duck,
+    _buckets_of,
+    _plane_dot_duck,
+    _plane_matrix,
     _qdot_duck,
     _quant_duck,
     collect_query_model,
@@ -31,47 +36,10 @@ from tmapreduce_spark.sources.catalog import load_table
 
 from tmapreduce_spark.functions.similarity import N_QUERIES as ANN_QUERIES
 
-N_PLANES = 8
+# Hyperplane-LSH helpers (_plane_matrix/_buckets_of/_bucket_duck/N_PLANES)
+# live in functions/similarity.py — shared with its block-size guard — and
+# are re-exported above for ann_lsh_topk and multimodal.py.
 SALT_N = 16
-
-
-def _plane_matrix(dim: int):
-    """Deterministic integer hyperplanes w(i,j) = ((i*31 + j*17) % 7) - 3 as
-    an (N_PLANES, dim) int64 matrix. Integer weights on the quantized grid
-    make every plane dot EXACT int64 — bucket bits can never disagree between
-    numpy (pairwise/BLAS summation) and the oracle's ordered fold, which a
-    float plane dot could near zero."""
-    import numpy as np
-
-    i = np.arange(dim, dtype=np.int64)
-    return np.stack([(i * 31 + j * 17) % 7 - 3 for j in range(N_PLANES)])
-
-
-def _buckets_of(Q):
-    """Bucket id per row of a quantized int64 matrix: sign bits of the plane
-    dots."""
-    import numpy as np
-
-    W = _plane_matrix(Q.shape[1])
-    bits = (Q @ W.T) >= 0  # exact int64 comparison
-    return (bits * (1 << np.arange(N_PLANES, dtype=np.int64))).sum(axis=1)
-
-
-def _plane_dot_duck(j: int) -> str:
-    # DuckDB lists are 1-based: weight index shifts by one. qe is the
-    # quantized int64 embedding — the plane dot is exact integer arithmetic.
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, len(qe) + 1), "
-        f"i -> qe[i] * (((i - 1) * 31 + {j} * 17) % 7 - 3))), (acc, v) -> acc + v)"
-    )
-
-
-def _bucket_duck() -> str:
-    return " + ".join(
-        f"(CASE WHEN {_plane_dot_duck(j)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_bits: int = 0) -> DataFrame:

@@ -198,9 +198,77 @@ def _qdot_duck(a: str, b: str) -> str:
     )
 
 
-def blocked_pair_cosines(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+# --- deterministic hyperplane LSH (shared by scale.py ANN + sub-blocking) --
+
+N_PLANES = 8
+
+
+def _plane_matrix(dim: int):
+    """Deterministic integer hyperplanes w(i,j) = ((i*31 + j*17) % 7) - 3 as
+    an (N_PLANES, dim) int64 matrix. Integer weights on the quantized grid
+    make every plane dot EXACT int64 — bucket bits can never disagree between
+    numpy (pairwise/BLAS summation) and the oracle's ordered fold, which a
+    float plane dot could near zero."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    return np.stack([(i * 31 + j * 17) % 7 - 3 for j in range(N_PLANES)])
+
+
+def _buckets_of(Q):
+    """Bucket id per row of a quantized int64 matrix: sign bits of the plane
+    dots."""
+    import numpy as np
+
+    W = _plane_matrix(Q.shape[1])
+    bits = (Q @ W.T) >= 0  # exact int64 comparison
+    return (bits * (1 << np.arange(N_PLANES, dtype=np.int64))).sum(axis=1)
+
+
+def _plane_dot_duck(j: int) -> str:
+    # DuckDB lists are 1-based: weight index shifts by one. qe is the
+    # quantized int64 embedding — the plane dot is exact integer arithmetic.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len(qe) + 1), "
+        f"i -> qe[i] * (((i - 1) * 31 + {j} * 17) % 7 - 3))), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_duck() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+# Block-size guard for blocked_pair_cosines: a label block larger than this
+# is sub-split by hyperplane LSH bucket before the quadratic pair scoring.
+# 4096^2 int64 Gram = 134 MB — comfortably inside one worker's Arrow batch
+# memory; testdata's largest block is 218 (sf0.1), so the guard activates
+# only beyond tested SFs and the cataloged results are unchanged.
+MAX_BLOCK = 4096
+
+
+def blocked_pair_cosines(
+    spark: SparkSession, sf_dir: str, threshold: float, max_block: int = MAX_BLOCK
+) -> DataFrame:
     """All intra-block pairs (vec_a < vec_b) with quantized-exact cosine >=
-    threshold. Shared engine for the similarity join and embedding near-dup."""
+    threshold. Shared engine for the similarity join and embedding near-dup.
+
+    Block-size guard (the 100 TB skew bound): the per-label quadratic is
+    unbounded if one label dominates the corpus (same skew class as a hot
+    shingle). Labels with more than ``max_block`` vectors are sub-split by
+    deterministic hyperplane LSH bucket (:func:`_buckets_of` — the exact
+    engine behind ``ann_lsh_topk``) and only intra-bucket pairs are scored:
+    canopy semantics, where a cross-bucket pair inside an oversized label is
+    deliberately not a candidate (near-identical vectors land in the same
+    bucket with high probability; recall is bounded by the same hyperplane
+    analysis as the ANN entry). Small labels are untouched — their branch
+    never enters Python, and when no label is oversized the bucket branch is
+    an empty Arrow pass. The DuckDB oracle applies the IDENTICAL rule, so
+    parity holds at any scale, not just below the cap. Bound + small-label
+    invariance are locked by ``tests/test_similarity_ops.py``."""
     import numpy as np
     import pandas as pd
 
@@ -226,24 +294,57 @@ def blocked_pair_cosines(spark: SparkSession, sf_dir: str, threshold: float) -> 
         )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    return e.groupBy("label").applyInPandas(
-        pairs_block, "vec_a bigint, vec_b bigint, label int, cosine double"
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("block_n"))
+    sized = e.join(F.broadcast(counts), "label")
+    small = sized.filter(F.col("block_n") <= max_block).select(
+        "vec_id", "label", "embedding", F.lit(0).cast("bigint").alias("sub_key")
+    )
+
+    def add_bucket(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            yield pdf.assign(sub_key=_buckets_of(Q).astype("int64"))
+
+    big = (
+        sized.filter(F.col("block_n") > max_block)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(
+            add_bucket, "vec_id bigint, label int, embedding array<float>, sub_key bigint"
+        )
+    )
+    return (
+        small.unionByName(big)
+        .groupBy("label", "sub_key")
+        .applyInPandas(pairs_block, "vec_a bigint, vec_b bigint, label int, cosine double")
     )
 
 
-def _pairs_sql(threshold: float) -> str:
+def _pairs_sql(threshold: float, max_block: int = MAX_BLOCK) -> str:
+    # Same sub-blocking rule as blocked_pair_cosines: labels above max_block
+    # are split by the deterministic hyperplane bucket; others keep sub_key 0.
     return f"""
 WITH q AS (
   SELECT vec_id, label, {_quant_duck("embedding")} AS qe
   FROM embeddings),
+n AS (
+  SELECT label, count(*) AS block_n FROM q GROUP BY label),
+s AS (
+  SELECT q.vec_id, q.label, q.qe,
+         CASE WHEN n.block_n > {max_block} THEN ({_bucket_duck()})
+              ELSE 0 END AS sub_key
+  FROM q JOIN n ON q.label = n.label),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          floor((CAST({_qdot_duck('a.qe', 'b.qe')} AS DOUBLE)
                 / (sqrt(CAST({_qdot_duck('a.qe', 'a.qe')} AS DOUBLE))
                    * sqrt(CAST({_qdot_duck('b.qe', 'b.qe')} AS DOUBLE))))
                * 1000000 + 0.5) / 1000000 AS cosine
-  FROM q a JOIN q b
-    ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM s a JOIN s b
+    ON a.label = b.label AND a.sub_key = b.sub_key AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= {threshold}
 """
 
