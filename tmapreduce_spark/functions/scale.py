@@ -301,7 +301,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame
     return topk_ranked(scored)
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(nprobe: int = 1) -> str:
+    # `queries` probes each query's `nprobe` best centroids (cosine DESC, cid
+    # ASC — the same stable order as centroid_ranks); each corpus vector has
+    # exactly one centroid, so the probe equi-join can never duplicate a
+    # candidate.
     from tmapreduce_spark.functions.similarity import _qdot_duck, _quant_duck
 
     qd = _qdot_duck
@@ -321,8 +325,18 @@ assign AS (
     FROM q v CROSS JOIN cent c) t
   WHERE rn = 1),
 corpus AS (SELECT q.vec_id, q.qe, a.centroid FROM q JOIN assign a ON q.vec_id = a.vec_id),
-queries AS (SELECT vec_id AS query_id, qe AS q_qe, centroid AS q_centroid
-            FROM corpus WHERE vec_id < {ANN_QUERIES}),
+queries AS (
+  SELECT query_id, q_qe, q_centroid FROM (
+    SELECT v.vec_id AS query_id, v.qe AS q_qe, c.cid AS q_centroid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST({qd('v.qe', 'c.ce')} AS DOUBLE)
+                      / (sqrt(CAST({qd('v.qe', 'v.qe')} AS DOUBLE))
+                         * sqrt(CAST({qd('c.ce', 'c.ce')} AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM q v CROSS JOIN cent c
+    WHERE v.vec_id < {ANN_QUERIES}) t
+  WHERE rn <= {nprobe}),
 scored AS (
   SELECT query_id, c.vec_id AS neighbor_id,
          floor((CAST({qd('q_qe', 'c.qe')} AS DOUBLE)
@@ -532,6 +546,13 @@ QUERIES: dict[str, QuerySpec] = {
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
+    # the multi-probe recall knob as a first-class oracle-checked entry:
+    # each query answers from its TWO nearest centroids' buckets
+    "ann_ivf_topk_probe2": QuerySpec(
+        lambda spark, sf_dir: ann_ivf_topk(spark, sf_dir, nprobe=2),
+        _ivf_sql(nprobe=2),
+        "similarity",
+    ),
     "ann_pq_topk": QuerySpec(ann_pq_topk, _pq_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
     "approx_distinct_sketch": QuerySpec(approx_distinct_sketch, None, "sketch"),
