@@ -195,9 +195,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
     Pipeline: signature -> band keys (md5 of the band's ordered minhashes) ->
-    self-join on (band_id, band_key) -> distinct candidate pairs -> verify
-    with exact shingle-set Jaccard. Only candidates pay the verification
-    cost; the band join shuffles 16-byte keys, not documents."""
+    in-group pair generation per (band_id, band_key) -> distinct candidate
+    pairs -> verify with exact shingle-set Jaccard. Only candidates pay the
+    verification cost; the band shuffle carries 16-byte keys, not documents.
+
+    Plan economy (this was a 2.3 s -> ~1 s rewrite at sf0.1): the r02 shape
+    (band self-join + shingle-row equi-join + zero-overlap restore join) ran
+    the signature aggregation 4x and scanned documents 8x with zero exchange
+    reuse. Now pairs are generated IN-GROUP from one band aggregation (the
+    same no-self-join pattern as ``dedup_span_exact``; a band key shared by k
+    docs emits k(k-1)/2 pairs either way, so the fan-out is unchanged), and
+    verification joins each candidate side once against a row-local per-doc
+    shingle array (zero-shuffle to build; array_intersect per CANDIDATE pair
+    only — the all-pairs entries must stay relational, but LSH has already
+    pruned to near-dup candidates here, and one array op per candidate beats
+    re-exploding the corpus). Signature aggregation now runs once, documents
+    is scanned 3x."""
     wide = _minhash_wide(spark, sf_dir)
     # band keys directly from the ordered wide columns — no collect_list/sort.
     band_structs = ", ".join(
@@ -210,44 +223,40 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = wide.selectExpr(
         "doc_id", f"explode(array({band_structs})) AS bs"
     ).selectExpr("doc_id", "bs.band_id AS band_id", "bs.band_key AS band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(docs, a -> transform(docs, "
+                    "b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # Exact Jaccard verification relationally: count shared shingles per
-    # candidate pair via equi-join on the shingle (never array ops on pairs);
-    # |A∪B| = |A|+|B|-|A∩B|. Left join keeps zero-overlap candidates
-    # (jaccard 0), matching the set-algebra oracle.
-    ex = _shingle_rows(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cands.join(ex.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
-        .join(
-            ex.selectExpr("doc_id AS doc_b2", "sh AS sh_b"),
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("icnt"))
-    )
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
+    ).selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
     return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+        cands.join(sets.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
+        .join(sets.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
         .selectExpr(
             "doc_a",
             "doc_b",
-            "floor(CAST(coalesce(icnt, 0) AS DOUBLE)"
-            " / (sz_a + sz_b - coalesce(icnt, 0)) * 1000000 + 0.5) / 1000000 AS jaccard",
+            "size(array_intersect(sh_a, sh_b)) AS icnt",
+            "size(sh_a) AS sz_a",
+            "size(sh_b) AS sz_b",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "floor(CAST(icnt AS DOUBLE)"
+            " / (sz_a + sz_b - icnt) * 1000000 + 0.5) / 1000000 AS jaccard",
         )
     )
 
