@@ -78,6 +78,9 @@ HEADLINE = [
     "pipeline_merge_scd",
     "ann_pq_topk",
     "dedup_span_exact",
+    # round 3 additions
+    "ann_ivf_topk_probe2",
+    "pipeline_corpus_e2e",
 ]
 
 

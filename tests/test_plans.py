@@ -311,3 +311,41 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_e2e_is_one_lazy_lineage(spark):
+    """pipeline_corpus_e2e composes decontaminate + span-dedup + quality +
+    chunk + pack as ONE DataFrame: building it must launch ZERO Spark jobs
+    (no intermediate .count()/.collect()/checkpoint between stages), and the
+    single physical plan must contain every stage's signature operator."""
+    from tmapreduce_spark.functions.text import pipeline_corpus_e2e
+
+    from tmapreduce_spark.sources.catalog import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs():
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    # baseline: ONE load_table fires exactly one parquet schema-read job
+    before = jobs()
+    load_table(spark, SF_SMOKE, "documents")
+    per_load = len(jobs() - before)
+
+    before = jobs()
+    df = pipeline_corpus_e2e(spark, SF_SMOKE)
+    fired = len(jobs() - before)
+    # four components each load documents (schema reads only); anything more
+    # would be an intermediate materialization between stages
+    assert fired <= 4 * per_load, (
+        f"e2e build fired {fired} jobs (> {4 * per_load} schema reads) — "
+        "some stage materialized early"
+    )
+
+    plan = physical_plan(df)
+    # anti-joins for decontamination + span-drop survive into one plan
+    assert plan.count("LeftAnti") >= 2, plan[:2000]
+    # two windows: span gaps-and-islands row_number + packing running sum
+    assert plan.count("Window") >= 2
+    # final per-bin rollup aggregates
+    assert "HashAggregate" in plan
