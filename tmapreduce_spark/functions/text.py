@@ -783,6 +783,265 @@ SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS df FROM postings
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (cf. Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1 repetition filters):
+    the fraction of bigram positions taken by the single most frequent
+    bigram (``top_bigram_frac``) and the fraction of trigram positions
+    covered by trigrams occurring more than once (``dup_trigram_frac``),
+    plus the composite flag a corpus cleaner would filter on
+    (top-2-gram > 0.20 OR dup-3-gram > 0.30 — Gopher's published cutoffs).
+    The synthetic corpus has no newlines, so the line/paragraph variants of
+    the rule collapse onto the n-gram forms implemented here.
+
+    Exact integer counting end-to-end: both n-gram streams explode from ONE
+    tokenization, aggregate partially (map-side combine on (doc_id, n,
+    gram)), and the per-doc rollup is a second tiny shuffle keyed on doc_id.
+    At 100 TB this is the same two-shuffle shape as wordcount — no windows,
+    no arrays shipped between stages."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", r"split(trim(lower(text)), '\\s+') AS t"
+    ).filter(F.size("t") >= 3)
+    grams = toks.selectExpr(
+        "doc_id",
+        "explode(array("
+        "named_struct('n', 2, 'grams', transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', slice(t, i, 2)))), "
+        "named_struct('n', 3, 'grams', transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', slice(t, i, 3)))))) AS g",
+    ).selectExpr("doc_id", "g.n AS n", "explode(g.grams) AS gram")
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    per = counts.groupBy("doc_id", "n").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cover"),
+        F.sum("cnt").alias("total"),
+    )
+    stats = per.groupBy("doc_id").agg(
+        F.expr(
+            "floor(max(CASE WHEN n = 2 THEN CAST(max_cnt AS DOUBLE) / total END)"
+            " * 1000000 + 0.5) / 1000000"
+        ).alias("top_bigram_frac"),
+        F.expr(
+            "floor(max(CASE WHEN n = 3 THEN CAST(dup_cover AS DOUBLE) / total END)"
+            " * 1000000 + 0.5) / 1000000"
+        ).alias("dup_trigram_frac"),
+    )
+    return stats.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_bigram_frac") > 0.2) | (F.col("dup_trigram_frac") > 0.3)
+        ).alias("repetition_flagged"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM toks WHERE len(t) >= 3),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY doc_id, n, gram),
+per AS (
+  SELECT doc_id, n, max(cnt) AS max_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cover,
+         sum(cnt) AS total
+  FROM counts GROUP BY doc_id, n),
+stats AS (
+  SELECT doc_id,
+         floor(max(CASE WHEN n = 2 THEN CAST(max_cnt AS DOUBLE) / total END)
+               * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+         floor(max(CASE WHEN n = 3 THEN CAST(dup_cover AS DOUBLE) / total END)
+               * 1000000 + 0.5) / 1000000 AS dup_trigram_frac
+  FROM per GROUP BY doc_id)
+SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac > 0.2 OR dup_trigram_frac > 0.3) AS repetition_flagged
+FROM stats
+"""
+
+
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training corpus runs
+    before release. The corpus has no natural PII, so a contact blob is built
+    deterministically from customer fields (the ``scalar_url_parse``
+    convention: construct, then verifiably process): an email, a phone, and
+    the account balance embedded in prose. Detection counts and redaction
+    both run with real regexes from the Java-regex ∩ RE2 subset (char
+    classes, +, {n} — see PARITY notes), so Spark and the oracle transform
+    identically; the md5 of the redacted text proves byte-exact redaction,
+    not just equal counts.
+
+    Scale: pure expression pipeline (regexp_replace / regexp_count),
+    whole-stage codegen, zero shuffles — linear scan shape."""
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(10_000_000)).cast("string"), 7, "0"),
+        F.lit(" re acct "),
+        F.col("c_acctbal").cast("string"),
+    )
+    email_re = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+    phone_re = "[+][0-9]-[0-9]{3}-[0-9]{7}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(blob, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return c.select(
+        "c_custkey",
+        (F.size(F.split(blob, email_re)) - F.lit(1)).alias("n_emails"),
+        (F.size(F.split(blob, phone_re)) - F.lit(1)).alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PIPELINE_PII_SQL = r"""
+WITH blob AS (
+  SELECT c_custkey,
+         'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+           || '@mail.example.com or +1-555-'
+           || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0')
+           || ' re acct ' || CAST(c_acctbal AS VARCHAR) AS t
+  FROM customer),
+red AS (
+  SELECT c_custkey,
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+           '[+][0-9]-[0-9]{3}-[0-9]{7}', '[PHONE]', 'g') AS r,
+         t
+  FROM blob)
+SELECT c_custkey,
+       CAST(len(string_split_regex(t, '[a-z0-9]+@[a-z0-9.]+[a-z]')) - 1 AS INTEGER) AS n_emails,
+       CAST(len(string_split_regex(t, '[+][0-9]-[0-9]{3}-[0-9]{7}')) - 1 AS INTEGER) AS n_phones,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+
+BLOCKED_HOSTS = ["src1.example.com", "src3.example.com"]
+
+
+def pipeline_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering — the URL-level hygiene pass of a web
+    corpus build: derive each document's host (the ``scalar_url_parse``
+    construction), drop documents whose host is on the blocklist via a
+    broadcast LEFT ANTI join (the 100 TB shape: the blocklist is tiny and
+    ships to every executor; the corpus never shuffles), and report
+    kept-per-source stats so the removal cost is auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+    )
+    block = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "host string")
+    kept = hosts.join(F.broadcast(block), "host", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+PIPELINE_DOMAIN_SQL = f"""
+WITH hosts AS (
+  SELECT doc_id, source, n_chars, source || '.example.com' AS host
+  FROM documents),
+block(host) AS (VALUES {", ".join(f"('{h}')" for h in BLOCKED_HOSTS)})
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc
+FROM hosts
+WHERE host NOT IN (SELECT host FROM block)
+GROUP BY source
+"""
+
+
+TFIDF_TOP_K = 5
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` characteristic terms per document by exact
+    rational tf-idf: score = tf * (N + 1) / df on the inverted-index
+    postings (:func:`text_inverted_index`'s substrate). The logarithm of
+    textbook tf-idf/BM25 is deliberately omitted: ln() is a transcendental
+    whose last-ulp differs between engines (PARITY notes), and for a FIXED
+    tf the log form is monotone in this ratio, so the ranking machinery —
+    postings, df join, per-doc WindowGroupLimit top-k — is identical; a
+    consumer wanting calibrated scores applies the log to the returned
+    exact ratio.
+
+    Scale: postings aggregation + a count window partitioned by token + the
+    rank window partitioned by doc — the same partial-agg + group-limit
+    shapes as ``text_bigram_topk`` (plan-asserted there)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # N as a broadcast 1-row corpus stat — stays lazy, no driver action
+    nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    with_df = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    )
+    scored = with_df.crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.col("df").cast("bigint").alias("df"),
+        F.expr(
+            "floor(CAST(tf AS DOUBLE) * (n_docs + 1) / df * 1000000 + 0.5) / 1000000"
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+TEXT_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         floor(CAST(tf AS DOUBLE) * (SELECT n_docs + 1 FROM n)
+               / count(*) OVER (PARTITION BY tok) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM postings),
+ranked AS (
+  SELECT doc_id, tok, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+  FROM scored)
+SELECT doc_id, tok, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 SPAN_DROP_MIN = 12  # drop the later doc of any pair sharing a span this long
 
 
@@ -907,6 +1166,10 @@ FROM binned GROUP BY source, bin_id
 QUERIES: dict[str, QuerySpec] = {
     "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
     "pipeline_corpus_e2e": QuerySpec(pipeline_corpus_e2e, PIPELINE_E2E_SQL, "pipeline"),
+    "text_repetition_stats": QuerySpec(text_repetition_stats, TEXT_REPETITION_SQL, "text"),
+    "pipeline_pii_scrub": QuerySpec(pipeline_pii_scrub, PIPELINE_PII_SQL, "pipeline"),
+    "pipeline_domain_filter": QuerySpec(pipeline_domain_filter, PIPELINE_DOMAIN_SQL, "pipeline"),
+    "text_tfidf_topk": QuerySpec(text_tfidf_topk, TEXT_TFIDF_SQL, "text"),
     "pipeline_merge_scd": QuerySpec(pipeline_merge_scd, PIPELINE_MERGE_SQL, "pipeline"),
     "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, PIPELINE_CHUNK_SQL, "pipeline"),
     "pipeline_pack_sequences": QuerySpec(pipeline_pack_sequences, PIPELINE_PACK_SQL, "pipeline"),
