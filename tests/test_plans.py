@@ -349,3 +349,40 @@ def test_corpus_e2e_is_one_lazy_lineage(spark):
     assert plan.count("Window") >= 2
     # final per-bin rollup aggregates
     assert "HashAggregate" in plan
+
+
+def test_pii_scrub_is_shuffle_free_scan(spark):
+    """PII detection/redaction is a pure expression pipeline: zero Exchanges
+    (and hence zero shuffles) in the plan — the linear-scan shape that just
+    rides along at 100 TB."""
+    from tmapreduce_spark.functions.text import pipeline_pii_scrub
+
+    plan = physical_plan(pipeline_pii_scrub(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_domain_filter_is_broadcast_anti_join(spark):
+    """The blocklist ships broadcast; the corpus must not shuffle for the
+    anti join."""
+    from tmapreduce_spark.functions.text import pipeline_domain_filter
+
+    df = pipeline_domain_filter(spark, SF_SMOKE)
+    assert_plan_contains(df, "BroadcastHashJoin", "LeftAnti")
+    assert_plan_lacks(df, "SortMergeJoin")
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """Per-doc top-k runs as WindowGroupLimit (rank pushed into the window),
+    with the postings aggregated partially before their shuffle."""
+    from tmapreduce_spark.functions.text import text_tfidf_topk
+
+    df = text_tfidf_topk(spark, SF_SMOKE)
+    assert_plan_contains(df, "WindowGroupLimit", "partial_count")
+
+
+def test_repetition_stats_aggregates_partially(spark):
+    """Both n-gram streams fold map-side before the (doc_id, n, gram)
+    shuffle."""
+    from tmapreduce_spark.functions.text import text_repetition_stats
+
+    assert_plan_contains(text_repetition_stats(spark, SF_SMOKE), "partial_count")
