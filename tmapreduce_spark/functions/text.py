@@ -972,6 +972,67 @@ GROUP BY source
 """
 
 
+MIX_PRI_SCALE = 1000  # sqrt fixed-point scale for the temperature weights
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual/multi-domain
+    resampling rule, p_s ∝ n_s^α with α = 0.5): allocate half the corpus
+    budget across sources proportionally to sqrt(source size), then keep
+    exactly that quota per source by deterministic md5 hash priority.
+
+    Exactness across engines: sqrt is IEEE-correctly-rounded (unlike ln/exp
+    — PARITY notes), and it is immediately fixed-pointed to an int64
+    (floor(sqrt(n)*1000)), so the weight SUM is integer — order-independent
+    — and each quota is one integer multiply + integer divide. No float ever
+    enters a comparison or an aggregation.
+
+    Scale: two tiny per-source aggregates broadcast back; the keep step is
+    the same WindowGroupLimit shape as ``sample_stratified_fixed`` — no
+    global sort, k rows per source survive each partition."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    budget = d.agg(F.expr("count(*) DIV 2").alias("budget"))
+    ms = counts.select(
+        "source", F.expr(f"CAST(floor(sqrt(n_s) * {MIX_PRI_SCALE}) AS BIGINT) AS ms")
+    )
+    sums = ms.agg(F.sum("ms").alias("sum_ms"))
+    quota = (
+        ms.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(budget))
+        .select("source", F.expr("ms * budget DIV sum_ms AS quota"))
+    )
+    pri = F.md5(F.concat_ws("|", F.lit("mix"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        d.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"), "quota")
+    )
+
+
+SAMPLE_DOMAIN_MIX_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+budget AS (SELECT count(*) // 2 AS budget FROM documents),
+ms AS (SELECT source, CAST(floor(sqrt(n_s) * {MIX_PRI_SCALE}) AS BIGINT) AS ms FROM counts),
+sums AS (SELECT sum(ms) AS sum_ms FROM ms),
+quota AS (
+  SELECT source, ms * (SELECT budget FROM budget) // (SELECT sum_ms FROM sums) AS quota
+  FROM ms),
+ranked AS (
+  SELECT doc_id, d.source, quota,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5('mix' || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents d JOIN quota q ON d.source = q.source)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn, CAST(quota AS BIGINT) AS quota
+FROM ranked WHERE rn <= quota
+"""
+
+
 TFIDF_TOP_K = 5
 
 
@@ -1170,6 +1231,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_pii_scrub": QuerySpec(pipeline_pii_scrub, PIPELINE_PII_SQL, "pipeline"),
     "pipeline_domain_filter": QuerySpec(pipeline_domain_filter, PIPELINE_DOMAIN_SQL, "pipeline"),
     "text_tfidf_topk": QuerySpec(text_tfidf_topk, TEXT_TFIDF_SQL, "text"),
+    "sample_domain_mix": QuerySpec(sample_domain_mix, SAMPLE_DOMAIN_MIX_SQL, "pipeline"),
     "pipeline_merge_scd": QuerySpec(pipeline_merge_scd, PIPELINE_MERGE_SQL, "pipeline"),
     "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, PIPELINE_CHUNK_SQL, "pipeline"),
     "pipeline_pack_sequences": QuerySpec(pipeline_pack_sequences, PIPELINE_PACK_SQL, "pipeline"),
