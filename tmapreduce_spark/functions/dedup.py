@@ -802,8 +802,90 @@ FROM comp JOIN sized USING (cluster_id)
 )
 
 
+PR_SCALE = 1_000_000_000  # int64 fixed-point unit for PageRank mass
+PR_ITERS = 5
+
+
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph (the same
+    banding-bounded edge set as ``dedup_cluster_resolve``) — ranks each
+    clustered document by how central it is to its duplication neighborhood,
+    the signal a corpus builder uses to pick the canonical copy of a
+    boilerplate family (vs. min-doc_id's arbitrary pick).
+
+    Exact fixed-point arithmetic: rank mass lives in int64 units of
+    1/PR_SCALE; every update is ``base + (85 * sum(contrib)) DIV 100`` with
+    ``contrib = r DIV deg`` — integer multiply/divide/sum only, so the
+    result is order-independent and bit-identical to the oracle's recursive
+    CTE running the same integer recurrence (a float PageRank could never
+    hash-match across engines). Symmetric graph => no dangling nodes.
+
+    Scale: PR_ITERS fixed rounds of (edge join + partial-agg sum) over a
+    localCheckpoint'd edge list — the classic Pregel shape; each round is
+    one shuffle keyed on doc_id, lineage depth is linear in rounds."""
+    pairs = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint()  # pair pipeline runs once, not once per iteration
+    )
+    deg = (
+        edges.groupBy("doc_a").agg(F.count("*").alias("deg"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    nn = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
+        "doc_id", f"{PR_SCALE} DIV n AS r"
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(deg.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .selectExpr("doc_b AS doc_id", "r DIV deg AS c")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(nn)).selectExpr(
+            "doc_id", f"(15 * ({PR_SCALE} DIV n)) DIV 100 + (85 * s) DIV 100 AS r"
+        )
+    return ranks.selectExpr("doc_id", "r AS pagerank_fp")
+
+
+GRAPH_PAGERANK_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_PAIRS_SQL}) p
+  WHERE jaccard >= {CLUSTER_JACCARD_MIN}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
+nn AS (SELECT count(*) AS n FROM deg),
+pr(iter, doc_id, r) AS (
+  SELECT 0, doc_id, {PR_SCALE} // (SELECT n FROM nn) FROM deg
+  UNION ALL
+  SELECT t.iter + 1, t.doc_id,
+         (15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100 + (85 * t.s) // 100
+  FROM (
+    SELECT p.iter, e.doc_b AS doc_id, sum(p.r // d.deg) AS s
+    FROM pr p
+    JOIN edges e ON e.doc_a = p.doc_id
+    JOIN deg d ON d.doc_id = p.doc_id
+    WHERE p.iter < {PR_ITERS}
+    GROUP BY p.iter, e.doc_b) t)
+SELECT doc_id, r AS pagerank_fp FROM pr WHERE iter = {PR_ITERS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
+    "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL, "dedup"),
     "dedup_cc_twophase": QuerySpec(dedup_cc_twophase, DEDUP_CLUSTER_SQL, "dedup"),
     "dedup_span_exact": QuerySpec(dedup_span_exact, DEDUP_SPAN_SQL, "dedup"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _dedup_embedding_sql(), "dedup"),
