@@ -295,31 +295,41 @@ def blocked_pair_cosines(
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("block_n"))
-    sized = e.join(F.broadcast(counts), "label")
-    small = sized.filter(F.col("block_n") <= max_block).select(
-        "vec_id", "label", "embedding", F.lit(0).cast("bigint").alias("sub_key")
+    # The bucket is a JVM integer HOF (the same exact int64 plane dots as
+    # _buckets_of), guarded by the block_n CASE: when no label is oversized
+    # only the cheap branch evaluates and the guard adds NO Python stage —
+    # the empty-guard bench cost is ~zero (an earlier mapInPandas variant
+    # added ~1 s of idle Arrow stage per run).
+    plane_dots = ", ".join(
+        f"aggregate(sequence(0, size(qe) - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + qe[i] * CAST((i * 31 + {j} * 17) % 7 - 3 AS BIGINT))"
+        for j in range(N_PLANES)
     )
-
-    def add_bucket(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
-            ).astype(np.int64)
-            yield pdf.assign(sub_key=_buckets_of(Q).astype("int64"))
-
-    big = (
-        sized.filter(F.col("block_n") > max_block)
-        .select("vec_id", "label", "embedding")
-        .mapInPandas(
-            add_bucket, "vec_id bigint, label int, embedding array<float>, sub_key bigint"
+    sub_key_expr = (
+        f"aggregate(zip_with(array({plane_dots}), sequence(0, {N_PLANES - 1}), "
+        "(d, j) -> IF(d >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    sized = (
+        e.join(F.broadcast(counts), "label")
+        .withColumn(
+            "qe",
+            F.expr(
+                f"CASE WHEN block_n > {max_block} THEN transform(embedding, "
+                f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) END"
+            ),
         )
+        .withColumn(
+            "sub_key",
+            F.expr(
+                f"CASE WHEN block_n <= {max_block} THEN CAST(0 AS BIGINT) "
+                f"ELSE {sub_key_expr} END"
+            ),
+        )
+        .select("vec_id", "label", "embedding", "sub_key")
     )
-    return (
-        small.unionByName(big)
-        .groupBy("label", "sub_key")
-        .applyInPandas(pairs_block, "vec_a bigint, vec_b bigint, label int, cosine double")
+    return sized.groupBy("label", "sub_key").applyInPandas(
+        pairs_block, "vec_a bigint, vec_b bigint, label int, cosine double"
     )
 
 
