@@ -81,6 +81,11 @@ HEADLINE = [
     # round 3 additions
     "ann_ivf_topk_probe2",
     "pipeline_corpus_e2e",
+    "text_repetition_stats",
+    "pipeline_pii_scrub",
+    "pipeline_domain_filter",
+    "text_tfidf_topk",
+    "sample_domain_mix",
 ]
 
 

@@ -987,9 +987,16 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and each quota is one integer multiply + integer divide. No float ever
     enters a comparison or an aggregation.
 
-    Scale: two tiny per-source aggregates broadcast back; the keep step is
-    the same WindowGroupLimit shape as ``sample_stratified_fixed`` — no
-    global sort, k rows per source survive each partition."""
+    Scale: two tiny per-source aggregates broadcast back. The keep step
+    ranks within each source; because the quota is a COLUMN (data-derived),
+    Spark cannot push a WindowGroupLimit the way the literal-k
+    ``sample_stratified_fixed`` does, so each source partition sorts fully.
+    At 100 TB swap the rank for the standard two-pass threshold select:
+    compute each source's quota-th smallest priority (approx_percentile or
+    exact top-k of priorities — tiny), broadcast it, and filter
+    ``pri <= threshold`` — same kept set, no full sort, one extra tiny
+    action. The single-pass form is kept here because it stays fully lazy
+    and oracle-exact."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
