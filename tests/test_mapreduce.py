@@ -196,6 +196,25 @@ def test_async_launch_error_surfaces(spark):
         engine.get_result(job_id, token="t")
 
 
+def test_failed_reduce_unpersists_cached_rdd(spark):
+    """A reduce-stage failure must not leak the cached map RDD: the
+    try/finally around the post-cache pipeline guarantees unpersist() even
+    when the collect raises, so failed jobs can't accumulate pinned executor
+    memory across a long-lived session."""
+    from tmapreduce_spark.registry import JobRegistry, charcount_map
+
+    def bad_reduce(key, values):
+        raise RuntimeError("boom in reduce")
+
+    reg = JobRegistry()
+    reg.register("bad-reduce", charcount_map, bad_reduce)
+    engine = MapReduceEngine(spark, registry=reg)
+    job_id = engine.launch("bad", "bad-reduce", KVS, token="t")
+    with pytest.raises(Exception, match="boom in reduce"):
+        engine.wait(job_id, timeout=60)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 # -- HTTP/REST gateway (gateway.cc observable contract) ----------------------
 
 
