@@ -386,3 +386,18 @@ def test_repetition_stats_aggregates_partially(spark):
     from tmapreduce_spark.functions.text import text_repetition_stats
 
     assert_plan_contains(text_repetition_stats(spark, SF_SMOKE), "partial_count")
+
+
+def test_domain_mix_sort_is_column_pruned(spark):
+    """sample_domain_mix's per-source rank window must sort a pruned
+    (doc_id, source) projection — no scan in the plan may read `text`
+    (documents' wide column), or the sort cost scales with document bodies
+    instead of 16-byte rows."""
+    import re
+
+    from tmapreduce_spark.functions.text import sample_domain_mix
+
+    plan = physical_plan(sample_domain_mix(spark, SF_SMOKE))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, plan[:800]
+    assert all("text" not in s for s in schemas), schemas

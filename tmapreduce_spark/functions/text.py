@@ -990,13 +990,14 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two tiny per-source aggregates broadcast back. The keep step
     ranks within each source; because the quota is a COLUMN (data-derived),
     Spark cannot push a WindowGroupLimit the way the literal-k
-    ``sample_stratified_fixed`` does, so each source partition sorts fully.
-    At 100 TB swap the rank for the standard two-pass threshold select:
-    compute each source's quota-th smallest priority (approx_percentile or
-    exact top-k of priorities — tiny), broadcast it, and filter
-    ``pri <= threshold`` — same kept set, no full sort, one extra tiny
-    action. The single-pass form is kept here because it stays fully lazy
-    and oracle-exact."""
+    ``sample_stratified_fixed`` does — but Catalyst column-prunes the window
+    input to ``(doc_id, source)`` (plan-asserted: no scan in this plan reads
+    ``text``), so the per-source sort handles ~16-byte rows, not documents.
+    If even the narrow sort is too much, the standard two-pass threshold
+    select (compute each source's quota-th smallest priority, broadcast,
+    filter ``pri <= threshold``) gives the same kept set for one extra tiny
+    action; the single-pass form is kept because it stays fully lazy and
+    oracle-exact."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
