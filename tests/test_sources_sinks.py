@@ -150,3 +150,17 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 2 * n
     assert merged.filter("o_orderstatus IS NULL").count() == n
     assert merged.filter("batch = 1 AND o_orderstatus IS NOT NULL").count() == 0
+
+
+def test_events_ts_normalized_to_instant(spark):
+    """events.ts must load as TIMESTAMP (LTZ) whatever the parquet footer
+    holds — the driver has shipped it as TIMESTAMP(NANOS) (rounds 1-2) and as
+    timestamp[us]/NTZ (round 3, which crashed unix_micros in BENCH_r03).
+    The full instant-function surface must work on the loaded column."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, SF_SMOKE, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # unix_micros rejects TIMESTAMP_NTZ outright — this line IS the regression
+    row = df.select(F.unix_micros("ts").alias("us")).agg(F.min("us")).first()
+    assert row[0] is not None

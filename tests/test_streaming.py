@@ -191,9 +191,9 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     the recovery contract a 100 TB landing zone depends on."""
     import shutil
 
-    from pyspark.sql import functions as F
-    from tmapreduce_spark.streaming.events import EVENTS_SCHEMA
+    from tmapreduce_spark.streaming.events import events_stream_schema
 
+    schema, normalize = events_stream_schema(spark, SF_SMOKE)
     land = tmp_path / "landing"
     land.mkdir()
     out = str(tmp_path / "out")
@@ -203,9 +203,7 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
 
     def drain():
         q = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .parquet(str(land))
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            normalize(spark.readStream.schema(schema).parquet(str(land)))
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)

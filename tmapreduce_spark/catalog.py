@@ -29,12 +29,10 @@ class QuerySpec:
     category: str
 
 
-# Names with a driver CORRECTNESS row from rounds 1-2 (r01 ∪ r02 — 50 green
-# each round; enumeration is capped at ~50 rows/round).  Refreshed each round
-# so the driver's budget always lands on never-checked entries first.
-# ``approx_quantiles_sketch`` is deliberately EXCLUDED: its r02 row was a
-# canonicalizer crash on the old list-valued output (now exploded to scalar
-# rows) and it needs a clean re-run.
+# Names with a green driver CORRECTNESS row from rounds 1-3 (r01 ∪ r02 ∪ r03
+# — 50 rows each round; enumeration is capped at ~50 rows/round).  Refreshed
+# each round so the driver's budget always lands on never-checked entries
+# first.
 _DRIVER_COVERED: frozenset[str] = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json, all green) ---
@@ -73,15 +71,11 @@ _DRIVER_COVERED: frozenset[str] = frozenset(
         "text_bigram_topk", "text_inverted_index", "udf_mapinarrow",
         "udf_pandas_grouped_agg", "udf_pandas_scalar", "window_ignore_nulls",
         "window_rank_topn", "wordcount",
-    }
-)
-
-# The 44 catalog entries that have never had ANY driver row (catalog minus
-# r01 ∪ r02).  These enumerate FIRST so round 3's ~50-row budget lands on
-# exactly them; entries newer than this list (added in round 3+) queue after
-# ``approx_quantiles_sketch`` and fill the remaining budget.
-_NEVER_CHECKED: frozenset[str] = frozenset(
-    {
+        # --- round 3 (CORRECTNESS_r03.json: 49 green + the clean rows-only
+        # no_oracle row for approx_quantiles_sketch, its terminal state) ---
+        "approx_quantiles_sketch", "pipeline_corpus_e2e",
+        "text_repetition_stats", "graph_pagerank_neardup",
+        "ann_ivf_topk_probe2", "pipeline_pii_scrub",
         "window_range_frame", "set_except", "token_stats",
         "dedup_embedding_cosine", "ann_lsh_topk", "multimodal_meta_stats",
         "udf_udtf_tokens", "scalar_regex", "salted_token_counts",
@@ -100,6 +94,9 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "window_ntile",
     }
 )
+# After round 3 only three entries lack a driver row (round-3 additions that
+# missed the 50-row budget): text_tfidf_topk, pipeline_domain_filter,
+# sample_domain_mix — plus anything added this round.
 
 
 def _round_robin(by_cat: dict[str, list[str]]) -> list[str]:
@@ -113,23 +110,15 @@ def _round_robin(by_cat: dict[str, list[str]]) -> list[str]:
 
 def _driver_priority_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Reorder the catalog for driver enumeration (the driver verifies ~the
-    first 50 entries): (1) the 44 never-checked r01/r02-era entries,
-    round-robin across categories so family coverage survives any cap;
-    (2) ``approx_quantiles_sketch`` (needs a clean rows-only row after the
-    list-column fix); (3) entries new since round 2, round-robin; (4) the
-    already-proven entries in their original order."""
+    first 50 entries): entries without any driver CORRECTNESS row yet come
+    first, round-robin across categories so family coverage survives any cap;
+    the already-proven entries follow in their original order."""
     backlog_by_cat: dict[str, list[str]] = {}
-    new_by_cat: dict[str, list[str]] = {}
     for name, spec in catalog.items():
-        if name in _DRIVER_COVERED or name == "approx_quantiles_sketch":
-            continue
-        bucket = backlog_by_cat if name in _NEVER_CHECKED else new_by_cat
-        bucket.setdefault(spec.category, []).append(name)
+        if name not in _DRIVER_COVERED:
+            backlog_by_cat.setdefault(spec.category, []).append(name)
 
     ordered = _round_robin(backlog_by_cat)
-    if "approx_quantiles_sketch" in catalog:
-        ordered.append("approx_quantiles_sketch")
-    ordered.extend(_round_robin(new_by_cat))
     ordered.extend(n for n in catalog if n in _DRIVER_COVERED)
     return {name: catalog[name] for name in ordered}
 

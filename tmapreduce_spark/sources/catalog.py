@@ -39,15 +39,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as LONG nanos.
-        # Truncate (not round) to microseconds — matching how DuckDB presents
-        # the same column as its µs TIMESTAMP — so both engines see identical
-        # instants. Integer `div` avoids double-precision loss at ~1e18 ns.
+        # Normalize events.ts to TIMESTAMP (LTZ) whatever the parquet footer
+        # holds — generated testdata has shipped it two ways across rounds:
+        #   * TIMESTAMP(NANOS): with nanosAsLong it arrives as LONG nanos;
+        #     truncate (not round) to µs — matching how DuckDB presents the
+        #     column as its µs TIMESTAMP — so both engines see identical
+        #     instants. Integer `div` avoids double-precision loss at ~1e18ns.
+        #   * timestamp[us] without UTC adjustment: Spark 4 infers
+        #     TIMESTAMP_NTZ, which instant functions (unix_micros & co)
+        #     reject. Cast to TIMESTAMP — identical to the implicit
+        #     session-tz cast unix_timestamp(ntz) already performs, so
+        #     downstream semantics (and the DuckDB oracle parity) are
+        #     unchanged, but the full instant-function surface works.
         from pyspark.sql import functions as F  # local import to avoid cycle
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,19 +30,59 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# ts arrives as LONG nanos (spark.sql.legacy.parquet.nanosAsLong — the
-# testdata stores TIMESTAMP(NANOS)); stream_events converts to a µs timestamp
-# exactly like sources.catalog.load_table does for batch.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def events_stream_schema(spark: SparkSession, sf_dir: str):
+    """(schema, normalize) pair for streaming reads of the events parquet.
+
+    Streaming file sources need an explicit schema, and the generated
+    testdata has shipped events.ts two ways across rounds (TIMESTAMP(NANOS)
+    → LONG under nanosAsLong; timestamp[us] without UTC adjustment →
+    TIMESTAMP_NTZ).  A footer-only batch probe (no data scan — schema comes
+    from the parquet footer) tells us how THIS session decodes the column;
+    ``normalize`` then brings ts to a proper TIMESTAMP exactly like
+    ``sources.catalog.load_table`` does for batch, so every downstream plan
+    sees one canonical instant type in both modes."""
+    # A caller-provided session may lack the legacy long read for nanos
+    # footers (get_spark sets it, arbitrary sessions don't). Deliberately NOT
+    # restored: the lazy scan needs the flag at every micro-batch, not just
+    # at definition time (documented in read_stream).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    native = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
+    if native == "bigint":  # TIMESTAMP(NANOS) footer read as LONG nanos
+        ts_type = LongType()
+
+        def normalize(df: DataFrame) -> DataFrame:
+            # Truncate (not round) to µs, matching DuckDB's presentation of
+            # the same column; integer div avoids double loss at ~1e18 ns.
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    elif native == "timestamp_ntz":
+        from pyspark.sql.types import TimestampNTZType
+
+        ts_type = TimestampNTZType()
+
+        def normalize(df: DataFrame) -> DataFrame:
+            # Same implicit session-tz cast unix_timestamp(ntz) performs.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    else:
+        ts_type = TimestampType()
+
+        def normalize(df: DataFrame) -> DataFrame:
+            return df
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, normalize
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,17 +90,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoke deterministic; a production deployment points this at a
     landing directory or Kafka with the same downstream plan). The file
     source requires a directory, so point it at sf_dir with a glob filter."""
-    # The events footer is TIMESTAMP(NANOS); a caller-provided session may
-    # lack the legacy long read (get_spark sets it, arbitrary sessions don't).
-    # Deliberately NOT restored: the lazy scan needs the flag at every
-    # micro-batch, not just at definition time (documented in read_stream).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    schema, normalize = events_stream_schema(spark, sf_dir)
+    return normalize(
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
 
