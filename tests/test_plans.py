@@ -401,3 +401,38 @@ def test_domain_mix_sort_is_column_pruned(spark):
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     assert schemas, plan[:800]
     assert all("text" not in s for s in schemas), schemas
+
+
+def test_interval_join_is_bucketized_equi_join(spark):
+    """events_interval_join must join on (user_id, bucket) — never fall back
+    to a nested-loop/cartesian theta join on the range predicate. The exact
+    BETWEEN refine appears as a post-join Filter or join condition, but the
+    join KEYS must include the quantized bucket."""
+    from tmapreduce_spark.operators.advanced import events_interval_join
+
+    df = events_interval_join(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # quantized key participates in the equi-join
+
+
+def test_bloom_prefilter_runs_before_join(spark):
+    """join_bloom_prefilter's fact side must carry the bitmap predicate
+    (xxhash64 positions + element_at bit test) BELOW the join — pruning at
+    the scan, before any exchange — and the final join keeps the result
+    exact despite bloom false positives."""
+    from tmapreduce_spark.functions.scale import join_bloom_prefilter
+
+    df = join_bloom_prefilter(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    join_pos = min(
+        (plan.find(tag) for tag in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(tag) >= 0),
+        default=-1,
+    )
+    probe_pos = plan.find("element_at")
+    assert join_pos >= 0 and probe_pos >= 0
+    # physical plans print top-down: the probe filter must appear AFTER the
+    # join operator line, i.e. deeper in the tree (below the exchange)
+    assert probe_pos > join_pos

@@ -542,8 +542,104 @@ GROUP BY c_custkey, c_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter prefiltered join: prune fact rows BEFORE the shuffle
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 LONG words ≈ 8 KB bitmap
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3  # hash functions; n≈2k urgent-F keys → FP ≈ (1-e^{-kn/m})^k < 0.1%
+
+
+def _bloom_positions(key, i: int):
+    """Bit position i for a key: xxhash64 over (key, i) — k independent
+    hashes from one JVM hash family, nonneg via pmod."""
+    return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join with an explicit Bloom-filter prefilter on the fact side
+    — the runtime-filter pattern (Spark's InjectRuntimeFilter, Trino's
+    dynamic filtering) made explicit and portable.
+
+    Build: the filtered dim keys (urgent finished orders) hash into a
+    FIXED-SIZE 8 KB bitmap — explode k=3 bit positions per key, partial
+    map-side bit_or per 64-bit word, ≤1024-row collect. The bitmap size is
+    independent of data scale: at 100 TB the build is one tiny aggregation
+    and the bitmap ships with the plan like any literal (pennies vs the
+    shuffle it saves).
+
+    Probe: a pure-JVM whole-stage-codegen predicate (element_at + bit mask,
+    no join, no Python) drops non-matching lineitem rows AT THE SCAN, before
+    the join exchange — the fact shuffle then carries only ~matching rows.
+    Bloom false positives (<0.1% here) pass the prefilter but are removed by
+    the exact join that follows, so the result is EXACT — the oracle is the
+    plain join, no bloom semantics to mirror.
+
+    Reference has no runtime-filter analog (its shuffle always materializes
+    every map emission, ``/root/reference/src/worker/worker.cc``); SURVEY
+    §2B joins at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+
+    word_rows = (
+        dim.select(
+            F.explode(
+                F.array(
+                    *[_bloom_positions(F.col("o_orderkey"), i) for i in range(_BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        # variable-distance shifts only exist in SQL form (the classic
+        # F.shiftleft wants a Python int for numBits)
+        .selectExpr(
+            "pos div 64 AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+        .collect()  # model-side: ≤1024 rows regardless of data scale
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in word_rows:
+        bitmap[r["w"]] = r["m"]
+    bmp = F.lit(bitmap)
+
+    probed = li.withColumns(
+        {f"_p{i}": _bloom_positions(F.col("l_orderkey"), i) for i in range(_BLOOM_K)}
+    )
+    check = None
+    for i in range(_BLOOM_K):
+        word = F.element_at(bmp, F.shiftright(f"_p{i}", 6).cast("int") + F.lit(1))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+        c = word.bitwiseAND(mask) != 0
+        check = c if check is None else (check & c)
+    pre = probed.filter(check).drop(*[f"_p{i}" for i in range(_BLOOM_K)])
+    return (
+        pre.join(dim, pre.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(msum2("l_extendedprice * (1 - l_discount)", SPARK)).alias("revenue"),
+        )
+    )
+
+
+JOIN_BLOOM_SQL = f"""
+SELECT l_returnflag, count(*) AS n_items,
+       {msum2("l_extendedprice * (1 - l_discount)", DUCK)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SQL, "join"),
+    "join_bloom_prefilter": QuerySpec(join_bloom_prefilter, JOIN_BLOOM_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
     # the multi-probe recall knob as a first-class oracle-checked entry:

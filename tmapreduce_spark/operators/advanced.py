@@ -505,11 +505,92 @@ def join_fuzzy_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Interval (time-range) join: clicks falling inside per-user error windows
+# ---------------------------------------------------------------------------
+
+_IV_LEN_US = 1_800_000_000  # 30-minute intervals, µs
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join — each error event opens a 30-minute window
+    [ts, ts+30min] for its user; count the user's click events (and their
+    value sum) falling inside each window.
+
+    Naive formulation is an equi-join on user_id with the range predicate
+    applied AFTER the join — per-user fan-out is views×clicks, quadratic on
+    hot users. The scalable formulation (Flink/KDB interval-join style, no
+    native Spark operator): quantize time into buckets exactly as wide as the
+    interval, so every interval overlaps ≤2 buckets (sequence+explode) and
+    every probe lands in exactly 1 — then equi-join on (user_id, bucket) and
+    refine with the exact BETWEEN. Join-key cardinality becomes
+    users × active-buckets: bounded fan-out, co-partitioned shuffle, no
+    hot-user blowup. A probe matches an interval's row only in the probe's
+    own bucket, so no post-join dedup is needed.
+
+    Reference has no interval/time-range operator (fixed map/shuffle/reduce
+    pipeline, ``/root/reference/src/tmapreduce/mrf.h:9-11``); required by
+    SURVEY §2B joins."""
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            F.unix_micros("ts").alias("start_us"),
+        )
+        .withColumn("end_us", F.col("start_us") + F.lit(_IV_LEN_US))
+    )
+    iv_b = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {_IV_LEN_US}"),
+                F.expr(f"end_us div {_IV_LEN_US}"),
+            )
+        ),
+    )
+    probes = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .withColumn("bucket", F.expr(f"ts_us div {_IV_LEN_US}"))
+    )
+    return (
+        iv_b.join(probes, ["user_id", "bucket"])
+        .filter(F.col("ts_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("user_id", "iv_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.expr(msum2("value", SPARK)).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_INTERVAL_JOIN_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS iv_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_IV_LEN_US} AS end_us
+  FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click')
+SELECT iv.user_id, iv.iv_id,
+       count(*) AS n_clicks,
+       {msum2("value", DUCK)} AS sum_value
+FROM iv JOIN p ON p.user_id = iv.user_id
+              AND p.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY iv.user_id, iv.iv_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
     "join_fuzzy_symdel": QuerySpec(join_fuzzy_symdel, JOIN_FUZZY_SQL, "join"),
     "join_lateral_topn": QuerySpec(join_lateral_topn, JOIN_LATERAL_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
+    "events_interval_join": QuerySpec(
+        events_interval_join, EVENTS_INTERVAL_JOIN_SQL, "join"
+    ),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),
     "subquery_above_avg": QuerySpec(subquery_above_avg, SUBQUERY_ABOVE_AVG_SQL, "subquery"),
