@@ -152,3 +152,24 @@ def test_ann_recall_knobs_monotone_and_floored(spark):
     # from k-means-trained codebooks, which the plumbing is agnostic to.
     assert r_pq >= 0.15, r_pq
     print("recall@10:", {"lsh": r_lsh, "ivf": r_ivf, "pq": r_pq})
+
+
+def test_shard_output_is_balanced_and_deterministic(spark):
+    """pipeline_shard_output: every shard populated, hash balance within the
+    bound a loader can schedule around (md5 uniformity: max/min < 3x at 500
+    docs / 64 shards; the ratio tightens as corpus/shard grows), and the
+    assignment is replayable — two runs produce identical membership."""
+    from tmapreduce_spark.functions.text import N_SHARDS, pipeline_shard_output
+
+    rows = {r["shard"]: r for r in pipeline_shard_output(spark, SF_CORRECT).collect()}
+    assert len(rows) == N_SHARDS
+    counts = [r["n_docs"] for r in rows.values()]
+    # 500 docs / 64 shards is deep in Poisson territory (mean ~7.8) — bound
+    # each tail against the mean, not min/max against each other
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 2.5 * mean, sorted(counts)
+    assert min(counts) > 0.2 * mean, sorted(counts)
+    again = {r["shard"]: r for r in pipeline_shard_output(spark, SF_CORRECT).collect()}
+    assert {k: v["min_doc"] for k, v in rows.items()} == {
+        k: v["min_doc"] for k, v in again.items()
+    }

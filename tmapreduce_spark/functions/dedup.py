@@ -883,8 +883,114 @@ SELECT doc_id, r AS pagerank_fp FROM pr WHERE iter = {PR_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (the web-corpus "same page, many URLs" problem)
+# ---------------------------------------------------------------------------
+
+def _messy_url(dialect: str) -> str:
+    """Deterministic messy URL per document: case-varied host, default port,
+    trailing slash, utm_*/fbclid tracking params, fragments — the variant
+    noise a crawler actually emits. path uses doc_id % 100 so distinct docs
+    genuinely collide after canonicalization (the dedup has work to do).
+    Same SQL text for both engines except the string cast type."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "'https://' || "
+        "CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM' "
+        "     ELSE source || '.example.com' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+        f"'/docs/' || CAST(doc_id % 100 AS {t}) || "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+        "'?lang=' || lang || "
+        "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END || "
+        f"CASE WHEN doc_id % 7 = 0 THEN '&fbclid=' || CAST(doc_id AS {t}) ELSE '' END || "
+        f"CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS {t}) ELSE '' END"
+    )
+
+
+# Component regexes avoid backslashes entirely ('[?]' not '\\?') so the same
+# literal parses identically under Spark's escaped strings and DuckDB's raw
+# strings. Fragment never reaches any group ([^#] everywhere).
+_URL_SCHEME = "lower(regexp_extract(url, '^([a-zA-Z]+)://', 1))"
+_URL_HOST = (
+    "lower(regexp_replace(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1), ':443$', ''))"
+)
+_URL_PATH = "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)"
+_URL_QUERY = "regexp_extract(url, '[?]([^#]*)', 1)"
+
+
+def _canon_query(dialect: str) -> str:
+    """Drop tracking params, keep the rest in order (works on column ``q``)."""
+    if dialect == "spark":
+        return (
+            "array_join(filter(split(q, '&'), "
+            "x -> NOT (x LIKE 'utm%' OR x LIKE 'fbclid%')), '&')"
+        )
+    return (
+        "array_to_string(list_filter(string_split(q, '&'), "
+        "x -> NOT (x LIKE 'utm%' OR x LIKE 'fbclid%')), '&')"
+    )
+
+
+_CANON_URL = (
+    "sch || '://' || host || "
+    "CASE WHEN TRIM(TRAILING '/' FROM path) = '' THEN '/' "
+    "     ELSE TRIM(TRAILING '/' FROM path) END || "
+    "CASE WHEN cq <> '' THEN '?' || cq ELSE '' END"
+)
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: lowercase scheme/host, strip the :443
+    default port, trailing path slash, tracking params (utm_*, fbclid) and
+    fragments, then keep the lowest doc_id per canonical URL.
+
+    Whole-stage-codegen expression chain (regexp_extract + a filter() HOF)
+    feeding one hash aggregation on the canonical string — per-row work then
+    a single shuffle on the canonical key, the same shape (and scale story)
+    as dedup_exact_keep_first. The reference's pipeline has no URL notion at
+    all (keys are opaque strings, ``/root/reference/src/tmapreduce/
+    mrf.h:9-11``); this is the training-corpus "same page crawled five
+    ways" dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", f"{_messy_url('spark')} AS url")
+        .selectExpr(
+            "doc_id",
+            f"{_URL_SCHEME} AS sch",
+            f"{_URL_HOST} AS host",
+            f"{_URL_PATH} AS path",
+            f"{_URL_QUERY} AS q",
+        )
+        .selectExpr("doc_id", "sch", "host", "path", f"{_canon_query('spark')} AS cq")
+        .selectExpr("doc_id", f"{_CANON_URL} AS canonical_url")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )
+
+
+DEDUP_URL_CANONICAL_SQL = f"""
+WITH u AS (SELECT doc_id, {_messy_url('duck')} AS url FROM documents),
+p AS (SELECT doc_id, {_URL_SCHEME} AS sch, {_URL_HOST} AS host,
+             {_URL_PATH} AS path, {_URL_QUERY} AS q
+      FROM u),
+c AS (SELECT doc_id, sch, host, path, {_canon_query('duck')} AS cq FROM p)
+SELECT {_CANON_URL} AS canonical_url,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_variants
+FROM c
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
+    "dedup_url_canonical": QuerySpec(
+        dedup_url_canonical, DEDUP_URL_CANONICAL_SQL, "dedup"
+    ),
     "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL, "dedup"),
     "dedup_cc_twophase": QuerySpec(dedup_cc_twophase, DEDUP_CLUSTER_SQL, "dedup"),
     "dedup_span_exact": QuerySpec(dedup_span_exact, DEDUP_SPAN_SQL, "dedup"),

@@ -1232,7 +1232,107 @@ FROM binned GROUP BY source, bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic output sharding (the training-data-loader contract)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+
+
+def pipeline_shard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced output sharding: every doc hashes to one of
+    N_SHARDS shards (md5-derived, engine-portable — NOT rand(), NOT
+    monotonically_increasing_id, both of which break replay), summarized
+    per shard to prove the balance a data loader depends on.
+
+    At 100 TB this column IS the repartition/write key:
+    ``df.repartition(N, "shard").write.partitionBy("shard")`` gives shards
+    that are stable across reruns, engines, and input partitionings —
+    re-materializing a shard after a lost file re-creates byte-identical
+    membership. The per-shard counts here are what the balance test pins
+    (hash uniformity keeps max/min well under 2x at realistic shard
+    counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {N_SHARDS})"
+    )
+    return (
+        d.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+PIPELINE_SHARD_SQL = f"""
+SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the corpus summary every released dataset ships with
+# ---------------------------------------------------------------------------
+
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset card: per-language AND whole-corpus rows from a
+    single ROLLUP aggregation — docs, whitespace tokens, chars, distinct
+    texts (the exact-dup signal). ROLLUP computes both granularities in one
+    shuffle instead of a per-lang pass plus a global pass; count(DISTINCT
+    text) rides the same aggregation (Spark expands it to a two-phase
+    distinct-aggregate plan automatically). The TOTAL row's distinct count
+    is NOT the sum of per-lang rows — the same text recurring across
+    languages collapses — which is exactly the cross-lingual-dup signal a
+    corpus release documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "lang",
+        "text",
+        "n_chars",
+        r"size(split(trim(text), '\\s+')) AS n_toks",
+    )
+    return (
+        toks.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("TOTAL")).alias("lang_scope"),
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            "n_distinct_texts",
+        )
+    )
+
+
+PIPELINE_DATASET_CARD_SQL = r"""
+SELECT coalesce(lang, 'TOTAL') AS lang_scope,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT text) AS n_distinct_texts
+FROM documents
+GROUP BY ROLLUP(lang)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_shard_output": QuerySpec(pipeline_shard_output, PIPELINE_SHARD_SQL, "pipeline"),
+    "pipeline_dataset_card": QuerySpec(pipeline_dataset_card, PIPELINE_DATASET_CARD_SQL, "pipeline"),
     "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
     "pipeline_corpus_e2e": QuerySpec(pipeline_corpus_e2e, PIPELINE_E2E_SQL, "pipeline"),
     "text_repetition_stats": QuerySpec(text_repetition_stats, TEXT_REPETITION_SQL, "text"),
