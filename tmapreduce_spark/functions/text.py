@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.functions.dedup import DEDUP_SPAN_SQL
-from tmapreduce_spark.parity import mround_col
+from tmapreduce_spark.parity import mavg, mround_col
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -1330,7 +1330,62 @@ GROUP BY ROLLUP(lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-LM quality score (perplexity-proxy, transcendental-free)
+# ---------------------------------------------------------------------------
+
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-LM quality signal per document: mean token RARITY,
+    where rarity(t) = corpus_tokens / count(t) — the exact-rational cousin
+    of mean negative log-likelihood. The classic log form is a per-token
+    monotone transform of this ratio; it is omitted for the same reason
+    ``text_tfidf_topk`` omits it (ln() last-ulp differs between engines —
+    PARITY notes), and the filtering use (flag documents made of too-common
+    or too-rare tokens) thresholds either form equally.
+
+    Plan: one shuffle builds the unigram table (partial-aggregated), the
+    corpus total rides a broadcast 1-row aggregate, the model joins back to
+    the token stream as a broadcast hash join (vocab ≪ corpus; at web-scale
+    vocab, drop the broadcast hint and let AQE pick the shuffle join), and
+    the per-doc mean uses integer-micro summation (``mavg``) so reduction
+    order can't move the result."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    unigram = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    model = unigram.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("n_total").cast("double") / F.col("cnt")).alias("rarity")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.expr(mavg("rarity", 6)).alias("mean_rarity"),
+        )
+    )
+
+
+TEXT_NGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+unigram AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+n AS (SELECT count(*) AS n_total FROM t),
+scored AS (
+  SELECT doc_id, CAST((SELECT n_total FROM n) AS DOUBLE) / cnt AS rarity
+  FROM t JOIN unigram USING (tok))
+SELECT doc_id, count(*) AS n_toks, {mavg("rarity", 6)} AS mean_rarity
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_ngram_lm_score": QuerySpec(text_ngram_lm_score, TEXT_NGRAM_LM_SQL, "text"),
     "pipeline_shard_output": QuerySpec(pipeline_shard_output, PIPELINE_SHARD_SQL, "pipeline"),
     "pipeline_dataset_card": QuerySpec(pipeline_dataset_card, PIPELINE_DATASET_CARD_SQL, "pipeline"),
     "text_inverted_index": QuerySpec(text_inverted_index, TEXT_INVERTED_SQL, "text"),
