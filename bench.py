@@ -86,6 +86,14 @@ HEADLINE = [
     "pipeline_domain_filter",
     "text_tfidf_topk",
     "sample_domain_mix",
+    # round 4 additions
+    "events_interval_join",
+    "join_bloom_prefilter",
+    "dedup_url_canonical",
+    "pipeline_shard_output",
+    "pipeline_dataset_card",
+    "text_ngram_lm_score",
+    "events_anomaly_mad",
 ]
 
 

@@ -986,8 +986,55 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus materialization: the deduplicated dataset you actually ship
+# ---------------------------------------------------------------------------
+
+def dedup_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dup family: the surviving corpus itself.
+    Non-canonical members of every MinHash/CC cluster are dropped; canonical
+    keepers and never-clustered docs pass through with their metadata.
+
+    Composition, one lazy lineage: minhash pairs → connected components
+    (:func:`dedup_cluster_resolve`) → loser list → LEFT ANTI join against
+    the corpus scan. The loser side is bounded by the number of clustered
+    docs (≪ corpus — near-dup clusters are sparse), so Catalyst broadcasts
+    it and the materialization costs one corpus scan beyond the pair
+    pipeline. This is the operator a pipeline schedules nightly; the
+    cluster/keeper tables the other entries expose are its diagnostics."""
+    losers = (
+        dedup_cluster_resolve(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_CORPUS_MATERIALIZE_SQL = (
+    DEDUP_CLUSTER_SQL.replace(
+        """SELECT comp.doc_id, comp.cluster_id,
+       comp.doc_id = comp.cluster_id AS is_canonical,
+       sized.cluster_size
+FROM comp JOIN sized USING (cluster_id)
+""",
+        """SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+""",
+    )
+)
+# a silent no-op replace would ship the WRONG oracle (cluster rows)
+assert DEDUP_CORPUS_MATERIALIZE_SQL != DEDUP_CLUSTER_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
+    "dedup_corpus_materialize": QuerySpec(
+        dedup_corpus_materialize, DEDUP_CORPUS_MATERIALIZE_SQL, "dedup"
+    ),
     "dedup_url_canonical": QuerySpec(
         dedup_url_canonical, DEDUP_URL_CANONICAL_SQL, "dedup"
     ),

@@ -1030,6 +1030,67 @@ GROUP BY o_orderstatus
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: median / median-absolute-deviation
+    with the 3×MAD rule over click values. percentile_disc keeps every
+    statistic an ACTUAL data value (no interpolation), and |x−med| / 3·mad
+    are single IEEE ops — the whole chain is cross-engine exact, unlike a
+    stddev z-score whose sum-of-squares is reduction-order-dependent.
+
+    Plan: two keyed exact medians (sort-based aggregation per user_id — one
+    shuffle each over the filtered scan) and a broadcast join of the
+    150-user stats table back onto the stream. At a cardinality where the
+    per-key median itself is the bottleneck, approx_percentile is the
+    sketch-path swap-in; the rule logic is unchanged."""
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).createOrReplaceTempView("_mad_clicks")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT user_id,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM _mad_clicks GROUP BY user_id),
+        dev AS (
+          SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+          FROM _mad_clicks e JOIN med m ON e.user_id = m.user_id),
+        mad AS (
+          SELECT user_id,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+          FROM dev GROUP BY user_id)
+        SELECT d.user_id,
+               count(*) AS n_events,
+               floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
+               floor(max(mad.mad) * 1000000 + 0.5) / 1000000 AS mad,
+               count(CASE WHEN d.adev > 3 * mad.mad THEN 1 END) AS n_outliers
+        FROM dev d JOIN mad ON d.user_id = mad.user_id
+        GROUP BY d.user_id
+        """
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH clicks AS (
+  SELECT user_id, value FROM events WHERE event_type = 'click'),
+med AS (
+  SELECT user_id, quantile_disc(value, 0.5) AS med
+  FROM clicks GROUP BY user_id),
+dev AS (
+  SELECT c.user_id, c.value, m.med, abs(c.value - m.med) AS adev
+  FROM clicks c JOIN med m ON c.user_id = m.user_id),
+mad AS (
+  SELECT user_id, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY user_id)
+SELECT d.user_id,
+       count(*) AS n_events,
+       floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
+       floor(max(mad.mad) * 1000000 + 0.5) / 1000000 AS mad,
+       count(CASE WHEN d.adev > 3 * mad.mad THEN 1 END) AS n_outliers
+FROM dev d JOIN mad ON d.user_id = mad.user_id
+GROUP BY d.user_id
+"""
+
+
 def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Bernoulli sampling: keep each doc with probability equal to
     its length-based weight — deterministic (hash-uniform, not rand()) and
@@ -1498,6 +1559,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_regex": QuerySpec(scalar_regex, SCALAR_REGEX_SQL, "scalar"),
     "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "join"),
     "agg_percentile_disc": QuerySpec(agg_percentile_disc, AGG_PERCENTILE_DISC_SQL, "aggregation"),
+    "events_anomaly_mad": QuerySpec(events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL, "aggregation"),
     "sample_weighted_bernoulli": QuerySpec(sample_weighted_bernoulli, SAMPLE_WEIGHTED_SQL, "pipeline"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+topk"),
