@@ -110,13 +110,22 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     spark.sparkContext.parallelize(range(64), 32).map(lambda x: x).count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = catalog[name]
-        t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+    def run_pass(tag: str) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = catalog[name]
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {tag} {name}: {times[name]:.3f}s", file=sys.stderr)
+        return times
+
+    # Pass 1 (cold JVM/codegen) keeps the metric comparable with earlier
+    # rounds; pass 2 re-times the identical plans warm — JIT settled and
+    # less exposed to transient host-load spikes (observed 1.5-3x swings on
+    # this shared machine for identical code).
+    times = run_pass("cold")
+    times_warm = run_pass("warm")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -124,6 +133,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "value_warm": round(sum(times_warm.values()), 3),
+        "queries_warm": times_warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
