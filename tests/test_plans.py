@@ -436,3 +436,28 @@ def test_bloom_prefilter_runs_before_join(spark):
     # physical plans print top-down: the probe filter must appear AFTER the
     # join operator line, i.e. deeper in the tree (below the exchange)
     assert probe_pos > join_pos
+
+
+def test_lm_score_model_join_broadcasts(spark):
+    """text_ngram_lm_score joins the vocab-sized model back onto the token
+    stream — must be a broadcast hash join (the token stream never
+    re-shuffles on tok for the join)."""
+    from tmapreduce_spark.functions.text import text_ngram_lm_score
+
+    df = text_ngram_lm_score(spark, SF_SMOKE)
+    assert_plan_contains(df, "BroadcastHashJoin")
+
+
+def test_corpus_materialize_losers_broadcast_anti_join(spark):
+    """dedup_corpus_materialize drops cluster losers with a LEFT ANTI join
+    whose small side AQE converts to broadcast AT RUNTIME (the loser list
+    flows out of a checkpointed RDD, so the static plan has no stats and
+    conservatively picks SMJ — the runtime re-plan is the design). Assert on
+    the final adaptive plan after execution."""
+    from tmapreduce_spark.functions.dedup import dedup_corpus_materialize
+
+    df = dedup_corpus_materialize(spark, SF_SMOKE)
+    df.collect()  # a noop write would wrap df in a NEW query execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final[:2000]

@@ -998,10 +998,14 @@ def dedup_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition, one lazy lineage: minhash pairs → connected components
     (:func:`dedup_cluster_resolve`) → loser list → LEFT ANTI join against
     the corpus scan. The loser side is bounded by the number of clustered
-    docs (≪ corpus — near-dup clusters are sparse), so Catalyst broadcasts
-    it and the materialization costs one corpus scan beyond the pair
-    pipeline. This is the operator a pipeline schedules nightly; the
-    cluster/keeper tables the other entries expose are its diagnostics."""
+    docs; it flows out of a checkpointed RDD (no stats), so the static plan
+    is a conservative SMJ and AQE converts to broadcast at runtime when the
+    observed size is small (plan-asserted post-execution). No broadcast HINT
+    on purpose: on a heavily-duplicated web corpus the loser list can be a
+    large fraction of the corpus, and the hint would then OOM the executors
+    where AQE degrades gracefully to the shuffle join. This is the operator
+    a pipeline schedules nightly; the cluster/keeper tables the other
+    entries expose are its diagnostics."""
     losers = (
         dedup_cluster_resolve(spark, sf_dir)
         .filter(~F.col("is_canonical"))
