@@ -94,6 +94,7 @@ HEADLINE = [
     "pipeline_dataset_card",
     "text_ngram_lm_score",
     "events_anomaly_mad",
+    "dedup_corpus_materialize",
 ]
 
 
