@@ -173,3 +173,33 @@ def test_shard_output_is_balanced_and_deterministic(spark):
     assert {k: v["min_doc"] for k, v in rows.items()} == {
         k: v["min_doc"] for k, v in again.items()
     }
+
+
+def test_hll_partition_merge_accuracy_and_consistency(spark):
+    """sketch_hll_partition_merge: merged daily sketches estimate true
+    per-type distinct users within HLL(lgK=12) error (~1.6% rsd; allow 5%),
+    and merging is CONSISTENT — the union of daily sketches estimates the
+    same count as one direct sketch over the unpartitioned data."""
+    from pyspark.sql import functions as F
+    from tmapreduce_spark.functions.scale import sketch_hll_partition_merge
+    from tmapreduce_spark.sources.catalog import load_table
+
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_hll_partition_merge(spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    direct = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("d"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for t, est in merged.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+        assert est == direct[t], (t, est, direct[t])  # lossless merge

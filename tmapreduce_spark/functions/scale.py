@@ -212,6 +212,38 @@ IVF_K = 8  # centroids; "training" stand-in: the first K vectors ARE the
            # k-means and broadcasts the learned centroids the same way)
 
 
+def sketch_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the property that makes 100 TB distinct
+    cubes feasible: per-(event_type, day) DataSketches HLL sketches of
+    user_id built in one pass, then merged UPWARD with hll_union_agg to
+    per-type totals without ever revisiting raw rows. Materialize the daily
+    sketch table once and any coarser grain (weekly, all-time, cross-type)
+    is a cheap union of kilobyte sketches; an exact countDistinct re-shuffles
+    every distinct user for every new grain.
+
+    NO oracle (estimates are engine/sketch-specific by construction, like
+    ``approx_distinct_sketch``) — rows-only driver check; the accuracy and
+    the merge-consistency property (union of daily sketches ≈ one direct
+    sketch) are asserted in ``tests/test_scale_ops.py``."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_hll_events")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 hll_sketch_agg(user_id, 12) AS sk,
+                 count(*) AS n_events
+          FROM _hll_events
+          GROUP BY event_type, CAST(ts AS DATE))
+        SELECT event_type,
+               count(*) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               hll_sketch_estimate(hll_union_agg(sk, false)) AS approx_users
+        FROM daily
+        GROUP BY event_type
+        """
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of IVF_K centroids
     by quantized-exact cosine (int64 dots, ties to the lowest centroid id),
@@ -652,5 +684,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_pq_topk": QuerySpec(ann_pq_topk, _pq_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
     "approx_distinct_sketch": QuerySpec(approx_distinct_sketch, None, "sketch"),
+    "sketch_hll_partition_merge": QuerySpec(sketch_hll_partition_merge, None, "sketch"),
     "approx_quantiles_sketch": QuerySpec(approx_quantiles_sketch, None, "sketch"),
 }
