@@ -405,37 +405,43 @@ def test_domain_mix_sort_is_column_pruned(spark):
 
 def test_interval_join_is_bucketized_equi_join(spark):
     """events_interval_join must join on (user_id, bucket) — never fall back
-    to a nested-loop/cartesian theta join on the range predicate. The exact
-    BETWEEN refine appears as a post-join Filter or join condition, but the
-    join KEYS must include the quantized bucket."""
+    to a nested-loop/cartesian theta join on the range predicate. Asserted
+    on the JOIN OPERATOR LINE of the simple-mode plan (expressions print
+    inline there; formatted mode splits them into a details section where
+    substring checks prove nothing)."""
     from tmapreduce_spark.operators.advanced import events_interval_join
 
     df = events_interval_join(spark, SF_SMOKE)
-    plan = physical_plan(df)
+    plan = physical_plan(df, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "bucket" in plan  # quantized key participates in the equi-join
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln and "Exchange" not in ln) and "user_id" in ln
+    ]
+    assert join_lines, plan
+    # the quantized bucket must be IN the join keys, not merely computed
+    assert any("bucket" in ln for ln in join_lines), join_lines
 
 
 def test_bloom_prefilter_runs_before_join(spark):
     """join_bloom_prefilter's fact side must carry the bitmap predicate
-    (xxhash64 positions + element_at bit test) BELOW the join — pruning at
-    the scan, before any exchange — and the final join keeps the result
-    exact despite bloom false positives."""
+    (element_at bit test) BELOW the join — pruning at the scan, before any
+    exchange. Simple-mode plan: operators print top-down with their
+    expressions inline, so a Filter line appearing after the join line IS
+    inside the join's subtree; a hoisted (post-join) filter would print
+    above it."""
     from tmapreduce_spark.functions.scale import join_bloom_prefilter
 
     df = join_bloom_prefilter(spark, SF_SMOKE)
-    plan = physical_plan(df)
-    join_pos = min(
-        (plan.find(tag) for tag in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
-         if plan.find(tag) >= 0),
-        default=-1,
-    )
-    probe_pos = plan.find("element_at")
-    assert join_pos >= 0 and probe_pos >= 0
-    # physical plans print top-down: the probe filter must appear AFTER the
-    # join operator line, i.e. deeper in the tree (below the exchange)
-    assert probe_pos > join_pos
+    lines = physical_plan(df, mode="simple").splitlines()
+    join_idx = [
+        i for i, ln in enumerate(lines)
+        if any(t in ln for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    ]
+    probe_idx = [i for i, ln in enumerate(lines) if "Filter" in ln and "element_at" in ln]
+    assert join_idx and probe_idx, "\n".join(lines)
+    assert probe_idx[0] > join_idx[0], "\n".join(lines)
 
 
 def test_lm_score_model_join_broadcasts(spark):

@@ -1354,7 +1354,9 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     unigram = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # corpus total from the vocab-sized aggregate — NOT a second scan+explode
+    # of documents (at 100 TB that would be an entire redundant corpus pass)
+    total = unigram.agg(F.sum("cnt").alias("n_total"))
     model = unigram.crossJoin(F.broadcast(total)).select(
         "tok", (F.col("n_total").cast("double") / F.col("cnt")).alias("rarity")
     )

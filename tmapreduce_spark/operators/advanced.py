@@ -518,7 +518,7 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     value sum) falling inside each window.
 
     Naive formulation is an equi-join on user_id with the range predicate
-    applied AFTER the join — per-user fan-out is views×clicks, quadratic on
+    applied AFTER the join — per-user fan-out is errors×clicks, quadratic on
     hot users. The scalable formulation (Flink/KDB interval-join style, no
     native Spark operator): quantize time into buckets exactly as wide as the
     interval, so every interval overlaps ≤2 buckets (sequence+explode) and

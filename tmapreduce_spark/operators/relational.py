@@ -1046,7 +1046,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click"
     ).createOrReplaceTempView("_mad_clicks")
     return spark.sql(
-        """
+        f"""
         WITH med AS (
           SELECT user_id,
                  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
@@ -1060,8 +1060,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM dev GROUP BY user_id)
         SELECT d.user_id,
                count(*) AS n_events,
-               floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
-               floor(max(mad.mad) * 1000000 + 0.5) / 1000000 AS mad,
+               {mround("max(d.med)", 6)} AS med,
+               {mround("max(mad.mad)", 6)} AS mad,
                count(CASE WHEN d.adev > 3 * mad.mad THEN 1 END) AS n_outliers
         FROM dev d JOIN mad ON d.user_id = mad.user_id
         GROUP BY d.user_id
@@ -1069,7 +1069,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ANOMALY_MAD_SQL = """
+EVENTS_ANOMALY_MAD_SQL = f"""
 WITH clicks AS (
   SELECT user_id, value FROM events WHERE event_type = 'click'),
 med AS (
@@ -1083,8 +1083,8 @@ mad AS (
   FROM dev GROUP BY user_id)
 SELECT d.user_id,
        count(*) AS n_events,
-       floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
-       floor(max(mad.mad) * 1000000 + 0.5) / 1000000 AS mad,
+       {mround("max(d.med)", 6)} AS med,
+       {mround("max(mad.mad)", 6)} AS mad,
        count(CASE WHEN d.adev > 3 * mad.mad THEN 1 END) AS n_outliers
 FROM dev d JOIN mad ON d.user_id = mad.user_id
 GROUP BY d.user_id
