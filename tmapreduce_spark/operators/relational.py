@@ -887,6 +887,98 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization IN SPARK (15-min inactivity gap):
+    lag() marks session openers, a running sum over the same (user, ts,
+    event_id) order numbers the islands, one aggregation emits full session
+    stats (start/end/duration/count/value) — richer output than
+    ``events_sessions``' session_window form, and the pattern generalizes to
+    session predicates session_window can't express (attribute changes,
+    per-user dynamic gaps). Same split rule as session_window (new session
+    only when the gap EXCEEDS 15 min), micro-exact arithmetic.
+
+    Scale: both windows and the final groupBy share one hashpartitioning on
+    user_id — a single shuffle, then per-partition sorts. Island ids are
+    per-user dense integers, deterministic under the (ts, event_id) total
+    order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 900_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+        F.count("*").alias("n_events"),
+        F.expr(msum2("value", SPARK)).alias("session_value"),
+    )
+
+
+EVENTS_SESSIONIZE_ISLANDS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) AS end_us,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+       count(*) AS n_events,
+       {msum2("value", DUCK)} AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe scalar family: try_cast (malformed → NULL),
+    try_divide (÷0 → NULL), try_element_at (out-of-bounds → NULL) — the
+    functions that keep a 100 TB job from dying on the one malformed row in
+    shard 997. The oracle mirrors the NULL contracts with explicit CASE /
+    TRY_CAST (DuckDB's raw ÷0 semantics differ, so the contract itself is
+    spelled out)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        # parses only when the string is numeric (every 3rd doc)
+        "try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS STRING) ELSE lang END AS INT) AS maybe_int",
+        "try_divide(n_chars, doc_id % 5) AS chars_per_bucket",
+        r"try_element_at(split(trim(text), '\\s+'), 3) AS third_tok",
+        r"try_element_at(split(trim(text), '\\s+'), 1000) AS tok_1000",
+    )
+
+
+SCALAR_TRY_SQL = r"""
+SELECT doc_id,
+       TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) ELSE lang END AS INT) AS maybe_int,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS chars_per_bucket,
+       string_split_regex(trim(text), '\s+')[3] AS third_tok,
+       string_split_regex(trim(text), '\s+')[1000] AS tok_1000
+FROM documents
+"""
+
+
 EVENTS_SESSIONS_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -1557,6 +1649,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_time_rollup": QuerySpec(events_time_rollup, EVENTS_TIME_ROLLUP_SQL, "time-window"),
     "scalar_posexplode": QuerySpec(scalar_posexplode, SCALAR_POSEXPLODE_SQL, "scalar"),
     "scalar_regex": QuerySpec(scalar_regex, SCALAR_REGEX_SQL, "scalar"),
+    "scalar_try_functions": QuerySpec(scalar_try_functions, SCALAR_TRY_SQL, "scalar"),
     "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "join"),
     "agg_percentile_disc": QuerySpec(agg_percentile_disc, AGG_PERCENTILE_DISC_SQL, "aggregation"),
     "events_anomaly_mad": QuerySpec(events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL, "aggregation"),
@@ -1590,4 +1683,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_null_semantics": QuerySpec(scalar_null_semantics, SCALAR_NULL_SQL, "scalar"),
     "events_sliding_10x5": QuerySpec(events_sliding_10x5, EVENTS_SLIDING_SQL, "time-window"),
     "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL, "time-window"),
+    "events_sessionize_islands": QuerySpec(
+        events_sessionize_islands, EVENTS_SESSIONIZE_ISLANDS_SQL, "time-window"
+    ),
 }
