@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
-from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
+from tmapreduce_spark.parity import DUCK, SPARK, cents, mavg, mround, msum2
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -1635,6 +1635,199 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear-regression / covariance aggregates — exact-integer formulation
+# ---------------------------------------------------------------------------
+
+def _regr_exprs() -> dict[str, str]:
+    """Shared Spark/DuckDB expression text for covariance + OLS slope /
+    intercept of l_extendedprice (y, money) on l_quantity (x, integral).
+
+    Engines' built-in covar_pop/regr_* use single-pass update formulas whose
+    float reduction order differs per engine/parallelism — instead the four
+    sufficient statistics are EXACT integer sums (quantity is integral,
+    price sits on the 2-decimal money grid → cents), and the final moment
+    algebra is one fixed-order double chain identical in both dialects, so
+    the results are bit-identical. Per-row |x*y_cents| ≤ 50*1e7; int64 sums
+    are safe to ~1e11 rows/group — past that, swap the inner CAST to
+    DECIMAL(38,0) exactly as parity.msum2 documents."""
+    xi = "CAST(l_quantity AS BIGINT)"
+    yc = cents("l_extendedprice", 100)
+    n = "CAST(count(*) AS DOUBLE)"
+    sx = f"CAST(sum({xi}) AS DOUBLE)"
+    sy = f"CAST(sum({yc}) AS DOUBLE)"
+    sxy = f"CAST(sum({xi} * {yc}) AS DOUBLE)"
+    sxx = f"CAST(sum({xi} * {xi}) AS DOUBLE)"
+    covar_c = f"(({sxy} / {n}) - (({sx} / {n}) * ({sy} / {n})))"  # cents·qty
+    var_x = f"(({sxx} / {n}) - (({sx} / {n}) * ({sx} / {n})))"
+    return {
+        "n_pairs": "count(*)",
+        "avg_qty": mround(f"{sx} / {n}", 6),
+        "avg_price": mround(f"{sy} / {n} / 100", 4),
+        "covar_pop": mround(f"{covar_c} / 100", 4),
+        "var_qty": mround(var_x, 6),
+        "slope": mround(f"{covar_c} / ({var_x}) / 100", 6),
+        "intercept": mround(
+            f"({sy} / {n} / 100) - ({covar_c} / ({var_x}) / 100) * ({sx} / {n})", 4
+        ),
+    }
+
+
+def agg_covar_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + OLS regression aggregates (the covar_pop / regr_slope /
+    regr_intercept family) per l_returnflag, in the exact-sufficient-statistic
+    formulation of :func:`_regr_exprs`.
+
+    Scale: four integer sums fold in ONE partial-aggregation pass (map-side
+    combine, 24 bytes of state per group) — same shuffle profile as a plain
+    sum; the moment algebra is post-aggregation scalar work on one row per
+    group. This is how regression on 100 TB stays a single-pass groupBy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ex = _regr_exprs()
+    return l.groupBy("l_returnflag").agg(
+        *[F.expr(sql).alias(name) for name, sql in ex.items()]
+    )
+
+
+AGG_COVAR_REGR_SQL = (
+    "SELECT l_returnflag, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _regr_exprs().items())
+    + " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/bitwise aggregate family: bool_and/bool_or over predicates,
+    bit_and/bit_or/bit_xor over an 8-bit key fold — exact integer/boolean
+    state, so cross-engine parity needs no rounding. All five are
+    partial-aggregatable single-value states (1-8 bytes/group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("bool_and(o_totalprice > 1000)").alias("all_above_1k"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("bit_and(o_custkey % 256)").alias("key_bits_and"),
+        F.expr("bit_or(o_custkey % 256)").alias("key_bits_or"),
+        F.expr("bit_xor(o_custkey % 256)").alias("key_bits_xor"),
+    )
+
+
+AGG_BOOL_BITWISE_SQL = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_above_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       bit_and(o_custkey % 256) AS key_bits_and,
+       bit_or(o_custkey % 256) AS key_bits_or,
+       bit_xor(o_custkey % 256) AS key_bits_xor
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_max_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by ↔ DuckDB's same-named
+    arg_max aliases): which order carries the extreme price per status.
+    The measure is de-tied deterministically (price in integer cents * 2^20
+    + orderkey — exact integer-valued doubles, unique per row) so both
+    engines pick the identical winner; single-value aggregation state."""
+    o = load_table(spark, sf_dir, "orders")
+    measure = "floor(o_totalprice * 100 + 0.5) * 1048576 + o_orderkey % 1048576"
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(f"max_by(o_orderkey, {measure})").alias("top_order"),
+        F.expr(f"min_by(o_orderkey, {measure})").alias("bottom_order"),
+        F.expr(mround("max(o_totalprice)", 2)).alias("top_price"),
+        F.expr(mround("min(o_totalprice)", 2)).alias("bottom_price"),
+    )
+
+
+AGG_MAX_MIN_BY_SQL = """
+SELECT o_orderstatus,
+       max_by(o_orderkey, floor(o_totalprice * 100 + 0.5) * 1048576 + o_orderkey % 1048576) AS top_order,
+       min_by(o_orderkey, floor(o_totalprice * 100 + 0.5) * 1048576 + o_orderkey % 1048576) AS bottom_order,
+       floor(max(o_totalprice) * 100 + 0.5) / 100 AS top_price,
+       floor(min(o_totalprice) * 100 + 0.5) / 100 AS bottom_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join: every customer row annotated with an EXISTS flag (has at
+    least one URGENT order) — the projection-position EXISTS that optimizers
+    compile to a 'mark' join, here as left join against the distinct flag
+    keys. Unlike join_semi/join_anti this KEEPS all probe rows and adds a
+    boolean.
+
+    Scale: the flag side partial-aggregates to distinct custkeys before the
+    shuffle (orders-per-customer dedup happens map-side), so the join input
+    is bounded by customer cardinality, not order count."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("flag", F.lit(True))
+    )
+    return c.join(urgent, "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("flag"), F.lit(False)).alias("has_urgent"),
+    )
+
+
+JOIN_EXISTENCE_FLAG_SQL = """
+SELECT c_custkey, c_name,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c
+"""
+
+
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic: the top-20 hottest event keys with their
+    share of total traffic and hot/mean ratio — the report you run BEFORE
+    picking join/agg strategies (salting, AQE skew thresholds) on a new
+    100 TB table.
+
+    Scale: per-key counts partial-aggregate map-side; the two corpus scalars
+    (total, distinct keys) ride the same aggregated (key,cnt) set and join
+    back via broadcast of ONE row; top-20 is TakeOrderedAndProject, never a
+    global sort."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr(mround("CAST(cnt AS DOUBLE) / total", 6)).alias("share"),
+            F.expr(mround("CAST(cnt AS DOUBLE) * n_keys / total", 6)).alias(
+                "ratio_to_avg"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+DIAG_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts)
+SELECT user_id, cnt,
+       {mround("CAST(cnt AS DOUBLE) / total", 6)} AS share,
+       {mround("CAST(cnt AS DOUBLE) * n_keys / total", 6)} AS ratio_to_avg
+FROM counts CROSS JOIN totals
+ORDER BY cnt DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scalar_struct": QuerySpec(scalar_struct, SCALAR_STRUCT_SQL, "scalar"),
     "scalar_bitwise": QuerySpec(scalar_bitwise, SCALAR_BITWISE_SQL, "scalar"),
@@ -1686,4 +1879,11 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize_islands": QuerySpec(
         events_sessionize_islands, EVENTS_SESSIONIZE_ISLANDS_SQL, "time-window"
     ),
+    "agg_covar_regr": QuerySpec(agg_covar_regr, AGG_COVAR_REGR_SQL, "aggregation"),
+    "agg_bool_bitwise": QuerySpec(agg_bool_bitwise, AGG_BOOL_BITWISE_SQL, "aggregation"),
+    "agg_max_min_by": QuerySpec(agg_max_min_by, AGG_MAX_MIN_BY_SQL, "aggregation"),
+    "join_existence_flag": QuerySpec(
+        join_existence_flag, JOIN_EXISTENCE_FLAG_SQL, "join"
+    ),
+    "diag_key_skew": QuerySpec(diag_key_skew, DIAG_KEY_SKEW_SQL, "aggregation"),
 }
