@@ -203,3 +203,31 @@ def test_hll_partition_merge_accuracy_and_consistency(spark):
     for t, est in merged.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
         assert est == direct[t], (t, est, direct[t])  # lossless merge
+
+
+def test_mg_candidates_superset_under_decrement(spark):
+    """Misra-Gries candidate pass with vocab ≫ k (the decrement branch the
+    tiny-vocab testdata never hits): the surviving candidate set must still
+    be a superset of every token with global count > total/(k+1), on a
+    skewed synthetic stream spread across partitions."""
+    from tmapreduce_spark.functions.text import mg_candidates
+
+    rows = []
+    # 5 hot tokens (600 each), 3000 unique cold tokens: total = 6000
+    for h in range(5):
+        rows += [(f"hot{h}",)] * 600
+    rows += [(f"cold{i}",) for i in range(3000)]
+    # deterministic interleave so hot tokens span all partitions
+    rows.sort(key=lambda r: hash(r[0]) % 997)
+    toks = spark.createDataFrame(rows, "tok string").repartition(8)
+
+    k = 10
+    cands = {r["tok"] for r in mg_candidates(toks, k).collect()}
+    assert len(cands) <= 8 * k + 5  # bounded by k per partition
+    total = len(rows)
+    exact = {
+        r["tok"]
+        for r in toks.groupBy("tok").count().filter(F.col("count") * (k + 1) > total).collect()
+    }
+    assert exact  # the 5 hot tokens qualify: 600 * 11 > 6000
+    assert exact <= cands, f"MG dropped true heavy hitters: {exact - cands}"

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.functions.dedup import DEDUP_SPAN_SQL
-from tmapreduce_spark.parity import mavg, mround_col
+from tmapreduce_spark.parity import mavg, mround, mround_col
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -1386,7 +1386,246 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact confirmation (two linear passes)
+# ---------------------------------------------------------------------------
+
+_MG_K = 50  # counter capacity; guarantee threshold is total/(K+1)
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def mg_candidates(toks: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a token column: each task
+    holds AT MOST ``k`` counters (the fixed-memory invariant), folding
+    vectorized per-batch exact counts via the standard mergeable-summary
+    rule — add, then subtract the (k+1)-th largest and drop non-positives.
+    Union-of-partitions guarantee: any token with global count
+    > total/(k+1) survives in at least one partition's summary."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - kth for t, c in counters.items() if c > kth}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    return toks.mapInPandas(mg, "tok string").distinct()
+
+
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (count > total/(K+1)) without ever
+    grouping the full vocabulary: pass 1 runs fixed-memory Misra-Gries per
+    partition (:func:`mg_candidates` — a guaranteed SUPERSET of the true
+    heavy hitters), pass 2 exact-counts ONLY the candidate tokens (broadcast
+    semi-join) plus one corpus total, and the strict threshold filter makes
+    the final answer exact — so the entry is oracle-checkable even though
+    the sketch pass is partitioning-dependent.
+
+    Scale: at 100 TB a full wordcount groupBy shuffles the whole vocabulary
+    (billions of rare keys); here the shuffle carries ≤ K tokens per task ×
+    tasks, the confirm pass aggregates ≤ K·P candidate keys, and both passes
+    are linear scans. This is the standard two-pass exact-HH recipe."""
+    toks = _tokens(load_table(spark, sf_dir, "documents"))
+    cands = mg_candidates(toks, _MG_K)
+    totals = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(totals))
+        .filter(F.col("cnt") * (_MG_K + 1) > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            F.expr(mround("CAST(cnt AS DOUBLE) / total", 6)).alias("share"),
+        )
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = rf"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+tt AS (SELECT tok FROM t WHERE tok <> ''),
+totals AS (SELECT count(*) AS total FROM tt)
+SELECT tok, count(*) AS cnt,
+       {mround("CAST(count(*) AS DOUBLE) / total", 6)} AS share
+FROM tt CROSS JOIN totals
+GROUP BY tok, total
+HAVING count(*) * {_MG_K + 1} > total
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (transcendental-free: the PMI ratio, not its log)
+# ---------------------------------------------------------------------------
+
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI ratio p(ab)/(p(a)p(b)) — the association
+    score behind phrase mining, kept as the raw ratio (monotone in PMI) so
+    no transcendental log enters the oracle compare. Support floor n_ab ≥ 5.
+
+    Scale: bigram and unigram counts are two partial-aggregated groupBys of
+    the same tokenized scan; the unigram model (vocab-sized) joins back
+    twice as a BROADCAST — facts never reshuffle for the model lookups; the
+    final top-50 is TakeOrderedAndProject over the bigram vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(r"split(trim(lower(text)), '\\s+') AS toks")
+    bigrams = toks.selectExpr(
+        """explode(filter(
+             transform(sequence(0, greatest(size(toks) - 2, 0)),
+                       i -> concat_ws(' ', toks[i], toks[i + 1])),
+             s -> s IS NOT NULL AND size(split(s, ' ')) = 2)) AS bigram"""
+    )
+    bi = bigrams.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    uni = (
+        toks.selectExpr("explode(toks) AS tok")
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_uni"))
+    )
+    totals = (
+        bi.agg(F.sum("n_ab").alias("total_bi"))
+        .join(uni.agg(F.sum("n_uni").alias("total_uni")))
+    )
+    score = (
+        "CAST(n_ab AS DOUBLE) * total_uni / n_a * total_uni / n_b / total_bi"
+    )
+    return (
+        bi.filter(F.col("n_ab") >= 5)
+        .withColumn("a", F.split("bigram", " ").getItem(0))
+        .withColumn("b", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(uni.selectExpr("tok AS a", "n_uni AS n_a")), "a")
+        .join(F.broadcast(uni.selectExpr("tok AS b", "n_uni AS n_b")), "b")
+        .join(F.broadcast(totals))
+        .orderBy(F.expr(score).desc(), F.asc("bigram"))
+        .limit(50)
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(mround(score, 6)).alias("pmi_ratio"),
+        )
+    )
+
+
+TEXT_PMI_SQL = rf"""
+WITH toksl AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+bigrams AS (
+  SELECT unnest(list_filter(
+           list_transform(range(0, greatest(len(toks) - 1, 1)),
+                          i -> toks[i + 1] || ' ' || toks[i + 2]),
+           s -> s IS NOT NULL AND len(string_split(s, ' ')) = 2)) AS bigram
+  FROM toksl),
+bi AS (SELECT bigram, count(*) AS n_ab FROM bigrams GROUP BY bigram),
+uni AS (
+  SELECT tok, count(*) AS n_uni
+  FROM (SELECT unnest(toks) AS tok FROM toksl) u
+  WHERE tok <> ''
+  GROUP BY tok),
+totals AS (
+  SELECT (SELECT CAST(sum(n_ab) AS BIGINT) FROM bi) AS total_bi,
+         (SELECT CAST(sum(n_uni) AS BIGINT) FROM uni) AS total_uni)
+SELECT bigram, n_ab, n_a, n_b,
+       {mround("CAST(n_ab AS DOUBLE) * total_uni / n_a * total_uni / n_b / total_bi", 6)} AS pmi_ratio
+FROM (SELECT b.bigram, b.n_ab,
+             ua.n_uni AS n_a, ub.n_uni AS n_b
+      FROM bi b
+      JOIN uni ua ON string_split(b.bigram, ' ')[1] = ua.tok
+      JOIN uni ub ON string_split(b.bigram, ' ')[2] = ub.tok
+      WHERE b.n_ab >= 5) j
+CROSS JOIN totals
+ORDER BY CAST(n_ab AS DOUBLE) * total_uni / n_a * total_uni / n_b / total_bi DESC,
+         bigram ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC changelog between two table versions)
+# ---------------------------------------------------------------------------
+
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of two corpus snapshots: classify every key as Insert /
+    Update / Delete between an 'old' and 'new' version (derived
+    deterministically from orders: new drops key%13, old drops key%11, and
+    new bumps price on key%7) — the changelog MERGE/compaction pipelines
+    consume. One full-outer join on the key; unchanged rows are filtered
+    out, so output is bounded by churn, not table size.
+
+    Scale: both snapshots shuffle once on the shared key (co-partitioned
+    join); at 100 TB bucketed snapshots make this shuffle-free. Value
+    comparison is exact (same binary doubles both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.expr("o_orderkey % 11 != 0")).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.expr("o_orderkey % 13 != 0")).select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 "
+            "ELSE o_totalprice END"
+        ).alias("new_price"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return (
+        j.withColumn(
+            "op",
+            F.when(F.col("old_price").isNull(), "I")
+            .when(F.col("new_price").isNull(), "D")
+            .when(F.col("old_price") != F.col("new_price"), "U"),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            "o_orderkey",
+            "op",
+            F.expr(mround("old_price", 2)).alias("old_price"),
+            F.expr(mround("new_price", 2)).alias("new_price"),
+        )
+    )
+
+
+PIPELINE_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price FROM orders WHERE o_orderkey % 11 != 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 13 != 0)
+SELECT o_orderkey,
+       CASE WHEN old_price IS NULL THEN 'I'
+            WHEN new_price IS NULL THEN 'D'
+            WHEN old_price != new_price THEN 'U' END AS op,
+       {mround("old_price", 2)} AS old_price,
+       {mround("new_price", 2)} AS new_price
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE (CASE WHEN old_price IS NULL THEN 'I'
+            WHEN new_price IS NULL THEN 'D'
+            WHEN old_price != new_price THEN 'U' END) IS NOT NULL
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_heavy_hitters_mg": QuerySpec(
+        text_heavy_hitters_mg, TEXT_HEAVY_HITTERS_SQL, "text"
+    ),
+    "text_pmi_topk": QuerySpec(text_pmi_topk, TEXT_PMI_SQL, "text"),
+    "pipeline_snapshot_diff": QuerySpec(
+        pipeline_snapshot_diff, PIPELINE_SNAPSHOT_DIFF_SQL, "pipeline"
+    ),
     "text_ngram_lm_score": QuerySpec(text_ngram_lm_score, TEXT_NGRAM_LM_SQL, "text"),
     "pipeline_shard_output": QuerySpec(pipeline_shard_output, PIPELINE_SHARD_SQL, "pipeline"),
     "pipeline_dataset_card": QuerySpec(pipeline_dataset_card, PIPELINE_DATASET_CARD_SQL, "pipeline"),
