@@ -1034,7 +1034,63 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 assert DEDUP_CORPUS_MATERIALIZE_SQL != DEDUP_CLUSTER_SQL
 
 
+SIMHASH_PAIR_BANDS = 4   # 4 × 8-bit bands over the 32-bit signature
+SIMHASH_PAIR_MAXHAM = 2  # report pairs at hamming ≤ 2 (pigeonhole needs ≤ 3)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS from SimHash signatures: hamming(sig_a, sig_b) ≤ 2,
+    found by the band pigeonhole — split the 32-bit signature into 4 8-bit
+    bands; any pair within hamming 3 (a fortiori 2) shares at least one
+    untouched band, so an equi-join on (band, band_value) generates every
+    qualifying candidate and the exact popcount(xor) refine keeps no false
+    positives. This closes the simhash family: signature (`dedup_simhash`)
+    → pairs (here) → clusters (`dedup_cluster_resolve`).
+
+    Scale: the only join is the band equi-join on 1-byte values — candidate
+    fan-out is bounded by band-bucket occupancy exactly like MinHash-LSH
+    banding (`dedup_minhash_pairs`), never all-pairs; the oracle states the
+    O(n²) definition directly, which is the semantic the banding provably
+    equals. Identical band subplans reuse one shuffle (ReusedExchange)."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "simhash",
+        f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
+    ).selectExpr(
+        "doc_id", "simhash", "band", "shiftright(simhash, band * 8) & 255 AS band_val"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_PAIR_MAXHAM)
+        .distinct()
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sim AS ({DEDUP_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_PAIR_MAXHAM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_simhash_pairs": QuerySpec(
+        dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL, "dedup"
+    ),
     "dedup_cluster_resolve": QuerySpec(dedup_cluster_resolve, DEDUP_CLUSTER_SQL, "dedup"),
     "dedup_corpus_materialize": QuerySpec(
         dedup_corpus_materialize, DEDUP_CORPUS_MATERIALIZE_SQL, "dedup"

@@ -369,7 +369,75 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_PAIRS_SQL = _pairs_sql(0.3)
 
 
+RANGE_TAU = 0.2  # cosine radius for range search (on the quantized-exact grid)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (fixed-radius neighbors): every corpus vector within
+    cosine ≥ RANGE_TAU of each query — the dual of top-k (`ann_topk_cosine`)
+    where the RESULT SIZE is data-dependent instead of k. Same single
+    Arrow-batched scan against the broadcast query model, same quantized
+    int64 Gram matmul; the radius filter applies to the grid-rounded cosine
+    so the cut is bit-deterministic cross-engine.
+
+    Scale: linear, shuffle-free; output bounded by radius selectivity. The
+    threshold pushes into the batch loop (rows below τ never leave the Arrow
+    worker), so a tight radius at 100 TB emits near-nothing per task — the
+    bucketed variants (LSH/IVF) prune the scan itself when even reading is
+    too much."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_ids, Qm, q_nrm = collect_query_model(e)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            dots = C @ Qm.T
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            cos = dots.astype(np.float64) / (c_nrm[:, None] * q_nrm[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            n, k = cos.shape
+            out_q = np.tile(q_ids, n)
+            out_n = np.repeat(ids, k)
+            flat = cos.ravel()
+            m = (out_n != out_q) & (flat >= RANGE_TAU)
+            yield pd.DataFrame(
+                {"query_id": out_q[m], "neighbor_id": out_n[m], "cosine": flat[m]}
+            )
+
+    return e.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+
+
+def _ann_range_sql() -> str:
+    qd = _qdot_duck
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+q AS (SELECT vec_id AS query_id, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, qe AS c_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS c_norm
+      FROM v),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor((CAST({qd('q_qe', 'c_qe')} AS DOUBLE) / (q_norm * c_norm))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine
+FROM scored WHERE cosine >= {RANGE_TAU}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_range_search": QuerySpec(ann_range_search, _ann_range_sql(), "similarity"),
     "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, "similarity"),
     "ann_topk_cosine": QuerySpec(ann_topk_cosine, _ann_topk_sql(), "similarity"),
     "similarity_pairs_blocked": QuerySpec(similarity_pairs_blocked, SIMILARITY_PAIRS_SQL, "similarity"),
