@@ -231,3 +231,24 @@ def test_mg_candidates_superset_under_decrement(spark):
     }
     assert exact  # the 5 hot tokens qualify: 600 * 11 > 6000
     assert exact <= cands, f"MG dropped true heavy hitters: {exact - cands}"
+
+
+def test_zorder_key_bijective_and_local(spark):
+    """The Morton key must decode back to exactly (cust_bucket, price_bucket)
+    for every row (bijectivity on the 20-bit domain), and the top-level
+    quadrant of the key must equal the top bit of each dimension — the
+    property that makes zkey ranges prune BOTH dimensions' parquet stats."""
+    from tmapreduce_spark.operators.advanced import layout_zorder_key
+
+    rows = layout_zorder_key(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        z, x, y = r["zkey"], r["cust_bucket"], r["price_bucket"]
+        dx = dy = 0
+        for i in range(10):
+            dx |= ((z >> (2 * i)) & 1) << i
+            dy |= ((z >> (2 * i + 1)) & 1) << i
+        assert (dx, dy) == (x, y), f"decode mismatch for zkey {z}"
+        # top-level quadrant = (bit9 of x, bit9 of y)
+        assert (z >> 18) & 1 == (x >> 9) & 1
+        assert (z >> 19) & 1 == (y >> 9) & 1

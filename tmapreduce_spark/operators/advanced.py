@@ -583,7 +583,62 @@ GROUP BY iv.user_id, iv.iv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-dimensional clustering for data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per dimension → 20-bit interleaved key
+
+
+def _zorder_expr(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave expression text (x in even positions, y in odd) built
+    from pure arithmetic — (v div 2^i) % 2 * 4^i — so the identical formula
+    runs in both dialects (only the integer-division token differs); no
+    engine-specific bit operators in the oracle-compared path."""
+    d = "div" if dialect == SPARK else "//"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x}) {d} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"((({y}) {d} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two query dimensions (customer
+    bucket × price bucket): interleaving the dims' bits makes rows close in
+    EITHER dimension land close in the sort order, so one range-sorted write
+    gives parquet min/max stats that prune scans filtered on x, on y, or on
+    both — the multi-dim layout trick behind Delta/Iceberg Z-ORDER BY,
+    expressed as a plain deterministic column.
+
+    Scale: the key is per-row arithmetic (codegen, no shuffle); the write
+    path would `repartitionByRange(zkey)` — one range shuffle at layout
+    time buys every later scan its skipping. Emitted here per-row with the
+    dims for the oracle; bijectivity (key ↔ dims) is test-pinned."""
+    o = load_table(spark, sf_dir, "orders")
+    x = "o_custkey % 1024"
+    y = "CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT)"
+    return o.selectExpr(
+        "o_orderkey",
+        f"{x} AS cust_bucket",
+        f"{y} AS price_bucket",
+        f"CAST({_zorder_expr(x, y, SPARK)} AS BIGINT) AS zkey",
+    )
+
+
+LAYOUT_ZORDER_SQL = f"""
+SELECT o_orderkey,
+       o_custkey % 1024 AS cust_bucket,
+       CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT) AS price_bucket,
+       CAST({_zorder_expr('o_custkey % 1024',
+                          'CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT)',
+                          DUCK)} AS BIGINT) AS zkey
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "layout_zorder_key": QuerySpec(layout_zorder_key, LAYOUT_ZORDER_SQL, "layout"),
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
     "join_fuzzy_symdel": QuerySpec(join_fuzzy_symdel, JOIN_FUZZY_SQL, "join"),
     "join_lateral_topn": QuerySpec(join_lateral_topn, JOIN_LATERAL_SQL, "join"),
