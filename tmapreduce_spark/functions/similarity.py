@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import mround
 from tmapreduce_spark.sources.catalog import load_table
 
 N_QUERIES = 5  # ann query set: vec_id 0..4
@@ -436,7 +437,75 @@ FROM scored WHERE cosine >= {RANGE_TAU}
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, the scale
+    (max |component|), and the max/mean absolute reconstruction error of
+    round(x·127/scale) — the 4× memory cut (float32 → int8) every
+    billion-vector ANN deployment takes, with the error profile that decides
+    whether it is safe. All arithmetic is per-element with a fixed fold
+    order, identical in both dialects, so the audit is oracle-exact.
+
+    Scale: pure per-row HOF arithmetic — codegen'd, shuffle-free, linear.
+    (The quantized vectors themselves would be written as array<tinyint>;
+    emitting scalars keeps the entry within the driver's hashable-column
+    contract, the approx_quantiles_sketch lesson.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    err_elem = (
+        "abs(CAST(v AS DOUBLE) - floor(CAST(v AS DOUBLE) * 127 / s + 0.5) * s / 127)"
+    )
+    return (
+        e.selectExpr(
+            "vec_id",
+            "embedding",
+            "CAST(size(embedding) AS BIGINT) AS dim",
+            "nullif(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))), CAST(0 AS DOUBLE)) AS s",
+        )
+        .selectExpr(
+            "vec_id",
+            "dim",
+            "s",
+            f"transform(embedding, v -> {err_elem}) AS err_list",
+        )
+        .selectExpr(
+            "vec_id",
+            "dim",
+            f"{mround('s', 6)} AS scale",
+            f"{mround('array_max(err_list)', 8)} AS max_abs_err",
+            mround(
+                "aggregate(err_list, CAST(0 AS DOUBLE), (acc, v) -> acc + v) / dim", 8
+            )
+            + " AS mean_abs_err",
+        )
+    )
+
+
+_EQ_ERR_DUCK = (
+    "abs(CAST(v AS DOUBLE) - floor(CAST(v AS DOUBLE) * 127 / s + 0.5) * s / 127)"
+)
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         nullif(list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max'),
+                CAST(0 AS DOUBLE)) AS s
+  FROM embeddings),
+errs AS (
+  SELECT vec_id, dim, s,
+         list_transform(embedding, v -> {_EQ_ERR_DUCK}) AS err_list
+  FROM base)
+SELECT vec_id, dim,
+       {mround('s', 6)} AS scale,
+       {mround("list_aggregate(err_list, 'max')", 8)} AS max_abs_err,
+       {mround("list_reduce(list_prepend(CAST(0 AS DOUBLE), err_list), (acc, v) -> acc + v) / dim", 8)} AS mean_abs_err
+FROM errs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_quantize_int8": QuerySpec(
+        embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"
+    ),
     "ann_range_search": QuerySpec(ann_range_search, _ann_range_sql(), "similarity"),
     "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, "similarity"),
     "ann_topk_cosine": QuerySpec(ann_topk_cosine, _ann_topk_sql(), "similarity"),

@@ -1618,7 +1618,56 @@ WHERE (CASE WHEN old_price IS NULL THEN 'I'
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-proportional, replayable)
+# ---------------------------------------------------------------------------
+
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test assignment: split = f(md5(doc_id))
+    with 90/5/5 bucket proportions, reported as per-(source, split) counts
+    and token totals. Like `pipeline_shard_output`, membership is a pure
+    function of the row — the split is byte-stable across re-runs, resumable
+    writes, and engine versions; no rand() leakage between epochs.
+
+    Scale: one scan, one partial-aggregated groupBy on (source, split);
+    the hash is the first 8 hex digits of md5 (portable across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    return (
+        d.selectExpr(
+            "source",
+            f"""CASE WHEN {bucket} < 90 THEN 'train'
+                     WHEN {bucket} < 95 THEN 'val'
+                     ELSE 'test' END AS split""",
+            "n_chars",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+PIPELINE_TRAIN_VAL_SQL = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY source, split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_train_val_split": QuerySpec(
+        pipeline_train_val_split, PIPELINE_TRAIN_VAL_SQL, "pipeline"
+    ),
     "text_heavy_hitters_mg": QuerySpec(
         text_heavy_hitters_mg, TEXT_HEAVY_HITTERS_SQL, "text"
     ),

@@ -1828,7 +1828,34 @@ LIMIT 20
 """
 
 
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): the three lineitem rate columns become
+    (metric, value) rows via the native ``DataFrame.unpivot`` operator —
+    the inverse of `pivot_status_priority`. Sampled on the order key so the
+    long output stays bounded.
+
+    Scale: unpivot is a per-row Expand (no shuffle, no UDF); output rows =
+    input × n_metrics, so at 100 TB melt AFTER filtering/aggregation, not
+    before — the filter here models that."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.expr("l_orderkey % 50 = 0"))
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+RESHAPE_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 50 = 0)
+UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "reshape_unpivot": QuerySpec(reshape_unpivot, RESHAPE_UNPIVOT_SQL, "reshape"),
     "scalar_struct": QuerySpec(scalar_struct, SCALAR_STRUCT_SQL, "scalar"),
     "scalar_bitwise": QuerySpec(scalar_bitwise, SCALAR_BITWISE_SQL, "scalar"),
     "agg_string_agg": QuerySpec(agg_string_agg, AGG_STRING_AGG_SQL, "aggregation"),
