@@ -467,3 +467,89 @@ def test_corpus_materialize_losers_broadcast_anti_join(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "BroadcastHashJoin" in final and "LeftAnti" in final, final[:2000]
+
+
+def test_heavy_hitters_confirm_join_broadcasts(spark):
+    """The MG candidate set (≤ k per task) must join back to the token
+    stream as a BROADCAST — reshuffling the corpus on token for ≤ K·P
+    candidates would defeat the two-pass design."""
+    from tmapreduce_spark.functions.text import text_heavy_hitters_mg
+
+    df = text_heavy_hitters_mg(spark, SF_SMOKE)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "SortMergeJoin")
+
+
+def test_pmi_model_joins_broadcast_and_topk_is_take_ordered(spark):
+    """Both unigram-model lookups and the totals row ride broadcasts (the
+    bigram facts never reshuffle for model joins), and the top-50 plans as
+    TakeOrderedAndProject, not a global sort."""
+    from tmapreduce_spark.functions.text import text_pmi_topk
+
+    df = text_pmi_topk(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_diag_key_skew_totals_broadcast_topk_take_ordered(spark):
+    from tmapreduce_spark.operators.relational import diag_key_skew
+
+    df = diag_key_skew(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_pairs_band_join_is_equi_join(spark):
+    """The band self-join must be a hash equi-join keyed on (band,
+    band_val) — never a cartesian/nested-loop pair enumeration. (The two
+    identical signature subplans dedupe at runtime via AQE exchange reuse;
+    static AQE plans don't surface ReusedExchange, so assert the join shape
+    only.)"""
+    from tmapreduce_spark.functions.dedup import dedup_simhash_pairs
+
+    df = dedup_simhash_pairs(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "band" in plan and "band_val" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_existence_flag_join_aggregates_flag_side_first(spark):
+    """The mark join's flag side must partial-aggregate (distinct custkeys)
+    BEFORE the join so join input is customer-bounded, not order-bounded."""
+    from tmapreduce_spark.operators.relational import join_existence_flag
+
+    df = join_existence_flag(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    j = min(plan.find("SortMergeJoin") % 10**9, plan.find("BroadcastHashJoin") % 10**9)
+    assert "HashAggregate" in plan[j:], "flag-side distinct must sit under the join"
+
+
+def test_zorder_key_is_shuffle_free_scan(spark):
+    from tmapreduce_spark.operators.advanced import layout_zorder_key
+
+    df = layout_zorder_key(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # the interleave arithmetic stays codegen'd
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    from tmapreduce_spark.operators.relational import reshape_unpivot
+
+    df = reshape_unpivot(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_quantize_audit_is_shuffle_free(spark):
+    from tmapreduce_spark.functions.similarity import embedding_quantize_int8
+
+    df = embedding_quantize_int8(spark, SF_SMOKE)
+    assert "Exchange" not in physical_plan(df)
