@@ -95,6 +95,13 @@ HEADLINE = [
     "text_ngram_lm_score",
     "events_anomaly_mad",
     "dedup_corpus_materialize",
+    # round 4, second wave
+    "text_heavy_hitters_mg",
+    "dedup_simhash_pairs",
+    "ann_range_search",
+    "pipeline_snapshot_diff",
+    "agg_covar_regr",
+    "layout_zorder_key",
 ]
 
 

@@ -1087,7 +1087,81 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_PAIR_MAXHAM}
 """
 
 
+def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit an incoming batch (doc_id % 5 = 0)
+    against the existing corpus (the rest) — reject exact duplicates
+    (md5 anti-join) AND near-duplicates (SimHash hamming ≤ 2 via the same
+    4-band pigeonhole as `dedup_simhash_pairs`), emit the admitted docs.
+    This is the nightly-crawl admission path: the new batch never compares
+    against itself, only against the corpus.
+
+    Scale: both rejects are anti-joins keyed on small values (16-byte md5,
+    1-byte band values); the corpus side ships only (hash) / (signature,
+    band) columns, never text. Signatures for both sides come from ONE
+    corpus-wide computation, filtered — so incremental admission reuses the
+    stored signature table instead of re-hashing the corpus each night."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup_simhash(spark, sf_dir)
+    inc = d.filter(F.expr("doc_id % 5 = 0"))
+    corp = d.filter(F.expr("doc_id % 5 != 0"))
+
+    inc_h = inc.selectExpr("doc_id", "lang", "n_chars", "md5(text) AS h")
+    corp_h = corp.selectExpr("md5(text) AS h").distinct()
+    stage1 = inc_h.join(corp_h, "h", "left_anti")
+
+    def banded(side: DataFrame) -> DataFrame:
+        return side.selectExpr(
+            "doc_id",
+            "simhash",
+            f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
+        ).selectExpr(
+            "doc_id", "simhash", "band",
+            "shiftright(simhash, band * 8) & 255 AS band_val",
+        )
+
+    inc_b = banded(sig.join(inc.select("doc_id"), "doc_id"))
+    corp_b = banded(sig.join(corp.select("doc_id"), "doc_id"))
+    near = (
+        inc_b.alias("i")
+        .join(
+            corp_b.alias("c"),
+            (F.col("i.band") == F.col("c.band"))
+            & (F.col("i.band_val") == F.col("c.band_val")),
+        )
+        .filter(
+            F.expr(f"bit_count(i.simhash ^ c.simhash) <= {SIMHASH_PAIR_MAXHAM}")
+        )
+        .select(F.col("i.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return stage1.join(near, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH sim AS ({DEDUP_SIMHASH_SQL}),
+inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+exact_dup AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc i JOIN corp c ON md5(i.text) = md5(c.text)),
+near_dup AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc i
+  JOIN sim si ON si.doc_id = i.doc_id
+  JOIN sim sc ON sc.doc_id != si.doc_id
+  JOIN corp c ON c.doc_id = sc.doc_id
+  WHERE bit_count(xor(si.simhash, sc.simhash)) <= {SIMHASH_PAIR_MAXHAM})
+SELECT doc_id, lang, n_chars
+FROM inc
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_incremental_admit": QuerySpec(
+        dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"
+    ),
     "dedup_simhash_pairs": QuerySpec(
         dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL, "dedup"
     ),

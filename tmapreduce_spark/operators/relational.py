@@ -1854,7 +1854,79 @@ UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
 """
 
 
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour), the Open (first value),
+    High, Low, Close (last value) and count — the metrics/time-series rollup
+    every observability store materializes. First/last are picked by
+    row_number over the total order (ts, event_id), not packed-measure
+    argmax, so ties in ts stay deterministic.
+
+    Scale: the window and the groupBy share ONE hashpartitioning on
+    (event_type, hour) — a single shuffle; at 100 TB this is the classic
+    downsample-on-ingest shape (cardinality = types × hours, tiny)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = base.select(
+        "event_type",
+        "hr",
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("event_type", "hr")
+        .agg(
+            F.expr(mround("max(CASE WHEN rn_a = 1 THEN value END)", 6)).alias("open"),
+            F.expr(mround("max(value)", 6)).alias("high"),
+            F.expr(mround("min(value)", 6)).alias("low"),
+            F.expr(mround("max(CASE WHEN rn_d = 1 THEN value END)", 6)).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+EVENTS_OHLC_SQL = f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value
+  FROM events),
+marked AS (
+  SELECT event_type, hr, value,
+         row_number() OVER (PARTITION BY event_type, hr ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hr ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       {mround("max(CASE WHEN rn_a = 1 THEN value END)", 6)} AS open,
+       {mround("max(value)", 6)} AS high,
+       {mround("min(value)", 6)} AS low,
+       {mround("max(CASE WHEN rn_d = 1 THEN value END)", 6)} AS close,
+       count(*) AS n_events
+FROM marked
+GROUP BY event_type, hr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_ohlc_hourly": QuerySpec(events_ohlc_hourly, EVENTS_OHLC_SQL, "time-window"),
     "reshape_unpivot": QuerySpec(reshape_unpivot, RESHAPE_UNPIVOT_SQL, "reshape"),
     "scalar_struct": QuerySpec(scalar_struct, SCALAR_STRUCT_SQL, "scalar"),
     "scalar_bitwise": QuerySpec(scalar_bitwise, SCALAR_BITWISE_SQL, "scalar"),
