@@ -174,3 +174,70 @@ def test_span_cap_bounds_fanout_and_truncation_semantics(spark, spancorpus_dir):
         assert n_cp == 12
         assert s_cp == 12 + SPAN_W - 1
         assert s_un == 20  # uncapped sees the full 20-token shared prefix
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding: pigeonhole recall + band-key cardinality
+# ---------------------------------------------------------------------------
+
+def test_simhash_band_cardinality_widened():
+    """r04 verdict: the 32-bit/8-bit scheme had only 1,024 (band, value)
+    buckets, so at 10^9 docs each bucket held ~10^6 candidates and the band
+    join went quadratic within buckets. Pin the widened geometry: a 60-bit
+    signature in 4x15-bit bands gives 131,072 buckets, and the bands tile
+    the signature exactly (no dead bits for the pigeonhole to miss)."""
+    from tmapreduce_spark.functions.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BITS,
+        SIMHASH_PAIR_BANDS,
+    )
+
+    assert SIMHASH_PAIR_BANDS * SIMHASH_BAND_BITS == SIMHASH_BITS
+    assert SIMHASH_PAIR_BANDS * (SIMHASH_BAND_MASK + 1) == 131072
+    # Non-negative BIGINT in both engines: the top bit must stay clear.
+    assert SIMHASH_BITS <= 63
+
+
+def test_simhash_pigeonhole_recall_property():
+    """Hypothesis pin of the recall guarantee the banding rests on: for ANY
+    pair of 60-bit signatures within hamming <= SIMHASH_PAIR_MAXHAM + 1
+    (= the pigeonhole bound for 4 bands), at least one exact band matches,
+    so the band equi-join generates the candidate. We generate a signature
+    and flip up to 3 random bit positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmapreduce_spark.functions.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BITS,
+        SIMHASH_PAIR_BANDS,
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        sig=st.integers(min_value=0, max_value=(1 << SIMHASH_BITS) - 1),
+        flips=st.lists(
+            st.integers(min_value=0, max_value=SIMHASH_BITS - 1),
+            min_size=0,
+            max_size=SIMHASH_PAIR_BANDS - 1,
+        ),
+    )
+    def check(sig: int, flips: list[int]) -> None:
+        other = sig
+        for j in flips:
+            other ^= 1 << j
+        assert bin(sig ^ other).count("1") <= SIMHASH_PAIR_BANDS - 1
+        shared = [
+            b
+            for b in range(SIMHASH_PAIR_BANDS)
+            if (sig >> (b * SIMHASH_BAND_BITS)) & SIMHASH_BAND_MASK
+            == (other >> (b * SIMHASH_BAND_BITS)) & SIMHASH_BAND_MASK
+        ]
+        assert shared, (
+            f"hamming<={SIMHASH_PAIR_BANDS - 1} pair shares no band: "
+            f"{sig:x} vs {other:x}"
+        )
+
+    check()

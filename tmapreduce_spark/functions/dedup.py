@@ -286,11 +286,18 @@ JOIN sets sb ON sb.doc_id = doc_b
 # SimHash signatures
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits: the full width of the md5-derived _h60 token hash. Staying below
+# bit 63 keeps the signature a plain non-negative BIGINT in BOTH engines —
+# a 64-bit signature would need the sign bit (1<<63 wraps negative in Spark,
+# overflows in DuckDB) and every shiftright/band extraction would need
+# sign-masking. 60 bits gives the band join 4×15-bit bands = 32,768 values
+# per band (131k (band, value) buckets total) vs the old 32-bit/8-bit
+# scheme's 1,024 — the r04-flagged quadratic-at-10^9-docs ceiling.
+SIMHASH_BITS = 60
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over token hashes: bit j of the signature is the sign of
+    """60-bit SimHash over token hashes: bit j of the signature is the sign of
     sum over tokens of ±1 according to bit j of each token's hash. Exact
     integer arithmetic — bit-identical to the oracle. One groupBy(doc_id)."""
     d = load_table(spark, sf_dir, "documents")
@@ -298,7 +305,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         r"explode(split(trim(lower(text)), '\\s+')) AS tok",
     ).filter(F.col("tok") != "")
-    h = toks.selectExpr("doc_id", f"pmod({_h60_spark('tok')}, 4294967296) AS h32")
+    h = toks.selectExpr("doc_id", f"{_h60_spark('tok')} AS h32")
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -328,7 +335,7 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
   FROM documents),
 hashes AS (
-  SELECT doc_id, {_h60_duck('tok')} % 4294967296 AS h32
+  SELECT doc_id, {_h60_duck('tok')} AS h32
   FROM toks WHERE tok <> ''),
 bits AS (
   SELECT doc_id, {bit_cols} FROM hashes GROUP BY doc_id)
@@ -1034,31 +1041,42 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 assert DEDUP_CORPUS_MATERIALIZE_SQL != DEDUP_CLUSTER_SQL
 
 
-SIMHASH_PAIR_BANDS = 4   # 4 × 8-bit bands over the 32-bit signature
+SIMHASH_PAIR_BANDS = 4   # 4 × 15-bit bands over the 60-bit signature
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_PAIR_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1        # 32767
 SIMHASH_PAIR_MAXHAM = 2  # report pairs at hamming ≤ 2 (pigeonhole needs ≤ 3)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS from SimHash signatures: hamming(sig_a, sig_b) ≤ 2,
-    found by the band pigeonhole — split the 32-bit signature into 4 8-bit
+    found by the band pigeonhole — split the 60-bit signature into 4 15-bit
     bands; any pair within hamming 3 (a fortiori 2) shares at least one
     untouched band, so an equi-join on (band, band_value) generates every
     qualifying candidate and the exact popcount(xor) refine keeps no false
     positives. This closes the simhash family: signature (`dedup_simhash`)
     → pairs (here) → clusters (`dedup_cluster_resolve`).
 
-    Scale: the only join is the band equi-join on 1-byte values — candidate
-    fan-out is bounded by band-bucket occupancy exactly like MinHash-LSH
-    banding (`dedup_minhash_pairs`), never all-pairs; the oracle states the
-    O(n²) definition directly, which is the semantic the banding provably
-    equals. Identical band subplans reuse one shuffle (ReusedExchange)."""
+    Scale: the only join is the band equi-join on 15-bit values — 4×32,768 =
+    131,072 distinct (band, value) buckets, so for RANDOM (non-near-dup)
+    signatures a bucket holds ~n/131k docs; at 10⁹ docs that is ~7.6k
+    candidates per bucket, versus ~10⁶ under the r04-flagged 32-bit/8-bit
+    scheme (1,024 buckets) whose within-bucket join went quadratic. Beyond
+    the random floor, occupancy tracks near-dup cluster size exactly like
+    MinHash-LSH banding (`dedup_minhash_pairs`). The oracle states the O(n²)
+    definition directly, which is the semantic the banding provably equals
+    (pigeonhole recall pinned by a hypothesis property test). Identical band
+    subplans reuse one shuffle (ReusedExchange)."""
     sig = dedup_simhash(spark, sf_dir)
     bands = sig.selectExpr(
         "doc_id",
         "simhash",
         f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
     ).selectExpr(
-        "doc_id", "simhash", "band", "shiftright(simhash, band * 8) & 255 AS band_val"
+        "doc_id",
+        "simhash",
+        "band",
+        f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
+        " AS band_val",
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -1096,7 +1114,8 @@ def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against itself, only against the corpus.
 
     Scale: both rejects are anti-joins keyed on small values (16-byte md5,
-    1-byte band values); the corpus side ships only (hash) / (signature,
+    15-bit band values — 131k buckets, see `dedup_simhash_pairs`); the
+    corpus side ships only (hash) / (signature,
     band) columns, never text. Signatures for both sides come from ONE
     corpus-wide computation, filtered — so incremental admission reuses the
     stored signature table instead of re-hashing the corpus each night."""
@@ -1116,7 +1135,8 @@ def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
         ).selectExpr(
             "doc_id", "simhash", "band",
-            "shiftright(simhash, band * 8) & 255 AS band_val",
+            f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
+            f" & {SIMHASH_BAND_MASK} AS band_val",
         )
 
     inc_b = banded(sig.join(inc.select("doc_id"), "doc_id"))
