@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], writes the full
+record to .benchmarks/bench_sf{sf}.json, and prints the full JSON line
+followed by a compact totals-only JSON line (LAST, so tail-truncating
+captures always keep a parseable record).
 
 Each query is forced through the `noop` sink so the full physical plan
 executes (a bare .count() would let Catalyst prune projections away) without
@@ -102,6 +103,10 @@ HEADLINE = [
     "pipeline_snapshot_diff",
     "agg_covar_regr",
     "layout_zorder_key",
+    # round 5 additions (r04 catalog latecomers — the incremental-admit path
+    # is the nightly-crawl admission workload)
+    "events_ohlc_hourly",
+    "dedup_incremental_admit",
 ]
 
 
@@ -136,6 +141,7 @@ def main() -> None:
     times_warm = run_pass("warm")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "headline_query_set_total",
         "value": round(sum(times.values()), 3),
@@ -143,9 +149,31 @@ def main() -> None:
         "queries": times,
         "value_warm": round(sum(times_warm.values()), 3),
         "queries_warm": times_warm,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
+    # Truncation-proofing (r04 verdict #2): the driver keeps only the tail of
+    # stdout, and r04's single ~4 KB JSON line lost its cold totals to the
+    # cut. Durable full record goes to a file; stdout gets the full line
+    # FIRST (so per-query times survive in the tail when space allows) and a
+    # compact totals-only line LAST, which the tail capture always preserves
+    # intact and any last-line JSON parse always succeeds on.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(bench_dir, exist_ok=True)
+    full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_warm": out["value_warm"],
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": sf_val,
+        "full_record": full_path,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

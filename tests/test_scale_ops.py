@@ -3,6 +3,8 @@ aggregation equivalence, sketch accuracy bounds."""
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
@@ -217,8 +219,10 @@ def test_mg_candidates_superset_under_decrement(spark):
     for h in range(5):
         rows += [(f"hot{h}",)] * 600
     rows += [(f"cold{i}",) for i in range(3000)]
-    # deterministic interleave so hot tokens span all partitions
-    rows.sort(key=lambda r: hash(r[0]) % 997)
+    # deterministic interleave so hot tokens span all partitions — crc32,
+    # not hash(): Python's str hash is salted per process (PYTHONHASHSEED),
+    # which would make the layout unreproducible across runs
+    rows.sort(key=lambda r: zlib.crc32(r[0].encode()) % 997)
     toks = spark.createDataFrame(rows, "tok string").repartition(8)
 
     k = 10

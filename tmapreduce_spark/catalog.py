@@ -29,11 +29,13 @@ class QuerySpec:
     category: str
 
 
-# Names with a green driver CORRECTNESS row from rounds 1-3 (r01 ∪ r02 ∪ r03
-# — 50 rows each round; enumeration is capped at ~50 rows/round).  Refreshed
-# each round so the driver's budget always lands on never-checked entries
-# first.
-_DRIVER_COVERED: frozenset[str] = frozenset(
+# Names with a green driver CORRECTNESS row, keyed by the LAST round that
+# verified them (r01-r04; enumeration is capped at ~50 rows/round).
+# Refreshed each round. Ordering built from this: never-checked entries
+# first, then oldest-verified (stalest green) entries for re-verification,
+# with the permanently-no-oracle sketch entries dead last so the driver's
+# 50-row budget is never burned on rows that can only ever say `no_oracle`.
+_COVERED_R1: frozenset[str] = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json, all green) ---
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -52,13 +54,16 @@ _DRIVER_COVERED: frozenset[str] = frozenset(
         "pivot_status_priority", "percentiles_price", "subquery_above_avg",
         "subquery_exists", "q18_large_orders", "q14_promo_share",
         "q16_supplier_part_count",
-        # --- round 2 (CORRECTNESS_r02.json: 48 green + approx_distinct_sketch
-        # whose rows-only no_oracle row is its terminal state) ---
+    }
+)
+# round 2 (CORRECTNESS_r02.json: 48 green)
+_COVERED_R2: frozenset[str] = frozenset(
+    {
         "dedup_ngram_jaccard", "scalar_struct", "agg_string_agg",
         "events_pattern_burst", "join_null_safe", "sample_weighted_bernoulli",
         "q19_disjunctive", "q10_returned_items", "window_running_distinct",
         "agg_mode", "agg_histogram", "agg_percentile_disc", "ann_topk_cosine",
-        "approx_distinct_sketch", "charcount", "dedup_cc_twophase",
+        "charcount", "dedup_cc_twophase",
         "dedup_cluster_resolve", "dedup_span_exact", "embedding_norms",
         "events_funnel", "events_gapfill_ffill", "events_retention",
         "join_fuzzy_name", "join_fuzzy_symdel", "join_lateral_topn",
@@ -71,9 +76,12 @@ _DRIVER_COVERED: frozenset[str] = frozenset(
         "text_bigram_topk", "text_inverted_index", "udf_mapinarrow",
         "udf_pandas_grouped_agg", "udf_pandas_scalar", "window_ignore_nulls",
         "window_rank_topn", "wordcount",
-        # --- round 3 (CORRECTNESS_r03.json: 49 green + the clean rows-only
-        # no_oracle row for approx_quantiles_sketch, its terminal state) ---
-        "approx_quantiles_sketch", "pipeline_corpus_e2e",
+    }
+)
+# round 3 (CORRECTNESS_r03.json: 49 green)
+_COVERED_R3: frozenset[str] = frozenset(
+    {
+        "pipeline_corpus_e2e",
         "text_repetition_stats", "graph_pagerank_neardup",
         "ann_ivf_topk_probe2", "pipeline_pii_scrub",
         "window_range_frame", "set_except", "token_stats",
@@ -94,9 +102,47 @@ _DRIVER_COVERED: frozenset[str] = frozenset(
         "window_ntile",
     }
 )
-# After round 3 only three entries lack a driver row (round-3 additions that
-# missed the 50-row budget): text_tfidf_topk, pipeline_domain_filter,
-# sample_domain_mix — plus anything added this round.
+# round 4 (CORRECTNESS_r04.json: 49 green)
+_COVERED_R4: frozenset[str] = frozenset(
+    {
+        "agg_bool_bitwise", "agg_covar_regr", "agg_histogram", "agg_max_min_by",
+        "agg_mode", "agg_percentile_disc", "agg_string_agg", "ann_range_search",
+        "dedup_corpus_materialize", "dedup_incremental_admit",
+        "dedup_simhash_pairs", "dedup_url_canonical",
+        "diag_key_skew", "embedding_quantize_int8", "events_anomaly_mad",
+        "events_funnel",
+        "events_gapfill_ffill", "events_interval_join", "events_ohlc_hourly",
+        "events_pattern_burst",
+        "events_retention", "events_sessionize_islands", "events_time_rollup",
+        "join_bloom_prefilter",
+        "join_existence_flag", "join_null_safe", "layout_zorder_key",
+        "pipeline_dataset_card",
+        "pipeline_domain_filter", "pipeline_shard_output",
+        "pipeline_snapshot_diff", "pipeline_train_val_split",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "reshape_unpivot", "sample_domain_mix", "sample_weighted_bernoulli",
+        "scalar_bitwise",
+        "scalar_posexplode", "scalar_regex", "scalar_struct",
+        "scalar_try_functions",
+        "scalar_url_parse", "text_heavy_hitters_mg", "text_ngram_lm_score",
+        "text_pmi_topk",
+        "text_tfidf_topk",
+    }
+)
+
+# Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
+# output is approximate); each already has its permanent `no_oracle` driver
+# row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
+_NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
+    {"approx_distinct_sketch", "approx_quantiles_sketch", "sketch_hll_partition_merge"}
+)
+
+# name -> last round with a green driver row (later rounds win).
+_COVERED_ROUND: dict[str, int] = {}
+for _rnd, _names in ((1, _COVERED_R1), (2, _COVERED_R2), (3, _COVERED_R3), (4, _COVERED_R4)):
+    for _n in _names:
+        _COVERED_ROUND[_n] = _rnd
 
 
 def _round_robin(by_cat: dict[str, list[str]]) -> list[str]:
@@ -112,14 +158,19 @@ def _driver_priority_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec
     """Reorder the catalog for driver enumeration (the driver verifies ~the
     first 50 entries): entries without any driver CORRECTNESS row yet come
     first, round-robin across categories so family coverage survives any cap;
-    the already-proven entries follow in their original order."""
+    already-proven entries follow oldest-verified-first (stalest green gets
+    re-checked soonest); the terminal no-oracle sketches come dead last."""
     backlog_by_cat: dict[str, list[str]] = {}
     for name, spec in catalog.items():
-        if name not in _DRIVER_COVERED:
+        if name not in _COVERED_ROUND and name not in _NO_ORACLE_TERMINAL:
             backlog_by_cat.setdefault(spec.category, []).append(name)
 
     ordered = _round_robin(backlog_by_cat)
-    ordered.extend(n for n in catalog if n in _DRIVER_COVERED)
+    covered = [n for n in catalog if n in _COVERED_ROUND]
+    pos = {n: i for i, n in enumerate(catalog)}
+    covered.sort(key=lambda n: (_COVERED_ROUND[n], pos[n]))
+    ordered.extend(covered)
+    ordered.extend(n for n in catalog if n in _NO_ORACLE_TERMINAL)
     return {name: catalog[name] for name in ordered}
 
 

@@ -1401,11 +1401,14 @@ def _tokens(d: DataFrame) -> DataFrame:
 
 def mg_candidates(toks: DataFrame, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries over a token column: each task
-    holds AT MOST ``k`` counters (the fixed-memory invariant), folding
-    vectorized per-batch exact counts via the standard mergeable-summary
-    rule — add, then subtract the (k+1)-th largest and drop non-positives.
+    holds AT MOST ``k + 1`` counters at any instant (the fixed-memory
+    invariant — the trim runs INSIDE the fold, immediately after the insert
+    that can push the dict to k+1, never after a whole batch), folding
+    vectorized per-batch exact counts via the standard weighted-MG rule —
+    add, then subtract the minimum counter and drop non-positives.
     Union-of-partitions guarantee: any token with global count
-    > total/(k+1) survives in at least one partition's summary."""
+    > total/(k+1) survives in at least one partition's summary (each trim
+    removes ≥ (k+1)·m total weight, so decrements sum to ≤ total/(k+1))."""
     import pandas as pd
 
     def mg(batches):
@@ -1415,9 +1418,9 @@ def mg_candidates(toks: DataFrame, k: int) -> DataFrame:
                 continue
             for t, c in pdf["tok"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
-            if len(counters) > k:
-                kth = sorted(counters.values(), reverse=True)[k]
-                counters = {t: c - kth for t, c in counters.items() if c > kth}
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {t2: c2 - m for t2, c2 in counters.items() if c2 > m}
         yield pd.DataFrame({"tok": list(counters.keys())})
 
     return toks.mapInPandas(mg, "tok string").distinct()

@@ -1666,9 +1666,13 @@ def _regr_exprs() -> dict[str, str]:
         "avg_price": mround(f"{sy} / {n} / 100", 4),
         "covar_pop": mround(f"{covar_c} / 100", 4),
         "var_qty": mround(var_x, 6),
-        "slope": mround(f"{covar_c} / ({var_x}) / 100", 6),
+        # nullif guards the degenerate constant-x group: Spark's non-ANSI
+        # division yields NULL on /0 but DuckDB follows IEEE (inf/nan) — the
+        # guard makes slope/intercept NULL on BOTH engines.
+        "slope": mround(f"{covar_c} / nullif({var_x}, 0) / 100", 6),
         "intercept": mround(
-            f"({sy} / {n} / 100) - ({covar_c} / ({var_x}) / 100) * ({sx} / {n})", 4
+            f"({sy} / {n} / 100) - ({covar_c} / nullif({var_x}, 0) / 100) * ({sx} / {n})",
+            4,
         ),
     }
 
