@@ -107,6 +107,8 @@ HEADLINE = [
     # is the nightly-crawl admission workload)
     "events_ohlc_hourly",
     "dedup_incremental_admit",
+    "events_interval_join_mixed",
+    "multimodal_decode_real",
 ]
 
 

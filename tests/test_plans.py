@@ -553,3 +553,22 @@ def test_quantize_audit_is_shuffle_free(spark):
 
     df = embedding_quantize_int8(spark, SF_SMOKE)
     assert "Exchange" not in physical_plan(df)
+
+
+def test_interval_mixed_two_equi_joins_no_theta(spark):
+    """Two-level banding must compile to exactly two hash EQUI-joins (one
+    per length class) under a union — never a theta/nested-loop join, and
+    never more joins than levels."""
+    from tmapreduce_spark.operators.advanced import events_interval_join_mixed
+
+    df = events_interval_join_mixed(spark, SF_SMOKE)
+    # "simple" mode: one line per node ("formatted" repeats each node in the
+    # detail section, which would double the counts)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_joins == 2, f"expected 2 equi-joins, saw {n_joins}:\n{plan}"
+    assert "Union" in plan

@@ -584,6 +584,120 @@ GROUP BY iv.user_id, iv.iv_id
 
 
 # ---------------------------------------------------------------------------
+# Mixed-length interval join: two-level banding (fine + coarse tail)
+# ---------------------------------------------------------------------------
+
+# Mixed durations: 6..120 min per interval, deterministic per event. A single
+# fixed bucket width can't serve both ends — fine buckets make long intervals
+# explode into many rows, coarse buckets make every probe drag in far-away
+# short intervals. Two-level banding: intervals at or under the "p99" width
+# band at that width; the long tail bands at a coarse width wider than the
+# max duration. Every interval lands in EXACTLY ONE level and overlaps <= 2
+# of its level's buckets; every probe joins both levels (two equi-joins, a
+# union — never a theta join).
+_IVM_DUR_US = "(1 + event_id % 20) * 360000000"  # 6..120 min, µs
+_IVM_FINE_US = 1_800_000_000   # 30 min — covers the short-interval mass
+_IVM_COARSE_US = 9_000_000_000  # 150 min — > max duration, so tail iv ≤ 2 buckets
+
+
+def events_interval_join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with MIXED window lengths — each error event opens a
+    window of 6..120 minutes (length keyed to the event); count each user's
+    clicks (and value sum) inside each window.
+
+    `events_interval_join` banding assumes one fixed interval length; here
+    lengths span 20×, so bucketing every interval at the fine width would
+    cost long intervals ceil(120/30)+1 = 5 bucket rows each (and arbitrarily
+    many under a heavier tail), while bucketing everything at the tail width
+    makes every probe scan ~5× more candidates. Two-level banding splits by
+    length class: dur ≤ 30 min bands at 30 min, the tail bands at 150 min
+    (> max dur) — every interval sits in exactly one level and overlaps ≤ 2
+    of its level's buckets, so emission is ≤ 2 rows/interval REGARDLESS of
+    the length distribution, and each probe joins exactly 2 bucket keys
+    (one per level). Both joins are hash equi-joins on (user_id, bucket);
+    disjoint levels mean the union needs no dedup. This is the standard
+    multi-resolution interval-index trick (cf. banded range joins in
+    Databricks' range-join optimization), composed from plain exchanges.
+
+    Reference has no interval operator (``src/tmapreduce/mrf.h:9-11``);
+    SURVEY §2B joins, r04 verdict #6."""
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "error")
+        .selectExpr(
+            "user_id",
+            "event_id AS iv_id",
+            "unix_micros(ts) AS start_us",
+            f"unix_micros(ts) + {_IVM_DUR_US} AS end_us",
+        )
+        .withColumn("dur_us", F.col("end_us") - F.col("start_us"))
+    )
+
+    def banded(side: DataFrame, width: int) -> DataFrame:
+        return side.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_us div {width}"), F.expr(f"end_us div {width}")
+                )
+            ),
+        )
+
+    iv_fine = banded(iv.filter(F.col("dur_us") <= _IVM_FINE_US), _IVM_FINE_US)
+    iv_tail = banded(iv.filter(F.col("dur_us") > _IVM_FINE_US), _IVM_COARSE_US)
+
+    probes = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .withColumn("fine_bucket", F.expr(f"ts_us div {_IVM_FINE_US}"))
+        .withColumn("coarse_bucket", F.expr(f"ts_us div {_IVM_COARSE_US}"))
+    )
+
+    fine_hits = iv_fine.join(
+        probes,
+        (iv_fine["user_id"] == probes["user_id"])
+        & (iv_fine["bucket"] == probes["fine_bucket"]),
+    )
+    tail_hits = iv_tail.join(
+        probes,
+        (iv_tail["user_id"] == probes["user_id"])
+        & (iv_tail["bucket"] == probes["coarse_bucket"]),
+    )
+    hits = fine_hits.select(
+        iv_fine["user_id"], "iv_id", "ts_us", "start_us", "end_us", "value"
+    ).unionByName(
+        tail_hits.select(
+            iv_tail["user_id"], "iv_id", "ts_us", "start_us", "end_us", "value"
+        )
+    )
+    return (
+        hits.filter(F.col("ts_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("user_id", "iv_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.expr(msum2("value", SPARK)).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_INTERVAL_MIXED_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS iv_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_IVM_DUR_US} AS end_us
+  FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click')
+SELECT iv.user_id, iv.iv_id,
+       count(*) AS n_clicks,
+       {msum2("value", DUCK)} AS sum_value
+FROM iv JOIN p ON p.user_id = iv.user_id
+              AND p.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY iv.user_id, iv.iv_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) layout key — multi-dimensional clustering for data skipping
 # ---------------------------------------------------------------------------
 
@@ -645,6 +759,9 @@ QUERIES: dict[str, QuerySpec] = {
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
     "events_interval_join": QuerySpec(
         events_interval_join, EVENTS_INTERVAL_JOIN_SQL, "join"
+    ),
+    "events_interval_join_mixed": QuerySpec(
+        events_interval_join_mixed, EVENTS_INTERVAL_MIXED_SQL, "join"
     ),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),
