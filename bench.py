@@ -109,6 +109,13 @@ HEADLINE = [
     "dedup_incremental_admit",
     "events_interval_join_mixed",
     "multimodal_decode_real",
+    # round 5, second wave
+    "dedup_chunk_exact",
+    "dedup_ngram_containment",
+    "pipeline_token_budget_mix",
+    "join_asof_tolerance",
+    "embedding_prefix_recall",
+    "diag_column_ndv",
 ]
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import mround
 from tmapreduce_spark.sources.catalog import load_table
 
 # MinHash parameters: NUM_PERMS affine permutations h_i(x) = (a_i*x + b_i) % P
@@ -360,11 +361,13 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 SHINGLE_DF_CAP = 256
 
 
-def dedup_ngram_jaccard(
+def _pair_intersections(
     spark: SparkSession, sf_dir: str, max_shingle_df: int = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Exact token-3-gram Jaccard for every doc pair within the same
-    ``source`` block, keeping pairs over 0.05.
+    """Shared candidate machinery for the set-similarity family
+    (`dedup_ngram_jaccard`, `dedup_ngram_containment`): every same-source
+    doc pair sharing ≥1 shingle, with its EXACT intersection count and both
+    distinct-set sizes — (doc_a, doc_b, icnt, sz_a, sz_b).
 
     Computed relationally: explode distinct shingles, equi-join on
     (source, shingle) to count each pair's intersection, then
@@ -446,17 +449,67 @@ def dedup_ngram_jaccard(
             "coalesce(hot_a, array()), coalesce(hot_b, array()))) AS icnt",
         )
     )
-    return (
-        with_hot.join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "floor(CAST(icnt AS DOUBLE) / (sz_a + sz_b - icnt) * 1000000 + 0.5)"
-            " / 1000000 AS jaccard",
-        )
-        .filter(F.col("jaccard") >= 0.05)
-    )
+    return with_hot.join(
+        sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a"
+    ).join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exact token-3-gram Jaccard for every doc pair within the same
+    ``source`` block, keeping pairs over 0.05.
+
+    Computed relationally: explode distinct shingles, equi-join on
+    (source, shingle) to count each pair's intersection, then
+    |A∪B| = |A|+|B|-|A∩B|. This replaces the naive
+    blocked-crossJoin-with-array_intersect formulation (quadratic array
+    scans per pair) with one shuffle keyed on the shingle — pairs that share
+    nothing never materialize. Candidate generation + the hot-shingle DF cap
+    live in :func:`_pair_intersections` (shared with
+    `dedup_ngram_containment`)."""
+    return _pair_intersections(spark, sf_dir, max_shingle_df).selectExpr(
+        "doc_a",
+        "doc_b",
+        "floor(CAST(icnt AS DOUBLE) / (sz_a + sz_b - icnt) * 1000000 + 0.5)"
+        " / 1000000 AS jaccard",
+    ).filter(F.col("jaccard") >= 0.05)
+
+
+CONTAINMENT_MIN = 0.1
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram CONTAINMENT — |A∩B| / min(|A|,|B|) — for every
+    same-source doc pair, keeping pairs over 0.1. Containment is the
+    subset-duplicate detector Jaccard structurally misses: a short document
+    wholly embedded in a long one has containment 1.0 but Jaccard
+    |A|/|B| → 0 as the length ratio grows, so quote-extraction and
+    chunk-reuse dups survive Jaccard dedup. (Broder's "containment" measure;
+    the asymmetric companion to resemblance.)
+
+    Scale: identical plan to `dedup_ngram_jaccard` — the candidate pairs,
+    hot-shingle cap, and exact intersection counts come from the SAME
+    :func:`_pair_intersections` lineage; only the final scoring expression
+    differs. No new shuffle shape."""
+    return _pair_intersections(spark, sf_dir).selectExpr(
+        "doc_a",
+        "doc_b",
+        "floor(CAST(icnt AS DOUBLE) / least(sz_a, sz_b) * 1000000 + 0.5)"
+        " / 1000000 AS containment",
+    ).filter(F.col("containment") >= CONTAINMENT_MIN)
+
+
+DEDUP_NGRAM_CONTAINMENT_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, source, list_distinct({_SHINGLES_DUCK}) AS sh FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / least(len(a.sh), len(b.sh)) * 1000000 + 0.5) / 1000000 AS containment
+FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) * 1000000 + 0.5) / 1000000 >= {CONTAINMENT_MIN}
+"""
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -1178,7 +1231,78 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
 """
 
 
+# ---------------------------------------------------------------------------
+# Aligned-chunk exact dedup (RefinedWeb/Falcon-style paragraph dedup adapted
+# to the fixture's paragraph-free text: fixed 10-token aligned segments)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKS = 10
+
+
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup stats: segment every document into aligned
+    non-overlapping CHUNK_TOKS-token chunks, keep the FIRST occurrence of
+    each distinct chunk corpus-wide (ordered by doc_id, chunk position),
+    and report per document how many of its chunks were duplicates of
+    earlier text. This is paragraph-level dedup (RefinedWeb §dedup) adapted
+    to fixture text, and the cheap complement to `dedup_span_exact`:
+    aligned segments miss shifted copies but cost ~1/W the rows of
+    positional shingles and need no pair join at all.
+
+    Scale: tokenize once per doc, explode n/W chunk rows, ONE shuffle on
+    the 16-byte chunk hash for the keep-first window, one groupBy(doc_id)
+    — linear end to end, no pair enumeration, no skew (chunk-hash keys are
+    near-unique except for true boilerplate; a pathological viral chunk
+    lands on one reducer but the window computes only row_number, not a
+    pair set)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks_expr = f"greatest((size(toks) + {CHUNK_TOKS - 1}) div {CHUNK_TOKS}, 1)"
+    chunks = (
+        d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(0, {n_chunks_expr} - 1), "
+            f"i -> concat_ws(' ', slice(toks, i * {CHUNK_TOKS} + 1, {CHUNK_TOKS})))) "
+            "AS (chunk_idx, chunk)",
+        )
+        .selectExpr("doc_id", "chunk_idx", "md5(chunk) AS h")
+    )
+    w = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        F.expr(
+            mround("CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)
+        ).alias("dup_ratio"),
+    )
+
+
+DEDUP_CHUNK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest((len(toks) + {CHUNK_TOKS - 1}) // {CHUNK_TOKS}, 1))) AS BIGINT) AS chunk_idx,
+         unnest(list_transform(range(0, greatest((len(toks) + {CHUNK_TOKS - 1}) // {CHUNK_TOKS}, 1)),
+                i -> array_to_string(list_slice(toks, i * {CHUNK_TOKS} + 1, i * {CHUNK_TOKS} + {CHUNK_TOKS}), ' '))) AS chunk
+  FROM t),
+ranked AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+  FROM chunks)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       {mround('CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)} AS dup_ratio
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_chunk_exact": QuerySpec(dedup_chunk_exact, DEDUP_CHUNK_SQL, "dedup"),
     "dedup_incremental_admit": QuerySpec(
         dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"
     ),
@@ -1202,4 +1326,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL, "dedup"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "dedup"),
+    "dedup_ngram_containment": QuerySpec(
+        dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL, "dedup"
+    ),
 }

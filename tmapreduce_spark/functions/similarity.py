@@ -502,7 +502,138 @@ FROM errs
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension audit: does truncated-dim search agree with
+# full-dim search?
+# ---------------------------------------------------------------------------
+
+PREFIX_DIM = 16
+
+
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL-style prefix audit: for each query vector, the exact
+    top-1 neighbor under FULL-dimension cosine vs under the first
+    PREFIX_DIM dimensions only, with an agreement flag. This is the
+    measurement behind the truncate-then-rerank serving pattern (search at
+    16 dims, rerank survivors at 64): the agreement rate tells you what the
+    cheap prefix pass loses. Self-matches excluded.
+
+    Scale: ONE Arrow-batched corpus scan computes both Gram matrices
+    against the broadcast query model (the prefix matmul reuses the same
+    quantized batch, 4× cheaper); two WindowGroupLimit rank-1 passes over
+    the tiny (n_queries × corpus) scored stream, joined on query_id.
+    Linear, shuffle-free until the final 5-row join."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_ids, Qm, q_nrm = collect_query_model(e)
+    Qp = Qm[:, :PREFIX_DIM]
+    qp_nrm = np.sqrt(np.einsum("ij,ij->i", Qp, Qp).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            Cp = C[:, :PREFIX_DIM]
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            cp_nrm = np.sqrt(np.einsum("ij,ij->i", Cp, Cp).astype(np.float64))
+            cos_f = (C @ Qm.T).astype(np.float64) / (c_nrm[:, None] * q_nrm[None, :])
+            cos_p = (Cp @ Qp.T).astype(np.float64) / (cp_nrm[:, None] * qp_nrm[None, :])
+            cos_f = np.floor(cos_f * 1e6 + 0.5) / 1e6
+            cos_p = np.floor(cos_p * 1e6 + 0.5) / 1e6
+            n, k = cos_f.shape
+            out_q = np.tile(q_ids, n)
+            out_n = np.repeat(ids, k)
+            m = out_n != out_q
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[m],
+                    "neighbor_id": out_n[m],
+                    "cos_full": cos_f.ravel()[m],
+                    "cos_pre": cos_p.ravel()[m],
+                }
+            )
+
+    scored = e.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cos_full double, cos_pre double"
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_pre"), F.asc("neighbor_id"))
+    best_f = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("best_full"), "cos_full")
+    )
+    best_p = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("best_prefix"), "cos_pre")
+    )
+    return best_f.join(best_p, "query_id").select(
+        "query_id",
+        "best_full",
+        "cos_full",
+        "best_prefix",
+        "cos_pre",
+        (F.col("best_full") == F.col("best_prefix")).cast("bigint").alias("agree"),
+    )
+
+
+def _prefix_recall_sql() -> str:
+    qd = _qdot_duck
+    pd_ = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {PREFIX_DIM} + 1), i -> {{a}}[i] * {{b}}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+    def pdot(a: str, b: str) -> str:
+        return pd_.format(a=a, b=b)
+
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+q AS (SELECT vec_id AS query_id, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm,
+             sqrt(CAST({pdot('qe', 'qe')} AS DOUBLE)) AS qp_norm
+      FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, qe AS c_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS c_norm,
+             sqrt(CAST({pdot('qe', 'qe')} AS DOUBLE)) AS cp_norm
+      FROM v),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor((CAST({qd('q_qe', 'c_qe')} AS DOUBLE) / (q_norm * c_norm))
+               * 1000000 + 0.5) / 1000000 AS cos_full,
+         floor((CAST({pdot('q_qe', 'c_qe')} AS DOUBLE) / (qp_norm * cp_norm))
+               * 1000000 + 0.5) / 1000000 AS cos_pre
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id),
+bf AS (
+  SELECT query_id, neighbor_id AS best_full, cos_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, neighbor_id ASC) AS rn
+  FROM scored),
+bp AS (
+  SELECT query_id, neighbor_id AS best_prefix, cos_pre,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_pre DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT bf.query_id, bf.best_full, bf.cos_full, bp.best_prefix, bp.cos_pre,
+       CAST(bf.best_full = bp.best_prefix AS BIGINT) AS agree
+FROM bf JOIN bp ON bf.query_id = bp.query_id
+WHERE bf.rn = 1 AND bp.rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_prefix_recall": QuerySpec(
+        embedding_prefix_recall, _prefix_recall_sql(), "similarity"
+    ),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"
     ),

@@ -14,7 +14,7 @@ is expression-only (no Python UDFs) so they run JVM-side at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.functions.dedup import DEDUP_SPAN_SQL
@@ -1667,7 +1667,68 @@ GROUP BY source, split
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget data mixing: per-source admission under a fixed token budget
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2000  # per-source token cap
+
+
+def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget admission — the step that turns mixing WEIGHTS into an
+    actual dataset: each source gets a fixed token budget; its documents are
+    ranked by deterministic md5 priority (replayable, no rand()) and
+    admitted in priority order while the running token total stays within
+    budget. Emits the admitted docs with their token count and the running
+    total that admitted them. Complements `sample_domain_mix` (which picks
+    per-source DOC quotas): budgets are what training recipes specify.
+
+    Scale: one tokenize-free length pass (size(split()) — no explode), one
+    window per source for the running cumsum (single shuffle on source; for
+    hot sources, pre-aggregate per (source, priority-bucket) and cumsum the
+    buckets first — same two-level trick as the interval join), one filter.
+    Never collects, never ranks globally."""
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat_ws("|", F.lit("budget"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(pri.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.expr(r"size(split(trim(text), '\\s+'))").cast("bigint").alias("n_toks"),
+    )
+    return (
+        sized.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_toks", "cum_toks")
+    )
+
+
+PIPELINE_TOKEN_BUDGET_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+  FROM documents),
+running AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source
+                           ORDER BY md5('budget' || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM sized)
+SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+FROM running
+WHERE cum_toks <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_token_budget_mix": QuerySpec(
+        pipeline_token_budget_mix, PIPELINE_TOKEN_BUDGET_SQL, "pipeline"
+    ),
     "pipeline_train_val_split": QuerySpec(
         pipeline_train_val_split, PIPELINE_TRAIN_VAL_SQL, "pipeline"
     ),

@@ -584,6 +584,91 @@ GROUP BY iv.user_id, iv.iv_id
 
 
 # ---------------------------------------------------------------------------
+# As-of join with tolerance: latest error within a bounded lookback
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 1_800_000_000  # 30-minute lookback bound, µs
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of join: for every click, the LATEST error by the same
+    user within the preceding 30 minutes (clicks with no error in the
+    window drop out — inner as-of). `join_asof_events` is the unbounded
+    as-of; the tolerance variant is what monitoring/attribution actually
+    wants, and the bound is also what makes it cheap: because a match can
+    only live in [ts-TOL, ts], quantize time at the tolerance width — each
+    error lands in exactly 1 bucket, each click probes exactly 2 (its own
+    and the previous) — then hash equi-join on (user_id, bucket), refine
+    with the exact gap predicate, and keep the max (err_ts, err_id) per
+    click. An error matches a click via exactly one of the click's two
+    probe buckets, so no dedup is needed.
+
+    Scale: join-key cardinality is users × active-buckets (same shape as
+    `events_interval_join`); the unbounded as-of needs a per-user sort —
+    this needs only a bounded equi-join plus a 2-row-max aggregation.
+    Reference has no temporal join (``src/tmapreduce/mrf.h:9-11``)."""
+    e = load_table(spark, sf_dir, "events")
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.unix_micros("ts").alias("err_us"),
+        )
+        .withColumn("bucket", F.expr(f"err_us div {_ASOF_TOL_US}"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.unix_micros("ts").alias("click_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"click_us div {_ASOF_TOL_US}"),
+                    F.expr(f"click_us div {_ASOF_TOL_US} - 1"),
+                )
+            ),
+        )
+    )
+    hits = clicks.join(errs, ["user_id", "bucket"]).filter(
+        (F.col("click_us") - F.col("err_us")).between(0, _ASOF_TOL_US)
+    )
+    return (
+        hits.groupBy("user_id", "click_id", "click_us")
+        .agg(F.max(F.struct("err_us", "err_id")).alias("best"))
+        .select(
+            "user_id",
+            "click_id",
+            F.col("best.err_id").alias("last_err"),
+            (F.col("click_us") - F.col("best.err_us")).alias("gap_us"),
+        )
+    )
+
+
+JOIN_ASOF_TOLERANCE_SQL = f"""
+WITH errs AS (
+  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us
+  FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'),
+hits AS (
+  SELECT c.user_id, c.click_id, c.click_us, e.err_id, e.err_us,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY e.err_us DESC, e.err_id DESC) AS rn
+  FROM clicks c
+  JOIN errs e ON e.user_id = c.user_id
+             AND c.click_us - e.err_us BETWEEN 0 AND {_ASOF_TOL_US})
+SELECT user_id, click_id, err_id AS last_err, click_us - err_us AS gap_us
+FROM hits WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mixed-length interval join: two-level banding (fine + coarse tail)
 # ---------------------------------------------------------------------------
 
@@ -762,6 +847,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_interval_join_mixed": QuerySpec(
         events_interval_join_mixed, EVENTS_INTERVAL_MIXED_SQL, "join"
+    ),
+    "join_asof_tolerance": QuerySpec(
+        join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL, "join"
     ),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),

@@ -1832,6 +1832,41 @@ LIMIT 20
 """
 
 
+def diag_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-cardinality profile: EXACT distinct counts for the lineitem
+    join/grouping candidate columns plus the row total, in ONE aggregate —
+    the profiling pass behind broadcast-vs-shuffle and bucketing decisions
+    (a column with NDV ≈ n_rows is a join key; NDV ≤ thousands is a
+    broadcast dim or dictionary-encoding win).
+
+    Scale: Spark compiles multi-column count(DISTINCT) into one Expand
+    (one input row → one row per distinct-column) + two-level aggregation —
+    a single scan and one shuffle of (column-tag, value) pairs instead of
+    one scan per column; at petabyte scale swap the exact counts for the
+    mergeable HLL sketches (`sketch_hll_partition_merge`), same plan
+    shape. This exact twin is the oracle-checkable form."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_suppkey").alias("ndv_suppkey"),
+        F.countDistinct("l_shipdate").alias("ndv_shipdate"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+    )
+
+
+DIAG_COLUMN_NDV_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS ndv_orderkey,
+       count(DISTINCT l_partkey) AS ndv_partkey,
+       count(DISTINCT l_suppkey) AS ndv_suppkey,
+       count(DISTINCT l_shipdate) AS ndv_shipdate,
+       count(DISTINCT l_returnflag) AS ndv_returnflag
+FROM lineitem
+"""
+
+
 def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (wide → long): the three lineitem rate columns become
     (metric, value) rows via the native ``DataFrame.unpivot`` operator —
@@ -1989,4 +2024,5 @@ QUERIES: dict[str, QuerySpec] = {
         join_existence_flag, JOIN_EXISTENCE_FLAG_SQL, "join"
     ),
     "diag_key_skew": QuerySpec(diag_key_skew, DIAG_KEY_SKEW_SQL, "aggregation"),
+    "diag_column_ndv": QuerySpec(diag_column_ndv, DIAG_COLUMN_NDV_SQL, "aggregation"),
 }
