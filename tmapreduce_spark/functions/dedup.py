@@ -307,16 +307,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"explode(split(trim(lower(text)), '\\s+')) AS tok",
     ).filter(F.col("tok") != "")
     h = toks.selectExpr("doc_id", f"{_h60_spark('tok')} AS h32")
+    # bit j of the signature is sign(sum ±1) = [2 * count(bit j set) > n]:
+    # summing the extracted bit ((h >> j) & 1, pure arithmetic) is cheaper
+    # than a per-row CASE and algebraically identical.
     bit_sums = h.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.expr(f"(h32 >> {j}) & 1 = 1"), 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.expr(f"(h32 >> {j}) & 1")).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
     return bit_sums.selectExpr("doc_id", f"{sig} AS simhash")
@@ -324,11 +326,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     bit_cols = ", ".join(
-        f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(SIMHASH_BITS)
+        [f"count(*) AS n"]
+        + [f"sum((h32 >> {j}) & 1) AS b{j}" for j in range(SIMHASH_BITS)]
     )
     sig = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
     return rf"""
@@ -1181,19 +1183,21 @@ def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_h = corp.selectExpr("md5(text) AS h").distinct()
     stage1 = inc_h.join(corp_h, "h", "left_anti")
 
-    def banded(side: DataFrame) -> DataFrame:
-        return side.selectExpr(
-            "doc_id",
-            "simhash",
-            f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
-        ).selectExpr(
-            "doc_id", "simhash", "band",
-            f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
-            f" & {SIMHASH_BAND_MASK} AS band_val",
-        )
-
-    inc_b = banded(sig.join(inc.select("doc_id"), "doc_id"))
-    corp_b = banded(sig.join(corp.select("doc_id"), "doc_id"))
+    # Band the corpus-wide signature table ONCE, then split by the admission
+    # predicate — doc_id rides the signature row, so the split is a filter,
+    # not a join (two joins and one signature recomputation cheaper; the
+    # banded lineage's shuffle is shared by both sides via exchange reuse).
+    banded_all = sig.selectExpr(
+        "doc_id",
+        "simhash",
+        f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
+    ).selectExpr(
+        "doc_id", "simhash", "band",
+        f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
+        f" & {SIMHASH_BAND_MASK} AS band_val",
+    )
+    inc_b = banded_all.filter(F.expr("doc_id % 5 = 0"))
+    corp_b = banded_all.filter(F.expr("doc_id % 5 != 0"))
     near = (
         inc_b.alias("i")
         .join(
