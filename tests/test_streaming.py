@@ -355,3 +355,41 @@ def test_streaming_funnel_converges_to_batch_funnel(spark):
     )
     want = events_funnel(spark, SF_SMOKE).collect()[0]
     assert got == (want["n_viewed"], want["n_clicked"], want["n_purchased"]), (got, want)
+
+
+def test_ohlc_stream_matches_batch(spark):
+    """Streaming OHLC (declarative min_by/max_by firsts/lasts) must equal
+    the batch twin's row_number formulation under the same (ts, event_id)
+    total order."""
+    from tmapreduce_spark.operators.relational import events_ohlc_hourly
+    from tmapreduce_spark.streaming.events import ohlc_hourly_stream
+
+    s = ohlc_hourly_stream(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_ohlc", output_mode="complete")
+    batch = events_ohlc_hourly(spark, SF_SMOKE)
+    cols = ["event_type", "hour", "open", "high", "low", "close", "n_events"]
+    assert _rows(mem, cols) == _rows(batch, cols)
+
+
+def test_admit_stream_matches_batch_exact_stage(spark):
+    """Stream-static anti-join admission must equal the equivalent batch
+    exact-dedup stage (incoming batch anti-joined on content hash against
+    the static corpus)."""
+    from pyspark.sql import functions as F
+
+    from tmapreduce_spark.streaming.events import admit_stream
+
+    mem = run_stream_to_memory(
+        spark, admit_stream(spark, SF_SMOKE), "t_admit", output_mode="append"
+    )
+    d = load_table(spark, SF_SMOKE, "documents")
+    corp = d.filter(F.expr("doc_id % 5 != 0")).selectExpr("md5(text) AS h").distinct()
+    batch = (
+        d.filter(F.expr("doc_id % 5 = 0"))
+        .selectExpr("doc_id", "lang", "n_chars", "md5(text) AS h")
+        .join(corp, "h", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+    cols = ["doc_id", "lang", "n_chars"]
+    assert mem.count() > 0
+    assert _rows(mem, cols) == _rows(batch, cols)

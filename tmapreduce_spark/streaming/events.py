@@ -20,7 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tmapreduce_spark.parity import SPARK, msum2
+from tmapreduce_spark.parity import SPARK, mround, msum2
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -142,6 +142,87 @@ def session_windows(events: DataFrame, gap: str = "15 minutes", watermark: str =
             "n_events",
             "session_value",
         )
+    )
+
+
+def ohlc_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC bars per (event_type, hour): open/close picked by
+    min_by/max_by over the (ts, event_id) total order — the DECLARATIVE
+    first/last formulation, because analytic row_number windows (the batch
+    twin `events_ohlc_hourly`'s formulation) don't exist in streaming; both
+    pick the same rows under the same total order (test-pinned). State per
+    key is O(1) (four scalars + the argmin/argmax structs), evicted at the
+    watermark — the downsample-on-ingest operator that keeps 100 TB of raw
+    events out of the store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.expr(mround("min_by(value, struct(ts, event_id))", 6)).alias("open"),
+            F.expr(mround("max(value)", 6)).alias("high"),
+            F.expr(mround("min(value)", 6)).alias("low"),
+            F.expr(mround("max_by(value, struct(ts, event_id))", 6)).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+DOCUMENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the arriving-crawl
+    side of the streaming admission pipeline."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def admit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest admission via STREAM-STATIC anti-join: arriving
+    documents (doc_id % 5 = 0, modeling tonight's crawl) are admitted only
+    if their content hash does not already exist in the static corpus (the
+    rest) — the streaming twin of `dedup_incremental_admit`'s exact stage.
+
+    Scale: the static side reduces to a 16-byte-hash set built ONCE per
+    micro-batch plan (broadcast under AQE when small, shuffled hash join
+    otherwise); the stream ships only (hash, metadata). Stream-static joins
+    need no watermark/state store — the static side is not in motion."""
+    from tmapreduce_spark.sources.catalog import load_table
+
+    corpus_hashes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr("doc_id % 5 != 0"))
+        .selectExpr("md5(text) AS h")
+        .distinct()
+    )
+    incoming = (
+        stream_documents(spark, sf_dir)
+        .filter(F.expr("doc_id % 5 = 0"))
+        .selectExpr("doc_id", "lang", "n_chars", "md5(text) AS h")
+    )
+    return incoming.join(corpus_hashes, "h", "left_anti").select(
+        "doc_id", "lang", "n_chars"
     )
 
 
