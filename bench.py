@@ -116,6 +116,7 @@ HEADLINE = [
     "join_asof_tolerance",
     "embedding_prefix_recall",
     "diag_column_ndv",
+    "ann_ivf_pq_topk",
 ]
 
 

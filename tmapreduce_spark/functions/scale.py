@@ -538,6 +538,201 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the actual billion-vector serving architecture
+    (FAISS IVFPQ): IVF restricts each query to its nearest centroid's
+    bucket, PQ scores those candidates from 4 codeword ids via ADC lookup
+    tables — the scoring scan touches neither the original vectors nor
+    out-of-bucket candidates.
+
+    Scale: ONE Arrow-batched corpus pass does BOTH centroid assignment and
+    PQ encoding (broadcast models in the closure; the separate `ann_ivf_*`
+    / `ann_pq_*` entries each make an equivalent pass — composing them is
+    free); at rest the corpus stores (centroid, 4 codes, rnorm) ≈ 12 bytes
+    a vector, partitioned by centroid, and a query reads ~1/IVF_K of it.
+    Candidate lookup is the same broadcast bucket equi-join as IVF; ADC is
+    exact int64 (bit-identical to the oracle's relational LUT join)."""
+    import numpy as np
+    import pandas as pd
+
+    assert ANN_QUERIES <= IVF_K
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # model-side collects: IVF_K centroid rows (queries are a subset) + the
+    # PQ codebook rows — both tiny, never the data path
+    cent_rows = e.filter(F.col("vec_id") < max(IVF_K, PQ_K)).orderBy("vec_id").collect()
+    M = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    C = M[:IVF_K]
+    c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+    CB = M[:PQ_K]
+    dim = M.shape[1]
+    dm = dim // PQ_M
+    subcb = [CB[:, m * dm : (m + 1) * dm] for m in range(PQ_M)]
+    sub_n2 = [np.einsum("ij,ij->i", c, c) for c in subcb]
+
+    Q = M[:ANN_QUERIES]
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+    LUT = np.stack(
+        [Q[:, m * dm : (m + 1) * dm] @ subcb[m].T for m in range(PQ_M)], axis=1
+    )  # (n_queries, PQ_M, PQ_K)
+
+    code_cols = [f"c{m}" for m in range(PQ_M)]
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            v_nrm = np.sqrt(np.einsum("ij,ij->i", V, V).astype(np.float64))
+            cos = (V @ C.T).astype(np.float64) / (v_nrm[:, None] * c_nrm[None, :])
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy().astype("int64"),
+                "centroid": np.argsort(-cos, axis=1, kind="stable")[:, 0].astype("int64"),
+            }
+            rnorm2 = np.zeros(len(V), dtype=np.int64)
+            for m in range(PQ_M):
+                Vm = V[:, m * dm : (m + 1) * dm]
+                d2 = sub_n2[m][None, :] - 2 * (Vm @ subcb[m].T)
+                code = np.argmin(d2, axis=1)
+                out[f"c{m}"] = code.astype("int64")
+                rnorm2 += sub_n2[m][code]
+            out["rnorm2"] = rnorm2
+            yield pd.DataFrame(out)
+
+    enc = e.mapInPandas(
+        assign_encode,
+        "vec_id bigint, centroid bigint, "
+        + ", ".join(f"{c} bigint" for c in code_cols)
+        + ", rnorm2 bigint",
+    )
+
+    # query probe list (top-1 centroid per query), broadcast
+    q_cos = (Q @ C.T).astype(np.float64) / (q_nrm[:, None] * c_nrm[None, :])
+    q_probe = np.argsort(-q_cos, axis=1, kind="stable")[:, 0]
+    probes = spark.createDataFrame(
+        [(int(i), int(q_probe[i])) for i in range(ANN_QUERIES)],
+        "query_id bigint, q_centroid bigint",
+    )
+    cand = enc.join(
+        F.broadcast(probes),
+        (F.col("centroid") == F.col("q_centroid"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qidx = pdf["query_id"].to_numpy().astype(np.int64)
+            codes = pdf[code_cols].to_numpy().astype(np.int64)
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += LUT[qidx, m, codes[:, m]]
+            rn = np.sqrt(pdf["rnorm2"].to_numpy().astype(np.float64))
+            cos = adc.astype(np.float64) / (q_nrm[qidx] * rn)
+            yield pd.DataFrame(
+                {
+                    "query_id": qidx,
+                    "neighbor_id": pdf["vec_id"].to_numpy().astype("int64"),
+                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id bigint, neighbor_id bigint, cosine double")
+    return topk_ranked(scored)
+
+
+def _ivf_pq_sql() -> str:
+    dm = 16
+    qd = _qdot_duck
+    sub_dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, {dm} + 1), i -> {a}[{off} + i] * {b}[{off} + i])), "
+        "(acc, x) -> acc + x)"
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, {dm} + 1), "
+        "i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    cosine_to_cent = (
+        f"CAST({qd('v.qe', 'c.ce')} AS DOUBLE)"
+        f" / (sqrt(CAST({qd('v.qe', 'v.qe')} AS DOUBLE))"
+        f" * sqrt(CAST({qd('c.ce', 'c.ce')} AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cid, qe AS ce FROM v WHERE vec_id < {IVF_K}),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cosine_to_cent} DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cent c) t
+  WHERE rn = 1),
+sub AS (SELECT m FROM (VALUES (0), (1), (2), (3)) t(m)),
+cb AS (SELECT vec_id AS c, qe AS cb_qe FROM v WHERE vec_id < {PQ_K}),
+dist AS (
+  SELECT v.vec_id, s.m, cb.c,
+         {d2.format(dm=dm, a='v.qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS d2,
+         {sub_dot.format(dm=dm, a='cb.cb_qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS cn2
+  FROM v CROSS JOIN sub s CROSS JOIN cb),
+enc AS (
+  SELECT vec_id, m, c, cn2 FROM (
+    SELECT vec_id, m, c, cn2,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM dist) WHERE rn = 1),
+rnorm AS (
+  SELECT vec_id, sqrt(CAST(CAST(sum(cn2) AS BIGINT) AS DOUBLE)) AS rnorm
+  FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id < {ANN_QUERIES}),
+qprobe AS (
+  SELECT query_id, cid AS q_centroid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY CAST({qd('q.q_qe', 'c.ce')} AS DOUBLE)
+                                       / (sqrt(CAST({qd('q.q_qe', 'q.q_qe')} AS DOUBLE))
+                                          * sqrt(CAST({qd('c.ce', 'c.ce')} AS DOUBLE))) DESC,
+                                       c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) t
+  WHERE rn = 1),
+lut AS (
+  SELECT q.query_id, s.m, cb.c,
+         {sub_dot.format(dm=dm, a='q.q_qe', b='cb.cb_qe', off='s.m * ' + str(dm))} AS dot
+  FROM q CROSS JOIN sub s CROSS JOIN cb),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
+  FROM enc e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN qprobe p ON p.q_centroid = a.centroid
+  JOIN lut l ON l.query_id = p.query_id AND l.m = e.m AND l.c = e.c
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         floor((CAST(a.adc_dot AS DOUBLE) / (q.q_norm * r.rnorm)) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM adc a
+  JOIN q ON q.query_id = a.query_id
+  JOIN rnorm r ON r.vec_id = a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-dim equi-join: events.user_id is Zipf-hot (150 users,
     10k+ events), so a plain shuffle join lands hot keys on single tasks. The
@@ -674,6 +869,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_bloom_prefilter": QuerySpec(join_bloom_prefilter, JOIN_BLOOM_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, _ivf_sql(), "similarity"),
+    "ann_ivf_pq_topk": QuerySpec(ann_ivf_pq_topk, _ivf_pq_sql(), "similarity"),
     # the multi-probe recall knob as a first-class oracle-checked entry:
     # each query answers from its TWO nearest centroids' buckets
     "ann_ivf_topk_probe2": QuerySpec(
