@@ -117,6 +117,7 @@ HEADLINE = [
     "embedding_prefix_recall",
     "diag_column_ndv",
     "ann_ivf_pq_topk",
+    "pipeline_contamination_report",
 ]
 
 

@@ -241,3 +241,36 @@ def test_simhash_pigeonhole_recall_property():
         )
 
     check()
+
+
+def test_interval_two_level_banding_complete_property():
+    """Hypothesis pin of the two-level interval banding's completeness: for
+    ANY interval [s, s+dur] (dur <= the coarse width) and ANY probe ts
+    inside it, the probe's single bucket at the interval's level is one of
+    the <= 2 buckets the interval explodes into — i.e. the two equi-joins
+    of `events_interval_join_mixed` generate every qualifying
+    (interval, probe) candidate. Mirrors the exact bucket arithmetic of
+    the implementation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmapreduce_spark.operators.advanced import _IVM_COARSE_US, _IVM_FINE_US
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        start=st.integers(min_value=0, max_value=10**15),
+        dur=st.integers(min_value=0, max_value=_IVM_COARSE_US - 1),
+        frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(start: int, dur: int, frac: float) -> None:
+        end = start + dur
+        ts = start + int(dur * frac)
+        assert start <= ts <= end
+        width = _IVM_FINE_US if dur <= _IVM_FINE_US else _IVM_COARSE_US
+        iv_buckets = set(range(start // width, end // width + 1))
+        # the interval overlaps <= 2 buckets of its level (emission bound)
+        assert len(iv_buckets) <= 2
+        # completeness: the probe's single bucket at that width is one of them
+        assert ts // width in iv_buckets
+
+    check()

@@ -1667,6 +1667,77 @@ GROUP BY source, split
 """
 
 
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination REPORT — the release-gate companion to
+    `pipeline_decontaminate` (which emits the flagged docs): for every
+    training source, total docs, contaminated docs, contamination rate, and
+    the count of distinct benchmark shingles that hit it. This is the table
+    a dataset card publishes and the number a release gate thresholds on.
+
+    Scale: same broadcast semi-join shape as decontaminate (the benchmark
+    shingle set is tiny), then ONE groupBy(source) over the hit rows and a
+    broadcast join of per-source totals — report cardinality is n_sources,
+    so every aggregate partial-aggregates map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", "source", r"split(trim(lower(text)), '\\s+') AS t"
+    ).filter(F.size("t") >= DECONTAM_W)
+    sh = toks.selectExpr(
+        "doc_id",
+        "source",
+        f"explode(array_distinct(transform(sequence(1, size(t) - {DECONTAM_W} + 1), "
+        f"i -> md5(array_join(slice(t, i, {DECONTAM_W}), ' '))))) AS h",
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    hits = sh.filter(F.col("source") != "src0").join(F.broadcast(bench), "h", "left_semi")
+    per_source = hits.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_contaminated"),
+        F.countDistinct("h").alias("n_hit_shingles"),
+    )
+    totals = (
+        d.filter(F.col("source") != "src0").groupBy("source").agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        totals.join(per_source, "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "coalesce(n_contaminated, 0) AS n_contaminated",
+            "coalesce(n_hit_shingles, 0) AS n_hit_shingles",
+            mround("CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_docs", 6)
+            + " AS contam_rate",
+        )
+    )
+
+
+PIPELINE_CONTAM_REPORT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         md5(list_aggregate(t[i:i + {DECONTAM_W} - 1], 'string_agg', ' ')) AS h
+  FROM toks, unnest(range(1, len(t) - {DECONTAM_W} + 2)) AS u(i)
+  WHERE len(t) >= {DECONTAM_W}),
+bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+hits AS (
+  SELECT s.doc_id, s.source, s.h
+  FROM sh s WHERE s.source <> 'src0' AND s.h IN (SELECT h FROM bench)),
+per_source AS (
+  SELECT source, count(DISTINCT doc_id) AS n_contaminated,
+         count(DISTINCT h) AS n_hit_shingles
+  FROM hits GROUP BY source),
+totals AS (
+  SELECT source, count(*) AS n_docs FROM documents WHERE source <> 'src0'
+  GROUP BY source)
+SELECT t.source, t.n_docs,
+       COALESCE(p.n_contaminated, 0) AS n_contaminated,
+       COALESCE(p.n_hit_shingles, 0) AS n_hit_shingles,
+       {mround('CAST(COALESCE(p.n_contaminated, 0) AS DOUBLE) / t.n_docs', 6)} AS contam_rate
+FROM totals t LEFT JOIN per_source p ON t.source = p.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token-budget data mixing: per-source admission under a fixed token budget
 # ---------------------------------------------------------------------------
@@ -1728,6 +1799,9 @@ WHERE cum_toks <= {TOKEN_BUDGET}
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_token_budget_mix": QuerySpec(
         pipeline_token_budget_mix, PIPELINE_TOKEN_BUDGET_SQL, "pipeline"
+    ),
+    "pipeline_contamination_report": QuerySpec(
+        pipeline_contamination_report, PIPELINE_CONTAM_REPORT_SQL, "pipeline"
     ),
     "pipeline_train_val_split": QuerySpec(
         pipeline_train_val_split, PIPELINE_TRAIN_VAL_SQL, "pipeline"
