@@ -118,6 +118,7 @@ HEADLINE = [
     "diag_column_ndv",
     "ann_ivf_pq_topk",
     "pipeline_contamination_report",
+    "agg_weighted_median",
 ]
 
 

@@ -572,3 +572,40 @@ def test_interval_mixed_two_equi_joins_no_theta(spark):
     )
     assert n_joins == 2, f"expected 2 equi-joins, saw {n_joins}:\n{plan}"
     assert "Union" in plan
+
+
+def test_chunk_dedup_no_pair_join(spark):
+    """Aligned-chunk dedup must stay linear: no join of any kind (the
+    keep-first window + per-doc regroup are pure exchanges), and both
+    shuffles present (chunk-hash window, doc_id groupBy)."""
+    from tmapreduce_spark.functions.dedup import dedup_chunk_exact
+
+    df = dedup_chunk_exact(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    for j in ("Join", "CartesianProduct"):
+        assert j not in plan, plan
+    assert "Window" in plan
+
+
+def test_contamination_report_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the corpus side never
+    shuffles on the shingle hash for the semi-join."""
+    from tmapreduce_spark.functions.text import pipeline_contamination_report
+
+    df = pipeline_contamination_report(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_ivf_pq_candidate_join_is_broadcast(spark):
+    """IVFPQ's candidate lookup joins the encoded corpus against the tiny
+    broadcast probe list — never a shuffled or nested-loop join of the
+    corpus."""
+    from tmapreduce_spark.functions.scale import ann_ivf_pq_topk
+
+    df = ann_ivf_pq_topk(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1832,6 +1832,61 @@ LIMIT 20
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: per return flag, the smallest
+    l_extendedprice whose cumulative l_quantity weight reaches half the
+    group's total — the weighted-percentile primitive (no engine builtin
+    computes weighted percentiles). Deterministic: the cumsum runs over the
+    total order (price, orderkey, linenumber), so ties can't reorder
+    between engines; values are surfaced verbatim (no float arithmetic).
+
+    Scale: one window + one groupBy sharing the SAME hashpartitioning on
+    the group key — a single shuffle; the window is a running sum (O(1)
+    state per row). At petabyte scale swap in a two-pass histogram
+    (bucket-count, then refine the half-weight bucket) — same answer,
+    bounded memory; this exact form is the oracle-checkable contract."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    marked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).over(w).alias("cum_w"),
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).over(wt).alias("tot_w"),
+    )
+    return (
+        marked.filter(F.expr("2 * cum_w >= tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("tot_w").alias("total_weight"),
+        )
+    )
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH marked AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median,
+       CAST(max(tot_w) AS BIGINT) AS total_weight
+FROM marked
+WHERE 2 * cum_w >= tot_w
+GROUP BY l_returnflag
+"""
+
+
 def diag_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-cardinality profile: EXACT distinct counts for the lineitem
     join/grouping candidate columns plus the row total, in ONE aggregate —
@@ -2025,4 +2080,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "diag_key_skew": QuerySpec(diag_key_skew, DIAG_KEY_SKEW_SQL, "aggregation"),
     "diag_column_ndv": QuerySpec(diag_column_ndv, DIAG_COLUMN_NDV_SQL, "aggregation"),
+    "agg_weighted_median": QuerySpec(
+        agg_weighted_median, AGG_WEIGHTED_MEDIAN_SQL, "aggregation"
+    ),
 }
