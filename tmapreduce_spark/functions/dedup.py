@@ -1305,8 +1305,59 @@ GROUP BY doc_id
 """
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY POLICY: for every near-dup cluster
+    (the `dedup_cluster_resolve` components), keep the highest-quality
+    member — most tokens, doc_id as the deterministic tiebreak — instead of
+    the arbitrary lowest-id keeper. Production corpus builds keep the best
+    copy (longest, cleanest), not the first crawled; this entry is that
+    policy as a first-class operator.
+
+    Scale: the cluster assignment is the already-bounded CC output (one row
+    per clustered doc); the quality join ships only (doc_id, n_toks); the
+    per-cluster argmax is one WindowGroupLimit pass keyed on cluster_id.
+    Changing policy = changing the ORDER BY — the plan is policy-agnostic."""
+    clusters = dedup_cluster_resolve(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.selectExpr(
+        "doc_id", r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_toks"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    return (
+        clusters.join(sized, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("n_toks").alias("keeper_n_toks"),
+            "cluster_size",
+        )
+    )
+
+
+DEDUP_CLUSTER_KEEP_BEST_SQL = (
+    "WITH clusters AS (" + DEDUP_CLUSTER_SQL + r""")
+, sized AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+  FROM documents),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, s.n_toks, c.cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.n_toks DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN sized s USING (doc_id))
+SELECT cluster_id, doc_id AS keeper_doc, n_toks AS keeper_n_toks, cluster_size
+FROM ranked WHERE rn = 1
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_chunk_exact": QuerySpec(dedup_chunk_exact, DEDUP_CHUNK_SQL, "dedup"),
+    "dedup_cluster_keep_best": QuerySpec(
+        dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL, "dedup"
+    ),
     "dedup_incremental_admit": QuerySpec(
         dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"
     ),
