@@ -119,6 +119,10 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "pipeline_contamination_report",
     "agg_weighted_median",
+    "dedup_cluster_keep_best",
+    "graph_triangle_count",
+    "events_user_path_topk",
+    "window_streak_longest",
 ]
 
 

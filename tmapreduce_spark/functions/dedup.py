@@ -1353,11 +1353,65 @@ FROM ranked WHERE rn = 1
 )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph (MinHash-LSH pair
+    edges): how many closed near-dup triples each document participates in
+    — the local clustering signal that separates true duplicate CLIQUES
+    (template farms, mirrors) from chance pairwise collisions, which is why
+    triangle count is the standard graph-quality metric next to CC.
+
+    Scale: the classic two-join formulation over ID-oriented edges
+    (doc_a < doc_b), so each triangle is enumerated exactly once (its
+    vertices appear in sorted order). Both joins are hash equi-joins on
+    single doc ids over the banding-bounded EDGE set — never the corpus.
+    At billion-edge scale, orient edges by DEGREE (low→high) instead of id:
+    same plan, wedge fan-out bounded by sqrt(|E|) per node (the standard
+    compact-forward guarantee); id-orientation is the parity-friendly twin."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+GRAPH_TRIANGLE_SQL = (
+    "WITH e AS (SELECT doc_a, doc_b FROM (" + DEDUP_MINHASH_PAIRS_SQL + """) t)
+, tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1
+  JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT doc_id, count(*) AS n_triangles
+FROM nodes GROUP BY doc_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_chunk_exact": QuerySpec(dedup_chunk_exact, DEDUP_CHUNK_SQL, "dedup"),
     "dedup_cluster_keep_best": QuerySpec(
         dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL, "dedup"
     ),
+    "graph_triangle_count": QuerySpec(graph_triangle_count, GRAPH_TRIANGLE_SQL, "dedup"),
     "dedup_incremental_admit": QuerySpec(
         dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"
     ),

@@ -584,6 +584,118 @@ GROUP BY iv.user_id, iv.iv_id
 
 
 # ---------------------------------------------------------------------------
+# Sequence mining: top event-type trigrams along per-user journeys
+# ---------------------------------------------------------------------------
+
+PATH_TOPK = 20
+
+
+def events_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey sequence mining: order each user's events by (ts, event_id),
+    form consecutive event-type trigrams with lead(), and report the
+    corpus-wide top-PATH_TOPK paths — the "what do users do next"
+    aggregation behind funnel discovery (the wordcount shape applied to
+    behavioral n-grams).
+
+    Scale: ONE window shuffle on user_id builds every trigram (two lead()
+    calls share the frame), then the trigram count partial-aggregates
+    map-side; top-k is TakeOrderedAndProject. No self-joins — the window
+    formulation replaces the classic events-joined-3-ways approach that
+    fans out quadratically on hot users."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+EVENTS_USER_PATH_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Longest activity streak: gaps-and-islands over distinct active days
+# ---------------------------------------------------------------------------
+
+
+def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands on DATES: distinct active days minus a per-user day
+    row_number is constant within a consecutive run, so grouping on that
+    difference yields streaks without any self-join or iteration. Emits
+    each user's longest streak (ties: earliest start).
+
+    Scale: distinct days partial-aggregate map-side (days per user is tiny
+    vs events); the window, streak groupBy, and per-user argmax all share
+    ONE hashpartitioning on user_id — a single shuffle end to end."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "grp", F.expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))")
+    )
+    streaks = grp.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_days"), F.min("d").alias("start_day")
+    )
+    ww = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_day")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+        )
+    )
+
+
+WINDOW_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+  FROM days),
+streaks AS (
+  SELECT user_id, g, count(*) AS streak_days, min(d) AS start_day
+  FROM grp GROUP BY user_id, g),
+ranked AS (
+  SELECT user_id, streak_days, start_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_days DESC, start_day ASC) AS rn
+  FROM streaks)
+SELECT user_id, streak_days, strftime(start_day, '%Y-%m-%d') AS start_day
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join with tolerance: latest error within a bounded lookback
 # ---------------------------------------------------------------------------
 
@@ -850,6 +962,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_asof_tolerance": QuerySpec(
         join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL, "join"
+    ),
+    "events_user_path_topk": QuerySpec(
+        events_user_path_topk, EVENTS_USER_PATH_SQL, "time-window"
+    ),
+    "window_streak_longest": QuerySpec(
+        window_streak_longest, WINDOW_STREAK_SQL, "window"
     ),
     "pivot_status_priority": QuerySpec(pivot_status_priority, PIVOT_SQL, "aggregation"),
     "percentiles_price": QuerySpec(percentiles_price, PERCENTILES_SQL, "aggregation"),
