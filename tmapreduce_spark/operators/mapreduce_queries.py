@@ -76,7 +76,25 @@ def mr_charcount_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.apply_df(_kv_documents(spark, sf_dir), "charcount+c")
 
 
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep through the MapReduce path — the second canonical
+    program from the original MapReduce paper: map emits matching (doc,
+    text) pairs (pattern 'spark' baked into the job type, exactly like a
+    reference .so), reduce is identity; output is the matching documents
+    under the reference's (key, result) contract."""
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(_kv_documents(spark, sf_dir), "grep-spark")
+
+
+MR_GREP_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS key, text AS result
+FROM documents
+WHERE contains(text, 'spark')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mr_grep": QuerySpec(mr_grep, MR_GREP_SQL, "mapreduce"),
     "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),
     "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),
     "mr_charcount_combined": QuerySpec(mr_charcount_combined, MR_CHARCOUNT_SQL, "mapreduce"),

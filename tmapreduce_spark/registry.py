@@ -125,6 +125,15 @@ def sum_combine(key: str, values: list[str]) -> list[str]:
     return [str(sum(int(v) for v in values))]
 
 
+def grep_spark_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Distributed grep (the other canonical MapReduce program from the
+    original Dean & Ghemawat paper): emit the pair iff the value contains
+    the fixed pattern. Like a reference ``.so`` job, the pattern is baked
+    into the job type — parameterization is not in the Map/Reduce ABI
+    (``/root/reference/src/tmapreduce/mrf.h:9-11``)."""
+    return [(key, value)] if "spark" in value else []
+
+
 def default_registry() -> JobRegistry:
     reg = JobRegistry()
     reg.register("charcount", charcount_map, charcount_reduce)
@@ -135,4 +144,5 @@ def default_registry() -> JobRegistry:
     # count per (partition, key) instead of every emission
     reg.register("charcount+c", charcount_map, charcount_reduce, sum_combine)
     reg.register("wordcount+c", wordcount_map, charcount_reduce, sum_combine)
+    reg.register("grep-spark", grep_spark_map, identity_reduce)
     return reg
