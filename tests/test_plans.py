@@ -609,3 +609,40 @@ def test_ivf_pq_candidate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_user_path_topk_is_take_ordered_single_window(spark):
+    """Journey trigrams must come from ONE user window (two lead() calls
+    share the frame — no 3-way self-join) and the top-k must be
+    TakeOrderedAndProject, never a global sort."""
+    from tmapreduce_spark.operators.advanced import events_user_path_topk
+
+    df = events_user_path_topk(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan
+
+
+def test_streak_longest_single_shuffle_key_no_join(spark):
+    """Gaps-and-islands streaks: everything is keyed on user_id — no join
+    anywhere, and every exchange hashes on user_id (distinct-days, window,
+    streak groupBy, argmax all reuse the partitioning)."""
+    from tmapreduce_spark.operators.advanced import window_streak_longest
+
+    df = window_streak_longest(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_weighted_median_window_and_groupby_share_partitioning(spark):
+    """The running-weight window and the final groupBy both key on
+    l_returnflag — exactly one hashpartitioning exchange may appear."""
+    from tmapreduce_spark.operators.relational import agg_weighted_median
+
+    df = agg_weighted_median(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
