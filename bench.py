@@ -123,6 +123,7 @@ HEADLINE = [
     "graph_triangle_count",
     "events_user_path_topk",
     "window_streak_longest",
+    "join_interval_overlap",
 ]
 
 

@@ -274,3 +274,37 @@ def test_interval_two_level_banding_complete_property():
         assert ts // width in iv_buckets
 
     check()
+
+
+def test_interval_overlap_canonical_bucket_exactly_once_property():
+    """Hypothesis pin of `join_interval_overlap`'s exactly-once guarantee:
+    for ANY overlapping pair, the canonical bucket (max(start) div W) lies
+    in BOTH intervals' exploded bucket sets (completeness), and it is by
+    construction unique (no double-count) — so the equi-join + canonical
+    filter emits each overlapping pair exactly once, with no DISTINCT."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmapreduce_spark.operators.advanced import (
+        _OVL_ERR_US,
+        _OVL_PUR_US,
+        _OVL_W_US,
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        sa=st.integers(min_value=0, max_value=10**15),
+        sb_off=st.integers(min_value=-2 * _OVL_W_US, max_value=2 * _OVL_W_US),
+    )
+    def check(sa: int, sb_off: int) -> None:
+        sb = max(0, sa + sb_off)
+        ea, eb = sa + _OVL_ERR_US, sb + _OVL_PUR_US
+        if not (sa <= eb and sb <= ea):
+            return  # non-overlapping pairs never pass the residual predicate
+        canon = max(sa, sb) // _OVL_W_US
+        a_buckets = set(range(sa // _OVL_W_US, ea // _OVL_W_US + 1))
+        b_buckets = set(range(sb // _OVL_W_US, eb // _OVL_W_US + 1))
+        assert len(a_buckets) <= 2 and len(b_buckets) <= 2  # emission bound
+        assert canon in a_buckets and canon in b_buckets
+
+    check()

@@ -584,6 +584,91 @@ GROUP BY iv.user_id, iv.iv_id
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap join: two interval SETS (not point probes)
+# ---------------------------------------------------------------------------
+
+_OVL_ERR_US = 1_800_000_000   # error windows: 30 min
+_OVL_PUR_US = 3_600_000_000   # purchase windows: 60 min
+_OVL_W_US = 3_600_000_000     # bucket width = max interval length
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join between two interval sets: per user, every
+    (error 30-min window, purchase 60-min window) pair that overlaps, with
+    the overlap length — the genomics/uptime "range join" where BOTH sides
+    are intervals, not point probes.
+
+    Scale: both sides explode into ≤ 2 buckets at W = the max interval
+    length, then hash equi-join on (user_id, bucket). A pair sharing two
+    buckets would double-count, so the join keeps a pair only in its
+    CANONICAL bucket — the bucket containing max(start_a, start_b), which
+    overlap guarantees lies inside both intervals' spans — giving
+    exactly-once emission with a filter instead of a DISTINCT shuffle.
+    The exact overlap predicate refines as a join residual; no theta join,
+    no dedup exchange."""
+    e = load_table(spark, sf_dir, "events")
+
+    def windows(event_type: str, dur_us: int, id_col: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_col),
+                F.unix_micros("ts").alias(f"{id_col}_start"),
+                (F.unix_micros("ts") + F.lit(dur_us)).alias(f"{id_col}_end"),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{id_col}_start div {_OVL_W_US}"),
+                        F.expr(f"{id_col}_end div {_OVL_W_US}"),
+                    )
+                ),
+            )
+        )
+
+    a = windows("error", _OVL_ERR_US, "err_id")
+    b = windows("purchase", _OVL_PUR_US, "pur_id")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("err_id_start") <= F.col("pur_id_end"))
+            & (F.col("pur_id_start") <= F.col("err_id_end"))
+            & (
+                F.expr(f"greatest(err_id_start, pur_id_start) div {_OVL_W_US}")
+                == F.col("bucket")
+            )
+        )
+        .select(
+            "user_id",
+            "err_id",
+            "pur_id",
+            (
+                F.least("err_id_end", "pur_id_end")
+                - F.greatest("err_id_start", "pur_id_start")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT user_id, event_id AS err_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_OVL_ERR_US} AS e
+  FROM events WHERE event_type = 'error'),
+b AS (
+  SELECT user_id, event_id AS pur_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_OVL_PUR_US} AS e
+  FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, a.err_id, b.pur_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+             AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence mining: top event-type trigrams along per-user journeys
 # ---------------------------------------------------------------------------
 
@@ -965,6 +1050,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_user_path_topk": QuerySpec(
         events_user_path_topk, EVENTS_USER_PATH_SQL, "time-window"
+    ),
+    "join_interval_overlap": QuerySpec(
+        join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL, "join"
     ),
     "window_streak_longest": QuerySpec(
         window_streak_longest, WINDOW_STREAK_SQL, "window"
