@@ -124,6 +124,7 @@ HEADLINE = [
     "events_user_path_topk",
     "window_streak_longest",
     "join_interval_overlap",
+    "events_feature_rollup",
 ]
 
 

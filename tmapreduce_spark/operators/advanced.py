@@ -583,6 +583,62 @@ GROUP BY iv.user_id, iv.iv_id
 """
 
 
+def events_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-engineering rollup
+    that turns an event log into ML training rows: per-type counts
+    (conditional aggregation, no pivot shuffle), activity span in days,
+    distinct active days, and the purchase-per-click rate (nullif-guarded
+    so click-less users are NULL in both engines).
+
+    Scale: ONE groupBy(user_id) computes every feature — conditional
+    sums/counts all partial-aggregate map-side, count_distinct(day) rides
+    the same Expand pass. Feature vectors for 10⁹ users are one shuffle of
+    fixed-width partial states; this is why feature stores batch-build on
+    exactly this plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchase"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+            F.count_distinct(day).alias("active_days"),
+            F.expr("CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) AS BIGINT)").alias(
+                "span_days"
+            ),
+            F.expr(
+                mround(
+                    "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)"
+                    " / nullif(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)",
+                    6,
+                )
+            ).alias("purchase_per_click"),
+        )
+    )
+
+
+EVENTS_FEATURE_ROLLUP_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS BIGINT) AS span_days,
+       floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
+             * 1000000 + 0.5) / 1000000 AS purchase_per_click
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval-overlap join: two interval SETS (not point probes)
 # ---------------------------------------------------------------------------
@@ -1053,6 +1109,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL, "join"
+    ),
+    "events_feature_rollup": QuerySpec(
+        events_feature_rollup, EVENTS_FEATURE_ROLLUP_SQL, "time-window"
     ),
     "window_streak_longest": QuerySpec(
         window_streak_longest, WINDOW_STREAK_SQL, "window"
