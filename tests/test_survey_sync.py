@@ -56,3 +56,14 @@ def test_survey_2c_totals_line():
     assert m, "totals line missing from §2C"
     assert int(m.group(1)) == n_total, f"§2C says {m.group(1)} queries, catalog has {n_total}"
     assert int(m.group(2)) == n_oracle, f"§2C says {m.group(2)} oracle-checked, catalog has {n_oracle}"
+
+
+def test_readme_totals_match_catalog():
+    """README makes the same coverage claim as SURVEY §2C — pin it to the
+    catalog too, so it can't silently drift between rounds."""
+    catalog = build_catalog()
+    text = (SURVEY.parent / "README.md").read_text()
+    m = re.search(r"(\d+) cataloged queries, (\d+)\s*\nof them hash-verified", text)
+    assert m, "coverage claim missing from README"
+    assert int(m.group(1)) == len(catalog)
+    assert int(m.group(2)) == sum(1 for s in catalog.values() if s.oracle is not None)

@@ -1102,6 +1102,25 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1        # 32767
 SIMHASH_PAIR_MAXHAM = 2  # report pairs at hamming ≤ 2 (pigeonhole needs ≤ 3)
 
 
+def _simhash_banded(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, simhash) signature table into one row per
+    (doc_id, band, band_val) — the SINGLE definition of the band geometry,
+    shared by `dedup_simhash_pairs` and `dedup_incremental_admit` so a
+    future widening can't update one site and silently break the other's
+    pigeonhole recall."""
+    return sig.selectExpr(
+        "doc_id",
+        "simhash",
+        f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
+    ).selectExpr(
+        "doc_id",
+        "simhash",
+        "band",
+        f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
+        " AS band_val",
+    )
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS from SimHash signatures: hamming(sig_a, sig_b) ≤ 2,
     found by the band pigeonhole — split the 60-bit signature into 4 15-bit
@@ -1121,18 +1140,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition directly, which is the semantic the banding provably equals
     (pigeonhole recall pinned by a hypothesis property test). Identical band
     subplans reuse one shuffle (ReusedExchange)."""
-    sig = dedup_simhash(spark, sf_dir)
-    bands = sig.selectExpr(
-        "doc_id",
-        "simhash",
-        f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
-    ).selectExpr(
-        "doc_id",
-        "simhash",
-        "band",
-        f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
-        " AS band_val",
-    )
+    bands = _simhash_banded(dedup_simhash(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1183,19 +1191,12 @@ def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_h = corp.selectExpr("md5(text) AS h").distinct()
     stage1 = inc_h.join(corp_h, "h", "left_anti")
 
-    # Band the corpus-wide signature table ONCE, then split by the admission
-    # predicate — doc_id rides the signature row, so the split is a filter,
-    # not a join (two joins and one signature recomputation cheaper; the
-    # banded lineage's shuffle is shared by both sides via exchange reuse).
-    banded_all = sig.selectExpr(
-        "doc_id",
-        "simhash",
-        f"explode(sequence(0, {SIMHASH_PAIR_BANDS - 1})) AS band",
-    ).selectExpr(
-        "doc_id", "simhash", "band",
-        f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
-        f" & {SIMHASH_BAND_MASK} AS band_val",
-    )
+    # Band the corpus-wide signature table ONCE (shared `_simhash_banded`
+    # geometry), then split by the admission predicate — doc_id rides the
+    # signature row, so the split is a filter, not a join (two joins and one
+    # signature recomputation cheaper; the banded lineage's shuffle is
+    # shared by both sides via exchange reuse).
+    banded_all = _simhash_banded(sig)
     inc_b = banded_all.filter(F.expr("doc_id % 5 = 0"))
     corp_b = banded_all.filter(F.expr("doc_id % 5 != 0"))
     near = (

@@ -795,7 +795,6 @@ def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE hashpartitioning on user_id — a single shuffle end to end."""
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
-    w = Window.partitionBy("user_id").orderBy("d")
     grp = days.withColumn(
         "grp", F.expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))")
     )
