@@ -125,6 +125,7 @@ HEADLINE = [
     "window_streak_longest",
     "join_interval_overlap",
     "events_feature_rollup",
+    "text_bigram_lm_score",
 ]
 
 

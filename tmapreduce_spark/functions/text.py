@@ -1667,6 +1667,57 @@ GROUP BY source, split
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability LM score: per document, the mean of
+    P(tok_i | tok_{i-1}) under the corpus bigram model
+    (count(prev,cur) / count(prev-as-prefix)) — the order-sensitive quality
+    signal the unigram `text_ngram_lm_score` can't see (scrambled text
+    keeps its unigram rarity but collapses its bigram probabilities).
+    Exact-rational: every probability is a ratio of two corpus counts, the
+    mean quantizes terms to integer micro-units (mavg) — no logs, no
+    engine-dependent float folds.
+
+    Scale: the bigram/prefix models are wordcount-shaped aggregations
+    (partial-agg map-side); at 100 TB they broadcast (vocab² is sparse:
+    observed bigrams only) exactly like the unigram model join; per-doc
+    scoring is then shuffle-free until the final groupBy(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks").filter(
+        F.expr("size(toks) >= 2")
+    )
+    bi = t.selectExpr(
+        "doc_id", "toks", "explode(sequence(0, size(toks) - 2)) AS i"
+    ).selectExpr("doc_id", "toks[i] AS prev", "toks[i + 1] AS cur")
+    cbig = bi.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cpref = bi.groupBy("prev").agg(F.count("*").alias("cp"))
+    scored = (
+        bi.join(F.broadcast(cbig), ["prev", "cur"])
+        .join(F.broadcast(cpref), ["prev"])
+        .selectExpr("doc_id", "CAST(cb AS DOUBLE) / cp AS p")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(mavg("p", 6)).alias("mean_condprob"),
+    )
+
+
+TEXT_BIGRAM_LM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+bi AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM t, unnest(range(1, len(toks))) AS u(i)),
+cbig AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+cpref AS (SELECT prev, count(*) AS cp FROM bi GROUP BY prev),
+scored AS (
+  SELECT bi.doc_id, CAST(cb AS DOUBLE) / cp AS p
+  FROM bi JOIN cbig USING (prev, cur) JOIN cpref USING (prev))
+SELECT doc_id, count(*) AS n_bigrams, {mavg('p', 6)} AS mean_condprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contamination REPORT — the release-gate companion to
     `pipeline_decontaminate` (which emits the flagged docs): for every
@@ -1803,6 +1854,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_contamination_report": QuerySpec(
         pipeline_contamination_report, PIPELINE_CONTAM_REPORT_SQL, "pipeline"
     ),
+    "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL, "text"),
     "pipeline_train_val_split": QuerySpec(
         pipeline_train_val_split, PIPELINE_TRAIN_VAL_SQL, "pipeline"
     ),
