@@ -126,6 +126,8 @@ HEADLINE = [
     "join_interval_overlap",
     "events_feature_rollup",
     "text_bigram_lm_score",
+    "dedup_audit_sample",
+    "window_mean_gap",
 ]
 
 

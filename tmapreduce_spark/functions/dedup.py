@@ -1354,6 +1354,53 @@ FROM ranked WHERE rn = 1
 )
 
 
+AUDIT_PER_BAND = 3
+
+
+def dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic human-eval sample of near-dup pairs: stratify the
+    verified MinHash pairs by similarity decile and keep AUDIT_PER_BAND
+    pairs per band by md5 hash priority — the replayable audit sheet a
+    dedup-threshold review needs (uniform random within each score band,
+    same sample every run, no rand()).
+
+    Scale: pair stream → per-band WindowGroupLimit (each partition keeps
+    ≤ k rows per band before the shuffle); sample size is bands × k
+    regardless of corpus size."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    pri = F.md5(
+        F.concat_ws("|", F.lit("audit"), F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"))
+    )
+    banded = pairs.withColumn(
+        "band", F.expr("CAST(floor(jaccard * 10) AS BIGINT)")
+    ).withColumn("pri", pri)
+    w = Window.partitionBy("band").orderBy(F.asc("pri"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AUDIT_PER_BAND)
+        .select("band", "doc_a", "doc_b", "jaccard", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+DEDUP_AUDIT_SAMPLE_SQL = (
+    "WITH pairs AS (" + DEDUP_MINHASH_PAIRS_SQL + f""")
+, banded AS (
+  SELECT doc_a, doc_b, jaccard,
+         CAST(floor(jaccard * 10) AS BIGINT) AS band,
+         md5('audit' || '|' || CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR)) AS pri
+  FROM pairs)
+SELECT band, doc_a, doc_b, jaccard, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT band, doc_a, doc_b, jaccard,
+         row_number() OVER (PARTITION BY band
+                            ORDER BY pri ASC, doc_a ASC, doc_b ASC) AS rn
+  FROM banded) t
+WHERE rn <= {AUDIT_PER_BAND}
+"""
+)
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the near-dup graph (MinHash-LSH pair
     edges): how many closed near-dup triples each document participates in
@@ -1413,6 +1460,7 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL, "dedup"
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, GRAPH_TRIANGLE_SQL, "dedup"),
+    "dedup_audit_sample": QuerySpec(dedup_audit_sample, DEDUP_AUDIT_SAMPLE_SQL, "dedup"),
     "dedup_incremental_admit": QuerySpec(
         dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"
     ),

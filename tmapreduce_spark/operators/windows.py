@@ -372,7 +372,45 @@ FROM events
 """
 
 
+def window_mean_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inter-event gap per user (µs): lag() over the (ts, event_id)
+    total order, then an exact integer sum/count — the cadence feature
+    behind bot detection and engagement scoring. Deterministic: gaps are
+    exact int64 µs differences, so the mean is a single fixed division.
+
+    Scale: one window and one groupBy sharing the user_id partitioning;
+    O(1) state per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .withColumn("gap_us", F.col("us") - F.col("prev_us"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr(mround("CAST(sum(gap_us) AS DOUBLE) / count(*)", 2)).alias(
+            "mean_gap_us"
+        ),
+    )
+
+
+WINDOW_MEAN_GAP_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       {mround('CAST(sum(gap_us) AS DOUBLE) / count(*)', 2)} AS mean_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_mean_gap": QuerySpec(window_mean_gap, WINDOW_MEAN_GAP_SQL, "window"),
     "window_running_distinct": QuerySpec(window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
     "window_ignore_nulls": QuerySpec(window_ignore_nulls, WINDOW_IGNORE_NULLS_SQL, "window"),
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, "window"),
