@@ -128,6 +128,7 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dedup_audit_sample",
     "window_mean_gap",
+    "pipeline_interleave_order",
 ]
 
 

@@ -1789,6 +1789,60 @@ FROM totals t LEFT JOIN per_source p ON t.source = p.source
 """
 
 
+def pipeline_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave: shuffle each source
+    internally by md5 priority (replayable), then round-robin across
+    sources — position = (rank_within_source - 1) × n_sources +
+    source_index — so a sequential reader sees sources evenly mixed
+    instead of concatenated (the data-ordering step before sharded
+    training, where source-run clumping skews early training).
+
+    Scale: one row_number window per source (single shuffle on source) and
+    a broadcast join of the tiny ranked-source dim; the global position is
+    ARITHMETIC — no global sort ever happens. A writer then
+    repartitionByRange(interleave_pos) to lay the order on disk."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "sidx",
+            F.expr("row_number() OVER (ORDER BY source)"),
+        )
+        .withColumn("n_src", F.expr("count(*) OVER ()"))
+    )
+    pri = F.md5(F.concat_ws("|", F.lit("ileave"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(rn AS BIGINT) AS rn",
+            "CAST((rn - 1) * n_src + sidx AS BIGINT) AS interleave_pos",
+        )
+    )
+
+
+PIPELINE_INTERLEAVE_SQL = """
+WITH srcs AS (
+  SELECT source,
+         row_number() OVER (ORDER BY source) AS sidx,
+         count(*) OVER () AS n_src
+  FROM (SELECT DISTINCT source FROM documents)),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('ileave' || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn,
+       CAST((r.rn - 1) * s.n_src + s.sidx AS BIGINT) AS interleave_pos
+FROM ranked r JOIN srcs s USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token-budget data mixing: per-source admission under a fixed token budget
 # ---------------------------------------------------------------------------
@@ -1855,6 +1909,9 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_contamination_report, PIPELINE_CONTAM_REPORT_SQL, "pipeline"
     ),
     "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL, "text"),
+    "pipeline_interleave_order": QuerySpec(
+        pipeline_interleave_order, PIPELINE_INTERLEAVE_SQL, "pipeline"
+    ),
     "pipeline_train_val_split": QuerySpec(
         pipeline_train_val_split, PIPELINE_TRAIN_VAL_SQL, "pipeline"
     ),
