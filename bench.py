@@ -23,6 +23,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "window_ewma",
+    "window_cusum_detect",
+    "events_markov_transitions",
+    "events_rfm_segments",
+    "text_quality_classifier",
+    "pipeline_seqlen_histogram",
+    "embedding_dim_stats",
+    "graph_degree_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -646,3 +646,90 @@ def test_weighted_median_window_and_groupby_share_partitioning(spark):
     df = agg_weighted_median(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ewma_single_shuffle_no_join(spark):
+    """Truncated EWMA: the bounded collect_list frame and the ordering
+    window share the user_id partitioning — exactly one exchange, no join,
+    no global sort."""
+    from tmapreduce_spark.operators.windows import window_ewma
+
+    df = window_ewma(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cusum_windows_share_user_partitioning(spark):
+    """All three CUSUM windows key on user_id: every hash exchange in the
+    plan hashes user_id, and no join appears."""
+    from tmapreduce_spark.operators.windows import window_cusum_detect
+
+    df = window_cusum_detect(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_markov_partial_aggregation_tiny_output(spark):
+    """Transition counts must partial-aggregate before the (prev, next)
+    shuffle: two HashAggregates around the exchange, lag shares the
+    user_id window shuffle."""
+    from tmapreduce_spark.operators.relational import events_markov_transitions
+
+    df = events_markov_transitions(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_quality_classifier_codegen_no_python_udf(spark):
+    """The hashed-linear classifier is pure built-ins: no BatchEvalPython
+    (row-at-a-time UDF) and no Arrow exchange in the plan; one groupBy on
+    doc_id with partial aggregation."""
+    from tmapreduce_spark.functions.text import text_quality_classifier
+
+    df = text_quality_classifier(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_seqlen_histogram_never_explodes_tokens(spark):
+    """The length histogram uses size(split(...)) — no Generate (explode)
+    node may appear; aggregation is partial (map-side collapse to ≤64
+    buckets per source)."""
+    from tmapreduce_spark.functions.text import pipeline_seqlen_histogram
+
+    df = pipeline_seqlen_histogram(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Generate" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_embedding_dim_stats_partial_agg_after_explode(spark):
+    """Per-dimension stats: posexplode fans out, but the 64-key groupBy
+    must partial-aggregate map-side (two HashAggregates around one
+    exchange) so only ≤64 rows per partition ever shuffle."""
+    from tmapreduce_spark.functions.similarity import embedding_dim_stats
+
+    df = embedding_dim_stats(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Generate" in plan  # the posexplode
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rfm_ntile_windows_over_reduced_user_table(spark):
+    """RFM: the three ntile windows run AFTER the user-level groupBy — the
+    per-user aggregate appears below the windows, and the global-max join
+    is a broadcast, never a sort-merge."""
+    from tmapreduce_spark.operators.relational import events_rfm_segments
+
+    df = events_rfm_segments(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

@@ -1454,7 +1454,47 @@ FROM nodes GROUP BY doc_id
 )
 
 
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: per-degree node counts
+    over the MinHash-LSH pair edges — the first thing to look at before
+    running CC at scale (a heavy tail means viral/boilerplate components
+    that need the two-phase star algorithm; a thin tail means plain
+    min-label converges in a few rounds).
+
+    Scale: degrees come from ONE groupBy over the banding-bounded edge
+    set (each edge exploded into its two endpoints), and the histogram is
+    a second groupBy whose key space is the distinct-degree count —
+    partial aggregation collapses both. Nothing here ever touches the
+    corpus rows."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        e.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .selectExpr("CAST(degree AS BIGINT) AS degree", "n_nodes", "example_doc")
+    )
+
+
+GRAPH_DEGREE_SQL = (
+    "WITH e AS (SELECT doc_a, doc_b FROM (" + DEDUP_MINHASH_PAIRS_SQL + """) t),
+ends AS (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes,
+       min(doc_id) AS example_doc
+FROM deg GROUP BY degree
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "graph_degree_stats": QuerySpec(graph_degree_stats, GRAPH_DEGREE_SQL, "dedup"),
     "dedup_chunk_exact": QuerySpec(dedup_chunk_exact, DEDUP_CHUNK_SQL, "dedup"),
     "dedup_cluster_keep_best": QuerySpec(
         dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL, "dedup"

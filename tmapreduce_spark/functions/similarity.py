@@ -630,7 +630,67 @@ WHERE bf.rn = 1 AND bp.rn = 1
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA: for each of the 64 vector dimensions,
+    the count, quantized mean, min/max, and zero fraction — the standard
+    health check before indexing a corpus (dead dimensions waste index
+    space; a collapsed mean signals an encoder bug or a normalization
+    regression).
+
+    Exactness: each component is quantized per-row to int64 micro-units
+    (exact), summed as integers (order-independent), and surfaced through
+    one deterministic division; min/max are exact on the quantized grid.
+
+    Scale: posexplode fans each vector into `dim` rows, but the groupBy
+    key space IS the dimensionality (64 groups), so partial aggregation
+    collapses every partition to ≤64 rows before the (tiny) shuffle —
+    per-dimension stats over a billion vectors move kilobytes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.selectExpr(
+        "posexplode(embedding) AS (dim, v)"
+    ).selectExpr(
+        "dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq",
+    )
+    return (
+        comps.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("sum_q"),
+            F.min("vq").alias("min_q"),
+            F.max("vq").alias("max_q"),
+            F.sum(F.expr("CASE WHEN vq = 0 THEN 1 ELSE 0 END")).alias("n_zero"),
+        )
+        .selectExpr(
+            "CAST(dim AS INT) AS dim",
+            "n",
+            f"{mround('CAST(sum_q AS DOUBLE) / n / 1000000', 6)} AS mean_val",
+            "CAST(min_q AS DOUBLE) / 1000000 AS min_val",
+            "CAST(max_q AS DOUBLE) / 1000000 AS max_val",
+            f"{mround('CAST(n_zero AS DOUBLE) / n', 6)} AS zero_frac",
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH comps AS (
+  SELECT u.i - 1 AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+       {mround('CAST(sum(vq) AS DOUBLE) / count(*) / 1000000', 6)} AS mean_val,
+       CAST(min(vq) AS DOUBLE) / 1000000 AS min_val,
+       CAST(max(vq) AS DOUBLE) / 1000000 AS max_val,
+       {mround("CAST(sum(CASE WHEN vq = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS zero_frac
+FROM comps
+GROUP BY dim
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_dim_stats": QuerySpec(
+        embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, "similarity"
+    ),
     "embedding_prefix_recall": QuerySpec(
         embedding_prefix_recall, _prefix_recall_sql(), "similarity"
     ),

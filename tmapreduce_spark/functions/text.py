@@ -1901,7 +1901,128 @@ WHERE cum_toks <= {TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style inference, engine-side)
+# ---------------------------------------------------------------------------
+
+QC_DIM = 1024  # hashed feature space
+QC_MULT = 2654435761  # Knuth multiplicative constant for the weight stand-in
+QC_MOD = 2003  # prime > 2*1000: weights land in [-1001, +1001] milli-units
+QC_BIAS_MILLI = 50
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classifier inference — the fasttext-quality-filter
+    shape used to score web corpora (CCNet / DCLM-style model-based
+    filtering): hash each token into QC_DIM buckets, sum the per-bucket
+    weights, add a bias, squash, threshold. Weights here are a
+    deterministic function of the bucket id (a stand-in for a trained
+    vector broadcast from the driver — swapping in real weights is a
+    broadcast join against a QC_DIM-row dim table, same plan).
+
+    Engine-exactness: bucket ids come from the shared md5→int60 hash,
+    weights are integer milli-units, the per-doc feature sum is an integer
+    sum (order-independent), and the squash is the ALGEBRAIC fast sigmoid
+    x/(1+|x|) — add/abs/divide only, no exp(), so both engines produce
+    bit-identical doubles before mround.
+
+    Scale: tokenize once, explode, one groupBy(doc_id) with partial
+    aggregation; everything whole-stage codegen. At 100 TB this is the
+    cheapest model-based filter that exists — one shuffle keyed by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", r"explode(split(trim(lower(text)), '\\s+')) AS tok"
+    ).filter("tok <> ''")
+    bucket = f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % {QC_DIM}"
+    w_milli = f"(({bucket}) * {QC_MULT}) % {QC_MOD} - {(QC_MOD - 1) // 2}"
+    scored = toks.selectExpr("doc_id", f"{w_milli} AS w_milli").groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), F.sum("w_milli").alias("w_sum")
+    )
+    logit = f"({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000"
+    return scored.selectExpr(
+        "doc_id",
+        "n_toks",
+        f"{mround(logit, 6)} AS logit",
+        f"{mround(f'0.5 + ({logit}) / (1 + abs({logit})) / 2', 6)} AS score",
+        f"CAST(({logit}) > 0 AS BOOLEAN) AS keep",
+    )
+
+
+TEXT_QC_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         (CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % {QC_DIM})
+           * {QC_MULT} % {QC_MOD} - {(QC_MOD - 1) // 2} AS w_milli
+  FROM toks WHERE tok <> ''),
+scored AS (
+  SELECT doc_id, count(*) AS n_toks, sum(w_milli) AS w_sum
+  FROM feat GROUP BY doc_id)
+SELECT doc_id, n_toks,
+       {mround(f'({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000', 6)} AS logit,
+       {mround(f'0.5 + (({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000) / (1 + abs(({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000)) / 2', 6)} AS score,
+       CAST((({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000) > 0 AS BOOLEAN) AS keep
+FROM scored
+"""
+
+
+def pipeline_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-length histogram in power-of-two buckets — the
+    batch/packing planner's input (how many docs fall in each length
+    class decides packing efficiency and padding waste before training).
+    Bucket = floor(log2(n_toks)) computed EXACTLY as the bit length of the
+    integer token count (length of its binary string minus one) — no
+    floating log, no cross-engine rounding edge at bucket boundaries.
+
+    Scale: tokenize → size() only (never explodes tokens), one groupBy on
+    (source, bucket) with ~n_sources × 64 output groups; partial
+    aggregation collapses everything map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.selectExpr(
+        "source",
+        r"greatest(size(split(trim(text), '\\s+')), 1) AS n_toks",
+    ).selectExpr("source", "n_toks", "length(bin(n_toks)) - 1 AS bucket")
+    return (
+        sized.groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(bucket AS INT) AS bucket",
+            "CAST(shiftleft(1, bucket) AS BIGINT) AS len_lo",
+            "CAST(shiftleft(1, bucket + 1) - 1 AS BIGINT) AS len_hi",
+            "n_docs",
+            "CAST(total_toks AS BIGINT) AS total_toks",
+        )
+    )
+
+
+PIPELINE_SEQLEN_SQL = r"""
+WITH sized AS (
+  SELECT source,
+         greatest(len(string_split_regex(trim(text), '\s+')), 1) AS n_toks
+  FROM documents),
+bucketed AS (
+  SELECT source, length(bin(n_toks)) - 1 AS bucket, n_toks FROM sized)
+SELECT source, CAST(bucket AS INT) AS bucket,
+       CAST(1 << bucket AS BIGINT) AS len_lo,
+       CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS len_hi,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_toks
+FROM bucketed
+GROUP BY source, bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_quality_classifier": QuerySpec(text_quality_classifier, TEXT_QC_SQL, "text"),
+    "pipeline_seqlen_histogram": QuerySpec(
+        pipeline_seqlen_histogram, PIPELINE_SEQLEN_SQL, "pipeline"
+    ),
     "pipeline_token_budget_mix": QuerySpec(
         pipeline_token_budget_mix, PIPELINE_TOKEN_BUDGET_SQL, "pipeline"
     ),

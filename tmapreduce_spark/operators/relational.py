@@ -2019,7 +2019,128 @@ GROUP BY event_type, hr
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each ordered (prev_type → next_type) pair, the transition count
+    and conditional probability P(next | prev) — the model behind journey
+    prediction, anomalous-sequence detection, and session simulators.
+
+    Determinism: counts are integers; each probability is ONE division of
+    two integers, then mround(6) — no float aggregation anywhere.
+
+    Scale: lag() shares the user_id shuffle; the transition groupBy keys
+    on (prev, next) — at most |types|² groups (25 here), so partial
+    aggregation collapses each partition to a handful of rows before the
+    second (tiny) shuffle. State space, not data, bounds the output."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counted = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counted.withColumn("row_total", F.sum("n").over(wrow)).selectExpr(
+        "prev_type",
+        "next_type",
+        "n",
+        f"{mround('CAST(n AS DOUBLE) / row_total', 6)} AS prob",
+    )
+
+
+EVENTS_MARKOV_SQL = f"""
+WITH pairs AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events),
+counted AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n,
+       {mround('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)', 6)} AS prob
+FROM counted
+"""
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, recency (µs since the corpus-max ts),
+    frequency (event count), monetary (exact-cents value sum), each cut
+    into quartiles by ntile(4), concatenated into the classic 'RFM'
+    segment code (recency quartile 1 = most recent). The standard
+    customer-value segmentation, done engine-side.
+
+    Determinism: recency/frequency are integers; monetary is an integer
+    cents sum; every ntile ORDER BY carries user_id as a unique tiebreak
+    so quartile boundaries are total-order stable across engines.
+
+    Scale: one groupBy(user_id), then three ntile windows over the USER
+    table (rows = distinct users, orders of magnitude smaller than
+    events). The un-partitioned ntile is a deliberate single-task sort of
+    that reduced table; for billions of users switch to percent_rank via
+    a global sort or approximate quantile cuts — same output contract."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("frequency"),
+        F.sum(F.expr(cents("value"))).alias("monetary_c"),
+    )
+    gmax = per_user.agg(F.max("last_us").alias("gmax_us"))
+    scored = per_user.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_us", F.col("gmax_us") - F.col("last_us")
+    )
+    wr = Window.orderBy(F.asc("recency_us"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))
+    return (
+        scored.withColumn("r_q", F.ntile(4).over(wr))
+        .withColumn("f_q", F.ntile(4).over(wf))
+        .withColumn("m_q", F.ntile(4).over(wm))
+        .selectExpr(
+            "user_id",
+            "recency_us",
+            "frequency",
+            "CAST(monetary_c AS DOUBLE) / 1000000 AS monetary",
+            "CAST(r_q AS INT) AS r_q",
+            "CAST(f_q AS INT) AS f_q",
+            "CAST(m_q AS INT) AS m_q",
+            "concat(CAST(r_q AS STRING), CAST(f_q AS STRING), CAST(m_q AS STRING)) AS segment",
+        )
+    )
+
+
+EVENTS_RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+         sum({cents('value')}) AS monetary_c
+  FROM events GROUP BY user_id),
+scored AS (
+  SELECT user_id, (SELECT max(last_us) FROM per_user) - last_us AS recency_us,
+         frequency, monetary_c
+  FROM per_user),
+cut AS (
+  SELECT user_id, recency_us, frequency, monetary_c,
+         ntile(4) OVER (ORDER BY recency_us ASC, user_id ASC) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+         ntile(4) OVER (ORDER BY monetary_c DESC, user_id ASC) AS m_q
+  FROM scored)
+SELECT user_id, recency_us, frequency,
+       CAST(monetary_c AS DOUBLE) / 1000000 AS monetary,
+       CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+FROM cut
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_markov_transitions": QuerySpec(
+        events_markov_transitions, EVENTS_MARKOV_SQL, "time-window"
+    ),
+    "events_rfm_segments": QuerySpec(events_rfm_segments, EVENTS_RFM_SQL, "time-window"),
     "events_ohlc_hourly": QuerySpec(events_ohlc_hourly, EVENTS_OHLC_SQL, "time-window"),
     "reshape_unpivot": QuerySpec(reshape_unpivot, RESHAPE_UNPIVOT_SQL, "reshape"),
     "scalar_struct": QuerySpec(scalar_struct, SCALAR_STRUCT_SQL, "scalar"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
-from tmapreduce_spark.parity import mround, mround_col
+from tmapreduce_spark.parity import cents, mround, mround_col
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -409,7 +409,150 @@ GROUP BY user_id
 """
 
 
+EWMA_LAGS = 16  # truncated-EWMA frame width (alpha = 0.5)
+
+
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user
+    (alpha = 0.5), truncated at the last EWMA_LAGS events — the smoothing
+    primitive behind rate limiting, anomaly baselines, and engagement
+    decay scoring. Computed as the exact EWMA recursion
+    ``s = s_prev * 0.5 + x * 0.5`` folded over a bounded ROWS frame
+    (contributions beyond 16 lags are < 2^-16 and are cut, which is what
+    makes the operator a *window* rather than an unbounded running state).
+
+    Determinism: the fold multiplies by 0.5 (exact in IEEE) and adds in
+    frame order, which both engines fix identically (ts, event_id), so the
+    raw double is bit-identical before the final mround. Spark's
+    ``aggregate`` with a NULL init replicates DuckDB's ``list_reduce``
+    first-element seeding exactly.
+
+    Scale: one shuffle on user_id; the frame is O(EWMA_LAGS) values per
+    row — constant state, no skew sensitivity beyond the per-user row
+    count. At 100 TB the same plan holds; collect_list over a 16-row
+    frame never materializes a partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(EWMA_LAGS - 1), 0)
+    )
+    base = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    return (
+        base.withColumn("lv", F.collect_list("value").over(w))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "us",
+            f"{mround('value', 6)} AS value",
+            "aggregate(lv, CAST(NULL AS DOUBLE), (acc, x) -> "
+            "CASE WHEN acc IS NULL THEN x ELSE acc * 0.5 + x * 0.5 END) AS ewma_raw",
+        )
+        .selectExpr(
+            "user_id", "event_id", "us", "value", f"{mround('ewma_raw', 6)} AS ewma"
+        )
+    )
+
+
+WINDOW_EWMA_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN {EWMA_LAGS - 1} PRECEDING AND CURRENT ROW) AS lv
+  FROM events)
+SELECT user_id, event_id, us,
+       {mround('value', 6)} AS value,
+       {mround('list_reduce(lv, (acc, x) -> acc * 0.5 + x * 0.5)', 6)} AS ewma
+FROM base
+"""
+
+
+def window_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per user: running sum of the deviation
+    of each event's value from the user's mean, reported at its peak
+    |cusum| — where the cumulative drift is largest, i.e. the most likely
+    behavior-change point (Page's CUSUM, the batch form).
+
+    Exactness: the mean enters as integers — ``dev_i = value_cents * n_u -
+    sum_cents_u`` is the deviation scaled by n_u, so the running sum and
+    the arg-max are integer arithmetic end to end; one deterministic
+    division surfaces the peak mean-deviation. Overflow bound: |dev| ≤
+    cents_max * n_u (~5.6e8 * n_u) and |cusum| ≤ n_u * |dev| — safe in
+    int64 to ~4e4 events/user at this value range; beyond that switch the
+    two columns to DECIMAL(38,0) (same plan).
+
+    Scale: three windows and zero joins, all sharing the user_id
+    partitioning (one shuffle total); per-row O(1) state."""
+    e = load_table(spark, sf_dir, "events")
+    wtot = Window.partitionBy("user_id")
+    word = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = e.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", f"{cents('value')} AS vc"
+    )
+    cs = (
+        base.withColumn("n_u", F.count("*").over(wtot))
+        .withColumn("sum_c", F.sum("vc").over(wtot))
+        .withColumn("dev", F.col("vc") * F.col("n_u") - F.col("sum_c"))
+        .withColumn("cusum", F.sum("dev").over(word))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+    )
+    wpk = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("rn")
+    )
+    return (
+        cs.withColumn("pk", F.row_number().over(wpk))
+        .filter("pk = 1")
+        .selectExpr(
+            "user_id",
+            "CAST(n_u AS BIGINT) AS n_events",
+            "CAST(rn AS BIGINT) AS peak_pos",
+            f"{mround('CAST(cusum AS DOUBLE) / n_u / 1000000', 6)} AS peak_dev",
+        )
+    )
+
+
+WINDOW_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cents('value')} AS vc
+  FROM events),
+cs AS (
+  SELECT user_id, event_id, us, vc,
+         count(*) OVER (PARTITION BY user_id) AS n_u,
+         sum(vc) OVER (PARTITION BY user_id) AS sum_c,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM base),
+run AS (
+  SELECT user_id, n_u, rn,
+         sum(vc * n_u - sum_c) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM cs),
+pk AS (
+  SELECT user_id, n_u, rn, cusum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(cusum) DESC, rn ASC) AS pk
+  FROM run)
+SELECT user_id, CAST(n_u AS BIGINT) AS n_events, CAST(rn AS BIGINT) AS peak_pos,
+       {mround('CAST(cusum AS DOUBLE) / n_u / 1000000', 6)} AS peak_dev
+FROM pk WHERE pk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_ewma": QuerySpec(window_ewma, WINDOW_EWMA_SQL, "window"),
+    "window_cusum_detect": QuerySpec(window_cusum_detect, WINDOW_CUSUM_SQL, "window"),
     "window_mean_gap": QuerySpec(window_mean_gap, WINDOW_MEAN_GAP_SQL, "window"),
     "window_running_distinct": QuerySpec(window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
     "window_ignore_nulls": QuerySpec(window_ignore_nulls, WINDOW_IGNORE_NULLS_SQL, "window"),
