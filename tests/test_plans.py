@@ -733,3 +733,37 @@ def test_rfm_ntile_windows_over_reduced_user_table(spark):
     plan = physical_plan(df, mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_zero_joins_single_user_shuffle(spark):
+    """Last-touch attribution must stay join-free — one user_id window
+    carries the latest touch; exactly one hash exchange."""
+    from tmapreduce_spark.operators.relational import events_attribution_last_touch
+
+    df = events_attribution_last_touch(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cohort_ltv_running_sum_over_reduced_table(spark):
+    """Cohort LTV: the cumulative window runs over the (cohort, week)
+    aggregate — the plan's final window sits above a HashAggregate, and
+    no join appears anywhere."""
+    from tmapreduce_spark.operators.relational import events_cohort_ltv
+
+    df = events_cohort_ltv(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_minhash_est_joins_candidates_only(spark):
+    """The estimator audit joins signatures to the CANDIDATE pair set via
+    hash equi-joins — no nested-loop / cartesian anywhere."""
+    from tmapreduce_spark.functions.dedup import dedup_minhash_est_vs_exact
+
+    df = dedup_minhash_est_vs_exact(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1493,7 +1493,75 @@ FROM deg GROUP BY degree
 )
 
 
+def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching components / 16) next
+    to the exact shingle-set Jaccard and their absolute error — the audit
+    that tells you whether NUM_PERMS is adequate before trusting the
+    estimate at corpus scale (E[est] = J, sd ≈ sqrt(J(1-J)/k)).
+
+    Exactness: the estimate is a 16-denominator rational, the exact value
+    is the already-mrounded pair Jaccard, and the error is one abs() of
+    IEEE-identical doubles.
+
+    Scale: signatures are computed once (one partial-agg groupBy) and
+    joined to the CANDIDATE pairs only — the audit costs two doc-id hash
+    joins over the banding-bounded pair set, never an all-pairs pass."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
+    n_match = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERMS)
+    )
+    a = wide.alias("a")
+    b = wide.alias("b")
+    return (
+        pairs.join(a, F.col("a.doc_id") == pairs.doc_a)
+        .join(b, F.col("b.doc_id") == pairs.doc_b)
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST({n_match} AS BIGINT) AS n_match",
+            "jaccard AS jaccard_exact",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            f"{mround(f'CAST(n_match AS DOUBLE) / {NUM_PERMS}', 6)} AS jaccard_est",
+            "jaccard_exact",
+            f"{mround(f'abs(CAST(n_match AS DOUBLE) / {NUM_PERMS} - jaccard_exact)', 6)} AS abs_err",
+        )
+    )
+
+
+DEDUP_MINHASH_EST_SQL = (
+    "WITH p AS (SELECT doc_a, doc_b, jaccard FROM ("
+    + DEDUP_MINHASH_PAIRS_SQL
+    + ") t), s AS ("
+    + _minhash_sql_core()
+    + " SELECT doc_id, perm_id, min_hash FROM sig), est AS ("
+    + """
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         sum(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END) AS n_match
+  FROM p
+  JOIN s sa ON sa.doc_id = p.doc_a
+  JOIN s sb ON sb.doc_id = p.doc_b AND sb.perm_id = sa.perm_id
+  GROUP BY p.doc_a, p.doc_b, p.jaccard)
+"""
+    + f"""
+SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+       {mround(f'CAST(n_match AS DOUBLE) / {NUM_PERMS}', 6)} AS jaccard_est,
+       jaccard AS jaccard_exact,
+       {mround(f'abs(CAST(n_match AS DOUBLE) / {NUM_PERMS} - jaccard)', 6)} AS abs_err
+FROM est
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_minhash_est_vs_exact": QuerySpec(
+        dedup_minhash_est_vs_exact, DEDUP_MINHASH_EST_SQL, "dedup"
+    ),
     "graph_degree_stats": QuerySpec(graph_degree_stats, GRAPH_DEGREE_SQL, "dedup"),
     "dedup_chunk_exact": QuerySpec(dedup_chunk_exact, DEDUP_CHUNK_SQL, "dedup"),
     "dedup_cluster_keep_best": QuerySpec(

@@ -2136,7 +2136,155 @@ FROM cut
 """
 
 
+ATTRIB_HORIZON_US = 24 * 3600 * 1_000_000  # last-touch attribution window
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent click/view STRICTLY before it, if that touch falls
+    within a 24 h horizon — otherwise the purchase is 'organic' (NULL
+    touch). The standard conversion-credit join, computed with ZERO joins:
+    one pass over the event stream with last(..., ignorenulls) over an
+    UNBOUNDED-PRECEDING-to-1-PRECEDING frame carries the latest touch
+    forward; purchases just read it.
+
+    Scale: one shuffle on user_id, O(1) window state per row (last-value
+    frames stream). The equivalent as-of join would shuffle both sides;
+    this never materializes a touch table at all."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = e.selectExpr(
+        "user_id", "event_id", "event_type", "unix_micros(ts) AS us"
+    )
+    touch = "event_type IN ('click', 'view')"
+    marked = base.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        f"CASE WHEN {touch} THEN event_id END AS t_ev",
+        f"CASE WHEN {touch} THEN us END AS t_us",
+        f"CASE WHEN {touch} THEN event_type END AS t_ty",
+    )
+    attr = (
+        marked.withColumn("lt_ev", F.last("t_ev", ignorenulls=True).over(w))
+        .withColumn("lt_us", F.last("t_us", ignorenulls=True).over(w))
+        .withColumn("lt_ty", F.last("t_ty", ignorenulls=True).over(w))
+        .filter("event_type = 'purchase'")
+    )
+    in_h = f"lt_us IS NOT NULL AND us - lt_us <= {ATTRIB_HORIZON_US}"
+    return attr.selectExpr(
+        "user_id",
+        "event_id AS purchase_id",
+        "us AS purchase_us",
+        f"CASE WHEN {in_h} THEN lt_ev END AS touch_id",
+        f"CASE WHEN {in_h} THEN lt_ty END AS touch_type",
+        f"CASE WHEN {in_h} THEN us - lt_us END AS gap_us",
+        f"CAST(NOT ({in_h}) AS BOOLEAN) AS organic",
+    )
+
+
+EVENTS_ATTRIB_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type IN ('click', 'view') THEN event_id END AS t_ev,
+         CASE WHEN event_type IN ('click', 'view') THEN epoch_us(ts) END AS t_us,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS t_ty
+  FROM events),
+attr AS (
+  SELECT user_id, event_id, event_type, us,
+         last_value(t_ev IGNORE NULLS) OVER w AS lt_ev,
+         last_value(t_us IGNORE NULLS) OVER w AS lt_us,
+         last_value(t_ty IGNORE NULLS) OVER w AS lt_ty
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+       CASE WHEN lt_us IS NOT NULL AND us - lt_us <= {ATTRIB_HORIZON_US}
+            THEN lt_ev END AS touch_id,
+       CASE WHEN lt_us IS NOT NULL AND us - lt_us <= {ATTRIB_HORIZON_US}
+            THEN lt_ty END AS touch_type,
+       CASE WHEN lt_us IS NOT NULL AND us - lt_us <= {ATTRIB_HORIZON_US}
+            THEN us - lt_us END AS gap_us,
+       CAST(NOT (lt_us IS NOT NULL AND us - lt_us <= {ATTRIB_HORIZON_US})
+            AS BOOLEAN) AS organic
+FROM attr WHERE event_type = 'purchase'
+"""
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day, each
+    cohort's cumulative monetary value tracked per week offset — the
+    retention-revenue matrix behind LTV forecasting. Monetary values are
+    exact integer cents; the cumulative sum runs over week offsets within
+    a cohort, so the curve is order-exact.
+
+    Scale: the first-seen groupBy and the per-(cohort, week) aggregation
+    both key on user_id first (one shuffle, partial agg), the cohort
+    running sum is a window over the REDUCED (cohort × week) table —
+    thousands of rows at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.selectExpr(
+        "user_id",
+        "CAST(ts AS DATE) AS day",
+        f"{cents('value')} AS vc",
+    )
+    wfirst = Window.partitionBy("user_id")
+    tagged = base.withColumn("cohort_day", F.min("day").over(wfirst)).selectExpr(
+        "user_id",
+        "cohort_day",
+        "CAST(datediff(day, cohort_day) div 7 AS INT) AS week_off",
+        "vc",
+    )
+    grp = tagged.groupBy("cohort_day", "week_off").agg(
+        F.sum("vc").alias("vc_sum"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grp.withColumn("cum_vc", F.sum("vc_sum").over(wcum))
+        .selectExpr(
+            "date_format(cohort_day, 'yyyy-MM-dd') AS cohort_day",
+            "week_off",
+            "n_active",
+            "CAST(cum_vc AS DOUBLE) / 1000000 AS cum_ltv",
+        )
+    )
+
+
+EVENTS_COHORT_LTV_SQL = f"""
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {cents('value')} AS vc
+  FROM events),
+tagged AS (
+  SELECT user_id, min(day) OVER (PARTITION BY user_id) AS cohort_day, day, vc
+  FROM base),
+grp AS (
+  SELECT cohort_day,
+         CAST(date_diff('day', cohort_day, day) // 7 AS INT) AS week_off,
+         sum(vc) AS vc_sum, count(DISTINCT user_id) AS n_active
+  FROM tagged GROUP BY 1, 2)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, week_off, n_active,
+       CAST(sum(vc_sum) OVER (PARTITION BY cohort_day ORDER BY week_off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 1000000 AS cum_ltv
+FROM grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_attribution_last_touch": QuerySpec(
+        events_attribution_last_touch, EVENTS_ATTRIB_SQL, "time-window"
+    ),
+    "events_cohort_ltv": QuerySpec(events_cohort_ltv, EVENTS_COHORT_LTV_SQL, "time-window"),
     "events_markov_transitions": QuerySpec(
         events_markov_transitions, EVENTS_MARKOV_SQL, "time-window"
     ),
