@@ -393,3 +393,53 @@ def test_admit_stream_matches_batch_exact_stage(spark):
     cols = ["doc_id", "lang", "n_chars"]
     assert mem.count() > 0
     assert _rows(mem, cols) == _rows(batch, cols)
+
+
+def test_streaming_ewma_matches_unbounded_fold(spark):
+    """Streaming EWMA (one double of state) must equal the full-history
+    Python fold per user after in-order replay."""
+    from tmapreduce_spark.streaming.stateful import streaming_ewma
+
+    s = streaming_ewma(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_ewma", output_mode="update")
+    got = {int(r["user_id"]): (int(r["n_events"]), r["ewma"]) for r in mem.collect()}
+
+    e = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import functions as F
+
+    per_user: dict[int, list] = {}
+    for r in e.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value"
+    ).collect():
+        per_user.setdefault(int(r["user_id"]), []).append(
+            (r["us"], r["event_id"], r["value"])
+        )
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        evs.sort()
+        s_val = evs[0][2]
+        for _, _, x in evs[1:]:
+            s_val = s_val * 0.5 + x * 0.5
+        n, ewma = got[uid]
+        assert n == len(evs)
+        assert abs(ewma - s_val) < 1e-9, (uid, ewma, s_val)
+
+
+def test_streaming_attribution_matches_batch(spark):
+    """Streaming last-touch attribution rows must EXACTLY equal the batch
+    operator's output under in-order replay."""
+    from tmapreduce_spark.operators.relational import events_attribution_last_touch
+    from tmapreduce_spark.streaming.stateful import streaming_attribution
+
+    s = streaming_attribution(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_attrib", output_mode="update")
+    cols = [
+        "user_id", "purchase_id", "purchase_us",
+        "touch_id", "touch_type", "gap_us", "organic",
+    ]
+    got = sorted(tuple(r[c] for c in cols) for r in mem.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in events_attribution_last_touch(spark, SF_SMOKE).collect()
+    )
+    assert got == want

@@ -104,3 +104,120 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming EWMA: one double of state per user ---------------------------
+#
+# The unbounded form of the batch `window_ewma` catalog entry (which truncates
+# at 16 lags to stay frame-local): on a live stream the recursion
+# s = s*0.5 + x*0.5 needs exactly ONE double per user of state — the shape
+# that holds at 100 TB/day, where any frame-based formulation would buffer.
+# Rows are sorted by event time inside each micro-batch group; with in-order
+# delivery the final state equals the full-history fold (asserted in
+# tests/test_streaming.py against a Python reference fold).
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+EWMA_STATE_SCHEMA = "n bigint, s double"
+
+
+def _update_ewma_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    for x in rows["value"]:
+        s = float(x) if n == 0 else s * 0.5 + float(x) * 0.5
+        n += 1
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ewma": [s]})
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA (alpha = 0.5) with one double of state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma_state,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- streaming last-touch attribution ---------------------------------------
+#
+# Streaming twin of the batch `events_attribution_last_touch` catalog entry:
+# state per user is the latest click/view (id, ts, type) — three scalars.
+# Each purchase emits its attribution row the moment it arrives, credited to
+# the remembered touch iff it falls within the 24 h horizon. With in-order
+# delivery the emitted rows are EXACTLY the batch operator's output
+# (asserted in tests/test_streaming.py) — the live-conversion-credit shape.
+
+ATTRIB_OUTPUT_SCHEMA = (
+    "user_id bigint, purchase_id bigint, purchase_us bigint, "
+    "touch_id bigint, touch_type string, gap_us bigint, organic boolean"
+)
+ATTRIB_STATE_SCHEMA = "t_ev bigint, t_us bigint, t_ty string"
+_ATTRIB_HORIZON_US = 24 * 3_600_000_000
+
+
+def _update_attrib_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    t_ev, t_us, t_ty = state.get if state.exists else (-1, -1, "")
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    out: list[tuple] = []
+    for ev, ty, ts in zip(rows["event_id"], rows["event_type"], rows["ts_us"]):
+        if ty == "purchase":
+            if t_us >= 0 and int(ts) - t_us <= _ATTRIB_HORIZON_US:
+                out.append(
+                    (user_id, int(ev), int(ts), t_ev, t_ty, int(ts) - t_us, False)
+                )
+            else:
+                out.append((user_id, int(ev), int(ts), None, None, None, True))
+        elif ty in ("click", "view"):
+            t_ev, t_us, t_ty = int(ev), int(ts), ty
+    state.update((t_ev, t_us, t_ty))
+    cols = [
+        "user_id", "purchase_id", "purchase_us",
+        "touch_id", "touch_type", "gap_us", "organic",
+    ]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution with three scalars of state per
+    user; purchase rows emit their credit immediately."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_attrib_state,
+            outputStructType=ATTRIB_OUTPUT_SCHEMA,
+            stateStructType=ATTRIB_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
