@@ -23,6 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "window_zscore_rolling",
+    "join_asof_nearest",
+    "dedup_cross_source_matrix",
     "events_attribution_last_touch",
     "events_cohort_ltv",
     "dedup_minhash_est_vs_exact",

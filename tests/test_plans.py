@@ -767,3 +767,35 @@ def test_minhash_est_joins_candidates_only(spark):
     plan = physical_plan(df, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_rolling_single_user_shuffle_no_join(spark):
+    from tmapreduce_spark.operators.windows import window_zscore_rolling
+
+    df = window_zscore_rolling(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_nearest_zero_joins_shared_frames(spark):
+    """Both direction frames must share ONE user_id window shuffle — no
+    join, one exchange."""
+    from tmapreduce_spark.operators.advanced import join_asof_nearest
+
+    df = join_asof_nearest(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cross_source_matrix_in_group_pairs_no_self_join(spark):
+    """Pairs come from in-group emission over the chunk-hash groupBy — no
+    self-join on the chunk table (only aggregates + one final tiny
+    groupBy)."""
+    from tmapreduce_spark.functions.dedup import dedup_cross_source_matrix
+
+    df = dedup_cross_source_matrix(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs

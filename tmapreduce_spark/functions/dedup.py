@@ -1558,7 +1558,71 @@ FROM est
 )
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair, how
+    many distinct 10-token chunks they SHARE — the provenance diagnostic a
+    dataset card needs (which crawls/snapshots copy from which, where the
+    inter-source boilerplate lives) and the input to choosing dedup order
+    across sources.
+
+    Scale: chunks come from the same linear segmentation as
+    ``dedup_chunk_exact``; per chunk hash the SOURCE SET is collected (a
+    groupBy on the 16-byte hash whose values are tiny distinct-source
+    sets, not documents), pairs are emitted in-group from the sorted set
+    (no self-join), and the final groupBy's key space is at most
+    n_sources² (400 here). A boilerplate chunk shared by all S sources
+    emits S(S-1)/2 pairs once — bounded by the SOURCE count, not by its
+    document frequency, which is what makes this safe where a doc-level
+    pair join would go quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks_expr = f"greatest((size(toks) + {CHUNK_TOKS - 1}) div {CHUNK_TOKS}, 1)"
+    chunks = (
+        d.selectExpr("source", r"split(trim(lower(text)), '\\s+') AS toks")
+        .selectExpr(
+            "source",
+            f"explode(transform(sequence(0, {n_chunks_expr} - 1), "
+            f"i -> md5(concat_ws(' ', slice(toks, i * {CHUNK_TOKS} + 1, {CHUNK_TOKS}))))) AS h",
+        )
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(F.expr("sort_array(collect_set(source)) AS srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(srcs, a -> transform(srcs, "
+                    "b -> struct(a AS src_a, b AS src_b)))), p -> p.src_a < p.src_b)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").alias("n_shared_chunks"))
+        .selectExpr("src_a", "src_b", "n_shared_chunks")
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = rf"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+chunks AS (
+  SELECT source,
+         unnest(list_transform(range(0, greatest((len(toks) + {CHUNK_TOKS - 1}) // {CHUNK_TOKS}, 1)),
+                i -> md5(array_to_string(list_slice(toks, i * {CHUNK_TOKS} + 1, i * {CHUNK_TOKS} + {CHUNK_TOKS}), ' ')))) AS h
+  FROM t),
+per_h AS (SELECT DISTINCT h, source FROM chunks)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(DISTINCT a.h) AS n_shared_chunks
+FROM per_h a JOIN per_h b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cross_source_matrix": QuerySpec(
+        dedup_cross_source_matrix, DEDUP_CROSS_SOURCE_SQL, "dedup"
+    ),
     "dedup_minhash_est_vs_exact": QuerySpec(
         dedup_minhash_est_vs_exact, DEDUP_MINHASH_EST_SQL, "dedup"
     ),

@@ -1088,7 +1088,106 @@ FROM orders
 """
 
 
+ASOF_NEAREST_TOL_US = 6 * 3600 * 1_000_000  # nearest-direction tolerance
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: every purchase matched to the CLOSEST
+    error event by the same user in EITHER direction, within a ±6 h
+    tolerance (pandas merge_asof direction='nearest') — the sensor/trade
+    alignment semantics where "the latest before" is wrong half the time.
+
+    Computed with ZERO joins: one pass over the per-user ordered stream
+    carries the previous error via last(ignore nulls) over a preceding
+    frame and the next error via first(ignore nulls) over a following
+    frame, then picks the smaller |gap| (tie → backward, the merge_asof
+    rule). The two frames share one user_id shuffle.
+
+    Scale: O(1) window state per row in both directions; the equivalent
+    bucketed-join formulation (join_asof_tolerance) wins only when the
+    probe side is a separate, sparse table — for stream-internal matching
+    the window form never shuffles twice."""
+    e = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    base = e.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        "CASE WHEN event_type = 'error' THEN event_id END AS e_ev",
+        "CASE WHEN event_type = 'error' THEN unix_micros(ts) END AS e_us",
+    )
+    marked = (
+        base.withColumn("prev_ev", F.last("e_ev", ignorenulls=True).over(wb))
+        .withColumn("prev_us", F.last("e_us", ignorenulls=True).over(wb))
+        .withColumn("next_ev", F.first("e_ev", ignorenulls=True).over(wf))
+        .withColumn("next_us", F.first("e_us", ignorenulls=True).over(wf))
+        .filter("event_type = 'purchase'")
+    )
+    bg = f"(prev_us IS NOT NULL AND us - prev_us <= {ASOF_NEAREST_TOL_US})"
+    fg = f"(next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US})"
+    pick_prev = f"({bg} AND (NOT {fg} OR us - prev_us <= next_us - us))"
+    return marked.selectExpr(
+        "user_id",
+        "event_id AS purchase_id",
+        "us AS purchase_us",
+        f"CASE WHEN {pick_prev} THEN prev_ev WHEN {fg} THEN next_ev END AS error_id",
+        f"CASE WHEN {pick_prev} THEN us - prev_us WHEN {fg} THEN next_us - us END AS gap_us",
+        f"CASE WHEN {pick_prev} THEN 'backward' WHEN {fg} THEN 'forward' END AS direction",
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'error' THEN event_id END AS e_ev,
+         CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS e_us
+  FROM events),
+marked AS (
+  SELECT user_id, event_id, event_type, us,
+         last_value(e_ev IGNORE NULLS) OVER wb AS prev_ev,
+         last_value(e_us IGNORE NULLS) OVER wb AS prev_us,
+         first_value(e_ev IGNORE NULLS) OVER wf AS next_ev,
+         first_value(e_us IGNORE NULLS) OVER wf AS next_us
+  FROM base
+  WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+       CASE WHEN (prev_us IS NOT NULL AND us - prev_us <= {ASOF_NEAREST_TOL_US})
+                 AND (NOT (next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US})
+                      OR us - prev_us <= next_us - us)
+            THEN prev_ev
+            WHEN next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US}
+            THEN next_ev END AS error_id,
+       CASE WHEN (prev_us IS NOT NULL AND us - prev_us <= {ASOF_NEAREST_TOL_US})
+                 AND (NOT (next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US})
+                      OR us - prev_us <= next_us - us)
+            THEN us - prev_us
+            WHEN next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US}
+            THEN next_us - us END AS gap_us,
+       CASE WHEN (prev_us IS NOT NULL AND us - prev_us <= {ASOF_NEAREST_TOL_US})
+                 AND (NOT (next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US})
+                      OR us - prev_us <= next_us - us)
+            THEN 'backward'
+            WHEN next_us IS NOT NULL AND next_us - us <= {ASOF_NEAREST_TOL_US}
+            THEN 'forward' END AS direction
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_asof_nearest": QuerySpec(join_asof_nearest, JOIN_ASOF_NEAREST_SQL, "join"),
     "layout_zorder_key": QuerySpec(layout_zorder_key, LAYOUT_ZORDER_SQL, "layout"),
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
     "join_fuzzy_symdel": QuerySpec(join_fuzzy_symdel, JOIN_FUZZY_SQL, "join"),

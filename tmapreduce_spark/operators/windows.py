@@ -550,7 +550,76 @@ FROM pk WHERE pk = 1
 """
 
 
+ZS_LAGS = 20  # rolling z-score baseline width (includes current row)
+
+
+def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal per user: each event's value scored
+    against the trailing-20-event mean/std — the windowed complement of
+    the global `events_anomaly_mad` detector (a user whose spend drifts
+    needs a LOCAL baseline).
+
+    Exactness: values quantized to centi-units (int64), and the z-score
+    algebra is rearranged to keep everything integer until one sqrt:
+    z = (n·x − S) / sqrt(n·(n·SS − S²)) … specifically (n·x − S) /
+    sqrt(n·SS − S²), whose radicand is an exact int64 (bounded: centi-vals
+    ≤ 5.7e4, squares ≤ 3.3e9, n·SS ≤ 1.3e12 at n = 20 — headroom to value
+    ≈ 2e7 before DECIMAL is needed). sqrt is IEEE-correctly-rounded, the
+    final division is one deterministic double op.
+
+    Scale: two windowed integer sums sharing the user_id shuffle; O(frame)
+    state; degenerate (constant) baselines yield NULL via nullif, both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(ZS_LAGS - 1), 0)
+    )
+    base = e.selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(ts) AS us",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq",
+    )
+    stat = (
+        base.withColumn("n_w", F.count("*").over(w))
+        .withColumn("s_w", F.sum("vq").over(w))
+        .withColumn("ss_w", F.sum(F.col("vq") * F.col("vq")).over(w))
+    )
+    return stat.selectExpr(
+        "user_id",
+        "event_id",
+        "us",
+        "CAST(vq AS DOUBLE) / 100 AS value",
+        "CAST(n_w AS INT) AS n_baseline",
+        f"{mround('CAST(n_w * vq - s_w AS DOUBLE) / nullif(sqrt(CAST(n_w * ss_w - s_w * s_w AS DOUBLE)), 0)', 6)} AS zscore",
+    )
+
+
+WINDOW_ZSCORE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events),
+stat AS (
+  SELECT user_id, event_id, us, vq,
+         count(*) OVER w AS n_w, sum(vq) OVER w AS s_w,
+         sum(vq * vq) OVER w AS ss_w
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {ZS_LAGS - 1} PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, us, CAST(vq AS DOUBLE) / 100 AS value,
+       CAST(n_w AS INT) AS n_baseline,
+       {mround('CAST(n_w * vq - s_w AS DOUBLE) / nullif(sqrt(CAST(n_w * ss_w - s_w * s_w AS DOUBLE)), 0)', 6)} AS zscore
+FROM stat
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_zscore_rolling": QuerySpec(
+        window_zscore_rolling, WINDOW_ZSCORE_SQL, "window"
+    ),
     "window_ewma": QuerySpec(window_ewma, WINDOW_EWMA_SQL, "window"),
     "window_cusum_detect": QuerySpec(window_cusum_detect, WINDOW_CUSUM_SQL, "window"),
     "window_mean_gap": QuerySpec(window_mean_gap, WINDOW_MEAN_GAP_SQL, "window"),
