@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "events_attribution_multi_touch",
+    "embedding_kmeans_iterate",
     "window_zscore_rolling",
     "join_asof_nearest",
     "dedup_cross_source_matrix",

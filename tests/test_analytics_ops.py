@@ -131,3 +131,29 @@ def test_embedding_dim_stats_covers_all_dims(spark):
     for r in rows:
         assert r["min_val"] <= r["mean_val"] <= r["max_val"]
         assert 0.0 <= r["zero_frac"] <= 1.0
+
+
+def test_multi_touch_credits_sum_to_one_per_purchase(spark):
+    from tmapreduce_spark.operators.relational import events_attribution_multi_touch
+
+    rows = events_attribution_multi_touch(spark, SF_SMOKE).collect()
+    assert rows
+    by_purchase: dict[int, float] = {}
+    for r in rows:
+        assert r["touch_type"] in ("click", "view")
+        by_purchase[r["purchase_id"]] = by_purchase.get(r["purchase_id"], 0.0) + r["credit"]
+    for pid, total in by_purchase.items():
+        assert abs(total - 1.0) < 1e-4, (pid, total)
+
+
+def test_kmeans_iterate_covers_all_clusters_nonneg_shift(spark):
+    from tmapreduce_spark.functions.scale import IVF_K, embedding_kmeans_iterate
+    from tmapreduce_spark.sources.catalog import load_table
+
+    rows = embedding_kmeans_iterate(spark, SF_SMOKE).collect()
+    assert len(rows) <= IVF_K
+    total = sum(r["n_assigned"] for r in rows)
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert total == n_vecs
+    for r in rows:
+        assert r["shift"] >= 0.0

@@ -799,3 +799,26 @@ def test_cross_source_matrix_in_group_pairs_no_self_join(spark):
     plan = physical_plan(df, mode="simple")
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs
+
+
+def test_multi_touch_range_frame_single_shuffle(spark):
+    """Multi-touch attribution: the RANGE frame and the explode share one
+    user_id shuffle; no join anywhere."""
+    from tmapreduce_spark.operators.relational import events_attribution_multi_touch
+
+    df = events_attribution_multi_touch(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_kmeans_iterate_partial_agg_and_broadcast_old(spark):
+    """Lloyd recompute: the (centroid, dim) groupBy partial-aggregates
+    (≤512 rows shuffle) and the old-centroid join is a broadcast."""
+    from tmapreduce_spark.functions.scale import embedding_kmeans_iterate
+
+    df = embedding_kmeans_iterate(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, plan

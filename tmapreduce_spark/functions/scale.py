@@ -864,7 +864,123 @@ GROUP BY l_returnflag
 """
 
 
+def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest of IVF_K deterministic seed
+    centroids by QUANTIZED-EXACT squared-L2 (int64: ||x||² − 2x·c + ||c||²,
+    ties to the lowest centroid id), then report each cluster's size and
+    how far its centroid moved — the convergence signal that drives the
+    iterate/stop loop (the full algorithm is this stage repeated; state
+    between iterations is the K×dim centroid table, kilobytes).
+
+    Determinism: distances, per-dim component sums, and the rounded
+    mean-shift deltas are all int64; only the final sqrt and division
+    touch floats, in a fixed order.
+
+    Scale: assignment is ONE Arrow mapInPandas pass against closure-
+    broadcast centroids (the IVF pattern); the recompute is a posexplode +
+    (centroid, dim) groupBy whose key space is K×dim = 512 — partial
+    aggregation collapses every partition to ≤512 rows. Per-iteration cost
+    is two linear passes regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+    c_sq = np.einsum("ij,ij->i", C, C)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+            d2 = (
+                np.einsum("ij,ij->i", Xq, Xq)[:, None]
+                - 2 * (Xq @ C.T)
+                + c_sq[None, :]
+            )
+            best = np.argmin(d2, axis=1)  # first minimum → lowest cid on ties
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+    comps = (
+        e.join(assigned, "vec_id")
+        .selectExpr("centroid", "posexplode(embedding) AS (dim, v)")
+        .selectExpr(
+            "centroid",
+            "dim",
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq",
+        )
+    )
+    dims = comps.groupBy("centroid", "dim").agg(
+        F.count("*").alias("n"), F.sum("vq").alias("s")
+    )
+    old = spark.createDataFrame(
+        [(int(cid), int(dim), int(C[cid, dim])) for cid in range(IVF_K) for dim in range(C.shape[1])],
+        "centroid int, dim int, oldq bigint",
+    )
+    merged = dims.join(F.broadcast(old), ["centroid", "dim"]).selectExpr(
+        "centroid",
+        "n",
+        "CAST(floor((CAST(s AS DOUBLE) / n) - oldq + 0.5) AS BIGINT) AS dq",
+    )
+    return (
+        merged.groupBy("centroid")
+        .agg(F.max("n").alias("n_assigned"), F.sum(F.col("dq") * F.col("dq")).alias("ss"))
+        .selectExpr(
+            "CAST(centroid AS INT) AS cluster_id",
+            "CAST(n_assigned AS BIGINT) AS n_assigned",
+            "floor(sqrt(CAST(ss AS DOUBLE)) / 1000000 * 1000000 + 0.5) / 1000000 AS shift",
+        )
+    )
+
+
+EMBEDDING_KMEANS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {IVF_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(xq) + 1),
+                                 i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS d2
+  FROM q, cent c),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d) t
+  WHERE rn = 1),
+comps AS (
+  SELECT b.cid AS centroid, u.i - 1 AS dim, q.xq[u.i] AS vq
+  FROM best b JOIN q ON q.vec_id = b.vec_id,
+       unnest(range(1, len(q.xq) + 1)) AS u(i)),
+dims AS (
+  SELECT centroid, dim, count(*) AS n, sum(vq) AS s FROM comps GROUP BY 1, 2),
+old AS (
+  SELECT cid AS centroid, u.i - 1 AS dim, cq[u.i] AS oldq
+  FROM cent, unnest(range(1, len(cq) + 1)) AS u(i)),
+merged AS (
+  SELECT d.centroid, d.n,
+         CAST(floor((CAST(d.s AS DOUBLE) / d.n) - o.oldq + 0.5) AS BIGINT) AS dq
+  FROM dims d JOIN old o ON d.centroid = o.centroid AND d.dim = o.dim)
+SELECT CAST(centroid AS INT) AS cluster_id, CAST(max(n) AS BIGINT) AS n_assigned,
+       floor(sqrt(CAST(sum(dq * dq) AS DOUBLE)) / 1000000 * 1000000 + 0.5) / 1000000 AS shift
+FROM merged GROUP BY centroid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_kmeans_iterate": QuerySpec(
+        embedding_kmeans_iterate, EMBEDDING_KMEANS_SQL, "similarity"
+    ),
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SQL, "join"),
     "join_bloom_prefilter": QuerySpec(join_bloom_prefilter, JOIN_BLOOM_SQL, "join"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "similarity"),

@@ -2280,7 +2280,85 @@ FROM grp
 """
 
 
+def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its credit
+    equally across ALL clicks/views in the preceding 24 h — the
+    fair-share counterpart of `events_attribution_last_touch` (which
+    gives the final touch everything). Purchases with no touch in the
+    horizon are organic and emit nothing.
+
+    The horizon is expressed as a RANGE frame over event-time micros
+    (RANGE BETWEEN HORIZON PRECEDING AND 1 PRECEDING), so the collected
+    touch list is bounded by per-user 24 h activity — never the user's
+    full history — which is the property that keeps the frame buffer O(1)
+    in stream length at 100 TB.
+
+    Scale: one user_id shuffle; credit fan-out equals the true
+    (purchase × in-horizon touch) fact count, which is the output's
+    semantic size — nothing is amplified beyond it."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTRIB_HORIZON_US, -1)
+    )
+    touch = "event_type IN ('click', 'view')"
+    base = e.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        f"CASE WHEN {touch} THEN named_struct('t_ev', event_id, 't_ty', event_type) END AS t",
+    )
+    return (
+        base.withColumn("tl", F.collect_list("t").over(w))
+        .filter("event_type = 'purchase' AND size(tl) > 0")
+        .selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "us AS purchase_us",
+            "size(tl) AS n_touches",
+            "explode(tl) AS t",
+        )
+        .selectExpr(
+            "user_id",
+            "purchase_id",
+            "purchase_us",
+            "t.t_ev AS touch_id",
+            "t.t_ty AS touch_type",
+            "CAST(n_touches AS INT) AS n_touches",
+            f"{mround('CAST(1 AS DOUBLE) / n_touches', 6)} AS credit",
+        )
+    )
+
+
+EVENTS_MULTI_TOUCH_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN struct_pack(t_ev := event_id, t_ty := event_type) END AS t
+  FROM events),
+framed AS (
+  SELECT user_id, event_id, event_type, us,
+         list(t) FILTER (t IS NOT NULL) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN {ATTRIB_HORIZON_US} PRECEDING AND 1 PRECEDING) AS tl
+  FROM base),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, us AS purchase_us, tl
+  FROM framed WHERE event_type = 'purchase' AND len(tl) > 0)
+SELECT user_id, purchase_id, purchase_us,
+       u.t.t_ev AS touch_id, u.t.t_ty AS touch_type,
+       CAST(len(tl) AS INT) AS n_touches,
+       {mround('CAST(1 AS DOUBLE) / len(tl)', 6)} AS credit
+FROM purchases, unnest(tl) AS u(t)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_attribution_multi_touch": QuerySpec(
+        events_attribution_multi_touch, EVENTS_MULTI_TOUCH_SQL, "time-window"
+    ),
     "events_attribution_last_touch": QuerySpec(
         events_attribution_last_touch, EVENTS_ATTRIB_SQL, "time-window"
     ),
