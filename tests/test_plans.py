@@ -822,3 +822,25 @@ def test_kmeans_iterate_partial_agg_and_broadcast_old(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_market_basket_in_group_pairs_broadcast_counts(spark):
+    """Basket pairs come from in-group emission (no self-join on items);
+    the part-count and total joins are broadcasts."""
+    from tmapreduce_spark.operators.relational import orders_market_basket
+
+    df = orders_market_basket(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_rank_window_shares_group_partitioning(spark):
+    """The rank window and the final groupBy both key on o_orderpriority —
+    one hash exchange total, no join."""
+    from tmapreduce_spark.operators.relational import agg_gini_concentration
+
+    df = agg_gini_concentration(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -2355,7 +2355,198 @@ FROM purchases, unnest(tl) AS u(t)
 """
 
 
+BASKET_MIN_SUP = 2  # minimum pair co-occurrence to report
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: for every
+    part pair co-occurring in ≥ BASKET_MIN_SUP orders, the co-occurrence
+    count, support, and lift (observed / expected-under-independence) —
+    the classic recommendation/affinity primitive.
+
+    Exactness: support and lift are single divisions of exact integer
+    counts, mrounded.
+
+    Scale: pairs are emitted IN-GROUP from each order's sorted distinct
+    part set (no self-join) — fan-out is Σ basket²/2, bounded by the
+    basket-size cap commerce data has by nature (~13 here), NEVER by part
+    popularity; per-part order counts ride in as one broadcast aggregate.
+    The (a, b) groupBy partial-aggregates; a hot pair is still one
+    reducer key with a scalar state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey)) AS parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(parts, a -> transform(parts, "
+                "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
+            )
+        ).alias("p")
+    ).groupBy("p.pa", "p.pb").agg(F.count("*").alias("n_ab"))
+    part_counts = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_p"))
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        pairs.filter(F.col("n_ab") >= BASKET_MIN_SUP)
+        .join(F.broadcast(part_counts.selectExpr("l_partkey AS pa", "n_p AS n_a")), "pa")
+        .join(F.broadcast(part_counts.selectExpr("l_partkey AS pb", "n_p AS n_b")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .selectExpr(
+            "pa AS part_a",
+            "pb AS part_b",
+            "n_ab",
+            f"{mround('CAST(n_ab AS DOUBLE) / n_orders', 6)} AS support",
+            f"{mround('CAST(n_ab AS DOUBLE) * n_orders / (CAST(n_a AS DOUBLE) * n_b)', 6)} AS lift",
+        )
+    )
+
+
+ORDERS_BASKET_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+pc AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT pa AS part_a, pb AS part_b, n_ab,
+       {mround('CAST(n_ab AS DOUBLE) / n_orders', 6)} AS support,
+       {mround('CAST(n_ab AS DOUBLE) * n_orders / (CAST(ca.n_p AS DOUBLE) * cb.n_p)', 6)} AS lift
+FROM pairs, tot
+JOIN pc ca ON ca.l_partkey = pa
+JOIN pc cb ON cb.l_partkey = pb
+WHERE n_ab >= {BASKET_MIN_SUP}
+"""
+
+
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) per order priority — the
+    inequality diagnostic behind "do 20% of orders carry 80% of revenue":
+    G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n over values sorted ascending.
+
+    Exactness: prices quantized to integer cents, ranks are a total order
+    (value, orderkey), and Σ(i·xᵢ) is an int64 sum — the whole statistic
+    is exact rational until two final divisions. Overflow bound: rank ×
+    cents ≤ n·5e7 — int64-safe to ~10⁶ rows/group at this price range;
+    DECIMAL(38,0) beyond (same plan).
+
+    Scale: one rank window and one groupBy sharing the priority
+    partitioning; output rows = group count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("vc", "o_orderkey")
+    ranked = o.selectExpr(
+        "o_orderpriority", "o_orderkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc"
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vc").alias("s"),
+            F.sum(F.col("rk") * F.col("vc")).alias("rs"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n",
+            "CAST(s AS DOUBLE) / 100 AS total_revenue",
+            f"{mround('2 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * s) - (CAST(n AS DOUBLE) + 1) / n', 6)} AS gini",
+        )
+    )
+
+
+AGG_GINI_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                                     o_orderkey) AS rk
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(vc) AS DOUBLE) / 100 AS total_revenue,
+       {mround('2 * CAST(sum(rk * vc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * sum(vc)) - (CAST(count(*) AS DOUBLE) + 1) / count(*)', 6)} AS gini
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+# Benford first-digit expectations log10(1 + 1/d), pre-rounded to 6 decimals
+# so NO transcendental is ever evaluated by either engine.
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed first-digit
+    frequencies against the Benford expectation — the standard
+    fabricated-data / ETL-corruption screen for financial columns. The
+    expectations are pre-rounded constants (no log10 at query time), the
+    first digit is exact string arithmetic on the integer part, and the
+    frequency is one division of counts.
+
+    Scale: 9-key groupBy, fully collapsed map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+    ) + " END"
+    digits = o.selectExpr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit"
+    ).filter("digit BETWEEN 1 AND 9")
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(
+            digits.agg(F.count("*").alias("n_total"))
+        ))
+        .selectExpr(
+            "digit",
+            "n",
+            f"{mround('CAST(n AS DOUBLE) / n_total', 6)} AS observed",
+            f"{exp_case} AS expected",
+            f"{mround(f'abs(CAST(n AS DOUBLE) / n_total - ({exp_case}))', 6)} AS abs_dev",
+        )
+    )
+
+
+def _benford_sql() -> str:
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+valid AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+grp AS (SELECT digit, count(*) AS n FROM valid GROUP BY digit),
+tot AS (SELECT count(*) AS n_total FROM valid)
+SELECT digit, n,
+       {mround('CAST(n AS DOUBLE) / n_total', 6)} AS observed,
+       {exp_case} AS expected,
+       {mround(f'abs(CAST(n AS DOUBLE) / n_total - ({exp_case}))', 6)} AS abs_dev
+FROM grp, tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "orders_market_basket": QuerySpec(orders_market_basket, ORDERS_BASKET_SQL, "aggregation"),
+    "agg_gini_concentration": QuerySpec(
+        agg_gini_concentration, AGG_GINI_SQL, "aggregation"
+    ),
+    "agg_benford_profile": QuerySpec(agg_benford_profile, _benford_sql(), "aggregation"),
     "events_attribution_multi_touch": QuerySpec(
         events_attribution_multi_touch, EVENTS_MULTI_TOUCH_SQL, "time-window"
     ),
