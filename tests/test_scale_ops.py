@@ -270,3 +270,24 @@ def test_ann_ivf_pq_recall_floor(spark):
     r_ivf = _recall_at_10(ann_ivf_topk(spark, SF_CORRECT).collect(), exact)
     assert r_ivfpq >= 0.2, r_ivfpq
     assert r_ivfpq <= r_ivf, (r_ivfpq, r_ivf)
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark):
+    """The full Lloyd loop must (a) assign every vector each round,
+    (b) reduce the max centroid shift to below the first iteration's, and
+    (c) reproduce bit-identical centroids on a second fit."""
+    import numpy as np
+
+    from tmapreduce_spark.functions.scale import kmeans_fit
+
+    C1, hist1 = kmeans_fit(spark, SF_CORRECT, max_iter=5)
+    assert len(hist1) >= 2
+    n_vecs = load_table(spark, SF_CORRECT, "embeddings").count()
+    for _, _, sizes in hist1:
+        assert sum(sizes.values()) == n_vecs
+    first_shift = hist1[0][1]
+    last_shift = hist1[-1][1]
+    assert last_shift < first_shift, hist1
+    C2, hist2 = kmeans_fit(spark, SF_CORRECT, max_iter=5)
+    assert np.array_equal(C1, C2)
+    assert [h[1] for h in hist1] == [h[1] for h in hist2]

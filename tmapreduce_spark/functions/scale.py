@@ -999,3 +999,85 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_partition_merge": QuerySpec(sketch_hll_partition_merge, None, "sketch"),
     "approx_quantiles_sketch": QuerySpec(approx_quantiles_sketch, None, "sketch"),
 }
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 10,
+    tol: float = 1e-3,
+):
+    """Full Lloyd k-means loop over the embedding corpus — the iterative
+    driver pattern `embedding_kmeans_iterate` is one stage of: per
+    iteration ONE Arrow assignment pass + one 512-key partial-agg
+    recompute; the driver touches only the K×dim quantized centroid table
+    (≤512 rows — model-side, same contract as the IVF centroid collect)
+    and a scalar shift. Stops when the max per-cluster centroid shift
+    drops under ``tol`` or after ``max_iter`` rounds.
+
+    Returns (centroids int64 ndarray K×dim, history list of
+    (iteration, max_shift, cluster_sizes)). Deterministic end to end:
+    int64 distances, int64 mean rounding, ties to the lowest centroid id
+    — refitting at any parallelism gives bit-identical centroids.
+
+    At 100 TB: each iteration is two linear passes; centroids ride in the
+    task closure; nothing driver-side ever scales with the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+    history: list[tuple[int, float, dict[int, int]]] = []
+
+    for it in range(max_iter):
+        C_iter = C  # capture for the closure
+        c_sq = np.einsum("ij,ij->i", C_iter, C_iter)
+
+        def assign(batches, _C=C_iter, _csq=c_sq):
+            for pdf in batches:
+                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+                d2 = (
+                    np.einsum("ij,ij->i", Xq, Xq)[:, None]
+                    - 2 * (Xq @ _C.T)
+                    + _csq[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "centroid": np.argmin(d2, axis=1).astype("int32"),
+                    }
+                )
+
+        assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+        dims = (
+            e.join(assigned, "vec_id")
+            .selectExpr("centroid", "posexplode(embedding) AS (dim, v)")
+            .selectExpr(
+                "centroid",
+                "dim",
+                "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq",
+            )
+            .groupBy("centroid", "dim")
+            .agg(F.count("*").alias("n"), F.sum("vq").alias("s"))
+            .collect()  # ≤ K×dim rows — model-side only
+        )
+        newC = C.copy()
+        sizes: dict[int, int] = {}
+        for r in dims:
+            newC[r["centroid"], r["dim"]] = int(
+                np.floor(r["s"] / r["n"] + 0.5)
+            )
+            sizes[r["centroid"]] = r["n"]
+        shift = float(
+            np.sqrt(((newC - C).astype(np.float64) ** 2).sum(axis=1)).max()
+        ) / 1_000_000
+        history.append((it, shift, sizes))
+        C = newC
+        if shift < tol:
+            break
+    return C, history
