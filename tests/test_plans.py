@@ -826,13 +826,19 @@ def test_kmeans_iterate_partial_agg_and_broadcast_old(spark):
 
 def test_market_basket_in_group_pairs_broadcast_counts(spark):
     """Basket pairs come from in-group emission (no self-join on items);
-    the part-count and total joins are broadcasts."""
+    the part-count and total joins are broadcasts; and the three
+    consumers of the basket aggregate share ONE exchange — AQE dedupes the
+    identical stages at runtime (post-execution ReusedExchange), so
+    lineitem is scanned once, not three times."""
     from tmapreduce_spark.operators.relational import orders_market_basket
 
     df = orders_market_basket(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
 
 
 def test_gini_rank_window_shares_group_partitioning(spark):

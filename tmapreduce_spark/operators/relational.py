@@ -2374,30 +2374,34 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (a, b) groupBy partial-aggregates; a hot pair is still one
     reducer key with a scalar state."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
+    # ONE basket aggregation feeds pairs, per-part counts, and the order
+    # total: the three consumers share an identical subtree rooted at the
+    # l_orderkey exchange, which AQE dedupes at runtime (post-execution
+    # ReusedExchange, plan-asserted) — lineitem is scanned once, not 3x.
+    baskets_all = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
         .groupBy("l_orderkey")
         .agg(F.expr("sort_array(collect_set(l_partkey)) AS parts"))
-        .filter(F.size("parts") >= 2)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(parts, a -> transform(parts, "
-                "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
-            )
-        ).alias("p")
-    ).groupBy("p.pa", "p.pb").agg(F.count("*").alias("n_ab"))
+    pairs = (
+        baskets_all.filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(parts, a -> transform(parts, "
+                    "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n_ab"))
+    )
     part_counts = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+        baskets_all.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count("*").alias("n_p"))
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders")
-    )
+    n_orders = baskets_all.agg(F.count("*").alias("n_orders"))
     return (
         pairs.filter(F.col("n_ab") >= BASKET_MIN_SUP)
         .join(F.broadcast(part_counts.selectExpr("l_partkey AS pa", "n_p AS n_a")), "pa")
