@@ -157,3 +157,36 @@ def test_kmeans_iterate_covers_all_clusters_nonneg_shift(spark):
     assert total == n_vecs
     for r in rows:
         assert r["shift"] >= 0.0
+
+
+def test_gini_bounds_and_equal_distribution_zero(spark):
+    """Gini is in [0, 1) on real data; a constant-price group must yield
+    exactly 0 (checked by constructing one in-memory)."""
+    from pyspark.sql import functions as F
+    from tmapreduce_spark.operators.relational import agg_gini_concentration
+
+    for r in agg_gini_concentration(spark, SF_SMOKE).collect():
+        assert 0.0 <= r["gini"] < 1.0, r
+    # constant values → perfect equality → G = 0 (rank formula exactness)
+    df = spark.createDataFrame(
+        [("P", i, 100.0) for i in range(10)],
+        "o_orderpriority string, o_orderkey long, o_totalprice double",
+    )
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    ranked = df.selectExpr(
+        "o_orderpriority",
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc",
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            w.partitionBy("o_orderpriority").orderBy("vc", "o_orderkey")
+        ),
+    )
+    out = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s"),
+        F.sum(F.col("rk") * F.col("vc")).alias("rs"),
+    ).selectExpr(
+        "2 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * s) - (CAST(n AS DOUBLE) + 1) / n AS gini"
+    ).collect()
+    assert out[0]["gini"] == 0.0

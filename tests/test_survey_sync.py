@@ -67,3 +67,14 @@ def test_readme_totals_match_catalog():
     assert m, "coverage claim missing from README"
     assert int(m.group(1)) == len(catalog)
     assert int(m.group(2)) == sum(1 for s in catalog.values() if s.oracle is not None)
+
+
+def test_bench_headline_is_catalog_subset():
+    """Every bench.py HEADLINE name must be a catalog key — a renamed or
+    removed entry must break the build, not the nightly bench."""
+    import bench
+
+    catalog = build_catalog()
+    missing = [n for n in bench.HEADLINE if n not in catalog]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate HEADLINE names"

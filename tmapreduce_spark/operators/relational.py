@@ -2545,7 +2545,50 @@ FROM grp, tot
 """
 
 
+def diag_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out pre-flight: before self-joining the event stream on
+    user_id (sessional pair analyses, co-visit mining), report each key's
+    multiplicity, its pair fan-out n², and its share of the total join
+    output — the diagnostic that catches the one viral key that would
+    produce 10¹² rows BEFORE the join runs. Companion to `diag_key_skew`
+    (which profiles shuffle balance; this profiles join output size).
+
+    Exactness: counts and n² are integers; shares are one division,
+    mrounded. Top-10 by fan-out with key tiebreak is a total order.
+
+    Scale: one groupBy(user_id) + a 10-row TakeOrdered against a broadcast
+    scalar total — never executes the risky join itself."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(F.sum(F.col("n") * F.col("n")).alias("total_pairs"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "user_id",
+            "n AS multiplicity",
+            "n * n AS pair_fanout",
+            f"{mround('CAST(n AS DOUBLE) * n / total_pairs', 6)} AS fanout_share",
+        )
+        .orderBy(F.desc("pair_fanout"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+DIAG_JOIN_EXPLOSION_SQL = f"""
+WITH per_key AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT sum(n * n) AS total_pairs FROM per_key)
+SELECT user_id, n AS multiplicity, n * n AS pair_fanout,
+       {mround('CAST(n AS DOUBLE) * n / total_pairs', 6)} AS fanout_share
+FROM per_key, tot
+ORDER BY pair_fanout DESC, user_id ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "diag_join_explosion": QuerySpec(
+        diag_join_explosion, DIAG_JOIN_EXPLOSION_SQL, "aggregation"
+    ),
     "orders_market_basket": QuerySpec(orders_market_basket, ORDERS_BASKET_SQL, "aggregation"),
     "agg_gini_concentration": QuerySpec(
         agg_gini_concentration, AGG_GINI_SQL, "aggregation"
