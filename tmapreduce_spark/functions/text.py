@@ -2018,7 +2018,95 @@ GROUP BY source, bucket
 """
 
 
+def pipeline_quality_ablate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold ablation table in one pass: for every decile cut
+    of the `text_quality` composite score, how many documents and tokens
+    survive and what corpus share that is — the table you read BEFORE
+    choosing the filter threshold (each row answers "what does cutting at
+    q ≥ 0.X cost me?"). Computing all thresholds at once replaces the
+    usual re-run-the-filter-per-candidate loop.
+
+    Determinism: the score is the same mrounded composite as
+    `text_quality`; deciles are integer buckets of it; survivor counts
+    are suffix sums over the 10-row decile table.
+
+    Scale: one tokenize + one groupBy(doc) (shared shape with
+    text_quality), then a ≤10-row aggregate; the suffix-sum window is
+    un-partitioned BY DESIGN over those ≤10 rows — constant work however
+    large the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    score = (
+        "floor((n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 "
+        "+ least(n_tokens / 64.0, CAST(1.0 AS DOUBLE)) * 0.5) * 1000000 + 0.5) / 1000000"
+    )
+    buck = per_doc.selectExpr(
+        f"least(CAST(floor(({score}) * 10) AS INT), 9) AS decile", "n_tokens"
+    )
+    grp = buck.groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_toks")
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    tot = grp.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_toks").alias("tot_toks")
+    )
+    return (
+        grp.withColumn("kept_docs", F.sum("n_docs").over(w))
+        .withColumn("kept_toks", F.sum("n_toks").over(w))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(decile AS DOUBLE) / 10 AS cut",
+            "CAST(kept_docs AS BIGINT) AS kept_docs",
+            "CAST(kept_toks AS BIGINT) AS kept_toks",
+            f"{mround('CAST(kept_docs AS DOUBLE) / tot_docs', 6)} AS doc_frac",
+            f"{mround('CAST(kept_toks AS DOUBLE) / tot_toks', 6)} AS tok_frac",
+        )
+    )
+
+
+PIPELINE_QUALITY_ABLATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM toks WHERE tok <> '' GROUP BY doc_id),
+buck AS (
+  SELECT least(CAST(floor((floor((n_distinct / CAST(n_tokens AS DOUBLE) * 0.5
+               + least(n_tokens / 64.0, CAST(1.0 AS DOUBLE)) * 0.5) * 1000000 + 0.5) / 1000000) * 10) AS INT), 9) AS decile,
+         n_tokens
+  FROM per_doc),
+grp AS (
+  SELECT decile, count(*) AS n_docs, sum(n_tokens) AS n_toks
+  FROM buck GROUP BY decile),
+run AS (
+  SELECT decile, n_docs, n_toks,
+         sum(n_docs) OVER (ORDER BY decile DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept_docs,
+         sum(n_toks) OVER (ORDER BY decile DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept_toks
+  FROM grp),
+tot AS (SELECT sum(n_docs) AS tot_docs, sum(n_toks) AS tot_toks FROM grp)
+SELECT CAST(decile AS DOUBLE) / 10 AS cut,
+       CAST(kept_docs AS BIGINT) AS kept_docs,
+       CAST(kept_toks AS BIGINT) AS kept_toks,
+       {mround('CAST(kept_docs AS DOUBLE) / tot_docs', 6)} AS doc_frac,
+       {mround('CAST(kept_toks AS DOUBLE) / tot_toks', 6)} AS tok_frac
+FROM run, tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_quality_ablate": QuerySpec(
+        pipeline_quality_ablate, PIPELINE_QUALITY_ABLATE_SQL, "pipeline"
+    ),
     "text_quality_classifier": QuerySpec(text_quality_classifier, TEXT_QC_SQL, "text"),
     "pipeline_seqlen_histogram": QuerySpec(
         pipeline_seqlen_histogram, PIPELINE_SEQLEN_SQL, "pipeline"
