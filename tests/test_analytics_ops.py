@@ -190,3 +190,24 @@ def test_gini_bounds_and_equal_distribution_zero(spark):
         "2 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * s) - (CAST(n AS DOUBLE) + 1) / n AS gini"
     ).collect()
     assert out[0]["gini"] == 0.0
+
+
+def test_hilbert_curve_is_bijective_and_grid_adjacent(spark):
+    """THE Hilbert property: over a full 32×32 grid the keys are a
+    permutation of 0..1023 AND consecutive keys are Manhattan-adjacent
+    (step distance exactly 1) — the locality guarantee Z-order lacks.
+    Pinned via the same Spark expression the catalog entry uses, at 5
+    bits."""
+    from tmapreduce_spark.operators.advanced import _hilbert_spark
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    rows = grid.selectExpr(
+        "x", "y", f"CAST({_hilbert_spark('x', 'y', bits=5)} AS BIGINT) AS d"
+    ).collect()
+    by_d = {r["d"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(1024))  # bijective
+    for d in range(1023):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])

@@ -850,3 +850,13 @@ def test_gini_rank_window_shares_group_partitioning(spark):
     plan = physical_plan(df, mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hilbert_key_is_shuffle_free_scan(spark):
+    """The Hilbert key is per-row arithmetic — zero exchanges in the
+    plan, exactly like the Z-order twin."""
+    from tmapreduce_spark.operators.advanced import layout_hilbert_key
+
+    df = layout_hilbert_key(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Exchange" not in plan, plan

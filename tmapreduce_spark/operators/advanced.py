@@ -1088,6 +1088,85 @@ FROM orders
 """
 
 
+HILBERT_BITS = 10  # 1024×1024 grid — matches the Z-order entry's dims
+
+
+def _hilbert_spark(x: str, y: str, bits: int = HILBERT_BITS) -> str:
+    """Spark expression: Hilbert d-index of 10-bit (x, y) via the standard
+    xy2d bit loop folded over aggregate() with a (x, y, d) struct state —
+    integer-only, so bit-identical across engines."""
+    return f"""
+aggregate(
+  sequence({bits - 1}, 0, -1),
+  named_struct('x', CAST({x} AS BIGINT), 'y', CAST({y} AS BIGINT), 'd', CAST(0 AS BIGINT)),
+  (acc, i) -> named_struct(
+    'x', CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), i)) = 0
+              THEN (CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), i)) > 0
+                         THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.y ELSE acc.y END)
+              ELSE acc.x END,
+    'y', CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), i)) = 0
+              THEN (CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), i)) > 0
+                         THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.x ELSE acc.x END)
+              ELSE acc.y END,
+    'd', acc.d + shiftleft(CAST(1 AS BIGINT), i) * shiftleft(CAST(1 AS BIGINT), i)
+         * CAST((3 * (CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), i)) > 0 THEN 1 ELSE 0 END))
+                ^ (CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), i)) > 0 THEN 1 ELSE 0 END) AS BIGINT)),
+  acc -> acc.d)
+"""
+
+
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (customer bucket × price
+    bucket) dims as `layout_zorder_key` — the strictly-better space-filling
+    curve: consecutive keys are always grid-ADJACENT (Manhattan distance 1,
+    test-pinned), where Z-order takes long diagonal jumps at quadrant
+    boundaries, so range-sorted parquet files get tighter per-file min/max
+    envelopes and skip more on 2-D predicates (what Databricks liquid
+    clustering moved to over Z-order).
+
+    The xy2d bit loop runs as an integer-only aggregate() fold over the 10
+    bit positions — per-row arithmetic, whole-stage codegen, no shuffle;
+    the oracle replays the identical loop as a recursive CTE.
+
+    Scale: identical write path to Z-order — `repartitionByRange(hkey)`
+    once at layout time."""
+    o = load_table(spark, sf_dir, "orders")
+    x = "o_custkey % 1024"
+    y = "CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT)"
+    return o.selectExpr(
+        "o_orderkey",
+        f"{x} AS cust_bucket",
+        f"{y} AS price_bucket",
+        f"CAST({_hilbert_spark(x, y)} AS BIGINT) AS hkey",
+    )
+
+
+LAYOUT_HILBERT_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 1024 AS BIGINT) AS x,
+         CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT) AS y
+  FROM orders),
+hil AS (
+  SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d, {HILBERT_BITS - 1} AS i,
+         x AS x0, y AS y0
+  FROM base
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END,
+         d + s * s * xor(3 * rx, ry),
+         i - 1, x0, y0
+  FROM (SELECT o_orderkey, x, y, d, i, x0, y0,
+               (CAST(1 AS BIGINT) << i) AS s,
+               CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0 THEN 1 ELSE 0 END AS ry
+        FROM hil WHERE i >= 0) t)
+SELECT o_orderkey, x0 AS cust_bucket, y0 AS price_bucket, d AS hkey
+FROM hil WHERE i = -1
+"""
+
+
 ASOF_NEAREST_TOL_US = 6 * 3600 * 1_000_000  # nearest-direction tolerance
 
 
@@ -1187,6 +1266,7 @@ FROM marked WHERE event_type = 'purchase'
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "layout_hilbert_key": QuerySpec(layout_hilbert_key, LAYOUT_HILBERT_SQL, "layout"),
     "join_asof_nearest": QuerySpec(join_asof_nearest, JOIN_ASOF_NEAREST_SQL, "join"),
     "layout_zorder_key": QuerySpec(layout_zorder_key, LAYOUT_ZORDER_SQL, "layout"),
     "join_fuzzy_name": QuerySpec(join_fuzzy_name, JOIN_FUZZY_SQL, "join"),
