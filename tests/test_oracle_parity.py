@@ -38,6 +38,16 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     s = normalize(spark_pdf)
     d = normalize(duck_pdf)
     for c in s.columns:
+        sk = "f" if pd.api.types.is_float_dtype(s[c]) else (
+            "i" if pd.api.types.is_integer_dtype(s[c]) else "o")
+        dk = "f" if pd.api.types.is_float_dtype(d[c]) else (
+            "i" if pd.api.types.is_integer_dtype(d[c]) else "o")
+        assert sk == dk, (
+            f"{name}.{c}: dtype kind {s[c].dtype} vs oracle {d[c].dtype} — "
+            "the driver's string-hash distinguishes 1 from 1.0; cast the "
+            "oracle (DuckDB HUGEINT sums -> BIGINT) or the Spark side"
+        )
+    for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
             if isinstance(a, float) and isinstance(b, float):

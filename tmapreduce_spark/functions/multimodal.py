@@ -639,3 +639,144 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL, "multimodal"),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup over the REAL decode path
+# ---------------------------------------------------------------------------
+
+def decode_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Real pixel-array decode for the two in-container formats: returns
+    (width, height, row-major top-down [(r, g, b), ...]). Shares header
+    semantics with :func:`decode_bmp` / :func:`decode_ppm` (BMP: offset
+    pointer, stride padding, bottom-up rows, BGR; PPM: tokenized header,
+    top-down RGB)."""
+    import struct
+
+    if payload[:2] == b"BM":
+        (_, _fs, _r1, _r2, off) = struct.unpack_from("<2sIHHI", payload, 0)
+        (hsz, w, h, _pl, bpp, comp) = struct.unpack_from("<IiiHHI", payload, 14)
+        if hsz < 40 or bpp != 24 or comp != 0:
+            raise NotImplementedError(f"unsupported BMP variant (bpp={bpp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        px: list[tuple[int, int, int]] = []
+        rows = range(h - 1, -1, -1) if bottom_up else range(h)
+        for row in rows:  # iterate storage rows in TOP-DOWN output order
+            base = off + row * stride
+            for x in range(w):
+                b_, g_, r_ = payload[base + 3 * x : base + 3 * x + 3]
+                px.append((r_, g_, b_))
+        return w, h, px
+    if payload[:2] == b"P6":
+        w, h, _ch, _s, _c = decode_ppm(payload)  # header validation + dims
+        # re-tokenize to find the data offset (decode_ppm consumed it)
+        i, seen = 2, 0
+        while seen < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":
+                while payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                while not payload[i : i + 1].isspace():
+                    i += 1
+                seen += 1
+        i += 1
+        data = payload[i : i + w * h * 3]
+        px = [tuple(data[3 * k : 3 * k + 3]) for k in range(w * h)]
+        return w, h, px
+    raise NotImplementedError("only BMP/PPM pixel decode ships in-container")
+
+
+def ahash64(w: int, h: int, px: list[tuple[int, int, int]]) -> tuple[int, int]:
+    """64-bit average-hash from a REAL pixel array: 8×8 nearest-neighbor
+    sample grid, integer grayscale (r+g+b)//3, bit k set iff
+    gray_k·64 > Σgray (the mean threshold kept in exact integers — no
+    division, no float). Returned as (hi, lo) 32-bit halves so the value
+    never touches the int64 sign bit."""
+    grays = []
+    for k in range(64):
+        x = ((k % 8) * w) // 8
+        y = ((k // 8) * h) // 8
+        r, g, b = px[y * w + x]
+        grays.append((r + g + b) // 3)
+    total = sum(grays)
+    lo = sum((1 << k) for k in range(32) if grays[k] * 64 > total)
+    hi = sum((1 << k) for k in range(32) if grays[k + 32] * 64 > total)
+    return hi, lo
+
+
+def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: synthesize the document's REAL image container
+    (same BMP/PPM split as `real_decode_batch`), decode the actual bytes
+    back to pixels, and compute the aHash. The hash side never sees the
+    pixel formula — a stride/orientation bug changes the sampled pixels
+    and breaks oracle parity."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            seed, w, h = _img_params(bytes(p))
+            enc = encode_ppm if int(doc_id) % 3 == 0 else encode_bmp
+            dw, dh, px = decode_pixels(enc(w, h, _pix_fn(seed)))
+            hi, lo = ahash64(dw, dh, px)
+            rows.append((int(doc_id), hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "hash_hi", "hash_lo"])
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (LAION-style): aHash every image via
+    the REAL decode path, then exact-group on the 64-bit hash — images
+    whose 8×8 grayscale threshold patterns coincide are near-identical
+    renders. Reports each duplicate group's hash, size, and keeper
+    (min doc_id).
+
+    Scale: one Arrow decode pass (linear, no shuffle) + one groupBy on the
+    8-byte hash — identical shuffle economics to exact text dedup: hash
+    keys move, pixels never do. Hamming-near pairs (hash distance ≤ k)
+    would add the SimHash band trick on the same column; exact grouping is
+    the deliberately-shipped stage."""
+    hashed = binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        phash_batch, schema="doc_id bigint, hash_hi bigint, hash_lo bigint"
+    )
+    return (
+        hashed.groupBy("hash_hi", "hash_lo")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+MULTIMODAL_PHASH_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, hv % 256 AS s, 4 + hv % 13 AS w, 4 + (hv // 13) % 13 AS ht
+  FROM h),
+g AS (
+  SELECT doc_id,
+         list_transform(range(64), k ->
+            ((s + 7 * (((k % 8) * w) // 8) + 13 * (((k // 8) * ht) // 8)) % 256
+           + (s + 7 * (((k % 8) * w) // 8) + 13 * (((k // 8) * ht) // 8) + 31) % 256
+           + (s + 7 * (((k % 8) * w) // 8) + 13 * (((k // 8) * ht) // 8) + 62) % 256) // 3
+         ) AS grays
+  FROM p),
+b AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32), k ->
+           CASE WHEN grays[k + 33] * 64 > list_sum(grays)
+                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(32), k ->
+           CASE WHEN grays[k + 1] * 64 > list_sum(grays)
+                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hash_lo
+  FROM g)
+SELECT hash_hi, hash_lo, count(*) AS n_dups, min(doc_id) AS keeper
+FROM b GROUP BY hash_hi, hash_lo HAVING count(*) >= 2
+"""
+
+
+QUERIES["multimodal_phash_dedup"] = QuerySpec(
+    multimodal_phash_dedup, MULTIMODAL_PHASH_SQL, "multimodal"
+)
