@@ -1081,3 +1081,122 @@ def kmeans_fit(
         if shift < tol:
             break
     return C, history
+
+
+SEMDEDUP_TAU = 0.35  # same near-dup threshold as the label-blocked variant
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): UNSUPERVISED semantic dedup — cluster
+    the embedding corpus with k-means, then within each learned cluster
+    mark every vector whose cosine to an earlier cluster-mate reaches
+    SEMDEDUP_TAU as a duplicate of the smallest such vec_id. The
+    label-blocked `dedup_embedding_cosine` needs labels; this is the
+    variant that works on raw web corpora (cluster assignment replaces
+    the blocking key).
+
+    Scale: assignment is the one-Arrow-pass IVF pattern; pair scoring is
+    one int64 Gram matmul per CLUSTER group (applyInPandas) — at
+    production scale k is chosen so corpus/k stays in the thousands
+    (SemDeDup's own regime), and an oversize cluster takes the same
+    hyperplane sub-blocking used by `blocked_pair_cosines`
+    (MAX_BLOCK=4096). The dup arbitration is a partial-aggregated groupBy
+    on the pair stream."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+    c_sq = np.einsum("ij,ij->i", C, C)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+            d2 = (
+                np.einsum("ij,ij->i", Xq, Xq)[:, None]
+                - 2 * (Xq @ C.T)
+                + c_sq[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": np.argmin(d2, axis=1).astype("int32"),
+                }
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id bigint, cluster int")
+    with_vec = e.join(assigned, "vec_id")
+
+    def pairs_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        Xq = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", Xq, Xq).astype(np.float64))
+        cos = (Xq @ Xq.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= SEMDEDUP_TAU
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cluster": np.full(int(keep.sum()), int(pdf["cluster"].iloc[0])),
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    pairs = with_vec.groupBy("cluster").applyInPandas(
+        pairs_in_cluster, schema="vec_a bigint, vec_b bigint, cluster int, cosine double"
+    )
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("dup_of"),
+        F.min("cluster").alias("cluster"),
+        F.count("*").alias("n_matches"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+DEDUP_SEMDEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {IVF_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(xq) + 1),
+                                      i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d2
+  FROM q, cent c),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d) t
+  WHERE rn = 1),
+m AS (
+  SELECT b.vec_id, b.cid, q.xq,
+         sqrt(CAST(list_sum(list_transform(range(1, len(q.xq) + 1),
+                                           i -> q.xq[i] * q.xq[i])) AS DOUBLE)) AS nrm
+  FROM best b JOIN q ON q.vec_id = b.vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cluster,
+         floor(CAST(list_sum(list_transform(range(1, len(a.xq) + 1),
+                                            i -> a.xq[i] * b.xq[i])) AS DOUBLE)
+               / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+SELECT vec_b AS dup_id, min(vec_a) AS dup_of, CAST(min(cluster) AS INT) AS cluster,
+       count(*) AS n_matches, max(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+GROUP BY vec_b
+"""
+
+
+QUERIES["dedup_semdedup"] = QuerySpec(dedup_semdedup, DEDUP_SEMDEDUP_SQL, "dedup")
