@@ -2103,7 +2103,115 @@ FROM run, tot
 """
 
 
+DSIR_DIM = 1024  # hashed feature space (shared shape with the classifier)
+DSIR_CAP = 100.0  # importance-weight clip (standard practice, and bounds the sum)
+
+
+def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al. 2023, Data Selection
+    via Importance Resampling): score every raw document by how much its
+    hashed-unigram distribution looks like the TARGET domain (source
+    'src0', the same held-out convention as `pipeline_decontaminate`).
+    Per token the weight is the Laplace-smoothed bucket-probability ratio
+    p_target/p_raw, clipped at DSIR_CAP; the document score is the mean.
+    (DSIR sums log-ratios; the arithmetic mean of ratios is the
+    transcendental-free twin — same ordering signal, oracle-exact. See
+    PARITY notes on why no ln() ever runs engine-side.)
+
+    Exactness: each ratio is integers-in, one-division-out, quantized to
+    int64 micro-units per token, integer-summed (order-independent), one
+    final division.
+
+    Scale: the 'model' is two 1024-row hashed-count tables — broadcast
+    joins, exactly how DSIR ships its n-gram tables to workers; one
+    groupBy(doc_id) with partial aggregation. Raw corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id",
+        "source",
+        r"explode(split(trim(lower(text)), '\\s+')) AS tok",
+    ).filter("tok <> ''")
+    bucket = f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % {DSIR_DIM}"
+    bucketed = toks.selectExpr("doc_id", "source", f"{bucket} AS b")
+    tgt = (
+        bucketed.filter("source = 'src0'")
+        .groupBy("b")
+        .agg(F.count("*").alias("n_t"))
+    )
+    raw = (
+        bucketed.filter("source <> 'src0'")
+        .groupBy("b")
+        .agg(F.count("*").alias("n_r"))
+    )
+    tot = (
+        bucketed.groupBy()
+        .agg(
+            F.sum(F.expr("CASE WHEN source = 'src0' THEN 1 ELSE 0 END")).alias("tot_t"),
+            F.sum(F.expr("CASE WHEN source <> 'src0' THEN 1 ELSE 0 END")).alias("tot_r"),
+        )
+    )
+    ratio = (
+        f"least(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) * (tot_r + {DSIR_DIM}) "
+        f"/ ((coalesce(n_r, 0) + 1) * CAST(tot_t + {DSIR_DIM} AS DOUBLE)), "
+        f"CAST({DSIR_CAP} AS DOUBLE))"
+    )
+    scored = (
+        bucketed.filter("source <> 'src0'")
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "doc_id",
+            f"CAST(floor(({ratio}) * 1000000 + 0.5) AS BIGINT) AS rq",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("rq").alias("rsum"))
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_toks",
+        f"{mround('CAST(rsum AS DOUBLE) / n_toks / 1000000', 6)} AS weight",
+        "CAST(CAST(rsum AS DOUBLE) / n_toks / 1000000 > 1 AS BOOLEAN) AS keep",
+    )
+
+
+PIPELINE_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % {DSIR_DIM} AS b
+  FROM (SELECT doc_id, source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''),
+tgt AS (SELECT b, count(*) AS n_t FROM toks WHERE source = 'src0' GROUP BY b),
+raw AS (SELECT b, count(*) AS n_r FROM toks WHERE source <> 'src0' GROUP BY b),
+tot AS (
+  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tot_t,
+         sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS tot_r
+  FROM toks),
+scored AS (
+  SELECT doc_id, count(*) AS n_toks,
+         sum(CAST(floor(least(
+               CAST(coalesce(n_t, 0) + 1 AS DOUBLE) * (tot_r + {DSIR_DIM})
+               / ((coalesce(n_r, 0) + 1) * CAST(tot_t + {DSIR_DIM} AS DOUBLE)),
+               CAST({DSIR_CAP} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS rsum
+  FROM toks
+  LEFT JOIN tgt USING (b)
+  LEFT JOIN raw USING (b)
+  CROSS JOIN tot
+  WHERE source <> 'src0'
+  GROUP BY doc_id)
+SELECT doc_id, n_toks,
+       {mround('CAST(rsum AS DOUBLE) / n_toks / 1000000', 6)} AS weight,
+       CAST(CAST(rsum AS DOUBLE) / n_toks / 1000000 > 1 AS BOOLEAN) AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_importance_weights": QuerySpec(
+        pipeline_importance_weights, PIPELINE_DSIR_SQL, "pipeline"
+    ),
     "pipeline_quality_ablate": QuerySpec(
         pipeline_quality_ablate, PIPELINE_QUALITY_ABLATE_SQL, "pipeline"
     ),

@@ -2585,7 +2585,67 @@ LIMIT 10
 """
 
 
+DRIFT_SPLIT = "2024-01-16"  # period boundary (fixture spans 2024-01)
+DRIFT_BUCKET_W = 50.0  # fixed-width value buckets (value ≤ ~560 → ≤ 12 buckets)
+
+
+def diag_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: two-sample chi-square of the event-value
+    distribution between the first and second half of the window — the
+    feature-drift alarm every production scoring pipeline runs (PSI's
+    log-free sibling; chi-square is exact rational, PSI's ln() is not —
+    PARITY notes). Per value bucket: both periods' counts, expected counts
+    under no-drift, and the bucket's chi-square contribution.
+
+    Exactness: expectations are products/quotients of integer counts;
+    contributions are two divisions, mrounded.
+
+    Scale: one groupBy over (bucket) with conditional partial sums — a
+    ≤12-key aggregate regardless of corpus size; totals ride back in one
+    broadcast row."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.selectExpr(
+        f"CAST(least(floor(value / {DRIFT_BUCKET_W}), 11) AS INT) AS bucket",
+        f"CASE WHEN CAST(ts AS DATE) < DATE'{DRIFT_SPLIT}' THEN 1 ELSE 0 END AS p1",
+    )
+    grp = base.groupBy("bucket").agg(
+        F.sum("p1").alias("n1"),
+        F.sum(F.expr("1 - p1")).alias("n2"),
+    )
+    tot = grp.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    e1 = "CAST(n1 + n2 AS DOUBLE) * t1 / (t1 + t2)"
+    e2 = "CAST(n1 + n2 AS DOUBLE) * t2 / (t1 + t2)"
+    contrib = f"(n1 - ({e1})) * (n1 - ({e1})) / ({e1}) + (n2 - ({e2})) * (n2 - ({e2})) / ({e2})"
+    return grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "n1",
+        "n2",
+        f"{mround(e1, 6)} AS exp1",
+        f"{mround(e2, 6)} AS exp2",
+        f"{mround(contrib, 6)} AS chi2_contrib",
+    )
+
+
+DIAG_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT CAST(least(floor(value / {DRIFT_BUCKET_W}), 11) AS INT) AS bucket,
+         CASE WHEN CAST(ts AS DATE) < DATE '{DRIFT_SPLIT}' THEN 1 ELSE 0 END AS p1
+  FROM events),
+grp AS (
+  SELECT bucket, sum(p1) AS n1, sum(1 - p1) AS n2 FROM base GROUP BY bucket),
+tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM grp)
+SELECT bucket, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       {mround('CAST(n1 + n2 AS DOUBLE) * t1 / (t1 + t2)', 6)} AS exp1,
+       {mround('CAST(n1 + n2 AS DOUBLE) * t2 / (t1 + t2)', 6)} AS exp2,
+       {mround('(n1 - (CAST(n1 + n2 AS DOUBLE) * t1 / (t1 + t2))) * (n1 - (CAST(n1 + n2 AS DOUBLE) * t1 / (t1 + t2))) / (CAST(n1 + n2 AS DOUBLE) * t1 / (t1 + t2)) + (n2 - (CAST(n1 + n2 AS DOUBLE) * t2 / (t1 + t2))) * (n2 - (CAST(n1 + n2 AS DOUBLE) * t2 / (t1 + t2))) / (CAST(n1 + n2 AS DOUBLE) * t2 / (t1 + t2))', 6)} AS chi2_contrib
+FROM grp, tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "diag_distribution_drift": QuerySpec(
+        diag_distribution_drift, DIAG_DRIFT_SQL, "aggregation"
+    ),
     "diag_join_explosion": QuerySpec(
         diag_join_explosion, DIAG_JOIN_EXPLOSION_SQL, "aggregation"
     ),
