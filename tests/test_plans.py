@@ -860,3 +860,38 @@ def test_hilbert_key_is_shuffle_free_scan(spark):
     df = layout_hilbert_key(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_model_joins_are_broadcast(spark):
+    """DSIR weighting: both hashed-count model tables and the totals row
+    join as broadcasts — the raw token stream never shuffles for the
+    model; the only hash exchange is the final doc_id groupBy."""
+    from tmapreduce_spark.functions.text import pipeline_importance_weights
+
+    df = pipeline_importance_weights(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_drift_is_tiny_partial_aggregate(spark):
+    """Drift monitor: conditional sums partial-aggregate; no join besides
+    the broadcast totals row."""
+    from tmapreduce_spark.operators.relational import diag_distribution_drift
+
+    df = diag_distribution_drift(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semdedup_no_cartesian_all_arrow(spark):
+    """SemDeDup: pair scoring happens inside the per-cluster Arrow groups
+    — no cartesian/nested-loop join in the plan."""
+    from tmapreduce_spark.functions.scale import dedup_semdedup
+
+    df = dedup_semdedup(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
