@@ -1619,7 +1619,106 @@ GROUP BY a.source, b.source
 """
 
 
+def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement audit: for each pair of detectors (exact
+    hash, MinHash-LSH, SimHash), the sizes of their flagged-document sets
+    and the Jaccard overlap — the analysis that tells you whether the
+    cheap method already catches what the expensive one would, per corpus
+    (RefinedWeb and Dolma both publish exactly this table).
+
+    Scale: each flag set is its own already-bounded pipeline (window,
+    banded joins); the audit on top is one distinct tag union, one 3-row
+    count aggregate, and one doc-keyed equi-join for co-flags — audit cost
+    is dominated by the detectors themselves, which a real run has
+    computed anyway."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_f = (
+        d.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn > 1")
+        .select("doc_id")
+    )
+    mh = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    sh = dedup_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    tags = (
+        exact_f.withColumn("m", F.lit("exact"))
+        .unionByName(mh.withColumn("m", F.lit("minhash")))
+        .unionByName(sh.withColumn("m", F.lit("simhash")))
+        .distinct()
+    )
+    methods = spark.createDataFrame([("exact",), ("minhash",), ("simhash",)], "m string")
+    counts = methods.join(
+        tags.groupBy("m").agg(F.count("*").alias("cnt")), "m", "left"
+    ).selectExpr("m", "coalesce(cnt, CAST(0 AS BIGINT)) AS n")
+    both = (
+        tags.alias("a")
+        .join(tags.alias("b"), "doc_id")
+        .filter("a.m < b.m")
+        .groupBy(F.col("a.m").alias("m_a"), F.col("b.m").alias("m_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    grid = (
+        counts.selectExpr("m AS m_a", "n AS n_a")
+        .crossJoin(F.broadcast(counts.selectExpr("m AS m_b", "n AS n_b")))
+        .filter("m_a < m_b")
+    )
+    return (
+        grid.join(F.broadcast(both), ["m_a", "m_b"], "left")
+        .selectExpr(
+            "m_a AS method_a",
+            "m_b AS method_b",
+            "n_a",
+            "n_b",
+            "coalesce(n_both, 0) AS n_both",
+            f"{mround('CAST(coalesce(n_both, 0) AS DOUBLE) / nullif(n_a + n_b - coalesce(n_both, 0), 0)', 6)} AS overlap_jaccard",
+        )
+    )
+
+
+DEDUP_METHODS_OVERLAP_SQL = (
+    """
+WITH exact_f AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) t WHERE rn > 1),
+mh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_MINHASH_PAIRS_SQL
+    + """) t),
+sh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_SIMHASH_PAIRS_SQL
+    + f""") t),
+tags AS (
+  SELECT doc_id, 'exact' AS m FROM exact_f
+  UNION SELECT doc_id, 'minhash' FROM mh
+  UNION SELECT doc_id, 'simhash' FROM sh),
+methods AS (SELECT unnest(['exact', 'minhash', 'simhash']) AS m),
+counts AS (
+  SELECT methods.m, coalesce(c.cnt, 0) AS n
+  FROM methods LEFT JOIN (SELECT m, count(*) AS cnt FROM tags GROUP BY m) c
+    ON c.m = methods.m),
+co AS (
+  SELECT a.m AS m_a, b.m AS m_b, count(*) AS n_both
+  FROM tags a JOIN tags b ON a.doc_id = b.doc_id AND a.m < b.m
+  GROUP BY 1, 2)
+SELECT ca.m AS method_a, cb.m AS method_b, ca.n AS n_a, cb.n AS n_b,
+       coalesce(n_both, 0) AS n_both,
+       {mround('CAST(coalesce(n_both, 0) AS DOUBLE) / nullif(ca.n + cb.n - coalesce(n_both, 0), 0)', 6)} AS overlap_jaccard
+FROM counts ca
+JOIN counts cb ON ca.m < cb.m
+LEFT JOIN co ON co.m_a = ca.m AND co.m_b = cb.m
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_methods_overlap": QuerySpec(
+        dedup_methods_overlap, DEDUP_METHODS_OVERLAP_SQL, "dedup"
+    ),
     "dedup_cross_source_matrix": QuerySpec(
         dedup_cross_source_matrix, DEDUP_CROSS_SOURCE_SQL, "dedup"
     ),
