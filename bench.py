@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "text_novelty_score",
+    "events_survival_curve",
     "dedup_methods_overlap",
     "pipeline_importance_weights",
     "diag_distribution_drift",

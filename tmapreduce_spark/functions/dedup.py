@@ -1715,7 +1715,45 @@ LEFT JOIN co ON co.m_a = ca.m AND co.m_b = cb.m
 )
 
 
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty audit: per document (in doc_id ingestion order),
+    the fraction of its token-trigram shingles never seen in any EARLIER
+    document — the curve data curation teams plot to decide when a crawl
+    stops adding new text (novelty → 0 means you're paying storage for
+    repeats). Shares the shingle definition with the MinHash family.
+
+    Scale: one shingle explode, ONE keep-first window on the 16-byte
+    shingle hash (same single-shuffle shape as `dedup_chunk_exact`), one
+    groupBy(doc_id). Linear; no pair join."""
+    hashes = _exploded_shingle_hashes(spark, sf_dir).select("doc_id", "h").distinct()
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.expr("CASE WHEN rn = 1 THEN 1 ELSE 0 END")).alias("n_novel"),
+        F.expr(
+            mround("CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)
+        ).alias("novelty"),
+    )
+
+
+def _novelty_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents) t),
+ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM sh)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {mround("CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS novelty
+FROM ranked GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_novelty_score": QuerySpec(text_novelty_score, _novelty_sql(), "dedup"),
     "dedup_methods_overlap": QuerySpec(
         dedup_methods_overlap, DEDUP_METHODS_OVERLAP_SQL, "dedup"
     ),

@@ -2642,7 +2642,64 @@ FROM grp, tot
 """
 
 
+SURVIVAL_MAX_DAY = 29  # observation window (fixture spans one month)
+
+
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: for each day offset k, the fraction
+    of users whose activity span (last seen − first seen) reaches k days
+    — the retention/churn curve in its simplest uncensored form (every
+    user is observed over the same window, so this is the empirical
+    survival function, Kaplan-Meier without censoring corrections).
+
+    Exactness: spans are integer day diffs; each survival point is one
+    division of integer counts.
+
+    Scale: one groupBy(user_id) reduces the stream to one row per user;
+    the curve is a 30-row grid joined against the ≤31-row span histogram
+    — constant-size work above the user reduction."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.expr("datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE)))").alias("span")
+    )
+    hist = spans.groupBy("span").agg(F.count("*").alias("n"))
+    tot = hist.agg(F.sum("n").alias("n_users"))
+    grid = spark.range(SURVIVAL_MAX_DAY + 1).selectExpr("CAST(id AS INT) AS k")
+    return (
+        grid.crossJoin(F.broadcast(hist))
+        .filter("span >= k")
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_surviving"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "k",
+            "CAST(n_surviving AS BIGINT) AS n_surviving",
+            "n_users",
+            f"{mround('CAST(n_surviving AS DOUBLE) / n_users', 6)} AS survival",
+        )
+    )
+
+
+EVENTS_SURVIVAL_SQL = f"""
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS span
+  FROM events GROUP BY user_id),
+hist AS (SELECT span, count(*) AS n FROM spans GROUP BY span),
+tot AS (SELECT sum(n) AS n_users FROM hist),
+grid AS (SELECT CAST(unnest(range(0, {SURVIVAL_MAX_DAY + 1})) AS INT) AS k)
+SELECT k, CAST(sum(n) AS BIGINT) AS n_surviving,
+       CAST(n_users AS BIGINT) AS n_users,
+       {mround('CAST(sum(n) AS DOUBLE) / n_users', 6)} AS survival
+FROM grid JOIN hist ON span >= k, tot
+GROUP BY k, n_users
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_survival_curve": QuerySpec(
+        events_survival_curve, EVENTS_SURVIVAL_SQL, "time-window"
+    ),
     "diag_distribution_drift": QuerySpec(
         diag_distribution_drift, DIAG_DRIFT_SQL, "aggregation"
     ),
