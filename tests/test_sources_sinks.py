@@ -164,3 +164,54 @@ def test_events_ts_normalized_to_instant(spark):
     # unix_micros rejects TIMESTAMP_NTZ outright — this line IS the regression
     row = df.select(F.unix_micros("ts").alias("us")).agg(F.min("us")).first()
     assert row[0] is not None
+
+
+def test_hilbert_layout_write_tightens_rowgroup_envelopes(spark, tmp_path):
+    """The at-rest payoff of the Hilbert key: writing orders range-sorted
+    by hkey produces parquet row groups whose per-group (cust_bucket,
+    price_bucket) min/max envelopes are dramatically tighter than an
+    unclustered write — which is exactly what row-group skipping prunes
+    on for 2-D predicates. Measured directly from parquet footer stats."""
+    import pyarrow.parquet as pq
+
+    from tmapreduce_spark.operators.advanced import layout_hilbert_key
+    from tests.conftest import SF_CORRECT
+
+    df = layout_hilbert_key(spark, SF_CORRECT)
+
+    plain = str(tmp_path / "plain")
+    clustered = str(tmp_path / "clustered")
+    # force multiple row groups per file so envelopes are measurable
+    small_rg = {"parquet.block.size": 64 * 1024}
+    df.coalesce(1).write.options(**small_rg).parquet(plain)
+    (
+        df.repartitionByRange(1, "hkey")
+        .sortWithinPartitions("hkey")
+        .write.options(**small_rg)
+        .parquet(clustered)
+    )
+
+    def envelope_area(path: str) -> float:
+        import glob
+
+        total, n = 0.0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            cols = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                cx = rg.column(cols["cust_bucket"]).statistics
+                cy = rg.column(cols["price_bucket"]).statistics
+                total += (cx.max - cx.min + 1) * (cy.max - cy.min + 1)
+                n += 1
+        assert n >= 4, f"expected multiple row groups, got {n}"
+        return total / n
+
+    mean_plain = envelope_area(plain)
+    mean_clustered = envelope_area(clustered)
+    # Hilbert-sorted row groups cover a fraction of the 1024x1024 space;
+    # the unclustered write's groups cover essentially all of it.
+    assert mean_clustered < mean_plain / 4, (mean_clustered, mean_plain)
