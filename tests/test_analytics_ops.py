@@ -47,10 +47,20 @@ def test_ewma_matches_python_fold(spark):
 
 
 def test_cusum_total_deviation_is_zero(spark):
-    """dev_i = vc_i*n - sum_c sums to exactly 0 per user, so the peak is a
-    genuine interior extremum; also peak_pos must be within [1, n]."""
+    """dev_i = vc_i*n - sum_c sums to EXACTLY 0 per user (recomputed here
+    from the raw events), so the peak is a genuine interior extremum; and
+    peak_pos must be within [1, n]."""
     for r in window_cusum_detect(spark, SF_SMOKE).collect():
         assert 1 <= r["peak_pos"] <= r["n_events"]
+    e = load_table(spark, SF_SMOKE, "events")
+    per_user: dict[int, list[int]] = {}
+    for row in e.select("user_id", "value").collect():
+        per_user.setdefault(int(row["user_id"]), []).append(
+            int(row["value"] * 1_000_000 + 0.5)
+        )
+    for uid, vcs in per_user.items():
+        n, s = len(vcs), sum(vcs)
+        assert sum(vc * n - s for vc in vcs) == 0, uid
 
 
 def test_markov_rows_are_stochastic(spark):

@@ -89,3 +89,19 @@ def test_real_decode_entry_no_notimplemented(spark):
         assert r["channels"] == 3
         assert 4 <= r["width"] <= 16 and 4 <= r["height"] <= 16
         assert r["pixel_sum"] > 0
+
+
+def test_decode_pixels_rejects_truncated_ppm():
+    """A PPM payload cut off mid-header must raise, never hang (the
+    re-tokenizer bounds every scan on len(payload))."""
+    import pytest
+
+    from tmapreduce_spark.functions.multimodal import decode_pixels, encode_ppm
+
+    good = encode_ppm(4, 4, lambda x, y: (x, y, 0))
+    w, h, px = decode_pixels(good)
+    assert (w, h, len(px)) == (4, 4, 16)
+    with pytest.raises((ValueError, IndexError)):
+        decode_pixels(b"P6\n4")  # header truncated after width digit
+    with pytest.raises((ValueError, IndexError)):
+        decode_pixels(b"P6\n# comment with no newline")

@@ -227,6 +227,16 @@ def _pix_fn(seed: int):
     return pix
 
 
+def _synth_container(doc_id: int, payload: bytes) -> bytes:
+    """Shared synthetic-image container convention (real_decode_batch AND
+    phash_batch): PPM for doc_id % 3 == 0, BMP otherwise, pixels from
+    _img_params/_pix_fn — one definition so the two real-decode consumers
+    can never drift apart."""
+    seed, w, h = _img_params(payload)
+    enc = encode_ppm if doc_id % 3 == 0 else encode_bmp
+    return enc(w, h, _pix_fn(seed))
+
+
 def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas UDF: synthesize a REAL image container per document (PPM
     for doc_id % 3 == 0, BMP otherwise — both carrying the same pixel
@@ -236,9 +246,7 @@ def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            seed, w, h = _img_params(bytes(p))
-            enc = encode_ppm if int(doc_id) % 3 == 0 else encode_bmp
-            img = enc(w, h, _pix_fn(seed))
+            img = _synth_container(int(doc_id), bytes(p))
             dw, dh, ch, psum, corner = decode_image(img)
             rows.append((int(doc_id), dw, dh, ch, psum, corner))
         yield pd.DataFrame(
@@ -671,19 +679,23 @@ def decode_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]
         return w, h, px
     if payload[:2] == b"P6":
         w, h, _ch, _s, _c = decode_ppm(payload)  # header validation + dims
-        # re-tokenize to find the data offset (decode_ppm consumed it)
+        # re-tokenize to find the data offset (decode_ppm consumed it) —
+        # every inner scan bounds on len(payload) so truncated headers
+        # raise below instead of spinning
         i, seen = 2, 0
         while seen < 3 and i < len(payload):
             c = payload[i : i + 1]
             if c == b"#":
-                while payload[i : i + 1] != b"\n":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
                     i += 1
             elif c.isspace():
                 i += 1
             else:
-                while not payload[i : i + 1].isspace():
+                while i < len(payload) and not payload[i : i + 1].isspace():
                     i += 1
                 seen += 1
+        if seen < 3 or i >= len(payload):
+            raise ValueError("truncated PPM header")
         i += 1
         data = payload[i : i + w * h * 3]
         px = [tuple(data[3 * k : 3 * k + 3]) for k in range(w * h)]
@@ -718,9 +730,7 @@ def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            seed, w, h = _img_params(bytes(p))
-            enc = encode_ppm if int(doc_id) % 3 == 0 else encode_bmp
-            dw, dh, px = decode_pixels(enc(w, h, _pix_fn(seed)))
+            dw, dh, px = decode_pixels(_synth_container(int(doc_id), bytes(p)))
             hi, lo = ahash64(dw, dh, px)
             rows.append((int(doc_id), hi, lo))
         yield pd.DataFrame(rows, columns=["doc_id", "hash_hi", "hash_lo"])

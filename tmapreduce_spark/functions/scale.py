@@ -864,6 +864,46 @@ GROUP BY l_returnflag
 """
 
 
+def _assign_to_centroids(e: DataFrame, out_col: str = "centroid"):
+    """Shared centroid model + Arrow assignment pass (used by
+    embedding_kmeans_iterate, kmeans_fit, and dedup_semdedup so the
+    quantization constant and argmin tie-break can never diverge between
+    them): collect the IVF_K seed vectors, quantize to int64 micro-units,
+    and return (C, assign_df_fn) where assign_df_fn(e) maps the corpus to
+    (vec_id, <out_col>) by exact squared-L2 argmin (ties to lowest id)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+
+    def assign_df(src: DataFrame, _C=C) -> DataFrame:
+        c_sq = np.einsum("ij,ij->i", _C, _C)
+
+        def assign(batches):
+            for pdf in batches:
+                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+                d2 = (
+                    np.einsum("ij,ij->i", Xq, Xq)[:, None]
+                    - 2 * (Xq @ _C.T)
+                    + c_sq[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        out_col: np.argmin(d2, axis=1).astype("int32"),
+                    }
+                )
+
+        return src.mapInPandas(assign, f"vec_id bigint, {out_col} int")
+
+    return C, assign_df
+
+
 def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration of k-means over the embedding corpus:
     assign every vector to its nearest of IVF_K deterministic seed
@@ -882,32 +922,9 @@ def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid, dim) groupBy whose key space is K×dim = 512 — partial
     aggregation collapses every partition to ≤512 rows. Per-iteration cost
     is two linear passes regardless of corpus size."""
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    C = np.floor(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-        * 1_000_000 + 0.5
-    ).astype(np.int64)
-    c_sq = np.einsum("ij,ij->i", C, C)
-
-    def assign(batches):
-        for pdf in batches:
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
-            d2 = (
-                np.einsum("ij,ij->i", Xq, Xq)[:, None]
-                - 2 * (Xq @ C.T)
-                + c_sq[None, :]
-            )
-            best = np.argmin(d2, axis=1)  # first minimum → lowest cid on ties
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
-            )
-
-    assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+    C, assign_df = _assign_to_centroids(e)
+    assigned = assign_df(e)
     comps = (
         e.join(assigned, "vec_id")
         .selectExpr("centroid", "posexplode(embedding) AS (dim, v)")
@@ -1026,34 +1043,34 @@ def kmeans_fit(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    C = np.floor(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-        * 1_000_000 + 0.5
-    ).astype(np.int64)
+    C, _ = _assign_to_centroids(e)
     history: list[tuple[int, float, dict[int, int]]] = []
 
     for it in range(max_iter):
-        C_iter = C  # capture for the closure
-        c_sq = np.einsum("ij,ij->i", C_iter, C_iter)
+        # re-derive the assignment closure from THIS iteration's centroids
+        # via the shared helper's math (same quantization + tie-break)
+        def _mk_assign(_C):
+            c_sq = np.einsum("ij,ij->i", _C, _C)
 
-        def assign(batches, _C=C_iter, _csq=c_sq):
-            for pdf in batches:
-                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
-                d2 = (
-                    np.einsum("ij,ij->i", Xq, Xq)[:, None]
-                    - 2 * (Xq @ _C.T)
-                    + _csq[None, :]
-                )
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].astype("int64"),
-                        "centroid": np.argmin(d2, axis=1).astype("int32"),
-                    }
-                )
+            def assign(batches):
+                for pdf in batches:
+                    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+                    d2 = (
+                        np.einsum("ij,ij->i", Xq, Xq)[:, None]
+                        - 2 * (Xq @ _C.T)
+                        + c_sq[None, :]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].astype("int64"),
+                            "centroid": np.argmin(d2, axis=1).astype("int32"),
+                        }
+                    )
 
-        assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+            return assign
+
+        assigned = e.mapInPandas(_mk_assign(C), "vec_id bigint, centroid int")
         dims = (
             e.join(assigned, "vec_id")
             .selectExpr("centroid", "posexplode(embedding) AS (dim, v)")
@@ -1106,30 +1123,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    C = np.floor(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-        * 1_000_000 + 0.5
-    ).astype(np.int64)
-    c_sq = np.einsum("ij,ij->i", C, C)
-
-    def assign(batches):
-        for pdf in batches:
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xq = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
-            d2 = (
-                np.einsum("ij,ij->i", Xq, Xq)[:, None]
-                - 2 * (Xq @ C.T)
-                + c_sq[None, :]
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cluster": np.argmin(d2, axis=1).astype("int32"),
-                }
-            )
-
-    assigned = e.mapInPandas(assign, "vec_id bigint, cluster int")
+    _C, assign_df = _assign_to_centroids(e, out_col="cluster")
+    assigned = assign_df(e)
     with_vec = e.join(assigned, "vec_id")
 
     def pairs_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -2150,7 +2150,13 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: one shuffle on user_id, O(1) window state per row (last-value
     frames stream). The equivalent as-of join would shuffle both sides;
-    this never materializes a touch table at all."""
+    this never materializes a touch table at all.
+
+    Tie boundary: the ROWS frame admits a touch sharing the purchase's
+    exact microsecond if it sorts earlier by event_id; the multi-touch
+    companion uses a value-based RANGE frame that ends at us−1 and
+    excludes ALL same-instant touches (ROWS and RANGE cannot agree at
+    ties — each operator documents its own rule)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -2295,7 +2301,11 @@ def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale: one user_id shuffle; credit fan-out equals the true
     (purchase × in-horizon touch) fact count, which is the output's
-    semantic size — nothing is amplified beyond it."""
+    semantic size — nothing is amplified beyond it.
+
+    Tie boundary: the RANGE frame ends at us−1, so a touch at the
+    purchase's exact microsecond is NOT credited (the last-touch
+    companion's ROWS frame may credit it — see its docstring)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -2510,12 +2520,11 @@ def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = o.selectExpr(
         "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit"
     ).filter("digit BETWEEN 1 AND 9")
+    grp = digits.groupBy("digit").agg(F.count("*").alias("n"))
     return (
-        digits.groupBy("digit")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(
-            digits.agg(F.count("*").alias("n_total"))
-        ))
+        grp
+        # total from the ≤9-row grouped table — never a second orders scan
+        .crossJoin(F.broadcast(grp.agg(F.sum("n").alias("n_total"))))
         .selectExpr(
             "digit",
             "n",

@@ -437,7 +437,10 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us", "event_id")
         .rowsBetween(-(EWMA_LAGS - 1), 0)
     )
-    base = e.select(
+    # value is nullable in the schema: Spark's collect_list drops NULLs but
+    # DuckDB's windowed list() keeps them — filter identically on BOTH
+    # engines so the fold sees the same frame under any fixture
+    base = e.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
     )
     return (
@@ -461,7 +464,7 @@ WITH base AS (
   SELECT user_id, event_id, epoch_us(ts) AS us, value,
          list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                            ROWS BETWEEN {EWMA_LAGS - 1} PRECEDING AND CURRENT ROW) AS lv
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT user_id, event_id, us,
        {mround('value', 6)} AS value,
        {mround('list_reduce(lv, (acc, x) -> acc * 0.5 + x * 0.5)', 6)} AS ewma
