@@ -100,7 +100,7 @@ def test_attribution_horizon_and_touch_semantics(spark):
         else:
             attributed += 1
             assert r["touch_type"] in ("click", "view")
-            assert 0 < r["gap_us"] <= horizon
+            assert 0 <= r["gap_us"] <= horizon  # 0 = same-instant touch (ROWS tie rule)
     assert attributed > 0
 
 
