@@ -443,3 +443,29 @@ def test_streaming_attribution_matches_batch(spark):
         for r in events_attribution_last_touch(spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_streaming_heavy_hitters_superset_guarantee(spark):
+    """The streaming MG summary must contain every user whose true count
+    exceeds N/(MG_K+1) — the Misra-Gries guarantee — and its counters
+    never exceed the true counts."""
+    from pyspark.sql import functions as F
+
+    from tmapreduce_spark.streaming.stateful import MG_K, streaming_heavy_hitters
+
+    s = streaming_heavy_hitters(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_mg", output_mode="update")
+    cand = {int(r["key"]): int(r["cnt"]) for r in mem.collect()}
+    assert 0 < len(cand) <= MG_K
+
+    e = load_table(spark, SF_SMOKE, "events")
+    true_counts = {
+        int(r["user_id"]): int(r["n"])
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true_counts.values())
+    for uid, n in true_counts.items():
+        if n > n_total / (MG_K + 1):
+            assert uid in cand, (uid, n)
+    for uid, c in cand.items():
+        assert c <= true_counts[uid]

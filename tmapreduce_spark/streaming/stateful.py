@@ -221,3 +221,63 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming Misra-Gries heavy hitters: fixed-size counter state ----------
+#
+# Streaming twin of the batch `text_heavy_hitters_mg` (same decrement rule):
+# at most MG_K counters of state TOTAL, regardless of stream length or key
+# cardinality — the top-talker/hot-key alarm shape. Single logical group
+# (constant key) = the mergeable-summary form; the sharded deployment runs
+# one instance per hash shard and merges summaries, exactly like the batch
+# operator's per-partition pass. MG guarantee (asserted in tests): any key
+# with true frequency > N/(MG_K+1) is in the final candidate set.
+
+MG_K = 8
+MG_OUTPUT_SCHEMA = "slot bigint, key bigint, cnt bigint"
+MG_STATE_SCHEMA = "ids array<bigint>, counts array<bigint>"
+
+
+def _update_mg_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    ids, counts = state.get if state.exists else ([], [])
+    summary = dict(zip(ids, counts))
+    for pdf in pdfs:
+        for k in pdf["user_id"]:
+            k = int(k)
+            if k in summary:
+                summary[k] += 1
+            elif len(summary) < MG_K:
+                summary[k] = 1
+            else:  # decrement-all: evict zeros (the MG step)
+                summary = {kk: c - 1 for kk, c in summary.items() if c > 1}
+    state.update((list(summary.keys()), list(summary.values())))
+    items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "slot": list(range(len(items))),
+            "key": [k for k, _ in items],
+            "cnt": [c for _, c in items],
+        }
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Streaming Misra-Gries top-talker summary with MG_K counters of
+    total state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select("user_id", F.lit(0).alias("g"))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _update_mg_state,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
