@@ -23,6 +23,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "events_active_users_rolling",
+    "events_type_diversity",
+    "events_drawdown_max",
+    "events_gap_burstiness",
+    "events_funnel_ttc",
+    "skyline_pareto_orders",
+    "diag_referential_orphans",
+    "text_vocab_oov_rate",
+    "graph_reachability_bfs",
     "text_novelty_score",
     "events_survival_curve",
     "dedup_methods_overlap",

@@ -1,0 +1,178 @@
+"""Semantic invariants for the second analytics wave: rolling active users,
+drawdown, burstiness, diversity, skyline dominance, BFS layering, OOV
+bounds, FK integrity — each pinned against a brute-force recomputation or a
+mathematical identity, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.functions.dedup import (
+    _BFS_MAX_HOPS,
+    _BFS_SEED_MOD,
+    dedup_minhash_pairs,
+    graph_reachability_bfs,
+)
+from tmapreduce_spark.functions.text import text_vocab_oov_rate
+from tmapreduce_spark.operators.analytics import (
+    diag_referential_orphans,
+    events_active_users_rolling,
+    events_drawdown_max,
+    events_funnel_ttc,
+    events_gap_burstiness,
+    events_type_diversity,
+    skyline_pareto_orders,
+)
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def test_active_users_matches_bruteforce(spark):
+    """WAU from the interval-contribution trick must equal the naive
+    per-day COUNT(DISTINCT user over trailing 7 days), and DAU <= WAU."""
+    rows = {r["day"]: r for r in events_active_users_rolling(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    raw = e.selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct().collect()
+    by_day: dict = defaultdict(set)
+    for r in raw:
+        by_day[r["day"]].add(r["user_id"])
+    days = sorted(by_day)
+    assert len(rows) == len(days)
+    for d in days:
+        wau = len({u for off in range(7) for u in by_day.get(d - timedelta(days=off), ())})
+        got = rows[d.strftime("%Y-%m-%d")]
+        assert got["dau"] == len(by_day[d])
+        assert got["wau7"] == wau, (d, got["wau7"], wau)
+        assert got["dau"] <= got["wau7"]
+
+
+def test_drawdown_bruteforce_and_bounds(spark):
+    """max_drawdown recomputed from the raw per-user running series; always
+    >= 0 and peak >= final."""
+    got = {r["user_id"]: r for r in events_drawdown_max(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    per_user: dict = defaultdict(list)
+    for r in e.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value"
+    ).collect():
+        per_user[r["user_id"]].append((r["us"], r["event_id"], r["value"]))
+    for uid, evs in per_user.items():
+        evs.sort()
+        cum = peak = 0
+        dd = 0
+        for _, _, v in evs:
+            cum += int(v * 1_000_000 + 0.5)
+            peak = max(peak, cum)
+            dd = max(dd, peak - cum)
+        r = got[uid]
+        assert round(r["max_drawdown"] * 1e6) == dd
+        assert r["max_drawdown"] >= 0
+        assert r["peak_value"] >= r["final_value"]
+
+
+def test_type_diversity_bounds(spark):
+    """Simpson diversity lives in [0, 1); exactly 0 iff one event type."""
+    for r in events_type_diversity(spark, SF_SMOKE).collect():
+        assert 0 <= r["simpson_diversity"] < 1
+        assert (r["simpson_diversity"] == 0) == (r["n_types"] == 1)
+        assert r["n_types"] <= r["n_events"]
+
+
+def test_burstiness_cv2_nonnegative(spark):
+    """Cauchy-Schwarz: n*sum(g^2) >= sum(g)^2, so CV^2 >= 0 whenever
+    defined; n_gaps is exactly the user's event count minus one."""
+    e = load_table(spark, SF_SMOKE, "events")
+    n_by_user = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    rows = events_gap_burstiness(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] == n_by_user[r["user_id"]] - 1
+        if r["cv2"] is not None:
+            assert r["cv2"] >= 0
+        assert r["mean_gap_s"] >= 0
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """Brute-force strict 2-D dominance over ALL orders must reproduce the
+    two-level sweep's frontier exactly."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    pts = [
+        (r["o_orderdate"], int(r["o_totalprice"] * 100 + 0.5), r["o_orderkey"])
+        for r in o.select("o_orderkey", "o_orderdate", "o_totalprice").collect()
+    ]
+    expect = {
+        k
+        for d, p, k in pts
+        if not any(d2 < d and p2 > p for d2, p2, _ in pts)
+    }
+    got = {r["o_orderkey"] for r in skyline_pareto_orders(spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
+def test_bfs_layering_invariants(spark):
+    """Hop 0 rows are exactly the seed set; every hop-h node (h >= 1) has at
+    least one neighbor at hop h-1 and no neighbor at hop < h-1 (BFS min-hop
+    proof); hops bounded at _BFS_MAX_HOPS."""
+    hops = {r["doc_id"]: r["hop"] for r in graph_reachability_bfs(spark, SF_SMOKE).collect()}
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_pairs(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    ]
+    nbr: dict = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    seeds = {n for n in nbr if n % _BFS_SEED_MOD == 0}
+    assert seeds, "fixture must yield a non-empty seed set"
+    assert {n for n, h in hops.items() if h == 0} == seeds
+    for n, h in hops.items():
+        assert 0 <= h <= _BFS_MAX_HOPS
+        if h > 0:
+            best = min(hops.get(m, _BFS_MAX_HOPS + 1) for m in nbr[n])
+            assert best == h - 1, (n, h, best)
+
+
+def test_oov_rate_bounds_and_hit_consistency(spark):
+    """OOV rate in [0, 1]; a source with zero distinct OOV tokens must have
+    rate 0 and vice versa."""
+    rows = text_vocab_oov_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert (r["n_distinct_oov"] == 0) == (r["oov_rate"] == 0.0)
+        assert r["total_toks"] > 0
+
+
+def test_referential_integrity_holds_on_fixture(spark):
+    """TPC-H-ish generators keep FKs consistent — every edge must audit to
+    zero orphans, and distinct FKs can't exceed child rows."""
+    rows = diag_referential_orphans(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_orphans"] == 0, r
+        assert 0 < r["n_distinct_fk"] <= r["n_child"]
+
+
+def test_funnel_ttc_bucket_consistency(spark):
+    """Mean delay must sit inside its bucket's bounds and conversions can't
+    exceed the purchase count."""
+    bounds = {
+        "0_lt_1m": (0, 60),
+        "1_lt_1h": (60, 3600),
+        "2_lt_6h": (3600, 21600),
+        "3_lt_24h": (21600, 86400),
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    n_purchases = e.filter("event_type = 'purchase'").count()
+    rows = events_funnel_ttc(spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r["n_conversions"] for r in rows) <= n_purchases
+    for r in rows:
+        lo, hi = bounds[r["bucket"]]
+        assert lo <= r["mean_delay_s"] <= hi, r

@@ -177,6 +177,7 @@ def _driver_priority_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec
 def build_catalog() -> dict[str, QuerySpec]:
     from tmapreduce_spark.operators import (
         advanced,
+        analytics,
         mapreduce_queries,
         relational,
         setops,
@@ -190,6 +191,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         relational,
         tpch_extra,
         advanced,
+        analytics,
         windows,
         setops,
         text,

@@ -1493,6 +1493,67 @@ FROM deg GROUP BY degree
 )
 
 
+_BFS_MAX_HOPS = 3
+_BFS_SEED_MOD = 7  # deterministic seed set: endpoints with doc_id % 7 == 0
+
+
+def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS reachability over the near-dup graph: minimum hop
+    count (<= 3) from a deterministic seed set (edge endpoints with
+    doc_id % 7 == 0) to every reachable node — the "blast radius" query
+    behind contamination tracing (if these docs are tainted, what else is
+    transitively near-duplicate?) and a second iterative-graph shape next
+    to CC and PageRank.
+
+    Spark side is layered frontier expansion: hop h's frontier joins the
+    undirected edge list, new nodes are anti-joined against everything seen
+    — BFS layering IS the min-hop proof, no per-path enumeration. The
+    DuckDB oracle is the textbook WITH RECURSIVE (node, hop) closure with
+    min(hop) GROUP BY on top; both sides bound depth at 3.
+
+    Scale: every round is two hash joins on single doc ids over the
+    banding-bounded EDGE set (`dedup.py:194` keeps it near-linear in true
+    near-dup mass); the frontier shrinks monotonically in practice and the
+    depth bound caps the lineage at 3 join layers — for unbounded-depth
+    closures switch to the CC entries' localCheckpoint loop."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = e.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        e.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    ends = und.select(F.col("src").alias("doc_id")).distinct()
+    seeds = ends.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier.doc_id == und.src)
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+        )
+        visited = visited.unionAll(nxt.withColumn("hop", F.lit(h)))
+        frontier = nxt
+    return visited.selectExpr("doc_id", "CAST(hop AS BIGINT) AS hop")
+
+
+GRAPH_REACHABILITY_SQL = (
+    "WITH RECURSIVE e AS (SELECT doc_a, doc_b FROM ("
+    + DEDUP_MINHASH_PAIRS_SQL
+    + f""") t),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM e
+        UNION ALL SELECT doc_b, doc_a FROM e),
+seeds AS (SELECT DISTINCT src AS doc_id FROM und
+          WHERE src % {_BFS_SEED_MOD} = 0),
+r(doc_id, hop) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION
+  SELECT und.dst, r.hop + 1 FROM r JOIN und ON und.src = r.doc_id
+  WHERE r.hop < {_BFS_MAX_HOPS})
+SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop FROM r GROUP BY doc_id
+"""
+)
+
+
 def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every LSH candidate pair, the
     signature-agreement Jaccard estimate (matching components / 16) next
@@ -1774,6 +1835,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL, "dedup"
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, GRAPH_TRIANGLE_SQL, "dedup"),
+    "graph_reachability_bfs": QuerySpec(
+        graph_reachability_bfs, GRAPH_REACHABILITY_SQL, "dedup"
+    ),
     "dedup_audit_sample": QuerySpec(dedup_audit_sample, DEDUP_AUDIT_SAMPLE_SQL, "dedup"),
     "dedup_incremental_admit": QuerySpec(
         dedup_incremental_admit, DEDUP_INCREMENTAL_SQL, "dedup"

@@ -2208,7 +2208,80 @@ FROM scored
 """
 
 
+_VOCAB_TOPK = 500
+
+
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-500 vocab:
+    the fraction of token OCCURRENCES (and the distinct-token tail) a
+    fixed vocabulary would miss — the go/no-go audit before committing a
+    tokenizer vocab size, and the per-source drift alarm (a source whose
+    OOV rate spikes is new-domain data the tokenizer fragments).
+
+    Determinism: the vocabulary is the top-500 tokens under the TOTAL
+    order (count DESC, token ASC), so boundary ties resolve identically
+    in both engines.
+
+    Scale: pass 1 is the wordcount shuffle + a top-k limit (Spark plans
+    TakeOrderedAndProject — per-partition heaps, never a global sort);
+    pass 2 re-scans tokens with the 500-row vocab BROADCAST left-joined
+    (no shuffle) and folds per-source counts in one partial-agg groupBy.
+    Vocabulary size is the knob: the broadcast stays KB-sized at any
+    corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_TOPK)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_toks"),
+            F.sum(F.when(F.col("in_vocab"), 1).otherwise(0)).alias("hits"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok"))
+            ).alias("n_distinct_oov"),
+        )
+        .selectExpr(
+            "source",
+            "total_toks",
+            "n_distinct_oov",
+            mround("CAST(total_toks - hits AS DOUBLE) / total_toks", 6)
+            + " AS oov_rate",
+        )
+    )
+
+
+TEXT_VOCAB_OOV_SQL = rf"""
+WITH toks AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''),
+vocab AS (
+  SELECT tok, TRUE AS in_vocab
+  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT {_VOCAB_TOPK}) v)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_toks,
+       CAST(count(DISTINCT CASE WHEN in_vocab IS NULL THEN toks.tok END)
+            AS BIGINT) AS n_distinct_oov,
+       {mround('CAST(count(*) - sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)}
+         AS oov_rate
+FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_vocab_oov_rate": QuerySpec(text_vocab_oov_rate, TEXT_VOCAB_OOV_SQL, "text"),
     "pipeline_importance_weights": QuerySpec(
         pipeline_importance_weights, PIPELINE_DSIR_SQL, "pipeline"
     ),
