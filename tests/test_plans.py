@@ -895,3 +895,73 @@ def test_semdedup_no_cartesian_all_arrow(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_skyline_broadcasts_prior_months_no_global_window(spark):
+    """The pareto sweep must keep the big side partitioned: the prior-month
+    max joins via broadcast, and the only unpartitioned window runs over the
+    per-month AGGREGATE (post-HashAggregate), never the raw orders."""
+    from tmapreduce_spark.operators.analytics import skyline_pareto_orders
+
+    df = skyline_pareto_orders(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_oov_topk_heap_and_broadcast_join(spark):
+    """Vocabulary selection must plan TakeOrderedAndProject (per-partition
+    heaps, no global sort) and the vocab join must broadcast — the corpus
+    side never shuffles for the join."""
+    from tmapreduce_spark.functions.text import text_vocab_oov_rate
+
+    df = text_vocab_oov_rate(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_active_users_explodes_reduced_userday_only(spark):
+    """The WAU fan-out must sit ABOVE the user-day reduction: Generate
+    (explode) appears after a HashAggregate/Window, and the raw events are
+    never exploded — exactly one explode in the whole plan."""
+    from tmapreduce_spark.operators.analytics import events_active_users_rolling
+
+    df = events_active_users_rolling(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Generate explode") == 1, plan
+    gen_pos = plan.index("Generate explode")
+    assert "Window" in plan[gen_pos:], "explode must consume the lead() output"
+
+
+def test_drawdown_single_user_shuffle_no_join(spark):
+    """Running sum, running max, and the final groupBy share ONE user_id
+    hash partitioning; no join anywhere."""
+    from tmapreduce_spark.operators.analytics import events_drawdown_max
+
+    df = events_drawdown_max(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_burstiness_single_user_shuffle(spark):
+    """lag() and the moment aggregation share one user_id shuffle."""
+    from tmapreduce_spark.operators.analytics import events_gap_burstiness
+
+    df = events_gap_burstiness(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_referential_audit_broadcasts_parents(spark):
+    """Each FK edge's anti-join must broadcast the parent key column —
+    child payloads never shuffle for the orphan check."""
+    from tmapreduce_spark.operators.analytics import diag_referential_orphans
+
+    df = diag_referential_orphans(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
