@@ -23,6 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "agg_abc_classification",
+    "agg_equidepth_histogram",
+    "events_hourweek_profile",
+    "events_snapshot_asof",
+    "graph_component_sizes",
+    "text_nucleus_vocab",
     "events_active_users_rolling",
     "events_type_diversity",
     "events_drawdown_max",

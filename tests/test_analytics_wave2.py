@@ -176,3 +176,115 @@ def test_funnel_ttc_bucket_consistency(spark):
     for r in rows:
         lo, hi = bounds[r["bucket"]]
         assert lo <= r["mean_delay_s"] <= hi, r
+
+
+def test_abc_classes_partition_and_pareto_shape(spark):
+    """A/B/C partition all parts; class revenue shares bracket their
+    definitions (A >= ~80% only if enough concentration — at minimum A's
+    per-part mean revenue must exceed C's)."""
+    from tmapreduce_spark.operators.analytics import agg_abc_classification
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = {r["abc_class"]: r for r in agg_abc_classification(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        lt(spark, SF_SMOKE, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    mean = {k: rows[k]["revenue"] / rows[k]["n_parts"] for k in rows}
+    assert mean["A"] > mean["B"] > mean["C"]
+
+
+def test_equidepth_bins_cover_and_order(spark):
+    """Bins tile the value range in order (bin k's max <= bin k+1's min),
+    rows sum to the table count, and depths are near-equal on the
+    mostly-distinct price column (within 2% of n/10)."""
+    from tmapreduce_spark.operators.analytics import agg_equidepth_histogram
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = sorted(
+        agg_equidepth_histogram(spark, SF_SMOKE).collect(), key=lambda r: r["bin"]
+    )
+    n = lt(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin_max"] <= b["bin_min"]
+    for r in rows:
+        assert abs(r["n_rows"] - n / 10) <= max(2, 0.02 * n), r
+
+
+def test_hourweek_shares_sum_to_one(spark):
+    """Traffic shares over the <=168 cells must sum to ~1 and every count
+    is positive."""
+    from tmapreduce_spark.operators.analytics import events_hourweek_profile
+
+    rows = events_hourweek_profile(spark, SF_SMOKE).collect()
+    assert 1 < len(rows) <= 168
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in rows)
+    assert abs(sum(r["traffic_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_snapshot_asof_is_latest_before_cutoff(spark):
+    """Brute-force: per user, the reported row is the max-(us, event_id)
+    event at or before the cutoff, and users with no prior events are
+    absent."""
+    from tmapreduce_spark.operators.analytics import _SNAPSHOT_TS, events_snapshot_asof
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    got = {r["user_id"]: r for r in events_snapshot_asof(spark, SF_SMOKE).collect()}
+    e = lt(spark, SF_SMOKE, "events")
+    pre = e.filter(f"ts <= TIMESTAMP '{_SNAPSHOT_TS}'").selectExpr(
+        "user_id", "event_id", "event_type", "unix_micros(ts) AS us"
+    ).collect()
+    best: dict = {}
+    for r in pre:
+        k = (r["us"], r["event_id"])
+        if r["user_id"] not in best or k > best[r["user_id"]][0]:
+            best[r["user_id"]] = (k, r["event_type"])
+    assert set(got) == set(best)
+    for uid, ((us, _), ety) in best.items():
+        assert got[uid]["last_us"] == us
+        assert got[uid]["last_type"] == ety
+
+
+def test_component_sizes_conserve_docs(spark):
+    """Size histogram re-aggregates the CC labels exactly: sum(size *
+    n_clusters) = clustered docs = sum(n_docs); sizes >= 2."""
+    from tmapreduce_spark.functions.dedup import (
+        dedup_cluster_resolve,
+        graph_component_sizes,
+    )
+
+    rows = graph_component_sizes(spark, SF_SMOKE).collect()
+    n_docs_labeled = dedup_cluster_resolve(spark, SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_labeled
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_nucleus_vocab_minimality_and_coverage(spark):
+    """The nucleus must cover >= p of occurrences, and dropping its LAST
+    (smallest-count) member must fall below p — i.e. it is the minimal
+    head; nucleus_size <= vocab_size."""
+    from collections import Counter, defaultdict
+
+    from tmapreduce_spark.functions.text import text_nucleus_vocab
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = {r["source"]: r for r in text_nucleus_vocab(spark, SF_SMOKE).collect()}
+    docs = lt(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    by_src: dict = defaultdict(Counter)
+    for r in docs:
+        by_src[r["source"]].update(t for t in r["text"].strip().split() if t)
+    assert set(rows) == set(by_src)
+    for src, ctr in by_src.items():
+        r = rows[src]
+        total = sum(ctr.values())
+        ordered = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        head = ordered[: r["nucleus_size"]]
+        covered = sum(c for _, c in head)
+        assert 10 * covered >= 9 * total, (src, covered, total)
+        assert 10 * (covered - head[-1][1]) < 9 * total, "nucleus not minimal"
+        assert r["nucleus_size"] <= r["vocab_size"] == len(ctr)
+        assert r["total_toks"] == total

@@ -1493,6 +1493,37 @@ FROM deg GROUP BY degree
 )
 
 
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution of the near-dup graph: how many
+    clusters of each size exist and how many documents they absorb — the
+    one-glance dedup health report (a few huge components = boilerplate or
+    template farms that deserve span-level treatment; many 2-3 clusters =
+    ordinary mirrors). Rides `dedup_cluster_resolve`'s converged labels.
+
+    Scale: two cascaded partial-agg groupBys over the LABEL table (one row
+    per clustered doc, already banding-bounded); the histogram key space is
+    the distinct-size count. Nothing beyond the CC cost itself."""
+    labels = dedup_cluster_resolve(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .selectExpr("CAST(cluster_size AS BIGINT) AS cluster_size", "n_clusters", "n_docs")
+    )
+
+
+GRAPH_COMPONENT_SIZES_SQL = (
+    "WITH labs AS (" + DEDUP_CLUSTER_SQL + """)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM labs GROUP BY cluster_size
+"""
+)
+
+
 _BFS_MAX_HOPS = 3
 _BFS_SEED_MOD = 7  # deterministic seed set: endpoints with doc_id % 7 == 0
 
@@ -1837,6 +1868,9 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_triangle_count": QuerySpec(graph_triangle_count, GRAPH_TRIANGLE_SQL, "dedup"),
     "graph_reachability_bfs": QuerySpec(
         graph_reachability_bfs, GRAPH_REACHABILITY_SQL, "dedup"
+    ),
+    "graph_component_sizes": QuerySpec(
+        graph_component_sizes, GRAPH_COMPONENT_SIZES_SQL, "dedup"
     ),
     "dedup_audit_sample": QuerySpec(dedup_audit_sample, DEDUP_AUDIT_SAMPLE_SQL, "dedup"),
     "dedup_incremental_admit": QuerySpec(

@@ -2280,7 +2280,90 @@ GROUP BY source
 """
 
 
+_NUCLEUS_P_NUM, _NUCLEUS_P_DEN = 9, 10  # p = 0.9 as an exact rational
+
+
+def text_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p (nucleus) vocabulary: the SMALLEST head of the
+    token-frequency distribution covering >= 90% of occurrences — the
+    tokenizer-budget question ("how many types until 90% coverage?") and a
+    long-tail-heaviness signal per source. Membership is the exact integer
+    predicate DEN*cum_prev < NUM*total (a token enters while strictly less
+    than p is covered — the first crossing token is included), under the
+    total order (count DESC, token ASC); no float cumsum anywhere.
+
+    Scale: per-(source, token) counts collapse in one partial-agg shuffle;
+    the cumsum window partitions BY SOURCE over the per-source vocabulary
+    (parallel across sources); output is one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("source")
+    kept = (
+        counts.withColumn("cum_prev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn("total", F.sum("c").over(wt))
+        .withColumn("n_vocab", F.count("*").over(wt))
+        .filter(f"{_NUCLEUS_P_DEN} * cum_prev < {_NUCLEUS_P_NUM} * total")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("nucleus_size"),
+            F.sum("c").alias("covered"),
+            F.max("total").alias("total_toks"),
+            F.max("n_vocab").alias("vocab_size"),
+        )
+        .selectExpr(
+            "source",
+            "nucleus_size",
+            "vocab_size",
+            "total_toks",
+            mround("CAST(covered AS DOUBLE) / total_toks", 6) + " AS coverage",
+        )
+    )
+
+
+TEXT_NUCLEUS_SQL = rf"""
+WITH counts AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''
+  GROUP BY source, tok),
+ranked AS (
+  SELECT source, c,
+         coalesce(sum(c) OVER (PARTITION BY source ORDER BY c DESC, tok ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         sum(c) OVER (PARTITION BY source) AS total,
+         count(*) OVER (PARTITION BY source) AS n_vocab
+  FROM counts),
+kept AS (
+  SELECT * FROM ranked
+  WHERE {_NUCLEUS_P_DEN} * cum_prev < {_NUCLEUS_P_NUM} * total)
+SELECT source, CAST(count(*) AS BIGINT) AS nucleus_size,
+       CAST(max(n_vocab) AS BIGINT) AS vocab_size,
+       CAST(max(total) AS BIGINT) AS total_toks,
+       {mround('CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / max(total)', 6)}
+         AS coverage
+FROM kept GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_nucleus_vocab": QuerySpec(text_nucleus_vocab, TEXT_NUCLEUS_SQL, "text"),
     "text_vocab_oov_rate": QuerySpec(text_vocab_oov_rate, TEXT_VOCAB_OOV_SQL, "text"),
     "pipeline_importance_weights": QuerySpec(
         pipeline_importance_weights, PIPELINE_DSIR_SQL, "pipeline"

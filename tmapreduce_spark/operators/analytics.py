@@ -464,7 +464,259 @@ FROM sweep WHERE prev_max IS NULL OR prev_max <= pc
 """
 
 
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification
+# ---------------------------------------------------------------------------
+
+
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue, class
+    A = the head covering the first 80% of cumulative revenue, B = the next
+    15%, C = the tail — the classic 80/20 analysis over a fact-to-dimension
+    rollup. Class boundaries are exact integer comparisons on cent sums
+    (10*cum_prev < 8*total etc.), so boundary parts classify identically in
+    both engines; ranking uses the total order (revenue DESC, partkey).
+
+    Scale: the windowed cumsum runs over the per-PART aggregate — orders of
+    magnitude smaller than the lineitem facts (one partial-agg shuffle
+    collapses them). The unpartitioned window is over that reduced dimension
+    table; for dimension tables that are themselves huge, two-level it like
+    `skyline_pareto_orders` (range-bucket the revenue, per-bucket windows +
+    broadcast bucket prefix sums)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.expr(f"sum({cents('l_extendedprice', 100)})").alias("rev_c")
+    )
+    w = (
+        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    classed = (
+        per_part.withColumn("cum_prev", F.coalesce(F.sum("rev_c").over(w), F.lit(0)))
+        .withColumn("total", F.sum("rev_c").over(wt))
+        .selectExpr(
+            "rev_c",
+            "CASE WHEN 10 * cum_prev < 8 * total THEN 'A' "
+            "WHEN 20 * cum_prev < 19 * total THEN 'B' "
+            "ELSE 'C' END AS abc_class",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(F.count("*").alias("n_parts"), F.sum("rev_c").alias("class_rev"))
+        .selectExpr(
+            "abc_class",
+            "n_parts",
+            "CAST(class_rev AS DOUBLE) / 100 AS revenue",
+        )
+    )
+
+
+AGG_ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, sum({cents('l_extendedprice', 100)}) AS rev_c
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT rev_c,
+         coalesce(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         sum(rev_c) OVER () AS total
+  FROM per_part),
+classed AS (
+  SELECT rev_c,
+         CASE WHEN 10 * cum_prev < 8 * total THEN 'A'
+              WHEN 20 * cum_prev < 19 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE) / 100 AS revenue
+FROM classed GROUP BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile
+# ---------------------------------------------------------------------------
+
+
+def events_hourweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap with each cell's share of
+    total traffic — the seasonality profile behind capacity planning and
+    anomaly baselining. Day-of-week is PURE ARITHMETIC on the epoch-day
+    ordinal ((days_since_epoch + 4) % 7, 0 = Sunday) — engine dow()
+    conventions (0- vs 1-based, Sunday- vs Monday-first) never enter; the
+    share is exact-integer until one division.
+
+    Scale: one partial-agg groupBy onto a <= 168-key space; the share
+    window runs over that 168-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.selectExpr(
+        "(datediff(CAST(ts AS DATE), DATE '1970-01-01') + 4) % 7 AS dow",
+        "hour(ts) AS hod",
+    ).groupBy("dow", "hod").agg(F.count("*").alias("n_events"))
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cell.withColumn("total", F.sum("n_events").over(wt))
+        .selectExpr(
+            "CAST(dow AS BIGINT) AS dow",
+            "CAST(hod AS BIGINT) AS hod",
+            "n_events",
+            mround("CAST(n_events AS DOUBLE) / total", 6) + " AS traffic_share",
+        )
+    )
+
+
+EVENTS_HOURWEEK_SQL = f"""
+WITH cell AS (
+  SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+         hour(ts) AS hod, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       CAST(n_events AS BIGINT) AS n_events,
+       {mround('CAST(n_events AS DOUBLE) / sum(n_events) OVER ()', 6)}
+         AS traffic_share
+FROM cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of snapshot over the event changelog
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+def events_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot: each user's latest event state AS OF a fixed
+    instant — the changelog-to-state query behind point-in-time feature
+    reconstruction (train-time features must use the state as of the label's
+    timestamp, or they leak the future). Latest-per-key under the total
+    order (us, event_id) via one ROW_NUMBER window; the cutoff filter is
+    pushed into the scan.
+
+    Scale: the predicate prunes everything after T at the parquet row-group
+    level (min/max stats on ts), then one user_id shuffle; WindowGroupLimit
+    keeps one row per user before the full sort materializes."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    return (
+        e.filter(f"ts <= TIMESTAMP '{_SNAPSHOT_TS}'")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            "unix_micros(ts) AS us",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .selectExpr(
+            "user_id",
+            "event_type AS last_type",
+            f"{cents('value')} AS last_value_micros",
+            "us AS last_us",
+        )
+    )
+
+
+EVENTS_SNAPSHOT_ASOF_SQL = f"""
+WITH pre AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+  FROM events WHERE ts <= TIMESTAMP '{_SNAPSHOT_TS}'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us DESC, event_id DESC) AS rn
+  FROM pre)
+SELECT user_id, event_type AS last_type,
+       {cents('value')} AS last_value_micros, us AS last_us
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------------
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order prices — the
+    constant-rows-per-bin companion of `agg_histogram`'s fixed-width bins,
+    and exactly what an optimizer's column statistics store. The 9 interior
+    cuts are percentile_disc values (ACTUAL data values — cross-engine
+    exact); bin membership is `count of cuts STRICTLY below the value`, so
+    duplicate-heavy columns legitimately yield skewed/empty bins (the
+    documented tie semantic, identical in both engines).
+
+    Scale: pass 1 computes the 9 cuts in ONE aggregate row; pass 2
+    broadcast-joins that row and folds per-bin stats in one partial-agg
+    groupBy. No ntile, no global sort — the quantile aggregate is the only
+    rank-aware step, and a GK/t-digest sketch swaps in for it at petabyte
+    scale (`approx_quantiles_sketch`)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ed_orders")
+    cuts = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY o_totalprice) AS c{k}"
+            for k in range(1, 10)
+        )
+        + " FROM _ed_orders"
+    )
+    o = spark.table("_ed_orders")
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .selectExpr(f"{bin_expr} AS bin", "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+        .selectExpr("CAST(bin AS BIGINT) AS bin", "n_rows", "bin_min", "bin_max")
+    )
+
+
+AGG_EQUIDEPTH_SQL = (
+    "WITH cuts AS (SELECT "
+    + ", ".join(
+        f"quantile_disc(o_totalprice, 0.{k}) AS c{k}" for k in range(1, 10)
+    )
+    + """ FROM orders),
+binned AS (
+  SELECT 1 + """
+    + " + ".join(
+        f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+    )
+    + """ AS bin, o_totalprice
+  FROM orders CROSS JOIN cuts)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS bin_min, max(o_totalprice) AS bin_max
+FROM binned GROUP BY bin
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_abc_classification": QuerySpec(
+        agg_abc_classification, AGG_ABC_SQL, "aggregation"
+    ),
+    "events_hourweek_profile": QuerySpec(
+        events_hourweek_profile, EVENTS_HOURWEEK_SQL, "time-window"
+    ),
+    "events_snapshot_asof": QuerySpec(
+        events_snapshot_asof, EVENTS_SNAPSHOT_ASOF_SQL, "time-window"
+    ),
+    "agg_equidepth_histogram": QuerySpec(
+        agg_equidepth_histogram, AGG_EQUIDEPTH_SQL, "aggregation"
+    ),
     "diag_referential_orphans": QuerySpec(
         diag_referential_orphans, DIAG_REF_ORPHANS_SQL, "aggregation"
     ),
