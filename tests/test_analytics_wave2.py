@@ -288,3 +288,82 @@ def test_nucleus_vocab_minimality_and_coverage(spark):
         assert 10 * (covered - head[-1][1]) < 9 * total, "nucleus not minimal"
         assert r["nucleus_size"] <= r["vocab_size"] == len(ctr)
         assert r["total_toks"] == total
+
+
+def test_open_daily_sweep_conserves_and_stays_nonnegative(spark):
+    """Sum(opened) = sum(closed) = lineitem count (every synthesized
+    interval both opens and closes), the running concurrency is never
+    negative, and a spot-day brute-force recount matches."""
+    from tmapreduce_spark.operators.analytics import lineitem_open_daily
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = sorted(lineitem_open_daily(spark, SF_SMOKE).collect(), key=lambda r: r["day"])
+    n = lt(spark, SF_SMOKE, "lineitem").count()
+    assert sum(r["opened"] for r in rows) == n
+    assert sum(r["closed"] for r in rows) == n
+    assert all(r["open_end"] >= 0 for r in rows)
+    assert rows[-1]["open_end"] == 0, "all intervals must close by the last day"
+    # brute-force the middle day
+    mid = rows[len(rows) // 2]["day"]
+    ivs = lt(spark, SF_SMOKE, "lineitem").selectExpr(
+        "CAST(l_shipdate AS DATE) AS s",
+        "date_add(CAST(l_shipdate AS DATE),"
+        " CAST(1 + (l_orderkey + l_linenumber) % 30 AS INT)) AS e",
+    ).collect()
+    from datetime import date
+
+    md = date.fromisoformat(mid)
+    expect = sum(1 for r in ivs if r["s"] <= md < r["e"])
+    assert {r["day"]: r["open_end"] for r in rows}[mid] == expect
+
+
+def test_ols2_recovers_planted_coefficients(spark):
+    """Fit on a synthetic exactly-linear frame: y = 7*x1 - 3*x2 + 11 must
+    come back with the planted coefficients to the mround grid."""
+    import pandas as pd
+
+    from tmapreduce_spark.operators.analytics import _ols2_exprs
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["X"] * 60,
+            "l_quantity": [float(i % 13 + 1) for i in range(60)],
+            "l_discount": [((i * 7) % 11) / 100.0 for i in range(60)],
+        }
+    )
+    pdf["l_extendedprice"] = 7 * pdf["l_quantity"] - 3 * (pdf["l_discount"] * 100) + 11
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as SF
+
+    out = df.groupBy("l_returnflag").agg(
+        *[SF.expr(sql).alias(name) for name, sql in _ols2_exprs().items()]
+    ).collect()[0]
+    assert abs(out["beta_qty"] - 7) < 1e-4
+    assert abs(out["beta_disc_pt"] - (-3)) < 1e-4
+    assert abs(out["intercept"] - 11) < 1e-3
+
+
+def test_rolling_median_bruteforce(spark):
+    """Sorted-frame median must equal Python statistics.median over the
+    same trailing 20-row frame per user."""
+    import statistics
+
+    from tmapreduce_spark.operators.analytics import _RMED_FRAME, window_rolling_median
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    got = {
+        (r["user_id"], r["event_id"]): r["roll_med"]
+        for r in window_rolling_median(spark, SF_SMOKE).collect()
+    }
+    e = lt(spark, SF_SMOKE, "events")
+    per_user: dict = defaultdict(list)
+    for r in e.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+    ).collect():
+        per_user[r["user_id"]].append((r["us"], r["event_id"], r["value"]))
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - _RMED_FRAME) : i + 1]]
+            exp = statistics.median(frame)
+            assert abs(got[(uid, evs[i][1])] - exp) <= 1e-6, (uid, i)

@@ -704,7 +704,207 @@ FROM binned GROUP BY bin
 )
 
 
+# ---------------------------------------------------------------------------
+# Interval-concurrency sweep
+# ---------------------------------------------------------------------------
+
+
+def lineitem_open_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many lineitems are in transit
+    (shipped, not yet received: shipdate <= d < receiptdate) on every day —
+    the inventory/backlog-over-time query. The naive form is a per-day
+    correlated COUNT over all intervals (O(days x n)); the sweep-line form
+    emits +1 at each start and -1 at each end, collapses them to per-day
+    deltas, and one running sum over the CALENDAR yields every day's
+    concurrency — a single linear pass.
+
+    Scale: the delta union partial-aggregates to <= 2 rows per distinct
+    day before any shuffle (calendar-bounded key space, ~2.5k days for
+    TPC-H); the running-sum window runs over that tiny delta table. Facts
+    are scanned once, two pruned date columns only.
+
+    The fixture lineitem carries no l_receiptdate, so transit time is the
+    deterministic derived column 1 + (orderkey + linenumber) % 30 days —
+    the `operators/tpch_extra.py` derived-partsupp precedent: both engines
+    compute the identical interval end from the same columns."""
+    l = load_table(spark, sf_dir, "lineitem")
+    receipt = (
+        "date_add(CAST(l_shipdate AS DATE), "
+        "CAST(1 + (l_orderkey + l_linenumber) % 30 AS INT))"
+    )
+    deltas = (
+        l.selectExpr("CAST(l_shipdate AS DATE) AS day", "1 AS delta")
+        .unionAll(l.selectExpr(f"{receipt} AS day", "-1 AS delta"))
+        .groupBy("day")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("opened"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deltas.withColumn("open_end", F.sum("net").over(w))
+        .selectExpr(
+            "date_format(day, 'yyyy-MM-dd') AS day",
+            "opened",
+            "closed",
+            "open_end",
+        )
+    )
+
+
+LINEITEM_OPEN_DAILY_SQL = """
+WITH deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+         CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
+         CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS closed
+  FROM (SELECT CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem
+        UNION ALL
+        SELECT CAST(l_shipdate AS DATE)
+               + CAST(1 + (l_orderkey + l_linenumber) % 30 AS INT)
+               AS day, -1 AS delta
+        FROM lineitem) t
+  GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_end
+FROM deltas
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-feature exact OLS
+# ---------------------------------------------------------------------------
+
+
+def _ols2_exprs() -> dict[str, str]:
+    """Shared dialect text for 2-feature OLS (y = extendedprice cents on
+    x1 = quantity, x2 = discount points) via normal equations on EXACT
+    integer sufficient statistics; the 2x2 solve is explicit-determinant
+    scalar algebra in ONE fixed-order double chain, identical per engine.
+    Int64 holds the centered moments to ~1e5 rows/group x this money grid;
+    beyond that swap the inner casts to DECIMAL(38,0) (`parity.msum2`
+    note)."""
+    x1 = "CAST(l_quantity AS BIGINT)"
+    x2 = f"{cents('l_discount', 100)}"  # discount points: 0.04 -> 4
+    yc = cents("l_extendedprice", 100)
+    n = "CAST(count(*) AS BIGINT)"
+    s = {k: f"CAST(sum({v}) AS BIGINT)" for k, v in {
+        "x1": x1, "x2": x2, "y": yc,
+        "x11": f"{x1} * {x1}", "x12": f"{x1} * {x2}", "x22": f"{x2} * {x2}",
+        "x1y": f"{x1} * {yc}", "x2y": f"{x2} * {yc}",
+    }.items()}
+    # centered second moments (still exact integers)
+    m11 = f"CAST({n} * {s['x11']} - {s['x1']} * {s['x1']} AS DOUBLE)"
+    m12 = f"CAST({n} * {s['x12']} - {s['x1']} * {s['x2']} AS DOUBLE)"
+    m22 = f"CAST({n} * {s['x22']} - {s['x2']} * {s['x2']} AS DOUBLE)"
+    m1y = f"CAST({n} * {s['x1y']} - {s['x1']} * {s['y']} AS DOUBLE)"
+    m2y = f"CAST({n} * {s['x2y']} - {s['x2']} * {s['y']} AS DOUBLE)"
+    det = f"nullif(({m11}) * ({m22}) - ({m12}) * ({m12}), 0)"
+    b1 = f"((({m22}) * ({m1y}) - ({m12}) * ({m2y})) / {det})"
+    b2 = f"((({m11}) * ({m2y}) - ({m12}) * ({m1y})) / {det})"
+    return {
+        "n_rows": "count(*)",
+        # cents -> money units at the surface
+        "beta_qty": mround(f"{b1} / 100", 6),
+        "beta_disc_pt": mround(f"{b2} / 100", 6),
+        "intercept": mround(
+            f"(CAST({s['y']} AS DOUBLE) - {b1} * {s['x1']} - {b2} * {s['x2']})"
+            f" / {n} / 100",
+            4,
+        ),
+    }
+
+
+def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression in one aggregation pass: OLS of price on
+    (quantity, discount) per return flag — the 2-feature extension of
+    `agg_covar_regr`, proving the normal-equations pattern generalizes:
+    p features need p(p+3)/2 integer sums, ONE partial-agg groupBy, and a
+    closed-form solve; no iterative solver, no collect.
+
+    Scale: 9 int64 sums of state per group fold map-side; the matrix solve
+    is per-group scalar algebra on the one-row-per-group aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ex = _ols2_exprs()
+    return l.groupBy("l_returnflag").agg(
+        *[F.expr(sql).alias(name) for name, sql in ex.items()]
+    )
+
+
+AGG_OLS2_SQL = (
+    "SELECT l_returnflag, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _ols2_exprs().items())
+    + " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+# ---------------------------------------------------------------------------
+# Rolling median
+# ---------------------------------------------------------------------------
+
+_RMED_FRAME = 19  # trailing 20-row frame
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 rolling MEDIAN of event value per user — the robust
+    rolling baseline that pairs with `window_zscore_rolling` (mean/std) and
+    `events_anomaly_mad` (global MAD): a single outlier shifts a rolling
+    mean by x/20 but leaves the rolling median untouched. Spark's median()
+    rejects window frames, so the Spark side sorts the <=20-element
+    collect_list frame and selects/averages the middle — numerically
+    identical to DuckDB's windowed median() (selection + one IEEE midpoint
+    is order-independent, unlike variance); mround guards the even-frame
+    (a+b)/2 midpoint.
+
+    Scale: one user_id shuffle; the frame buffer is 20 rows (O(k log k)
+    per row worst case) — at petabyte scale swap in the two-heap streaming
+    median inside `applyInPandasWithState` (streaming module pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_RMED_FRAME, 0)
+    )
+    base = e.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+    )
+    med = (
+        "CASE WHEN size(vs) % 2 = 1 THEN vs[CAST(size(vs) div 2 AS INT)] "
+        "ELSE (vs[CAST(size(vs) div 2 - 1 AS INT)]"
+        " + vs[CAST(size(vs) div 2 AS INT)]) / 2 END"
+    )
+    return (
+        base.withColumn("vs", F.array_sort(F.collect_list("value").over(w)))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            mround(med, 6) + " AS roll_med",
+        )
+    )
+
+
+WINDOW_ROLLING_MEDIAN_SQL = f"""
+SELECT user_id, event_id,
+       floor(median(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN {_RMED_FRAME} PRECEDING AND CURRENT ROW)
+             * 1000000 + 0.5) / 1000000 AS roll_med
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events) t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "lineitem_open_daily": QuerySpec(
+        lineitem_open_daily, LINEITEM_OPEN_DAILY_SQL, "time-window"
+    ),
+    "agg_ols_two_feature": QuerySpec(
+        agg_ols_two_feature, AGG_OLS2_SQL, "aggregation"
+    ),
+    "window_rolling_median": QuerySpec(
+        window_rolling_median, WINDOW_ROLLING_MEDIAN_SQL, "window"
+    ),
     "agg_abc_classification": QuerySpec(
         agg_abc_classification, AGG_ABC_SQL, "aggregation"
     ),
