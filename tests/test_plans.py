@@ -965,3 +965,59 @@ def test_referential_audit_broadcasts_parents(spark):
     plan = physical_plan(df, mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_equidepth_broadcasts_cuts_no_sort(spark):
+    """The 9-cut row joins back via broadcast nested-or-hash (1-row side);
+    no SortMergeJoin and no global Sort over the scan."""
+    from tmapreduce_spark.operators.analytics import agg_equidepth_histogram
+
+    df = agg_equidepth_histogram(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_open_daily_windows_over_reduced_delta_table(spark):
+    """The sweep's running sum must sit above the per-day HashAggregate —
+    a Window whose input is the reduced delta table, and exactly one
+    single-partition exchange (the calendar-sized window), never a join."""
+    from tmapreduce_spark.operators.analytics import lineitem_open_daily
+
+    df = lineitem_open_daily(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_ols2_is_single_partial_agg_pass(spark):
+    """All 9 sufficient statistics fold in one partial-aggregation pass:
+    exactly one hash exchange, no join, no window."""
+    from tmapreduce_spark.operators.analytics import agg_ols_two_feature
+
+    df = agg_ols_two_feature(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_rolling_median_single_user_shuffle(spark):
+    """collect_list frame + median selection share one user_id shuffle."""
+    from tmapreduce_spark.operators.analytics import window_rolling_median
+
+    df = window_rolling_median(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_snapshot_asof_pushes_cutoff_and_group_limits(spark):
+    """The as-of cutoff must reach the parquet scan as a pushed filter and
+    the rn=1 must plan WindowGroupLimit."""
+    from tmapreduce_spark.operators.analytics import events_snapshot_asof
+
+    df = events_snapshot_asof(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters" in plan
