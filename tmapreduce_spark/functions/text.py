@@ -2294,7 +2294,13 @@ def text_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-(source, token) counts collapse in one partial-agg shuffle;
     the cumsum window partitions BY SOURCE over the per-source vocabulary
-    (parallel across sources); output is one row per source."""
+    (parallel across sources); output is one row per source. If a single
+    source's vocabulary is itself too large to window-sort in one
+    partition, the exact two-level swap: the crossing point depends only on
+    the count MULTISET, so cumsum over the per-count histogram (groupBy
+    count value — thousands of rows) finds the threshold count t and how
+    many t-count tokens enter, and only the boundary ties at t need the
+    token order (one TakeOrdered over tokens with count = t)."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(
