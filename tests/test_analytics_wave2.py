@@ -367,3 +367,79 @@ def test_rolling_median_bruteforce(spark):
             frame = [v for _, _, v in evs[max(0, i - _RMED_FRAME) : i + 1]]
             exp = statistics.median(frame)
             assert abs(got[(uid, evs[i][1])] - exp) <= 1e-6, (uid, i)
+
+
+def test_pk_uniqueness_fixture_is_clean(spark):
+    """Every keyed fixture table must audit to zero duplicate surplus and
+    zero null keys."""
+    from tmapreduce_spark.operators.analytics import diag_pk_uniqueness
+
+    rows = diag_pk_uniqueness(spark, SF_SMOKE).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r["n_dup_surplus"] == 0, r
+        assert r["n_null_keys"] == 0, r
+        assert r["n_rows"] == r["n_distinct"]
+
+
+def test_rate_spike_bruteforce_baseline(spark):
+    """spike_ratio recomputed from the raw hourly counts with the same
+    wall-clock RANGE baseline; warmup rows (< 6 baseline buckets) are
+    absent; is_spike iff ratio >= 3 on the exact-integer comparison."""
+    from tmapreduce_spark.operators.analytics import (
+        _SPIKE_LOOKBACK,
+        _SPIKE_WARMUP,
+        events_rate_spike,
+    )
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    e = lt(spark, SF_SMOKE, "events")
+    hourly: dict = {}
+    for r in e.selectExpr(
+        "event_type",
+        "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT) AS h",
+    ).collect():
+        hourly[(r["event_type"], r["h"])] = hourly.get((r["event_type"], r["h"]), 0) + 1
+    got = {(r["event_type"], r["hidx"]): r for r in events_rate_spike(spark, SF_SMOKE).collect()}
+    for (ety, h), n in hourly.items():
+        base = [
+            hourly[(ety, h2)]
+            for h2 in range(h - _SPIKE_LOOKBACK, h)
+            if (ety, h2) in hourly
+        ]
+        if len(base) < _SPIKE_WARMUP:
+            assert (ety, h) not in got
+            continue
+        r = got[(ety, h)]
+        assert r["n"] == n
+        exp = n * len(base) / sum(base)
+        assert abs(r["spike_ratio"] - exp) < 2e-6
+        assert r["is_spike"] == (3 * sum(base) <= n * len(base))
+
+
+def test_mr_inverted_index_contract_and_postings(spark):
+    """Reference (key, result) contract: exactly two rows per token — the
+    token itself and its posting list; postings are sorted distinct doc ids
+    that really contain the token."""
+    from collections import defaultdict as dd
+
+    from tmapreduce_spark.operators.mapreduce_queries import mr_inverted_index
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = mr_inverted_index(spark, SF_SMOKE).collect()
+    by_key: dict = dd(list)
+    for r in rows:
+        by_key[r["key"]].append(r["result"])
+    docs = lt(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    postings: dict = dd(set)
+    for d in docs:
+        for w in d["text"].strip().split():
+            postings[w].add(str(d["doc_id"]))
+    assert set(by_key) == set(postings)
+    for tok, results in by_key.items():
+        assert len(results) == 2
+        assert tok in results
+        ids = next(x for x in results if x != tok or results.count(tok) == 2)
+        if ids == tok and ",".join(sorted(postings[tok])) != tok:
+            ids = [x for x in results if x != tok][0]
+        assert ",".join(sorted(postings[tok])) in results

@@ -895,7 +895,141 @@ FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events) t
 """
 
 
+_PK_TABLES: list[tuple[str, str]] = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+def diag_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table: row count,
+    distinct keys, null keys, and the duplicate surplus — the companion of
+    `diag_referential_orphans` (orphans break inner joins by DROPPING rows;
+    duplicate keys break them by FANNING OUT — `diag_join_explosion`'s
+    root cause caught at ingest).
+
+    Scale: one pruned single-column scan per table with a count-distinct
+    aggregate (partial_agg + distinct-aggregate rewrite); one output row
+    per table."""
+    rows = []
+    for table, pk in _PK_TABLES:
+        t = load_table(spark, sf_dir, table).select(F.col(pk).alias("pk"))
+        rows.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("pk").alias("n_distinct"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias(
+                    "n_null_keys"
+                ),
+            ).selectExpr(
+                f"'{table}.{pk}' AS table_pk",
+                "n_rows",
+                "n_distinct",
+                "n_null_keys",
+                "n_rows - n_distinct - n_null_keys AS n_dup_surplus",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+DIAG_PK_UNIQUENESS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}.{pk}' AS table_pk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {pk}) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys,
+       CAST(count(*) - count(DISTINCT {pk})
+            - sum(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_surplus
+FROM {table}"""
+    for table, pk in _PK_TABLES
+)
+
+
+_SPIKE_LOOKBACK = 24  # trailing buckets in the baseline
+_SPIKE_WARMUP = 6  # minimum baseline buckets before flagging
+
+
+def events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection per event type: each hour's count against the
+    mean of the trailing 24 wall-clock hours — the ops-alerting query
+    (error-rate surge, crawler burst). The baseline frame is a RANGE over
+    the integer hour index, so calendar GAPS shrink the baseline instead of
+    silently stretching it over stale buckets; warmup (< 6 baseline
+    buckets) rows emit no ratio. The ratio n * cnt_prev / sum_prev is
+    exact-integer until one guarded division.
+
+    Scale: the hourly rollup collapses the stream in one partial-agg
+    groupBy (type x hour key space); both windows run over that reduced
+    table partitioned by type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.selectExpr(
+            "event_type",
+            "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+            " AS hidx",
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-_SPIKE_LOOKBACK, -1)
+    )
+    return (
+        hourly.withColumn("sum_prev", F.sum("n").over(w))
+        .withColumn("cnt_prev", F.count("n").over(w))
+        .filter(f"cnt_prev >= {_SPIKE_WARMUP}")
+        .selectExpr(
+            "event_type",
+            "hidx",
+            "n",
+            mround("CAST(n * cnt_prev AS DOUBLE) / sum_prev", 6)
+            + " AS spike_ratio",
+            "CAST(3 * sum_prev <= n * cnt_prev AS BOOLEAN) AS is_spike",
+        )
+    )
+
+
+EVENTS_RATE_SPIKE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS hidx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+based AS (
+  SELECT event_type, hidx, CAST(n AS BIGINT) AS n,
+         CAST(sum(n) OVER w AS BIGINT) AS sum_prev,
+         CAST(count(n) OVER w AS BIGINT) AS cnt_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN {_SPIKE_LOOKBACK} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hidx, n,
+       {mround('CAST(n * cnt_prev AS DOUBLE) / sum_prev', 6)} AS spike_ratio,
+       CAST(3 * sum_prev <= n * cnt_prev AS BOOLEAN) AS is_spike
+FROM based WHERE cnt_prev >= {_SPIKE_WARMUP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "diag_pk_uniqueness": QuerySpec(
+        diag_pk_uniqueness, DIAG_PK_UNIQUENESS_SQL, "aggregation"
+    ),
+    "events_rate_spike": QuerySpec(
+        events_rate_spike, EVENTS_RATE_SPIKE_SQL, "time-window"
+    ),
     "lineitem_open_daily": QuerySpec(
         lineitem_open_daily, LINEITEM_OPEN_DAILY_SQL, "time-window"
     ),

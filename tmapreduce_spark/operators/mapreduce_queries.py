@@ -93,7 +93,34 @@ WHERE contains(text, 'spark')
 """
 
 
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index through the MapReduce path — the third canonical
+    program from the MapReduce paper (§2.3): map emits (word, doc_id),
+    reduce emits the word plus its deduped, sorted posting list as one
+    comma-joined string, under the reference's flat (key, result) output
+    contract. The relational twin is `text_inverted_index` (tf/df
+    postings); this entry proves the UDF-pair path produces the same
+    index."""
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(_kv_documents(spark, sf_dir), "invertedindex")
+
+
+MR_INVERTED_INDEX_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT tok, CAST(doc_id AS VARCHAR) AS d
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''),
+agg AS (
+  SELECT tok, string_agg(d, ',' ORDER BY d) AS ids FROM pairs GROUP BY tok)
+SELECT tok AS key, tok AS result FROM agg
+UNION ALL
+SELECT tok AS key, ids AS result FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mr_inverted_index": QuerySpec(mr_inverted_index, MR_INVERTED_INDEX_SQL, "mapreduce"),
     "mr_grep": QuerySpec(mr_grep, MR_GREP_SQL, "mapreduce"),
     "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),
     "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),

@@ -134,6 +134,21 @@ def grep_spark_map(key: str, value: str) -> Iterable[tuple[str, str]]:
     return [(key, value)] if "spark" in value else []
 
 
+def invertedindex_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Inverted-index map (the third canonical program from the original
+    MapReduce paper, §2.3 "Inverted Index"): emit (word, doc_id) per token
+    occurrence; the reduce side dedups and sorts the posting list."""
+    return [(w, key) for w in re.split(r"\s+", value, flags=re.ASCII) if w]
+
+
+def invertedindex_reduce(key: str, values: list[str]) -> Iterable[str]:
+    """Emit [word, "id1,id2,..."] — distinct doc ids, lexically sorted so
+    the posting string is deterministic under any shuffle order (the
+    reference sorts reduce inputs by key only, `job.cc:45-66`; value order
+    within a key is partition-dependent, hence the explicit sort here)."""
+    return [key, ",".join(sorted(set(values)))]
+
+
 def default_registry() -> JobRegistry:
     reg = JobRegistry()
     reg.register("charcount", charcount_map, charcount_reduce)
@@ -145,4 +160,5 @@ def default_registry() -> JobRegistry:
     reg.register("charcount+c", charcount_map, charcount_reduce, sum_combine)
     reg.register("wordcount+c", wordcount_map, charcount_reduce, sum_combine)
     reg.register("grep-spark", grep_spark_map, identity_reduce)
+    reg.register("invertedindex", invertedindex_map, invertedindex_reduce)
     return reg
