@@ -469,3 +469,23 @@ def test_streaming_heavy_hitters_superset_guarantee(spark):
             assert uid in cand, (uid, n)
     for uid, c in cand.items():
         assert c <= true_counts[uid]
+
+
+def test_streaming_drawdown_matches_batch(spark):
+    """Streaming drawdown (three int64s of state) must equal the batch
+    `events_drawdown_max` rows exactly after in-order replay — the integer
+    micro-unit state makes this an equality, not a tolerance, check."""
+    from tmapreduce_spark.operators.analytics import events_drawdown_max
+    from tmapreduce_spark.streaming.stateful import streaming_drawdown
+
+    s = streaming_drawdown(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_drawdown", output_mode="update")
+    got = {
+        int(r["user_id"]): (r["max_drawdown"], r["peak_value"], r["final_value"])
+        for r in mem.collect()
+    }
+    batch = {
+        int(r["user_id"]): (r["max_drawdown"], r["peak_value"], r["final_value"])
+        for r in events_drawdown_max(spark, SF_SMOKE).collect()
+    }
+    assert got == batch

@@ -281,3 +281,60 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming max drawdown --------------------------------------------------
+#
+# Streaming twin of the batch `events_drawdown_max` catalog entry: state per
+# user is (cum, peak, max_dd) — three int64s in exact value micro-units, so
+# the stream NEVER accumulates float error no matter how long it runs. With
+# in-order delivery the emitted rows equal the batch operator's output
+# (asserted in tests/test_streaming.py) — the live risk-monitor shape.
+
+DRAWDOWN_OUTPUT_SCHEMA = (
+    "user_id bigint, max_drawdown double, peak_value double, final_value double"
+)
+DRAWDOWN_STATE_SCHEMA = "cum bigint, peak bigint, dd bigint"
+
+
+def _update_drawdown_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    cum, peak, dd = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    for x in rows["value"]:
+        cum += int(float(x) * 1_000_000 + 0.5)
+        peak = max(peak, cum)
+        dd = max(dd, peak - cum)
+    state.update((cum, peak, dd))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "max_drawdown": [dd / 1_000_000],
+            "peak_value": [peak / 1_000_000],
+            "final_value": [cum / 1_000_000],
+        }
+    )
+
+
+def streaming_drawdown(events: DataFrame) -> DataFrame:
+    """Streaming per-user maximum drawdown with three int64s of state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_drawdown_state,
+            outputStructType=DRAWDOWN_OUTPUT_SCHEMA,
+            stateStructType=DRAWDOWN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
