@@ -116,3 +116,36 @@ def test_subblocking_bounds_quadratic_and_keeps_near_dups(spark, skewcorpus_dir)
     blocked = _as_pairs(blocked_pair_cosines(spark, skewcorpus_dir, 0.3, max_block=8))
     for i in range(0, 60, 2):
         assert (int(ids[i]), int(ids[i + 1])) in blocked
+
+
+def test_pca_power_direction_quality_and_exact_diag(spark):
+    """The fixed-point power-iteration direction must capture >= 85% of
+    the true top eigenvalue on the SAME quantized Gram (numpy eigh as the
+    reference — the random fixture's near-flat spectrum bounds what 8
+    rounds can reach; see the operator docstring), must beat a random
+    direction's expectation (trace/64 = the mean eigenvalue; the fixture
+    spectrum is near-flat, so the top eig is < 2x the mean), and gram_diag must equal
+    the exact integer diagonal."""
+    import numpy as np
+
+    from tmapreduce_spark.functions.similarity import (
+        PCA_Q,
+        embedding_pca_power,
+    )
+
+    from tmapreduce_spark.sources.catalog import load_table
+
+    rows = embedding_pca_power(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    e = load_table(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+    m = np.stack([r["embedding"] for r in e])
+    q = np.floor(m.astype(np.float64) * PCA_Q + 0.5).astype(np.int64)
+    g = (q.T @ q).astype(np.float64)
+    diag = {int(r["dim"]): r["gram_diag"] for r in rows}
+    for d in range(64):
+        assert diag[d] == int(g[d, d])
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    rayleigh = float(v @ g @ v) / float(v @ v)
+    lam_max = float(np.linalg.eigvalsh(g)[-1])
+    assert rayleigh >= 0.85 * lam_max, (rayleigh, lam_max)
+    assert rayleigh > np.trace(g) / 64

@@ -687,7 +687,153 @@ GROUP BY dim
 """
 
 
+# --- one-pass distributed PCA (top principal direction) ---------------------
+
+PCA_Q = 1024  # embedding grid: floor(x*1024+0.5), |q| <= ~2^10
+PCA_VSCALE = 16384  # fixed-point scale of the iterated vector (2^14)
+PCA_ITERS = 8
+EMB_DIM = 64
+
+
+def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT integer Gram matrix of the quantized embedding corpus in ONE
+    linear pass: each task accumulates its partition's 64x64 int64 outer
+    products at BLAS speed inside mapInPandas and emits 4096 (i, j,
+    partial) rows; one groupBy folds the per-task partials. Nothing
+    quadratic in rows, shuffle carries 4096 rows per task."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        import numpy as np
+
+        acc = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(m.astype(np.float64) * PCA_Q + 0.5).astype(np.int64)
+            acc += q.T @ q
+        ii, jj = np.meshgrid(
+            np.arange(EMB_DIM, dtype=np.int64),
+            np.arange(EMB_DIM, dtype=np.int64),
+            indexing="ij",
+        )
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "partial": acc.ravel()}
+        )
+
+    return (
+        e.mapInPandas(gram, "i long, j long, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+    )
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus — distributed PCA as
+    one linear data pass plus tiny fixed-point algebra: the exact int64
+    Gram matrix (:func:`_pca_gram`), then 3 power-iteration steps where
+    every matvec is an INTEGER join-aggregate over the 4096-row G and the
+    64-row vector (integer sums are reduction-order-independent, so both
+    engines agree bit-for-bit), rescaled each round to the 2^14 fixed-point
+    grid by one deterministic IEEE floor chain. Output: per-dimension
+    loading of the dominant eigenvector (normalized to max |component| = 1)
+    plus the exact Gram diagonal (per-dim second moment on the PCA_Q grid).
+
+    Seed v0 = all-ones (never orthogonal to the top eigenvector of a PSD
+    Gram in practice). Iteration count is a spectrum-dependent knob: error
+    decays as (lambda2/lambda1)^(2k), so real corpora with a dominant
+    direction (the actual PCA use case) converge in a few rounds, while the
+    near-flat spectrum of the RANDOM fixture embeddings (lambda2/lambda1 ~
+    0.93) needs the 8 rounds used here to pass the 85% Rayleigh-share test
+    — each extra round costs one more 4096-row join.
+
+    Scale: the data pass is the same shape as the kmeans/IVF Arrow passes
+    (per-task 64x64 int64 state); everything after touches <= 4096-row
+    tables. Int64 holds G to ~1e15 per entry (corpus ~1e9 rows at this
+    grid); past that, halve PCA_Q or swap the accumulators to DECIMAL —
+    the fixed-point algebra is unchanged."""
+    g = _pca_gram(spark, sf_dir)
+    v = spark.range(EMB_DIM).selectExpr(
+        "id AS j", f"CAST({PCA_VSCALE} AS BIGINT) AS v"
+    )
+    for _ in range(PCA_ITERS):
+        gv = (
+            g.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
+        )
+        m = gv.agg(F.max(F.abs(F.col("gv"))).alias("m"))
+        v = (
+            gv.crossJoin(F.broadcast(m))
+            .selectExpr(
+                "i AS j",
+                f"CAST(floor(CAST(gv AS DOUBLE) * {PCA_VSCALE} / m + 0.5)"
+                " AS BIGINT) AS v",
+            )
+        )
+    diag = g.filter("i = j").selectExpr("i AS j", "g AS gram_diag")
+    vm = v.agg(F.max(F.abs(F.col("v"))).alias("vm"))
+    return (
+        v.join(diag, "j")
+        .crossJoin(F.broadcast(vm))
+        .selectExpr(
+            "CAST(j AS BIGINT) AS dim",
+            "gram_diag",
+            mround("CAST(v AS DOUBLE) / vm", 6) + " AS loading",
+        )
+    )
+
+
+def _pca_sql() -> str:
+    """Unrolled WITH-chain oracle: quantize -> Gram by double unnest ->
+    3x (integer matvec + fixed-point rescale) -> normalized loadings."""
+    q = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {PCA_Q}"
+        " + 0.5) AS BIGINT))"
+    )
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"""gv{k} AS (
+  SELECT g.i, CAST(sum(g.g * {prev}.v) AS BIGINT) AS gv
+  FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY g.i),
+m{k} AS (SELECT max(abs(gv)) AS m FROM gv{k}),
+v{k} AS (
+  SELECT i AS j,
+         CAST(floor(CAST(gv AS DOUBLE) * {PCA_VSCALE} / m + 0.5) AS BIGINT)
+           AS v
+  FROM gv{k} CROSS JOIN m{k})"""
+        )
+        prev = f"v{k}"
+    return (
+        f"""WITH q AS (SELECT {q} AS qv FROM embeddings),
+idx AS (SELECT unnest(range(0, {EMB_DIM})) AS d),
+g AS (
+  SELECT a.d AS i, b.d AS j,
+         CAST(sum(qv[a.d + 1] * qv[b.d + 1]) AS BIGINT) AS g
+  FROM q CROSS JOIN idx a CROSS JOIN idx b
+  GROUP BY a.d, b.d),
+v0 AS (SELECT d AS j, CAST({PCA_VSCALE} AS BIGINT) AS v FROM idx),
+"""
+        + ",\n".join(steps)
+        + f""",
+vm AS (SELECT max(abs(v)) AS vm FROM {prev}),
+diag AS (SELECT i AS j, g AS gram_diag FROM g WHERE i = j)
+SELECT CAST({prev}.j AS BIGINT) AS dim, diag.gram_diag,
+       {mround('CAST(v AS DOUBLE) / vm', 6)} AS loading
+FROM {prev} JOIN diag ON {prev}.j = diag.j CROSS JOIN vm
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_pca_power": QuerySpec(
+        embedding_pca_power, _pca_sql(), "similarity"
+    ),
     "embedding_dim_stats": QuerySpec(
         embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, "similarity"
     ),
