@@ -443,3 +443,58 @@ def test_mr_inverted_index_contract_and_postings(spark):
         if ids == tok and ",".join(sorted(postings[tok])) != tok:
             ids = [x for x in results if x != tok][0]
         assert ",".join(sorted(postings[tok])) in results
+
+
+def test_rolling_mad_flag_bruteforce(spark):
+    """Baseline median/MAD and the outlier decision recomputed in Python
+    over the same strictly-preceding 21-row frames; warmup rows absent."""
+    import statistics
+
+    from tmapreduce_spark.operators.analytics import (
+        _RMAD_FRAME,
+        _RMAD_WARMUP,
+        window_rolling_mad_flag,
+    )
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    got = {
+        (r["user_id"], r["event_id"]): r
+        for r in window_rolling_mad_flag(spark, SF_SMOKE).collect()
+    }
+    e = lt(spark, SF_SMOKE, "events")
+    per_user: dict = defaultdict(list)
+    for r in e.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+    ).collect():
+        per_user[r["user_id"]].append((r["us"], r["event_id"], r["value"]))
+    n_expected = 0
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i, (_, eid, v) in enumerate(evs):
+            frame = [x for _, _, x in evs[max(0, i - _RMAD_FRAME) : i]]
+            if len(frame) < _RMAD_WARMUP:
+                assert (uid, eid) not in got
+                continue
+            n_expected += 1
+            med = statistics.median(frame)
+            mad = statistics.median([abs(x - med) for x in frame])
+            r = got[(uid, eid)]
+            assert abs(r["baseline_med"] - med) <= 1e-6
+            assert abs(r["baseline_mad"] - mad) <= 1e-6
+            assert r["is_outlier"] == (abs(v - med) > 3 * mad)
+    assert len(got) == n_expected
+
+
+def test_cohort_repeat_rate_consistency(spark):
+    """Cohort sizes partition the customer base; repeat_rate in [0, 1];
+    orders_per_customer >= 1; total orders conserved."""
+    from tmapreduce_spark.operators.analytics import orders_cohort_repeat_rate
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = orders_cohort_repeat_rate(spark, SF_SMOKE).collect()
+    o = lt(spark, SF_SMOKE, "orders")
+    assert sum(r["n_customers"] for r in rows) == o.select("o_custkey").distinct().count()
+    assert sum(r["total_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert 0 <= r["repeat_rate"] <= 1
+        assert r["orders_per_customer"] >= 1

@@ -1025,7 +1025,151 @@ FROM based WHERE cnt_prev >= {_SPIKE_WARMUP}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Rolling-MAD outlier flag
+# ---------------------------------------------------------------------------
+
+_RMAD_FRAME = 21  # strictly-preceding baseline frame
+_RMAD_WARMUP = 8  # minimum baseline rows before flagging
+
+
+def window_rolling_mad_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust outlier flag per user: |value - median(baseline)| >
+    3 * MAD(baseline) over the STRICTLY PRECEDING 21-row frame — the
+    point-anomaly detector whose baseline a single outlier cannot poison
+    (unlike rolling z-scores) and which never scores a point against itself
+    (unlike `events_anomaly_mad`'s global stats). Rows with < 8 baseline
+    events are warmup and not emitted.
+
+    Spark's median()/mode-free MAD can't window, so both statistics come
+    from ONE sorted collect_list of the <= 21-element frame (select middle,
+    then re-sort the absolute deviations) — numerically identical to
+    DuckDB's windowed median()/mad() (selection + single IEEE ops).
+
+    Scale: one user_id shuffle, O(frame log frame) per row on a 21-element
+    array; the two-heap state swap applies at stream scale as with
+    `window_rolling_median`."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_RMAD_FRAME, -1)
+    )
+    base = e.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+    )
+    med = (
+        "CASE WHEN size(vs) % 2 = 1 THEN vs[CAST(size(vs) div 2 AS INT)] "
+        "ELSE (vs[CAST(size(vs) div 2 - 1 AS INT)]"
+        " + vs[CAST(size(vs) div 2 AS INT)]) / 2 END"
+    )
+    return (
+        base.withColumn("vs", F.array_sort(F.collect_list("value").over(w)))
+        .filter(f"size(vs) >= {_RMAD_WARMUP}")
+        .withColumn("med", F.expr(med))
+        .withColumn(
+            "ds", F.expr("array_sort(transform(vs, x -> abs(x - med)))")
+        )
+        .withColumn(
+            "mad",
+            F.expr(
+                "CASE WHEN size(ds) % 2 = 1 THEN ds[CAST(size(ds) div 2 AS INT)] "
+                "ELSE (ds[CAST(size(ds) div 2 - 1 AS INT)]"
+                " + ds[CAST(size(ds) div 2 AS INT)]) / 2 END"
+            ),
+        )
+        .selectExpr(
+            "user_id",
+            "event_id",
+            mround("med", 6) + " AS baseline_med",
+            mround("mad", 6) + " AS baseline_mad",
+            "CAST(abs(value - med) > 3 * mad AS BOOLEAN) AS is_outlier",
+        )
+    )
+
+
+WINDOW_ROLLING_MAD_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+framed AS (
+  SELECT user_id, event_id, value,
+         CAST(count(*) OVER w AS BIGINT) AS n_base,
+         CAST(median(value) OVER w AS DOUBLE) AS med,
+         CAST(mad(value) OVER w AS DOUBLE) AS mad
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {_RMAD_FRAME} PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id,
+       {mround('med', 6)} AS baseline_med,
+       {mround('mad', 6)} AS baseline_mad,
+       CAST(abs(value - med) > 3 * mad AS BOOLEAN) AS is_outlier
+FROM framed WHERE n_base >= {_RMAD_WARMUP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort repeat-purchase rate
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase behavior by acquisition cohort: customers grouped by
+    their FIRST order's month; per cohort the customer count, the share who
+    ever ordered again, and mean orders per customer — the
+    retention-economics table next to `events_cohort_ltv` (which tracks
+    revenue; this tracks the repeat decision). Exact-rational shares.
+
+    Scale: one partial-agg groupBy per customer (count + min date fold
+    map-side), then a second tiny aggregation over the calendar-bounded
+    cohort key."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("date_format(min(o_orderdate), 'yyyy-MM') AS cohort_month"),
+    )
+    return (
+        per_cust.groupBy("cohort_month")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("rep"),
+            F.sum("n_orders").alias("total_orders"),
+        )
+        .selectExpr(
+            "cohort_month",
+            "n_customers",
+            "total_orders",
+            mround("CAST(rep AS DOUBLE) / n_customers", 6) + " AS repeat_rate",
+            mround("CAST(total_orders AS DOUBLE) / n_customers", 6)
+            + " AS orders_per_customer",
+        )
+    )
+
+
+ORDERS_COHORT_REPEAT_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m') AS cohort_month
+  FROM orders GROUP BY o_custkey)
+SELECT cohort_month,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+       {mround('CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)}
+         AS repeat_rate,
+       {mround('CAST(sum(n_orders) AS DOUBLE) / count(*)', 6)}
+         AS orders_per_customer
+FROM per_cust GROUP BY cohort_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_rolling_mad_flag": QuerySpec(
+        window_rolling_mad_flag, WINDOW_ROLLING_MAD_SQL, "window"
+    ),
+    "orders_cohort_repeat_rate": QuerySpec(
+        orders_cohort_repeat_rate, ORDERS_COHORT_REPEAT_SQL, "aggregation"
+    ),
     "diag_pk_uniqueness": QuerySpec(
         diag_pk_uniqueness, DIAG_PK_UNIQUENESS_SQL, "aggregation"
     ),
