@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "window_holt_forecast",
     "window_rolling_mad_flag",
     "orders_cohort_repeat_rate",
     "embedding_pca_power",

@@ -498,3 +498,36 @@ def test_cohort_repeat_rate_consistency(spark):
     for r in rows:
         assert 0 <= r["repeat_rate"] <= 1
         assert r["orders_per_customer"] >= 1
+
+
+def test_holt_forecast_matches_python_fold(spark):
+    """The array-accumulator Holt fold must equal the reference recursion
+    (l' = (l+b)/2 + x/2 ; b' = b/2 + (l'-l)/2, seeded l0 = first frame
+    value, b0 = 0) computed in Python over the same 16-row frames."""
+    from tmapreduce_spark.operators.windows import EWMA_LAGS, window_holt_forecast
+    from tmapreduce_spark.sources.catalog import load_table as lt
+
+    rows = window_holt_forecast(spark, SF_SMOKE).collect()
+    e = lt(spark, SF_SMOKE, "events")
+    per_user: dict = defaultdict(list)
+    for r in e.selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", "value"
+    ).collect():
+        per_user[r["user_id"]].append((r["us"], r["event_id"], r["value"]))
+    expect = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - EWMA_LAGS + 1) : i + 1]]
+            l, b = frame[0], 0.0
+            for x in frame[1:]:
+                l2 = (l + b) * 0.5 + x * 0.5
+                b = b * 0.5 + (l2 - l) * 0.5
+                l = l2
+            expect[(uid, evs[i][1])] = (l, b)
+    assert rows
+    for r in rows:
+        l, b = expect[(r["user_id"], r["event_id"])]
+        assert abs(r["level"] - l) <= 1e-6
+        assert abs(r["trend"] - b) <= 1e-6
+        assert abs(r["forecast_next"] - (l + b)) <= 2e-6

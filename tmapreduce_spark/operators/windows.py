@@ -472,6 +472,83 @@ FROM base
 """
 
 
+def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (alpha = beta = 0.5):
+    level + trend folded over the same truncated 16-row frame as
+    `window_ewma`, plus the one-step-ahead forecast level + trend — the
+    simplest trend-aware forecaster (EWMA flattens trends; Holt follows
+    them). Recursion: l' = (l + b)/2 + x/2 ; b' = b/2 + (l' - l)/2, seeded
+    l0 = first frame value, b0 = 0.
+
+    Determinism: every coefficient is a power of two (exact in IEEE) and
+    the two-field state folds in frame order via a struct accumulator —
+    Spark's aggregate() with a NULL-level seed replicates DuckDB's
+    list_reduce over a prepended seed struct element-for-element, so the
+    raw doubles are bit-identical before mround.
+
+    Scale: identical profile to `window_ewma` — one user_id shuffle,
+    O(16) state per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(EWMA_LAGS - 1), 0)
+    )
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    # 2-element ARRAY accumulator [level, trend] on BOTH engines: DuckDB
+    # 1.0's list_reduce mis-evaluates multi-field STRUCT lambda bodies
+    # (sibling fields collapse to one expression), so arrays are the
+    # portable exact-state encoding; Spark arrays are 0-based here.
+    step_l = "(acc[0] + acc[1]) * 0.5 + x * 0.5"
+    fold = (
+        "aggregate(lv, array(CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE)), "
+        "(acc, x) -> CASE WHEN acc[0] IS NULL "
+        "THEN array(x, CAST(0 AS DOUBLE)) "
+        f"ELSE array({step_l}, "
+        f"acc[1] * 0.5 + (({step_l}) - acc[0]) * 0.5) END)"
+    )
+    return (
+        base.withColumn("lv", F.collect_list("value").over(w))
+        .withColumn("st", F.expr(fold))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "us",
+            mround("st[0]", 6) + " AS level",
+            mround("st[1]", 6) + " AS trend",
+            mround("st[0] + st[1]", 6) + " AS forecast_next",
+        )
+    )
+
+
+def _holt_sql() -> str:
+    step_l = "(acc[1] + acc[2]) * 0.5 + v[1] * 0.5"
+    fold = (
+        "list_reduce(list_prepend([CAST(lv[1] AS DOUBLE), CAST(0 AS DOUBLE)], "
+        "list_transform(lv[2:], x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)])), "
+        f"(acc, v) -> [{step_l}, "
+        f"acc[2] * 0.5 + (({step_l}) - acc[1]) * 0.5])"
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN {EWMA_LAGS - 1} PRECEDING AND CURRENT ROW) AS lv
+  FROM events WHERE value IS NOT NULL),
+folded AS (SELECT user_id, event_id, us, {fold} AS st FROM base)
+SELECT user_id, event_id, us,
+       {mround('st[1]', 6)} AS level,
+       {mround('st[2]', 6)} AS trend,
+       {mround('st[1] + st[2]', 6)} AS forecast_next
+FROM folded
+"""
+
+
+WINDOW_HOLT_SQL = _holt_sql()
+
+
 def window_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point statistic per user: running sum of the deviation
     of each event's value from the user's mean, reported at its peak
@@ -624,6 +701,7 @@ QUERIES: dict[str, QuerySpec] = {
         window_zscore_rolling, WINDOW_ZSCORE_SQL, "window"
     ),
     "window_ewma": QuerySpec(window_ewma, WINDOW_EWMA_SQL, "window"),
+    "window_holt_forecast": QuerySpec(window_holt_forecast, WINDOW_HOLT_SQL, "window"),
     "window_cusum_detect": QuerySpec(window_cusum_detect, WINDOW_CUSUM_SQL, "window"),
     "window_mean_gap": QuerySpec(window_mean_gap, WINDOW_MEAN_GAP_SQL, "window"),
     "window_running_distinct": QuerySpec(window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
