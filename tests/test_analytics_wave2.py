@@ -61,11 +61,12 @@ def test_drawdown_bruteforce_and_bounds(spark):
         per_user[r["user_id"]].append((r["us"], r["event_id"], r["value"]))
     for uid, evs in per_user.items():
         evs.sort()
-        cum = peak = 0
-        dd = 0
+        cum, peak, dd = 0, None, 0
         for _, _, v in evs:
-            cum += int(v * 1_000_000 + 0.5)
-            peak = max(peak, cum)
+            import math
+
+            cum += math.floor(v * 1_000_000 + 0.5)
+            peak = cum if peak is None else max(peak, cum)
             dd = max(dd, peak - cum)
         r = got[uid]
         assert round(r["max_drawdown"] * 1e6) == dd

@@ -489,3 +489,45 @@ def test_streaming_drawdown_matches_batch(spark):
         for r in events_drawdown_max(spark, SF_SMOKE).collect()
     }
     assert got == batch
+
+
+def test_streaming_drawdown_fold_handles_negatives_like_batch(spark):
+    """Regression for the negative-value divergence: the streaming fold's
+    peak must seed at the FIRST cumulative sum (batch running-max
+    semantics), and quantization must floor like cents() — a first value of
+    -5.0 yields peak=-5.0, drawdown=0, and -1.23 lands on -1230000 micros."""
+    import pandas as pd
+
+    from tmapreduce_spark.operators.analytics import events_drawdown_max
+    from tmapreduce_spark.streaming.stateful import drawdown_fold
+
+    cum, peak, dd, started = drawdown_fold((0, 0, 0, False), [-5.0])
+    assert (cum, peak, dd) == (-5_000_000, -5_000_000, 0)
+    cum, peak, dd, started = drawdown_fold((0, 0, 0, False), [-1.23])
+    assert cum == -1_230_000, "must floor like cents(), not truncate"
+    # full-series equivalence vs the BATCH operator on a negative-going frame
+    vals = [-5.0, 3.5, -10.25, 2.0, -0.01]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * len(vals),
+            "event_id": list(range(len(vals))),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:0{i}:00" for i in range(len(vals))]
+            ),
+            "event_type": ["click"] * len(vals),
+            "value": vals,
+            "props": ["{}"] * len(vals),
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        spark.createDataFrame(pdf).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        batch = events_drawdown_max(spark, sf_dir).collect()[0]
+    cum, peak, dd, _ = drawdown_fold((0, 0, 0, False), vals)
+    assert round(batch["final_value"] * 1e6) == cum
+    assert round(batch["peak_value"] * 1e6) == peak
+    assert round(batch["max_drawdown"] * 1e6) == dd

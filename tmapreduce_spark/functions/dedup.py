@@ -35,6 +35,19 @@ PERM_A = [(17 * (i + 1) * 1_000_003 + 7919 * i + 1) % P for i in range(NUM_PERMS
 PERM_B = [(31 * (i + 1) * 999_983 + 104729 * i + 3) % P for i in range(NUM_PERMS)]
 
 # Spark-side md5→int60 for an expression `e`; DuckDB twin below.
+def _pairs_expr(col: str, a_name: str = "doc_a", b_name: str = "doc_b") -> str:
+    """In-group ordered-pair fan-out WITHOUT a self-join: every unordered
+    pair of the array emitted exactly once via the a < b filter — the
+    shared pattern behind the minhash pair join, the jaccard candidate
+    intersections, and the cross-source matrix (span dedup carries extra
+    positional fields and keeps its own variant)."""
+    return (
+        f"filter(flatten(transform({col}, a -> transform({col}, "
+        f"b -> struct(a AS {a_name}, b AS {b_name})))), "
+        f"p -> p.{a_name} < p.{b_name})"
+    )
+
+
 def _h60_spark(e: str) -> str:
     return f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
 
@@ -52,17 +65,6 @@ _SHINGLES_SPARK_TOKS = """
 filter(
   transform(sequence(0, greatest(size(toks) - 3, 0)),
             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
-  s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
-"""
-
-# legacy single-expression form (still used where only one evaluation happens)
-_SHINGLES_SPARK = r"""
-filter(
-  transform(sequence(0, greatest(size(split(trim(lower(text)), '\\s+')) - 3, 0)),
-            i -> concat_ws(' ',
-                   split(trim(lower(text)), '\\s+')[i],
-                   split(trim(lower(text)), '\\s+')[i + 1],
-                   split(trim(lower(text)), '\\s+')[i + 2])),
   s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
 """
 
@@ -230,10 +232,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("docs") >= 2)
         .select(
             F.explode(
-                F.expr(
-                    "filter(flatten(transform(docs, a -> transform(docs, "
-                    "b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
-                )
+                F.expr(_pairs_expr("docs"))
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
@@ -418,10 +417,7 @@ def _pair_intersections(
         groups.filter(F.size("docs") <= max_shingle_df)
         .select(
             F.explode(
-                F.expr(
-                    "filter(flatten(transform(docs, a -> transform(docs, "
-                    "b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
-                )
+                F.expr(_pairs_expr("docs"))
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
@@ -1687,10 +1683,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("srcs") >= 2)
         .select(
             F.explode(
-                F.expr(
-                    "filter(flatten(transform(srcs, a -> transform(srcs, "
-                    "b -> struct(a AS src_a, b AS src_b)))), p -> p.src_a < p.src_b)"
-                )
+                F.expr(_pairs_expr("srcs", "src_a", "src_b"))
             ).alias("p")
         )
         .groupBy("p.src_a", "p.src_b")
@@ -1824,10 +1817,18 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops adding new text (novelty → 0 means you're paying storage for
     repeats). Shares the shingle definition with the MinHash family.
 
-    Scale: one shingle explode, ONE keep-first window on the 16-byte
-    shingle hash (same single-shuffle shape as `dedup_chunk_exact`), one
-    groupBy(doc_id). Linear; no pair join."""
-    hashes = _exploded_shingle_hashes(spark, sf_dir).select("doc_id", "h").distinct()
+    Scale: one shingle explode, ONE keep-first window on the FULL 128-bit
+    md5 (same single-shuffle shape as `dedup_chunk_exact`), one
+    groupBy(doc_id). Linear; no pair join. Keyed on the full md5, NOT the
+    mod-P reduction the MinHash permutations use: a %(1e9+7) keep-first
+    key collides distinct shingles with probability ~n^2/2e9 (near-certain
+    at millions of shingles), silently deflating novelty — and the oracle
+    keys on the full digest."""
+    hashes = (
+        _shingle_rows(spark, sf_dir)
+        .selectExpr("doc_id", "md5(sh) AS h")
+        .distinct()
+    )
     w = Window.partitionBy("h").orderBy("doc_id")
     ranked = hashes.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy("doc_id").agg(

@@ -175,8 +175,6 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue. The frame is defined on the order-date day number, so all orders
     on tied days enter the frame together — and the sum is exact integer
     cents, making it reduction-order-independent."""
-    from tmapreduce_spark.parity import cents
-
     o = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("int")
     w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
@@ -205,8 +203,6 @@ def window_frame_following(spark: SparkSession, sf_dir: str) -> DataFrame:
     full partition frame. Sums are exact integer cents (order-independent);
     last_value needs the explicit full frame — the default frame would stop
     at CURRENT ROW."""
-    from tmapreduce_spark.parity import cents
-
     o = load_table(spark, sf_dir, "orders")
     order = [F.asc("o_orderdate"), F.asc("o_orderkey")]
     w_rest = (
@@ -248,8 +244,6 @@ def window_range_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     moving-range variant of window_range_frame — preceding AND following on a
     value axis, with tied days entering together. nth_value(2) over the running
     row frame exercises the offset-into-frame accessor."""
-    from tmapreduce_spark.parity import cents
-
     o = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("int")
     w_range = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-15, 15)

@@ -294,7 +294,31 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
 DRAWDOWN_OUTPUT_SCHEMA = (
     "user_id bigint, max_drawdown double, peak_value double, final_value double"
 )
-DRAWDOWN_STATE_SCHEMA = "cum bigint, peak bigint, dd bigint"
+# `started` distinguishes the empty state from a state whose first cum was 0:
+# the batch twin's running max STARTS at the first cumulative sum (not 0), so
+# a first NEGATIVE value must yield peak = that value, drawdown = 0.
+DRAWDOWN_STATE_SCHEMA = "cum bigint, peak bigint, dd bigint, started boolean"
+
+
+def drawdown_fold(
+    state: tuple[int, int, int, bool], values
+) -> tuple[int, int, int, bool]:
+    """Pure exact-integer drawdown fold shared by the streaming updater and
+    its tests: quantize with floor(x*1e6 + 0.5) (identical to the batch
+    `cents()` grid — int() would truncate negatives one micro off), seed
+    peak at the FIRST cumulative sum, then running-max."""
+    import math
+
+    cum, peak, dd, started = state
+    for x in values:
+        cum += math.floor(float(x) * 1_000_000 + 0.5)
+        if not started:
+            peak = cum
+            started = True
+        else:
+            peak = max(peak, cum)
+        dd = max(dd, peak - cum)
+    return cum, peak, dd, started
 
 
 def _update_drawdown_state(
@@ -303,14 +327,11 @@ def _update_drawdown_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    cum, peak, dd = state.get if state.exists else (0, 0, 0)
+    st = state.get if state.exists else (0, 0, 0, False)
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
-    for x in rows["value"]:
-        cum += int(float(x) * 1_000_000 + 0.5)
-        peak = max(peak, cum)
-        dd = max(dd, peak - cum)
-    state.update((cum, peak, dd))
+    cum, peak, dd, started = drawdown_fold(tuple(st), rows["value"])
+    state.update((cum, peak, dd, started))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
