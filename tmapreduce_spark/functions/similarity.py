@@ -733,14 +733,16 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus — distributed PCA as
-    one linear data pass plus tiny fixed-point algebra: the exact int64
-    Gram matrix (:func:`_pca_gram`), then 3 power-iteration steps where
-    every matvec is an INTEGER join-aggregate over the 4096-row G and the
-    64-row vector (integer sums are reduction-order-independent, so both
-    engines agree bit-for-bit), rescaled each round to the 2^14 fixed-point
-    grid by one deterministic IEEE floor chain. Output: per-dimension
-    loading of the dominant eigenvector (normalized to max |component| = 1)
-    plus the exact Gram diagonal (per-dim second moment on the PCA_Q grid).
+    ONE linear data pass plus tiny driver-side fixed-point algebra: the
+    exact int64 Gram matrix (:func:`_pca_gram`) is collected (4096 rows =
+    model state, like k-means centroids), then 8 power-iteration steps run
+    as exact Python-integer matvecs (integer sums are
+    reduction-order-independent, so both engines agree bit-for-bit),
+    rescaled each round to the 2^14 fixed-point grid by the same
+    deterministic IEEE floor chain the unrolled SQL oracle uses. Output:
+    per-dimension loading of the dominant eigenvector (normalized to max
+    |component| = 1) plus the exact Gram diagonal (per-dim second moment
+    on the PCA_Q grid).
 
     Seed v0 = all-ones (never orthogonal to the top eigenvector of a PSD
     Gram in practice). Iteration count is a spectrum-dependent knob: error
@@ -748,42 +750,44 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction (the actual PCA use case) converge in a few rounds, while the
     near-flat spectrum of the RANDOM fixture embeddings (lambda2/lambda1 ~
     0.93) needs the 8 rounds used here to pass the 85% Rayleigh-share test
-    — each extra round costs one more 4096-row join.
+    — extra rounds are free (driver-side 64x64 integer matvecs).
 
     Scale: the data pass is the same shape as the kmeans/IVF Arrow passes
-    (per-task 64x64 int64 state); everything after touches <= 4096-row
-    tables. Int64 holds G to ~1e15 per entry (corpus ~1e9 rows at this
-    grid); past that, halve PCA_Q or swap the accumulators to DECIMAL —
-    the fixed-point algebra is unchanged."""
-    g = _pca_gram(spark, sf_dir)
-    v = spark.range(EMB_DIM).selectExpr(
-        "id AS j", f"CAST({PCA_VSCALE} AS BIGINT) AS v"
-    )
+    (per-task 64x64 int64 state); the collected Gram is 4096 rows of
+    MODEL-side state — bounded by EMB_DIM^2, not by corpus size, exactly
+    like the k-means centroid collect (scale.py) — so the driver-side
+    fixed-point loop costs microseconds and, crucially, the distributed
+    Gram pass runs ONCE (round 5 left the loop as an unrolled lazy plan
+    whose Gram scan was recomputed geometrically per round: 101 s at
+    sf0.1; this materialization is the fix). Exact Python-int matvecs
+    can't overflow; the m-rescale reproduces the engine double chain
+    float(gv) * 2^14 / float(m) (the 2^14 scale is a power of two, so the
+    only rounding is the int->double cast and the division — bit-equal in
+    IEEE on both engines). Int64 holds G to ~1e15 per entry (corpus ~1e9
+    rows at this grid); past that, halve PCA_Q or swap the accumulators
+    to DECIMAL — the fixed-point algebra is unchanged."""
+    import math
+
+    gram = {(r["i"], r["j"]): r["g"] for r in _pca_gram(spark, sf_dir).collect()}
+    v = [PCA_VSCALE] * EMB_DIM
     for _ in range(PCA_ITERS):
-        gv = (
-            g.join(v, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
-        )
-        m = gv.agg(F.max(F.abs(F.col("gv"))).alias("m"))
-        v = (
-            gv.crossJoin(F.broadcast(m))
-            .selectExpr(
-                "i AS j",
-                f"CAST(floor(CAST(gv AS DOUBLE) * {PCA_VSCALE} / m + 0.5)"
-                " AS BIGINT) AS v",
-            )
-        )
-    diag = g.filter("i = j").selectExpr("i AS j", "g AS gram_diag")
-    vm = v.agg(F.max(F.abs(F.col("v"))).alias("vm"))
-    return (
-        v.join(diag, "j")
-        .crossJoin(F.broadcast(vm))
-        .selectExpr(
-            "CAST(j AS BIGINT) AS dim",
-            "gram_diag",
-            mround("CAST(v AS DOUBLE) / vm", 6) + " AS loading",
-        )
+        gv = [
+            sum(gram.get((i, j), 0) * v[j] for j in range(EMB_DIM))
+            for i in range(EMB_DIM)
+        ]
+        m = max(abs(x) for x in gv)
+        v = [
+            int(math.floor(float(x) * PCA_VSCALE / float(m) + 0.5)) for x in gv
+        ]
+    vm = max(abs(x) for x in v)
+    out = spark.createDataFrame(
+        [(i, gram.get((i, i), 0), v[i]) for i in range(EMB_DIM)],
+        "dim long, gram_diag long, v long",
+    )
+    return out.selectExpr(
+        "dim",
+        "gram_diag",
+        mround(f"CAST(v AS DOUBLE) / {vm}", 6) + " AS loading",
     )
 
 
