@@ -644,6 +644,76 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 
+def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 65536):
+    """EXACT distributed percentile_disc (rank = ceil(q*n), 1-based inverse
+    CDF — the definition quantile_disc implements) WITHOUT ever buffering
+    the column in one task: (1) one linear pass for count/min/max, (2) one
+    linear pass of fixed-grid bucket counts (<= `buckets` rows collected)
+    that narrows every target rank to its bucket, (3) one PRUNED fetch of
+    only the needed buckets, duplicate-collapsed to (value, count) pairs so
+    heavy-duplicate columns cost distinct-values, not rows. Driver memory
+    is O(buckets + distinct values inside <=|fracs| buckets) ~ n/buckets
+    per bucket; at petabyte scale recurse the narrowing once more inside
+    the candidate buckets (same helper, range-filtered) or swap in the
+    GK/t-digest sketch (`approx_quantiles_sketch`). `fracs` are EXACT
+    (num, den) pairs and the rank is the exact integer ceil(num*n/den) —
+    SQL `0.1` literals are DECIMAL, so both engines compute the rank in
+    exact arithmetic, and a float 0.1 here would be off-by-one at n
+    divisible by 10."""
+    row = df.agg(
+        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    n, lo, hi = row["n"], float(row["lo"]), float(row["hi"])
+    if n == 0:
+        return [None] * len(fracs)
+    if hi == lo:
+        return [lo] * len(fracs)
+    bexpr = (
+        f"least({buckets - 1}, greatest(0, CAST(floor((CAST({col} AS DOUBLE)"
+        f" - {lo!r}) / ({hi!r} - {lo!r}) * {buckets}) AS INT)))"
+    )
+    counts = {
+        r["b"]: r["c"]
+        for r in df.selectExpr(f"{bexpr} AS b")
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    ranks = [max(1, -((-num * n) // den)) for num, den in fracs]
+    cum, cum_before = 0, {}
+    for b in sorted(counts):
+        cum_before[b] = cum
+        cum += counts[b]
+    rank_bucket = {}
+    for r in ranks:
+        for b in sorted(counts):
+            if cum_before[b] + counts[b] >= r:
+                rank_bucket[r] = b
+                break
+    need = sorted(set(rank_bucket.values()))
+    pairs = (
+        df.selectExpr(f"{bexpr} AS b", f"{col} AS v")
+        .filter(F.col("b").isin(need))
+        .groupBy("b", "v")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    by_bucket = {}
+    for r in pairs:
+        by_bucket.setdefault(r["b"], []).append((r["v"], r["c"]))
+    cuts = []
+    for r in ranks:
+        b = rank_bucket[r]
+        local = r - cum_before[b]
+        acc = 0
+        for v, c in sorted(by_bucket[b]):
+            acc += c
+            if acc >= local:
+                cuts.append(v)
+                break
+    return cuts
+
+
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bucketed) histogram of order prices — the
     constant-rows-per-bin companion of `agg_histogram`'s fixed-width bins,
@@ -653,22 +723,20 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-heavy columns legitimately yield skewed/empty bins (the
     documented tie semantic, identical in both engines).
 
-    Scale: pass 1 computes ALL 9 cuts from ONE sorted-collect aggregate
-    (a single value buffer + one sort, indexed at ceil(q*n) — the exact
-    inverse-CDF definition percentile_disc implements; nine separate
-    percentile_disc aggregates each buffer the column and run 5x slower);
-    pass 2 broadcast-joins the one-row cut table and folds per-bin stats in
-    one partial-agg groupBy. No ntile, no global sort — the single-buffer
-    quantile step is the only rank-aware piece, and a GK/t-digest sketch
-    swaps in for it at petabyte scale (`approx_quantiles_sketch`)."""
+    Scale: the cuts come from :func:`_exact_quantile_disc_cuts` — two
+    linear passes plus one pruned duplicate-collapsed fetch, never a
+    single-task buffer of the column (round 5 shipped a
+    sort_array(collect_list(...)) that funnels every value into ONE
+    aggregation buffer — an executor OOM at 100x; this distributed
+    narrowing is the fix, same exact ceil(q*n) semantics). Then one
+    broadcast of the 9-cut row and one partial-agg groupBy for the per-bin
+    stats. No ntile, no global sort."""
     o = load_table(spark, sf_dir, "orders")
-    cuts = o.agg(
-        F.expr("sort_array(collect_list(o_totalprice))").alias("v")
-    ).selectExpr(
-        *[
-            f"element_at(v, CAST(ceil(0.{k} * size(v)) AS INT)) AS c{k}"
-            for k in range(1, 10)
-        ]
+    vals = _exact_quantile_disc_cuts(
+        o, "o_totalprice", [(k, 10) for k in range(1, 10)]
+    )
+    cuts = spark.createDataFrame(
+        [tuple(vals)], ", ".join(f"c{k} double" for k in range(1, 10))
     )
     bin_expr = "1 + " + " + ".join(
         f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
