@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import mround
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 # MinHash parameters: NUM_PERMS affine permutations h_i(x) = (a_i*x + b_i) % P
 # over the md5-derived shingle hash, banded into bands of BAND_R rows.
@@ -71,9 +71,12 @@ filter(
 
 def _shingle_rows(spark: SparkSession, sf_dir: str, with_source: bool = False) -> DataFrame:
     """One row per (doc_id, distinct shingle): tokenize once per document,
-    then explode the 3-gram array."""
+    then explode the 3-gram array. The compact (id, text) rows spread
+    across the cluster BEFORE the CPU-amplifying shingle explode (no-op on
+    well-partitioned production inputs, see `spread`)."""
     d = load_table(spark, sf_dir, "documents")
     cols = ["doc_id"] + (["source"] if with_source else [])
+    d = spread(d.select(*cols, "text"), spark, "doc_id")
     toks = d.selectExpr(*cols, r"split(trim(lower(text)), '\\s+') AS toks")
     return toks.selectExpr(
         *cols, f"explode(array_distinct({_SHINGLES_SPARK_TOKS})) AS sh"
@@ -238,7 +241,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
     sets = d.selectExpr(
         "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
     ).selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
@@ -299,8 +306,15 @@ SIMHASH_BITS = 60
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over token hashes: bit j of the signature is the sign of
     sum over tokens of ±1 according to bit j of each token's hash. Exact
-    integer arithmetic — bit-identical to the oracle. One groupBy(doc_id)."""
-    d = load_table(spark, sf_dir, "documents")
+    integer arithmetic — bit-identical to the oracle. One groupBy(doc_id);
+    the compact (doc_id, text) rows spread before the token explode, and
+    the spread's doc_id hash exchange double-serves as the aggregation's
+    shuffle (no second exchange)."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
     toks = d.selectExpr(
         "doc_id",
         r"explode(split(trim(lower(text)), '\\s+')) AS tok",

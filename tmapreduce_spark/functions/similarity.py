@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import mround
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 N_QUERIES = 5  # ann query set: vec_id 0..4
 TOP_K = 10
@@ -703,7 +703,9 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in rows, shuffle carries 4096 rows per task."""
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("embedding"), spark
+    )
 
     def gram(batches):
         import numpy as np

@@ -61,6 +61,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
+    """Fan a FEW-PARTITION scan out across the cluster before a
+    CPU-amplifying transform (token/shingle explode, per-row hashing, Arrow
+    decode): local single-row-group parquet files arrive as ONE task, which
+    serializes the entire tokenize/hash stage on one core no matter how many
+    executors exist. Repartitioning the COMPACT pre-explode rows (ids +
+    text, not the exploded fan-out) costs one small shuffle and buys full
+    parallelism — and when `keys` name the downstream groupBy key, the
+    exchange double-serves as the aggregation's shuffle (HashPartitioning
+    is preserved through projections/explodes, so the agg adds no second
+    exchange).
+
+    Guarded: a scan that already has >= defaultParallelism partitions — the
+    100 TB production case, where inputs arrive as thousands of splits —
+    passes through untouched, so this never adds a shuffle at scale. The
+    partition probe is plan-side only (no job) and caches with the plan."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F  # local import to avoid cycle
+
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so ``spark.sql`` works
     against the same names DuckDB's oracle uses."""
