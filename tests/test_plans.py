@@ -504,10 +504,12 @@ def test_diag_key_skew_totals_broadcast_topk_take_ordered(spark):
 
 def test_simhash_pairs_band_join_is_equi_join(spark):
     """The band self-join must be a hash equi-join keyed on (band,
-    band_val) — never a cartesian/nested-loop pair enumeration. (The two
-    identical signature subplans dedupe at runtime via AQE exchange reuse;
-    static AQE plans don't surface ReusedExchange, so assert the join shape
-    only.)"""
+    band_val) — never a cartesian/nested-loop pair enumeration. The two
+    identical signature subplans (60-bit groupBy(doc_id) aggregation — the
+    expensive piece) must dedupe at runtime via AQE exchange reuse: static
+    AQE plans don't surface it, so the reuse is asserted on the
+    POST-EXECUTION adaptive plan — the signature is computed once for both
+    join sides, not twice."""
     from tmapreduce_spark.functions.dedup import dedup_simhash_pairs
 
     df = dedup_simhash_pairs(spark, SF_SMOKE)
@@ -516,6 +518,9 @@ def test_simhash_pairs_band_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 
 def test_existence_flag_join_aggregates_flag_side_first(spark):

@@ -197,6 +197,35 @@ SELECT doc_id, CAST(perm_id AS INTEGER) AS perm_id, min_hash FROM sig
 """
 
 
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs (band collision, pre-verification):
+    band keys straight from the ordered wide signature columns (no
+    collect_list/sort), in-group pair generation per (band_id, band_key).
+    Factored out of `dedup_minhash_pairs` so consumers that only need the
+    candidate SET (`dedup_methods_overlap`'s flag audit — the sets join
+    never filters rows, every candidate doc has a shingle set) skip the
+    document re-tokenization the exact-Jaccard verify pays."""
+    wide = _minhash_wide(spark, sf_dir)
+    band_structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(f"m{i}" for i in range(b * BAND_R, (b + 1) * BAND_R)),
+        )
+        for b in range(NUM_PERMS // BAND_R)
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bs"
+    ).selectExpr("doc_id", "bs.band_id AS band_id", "bs.band_key AS band_key")
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_pairs_expr("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
@@ -217,30 +246,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned to near-dup candidates here, and one array op per candidate beats
     re-exploding the corpus). Signature aggregation now runs once, documents
     is scanned 3x."""
-    wide = _minhash_wide(spark, sf_dir)
-    # band keys directly from the ordered wide columns — no collect_list/sort.
-    band_structs = ", ".join(
-        "named_struct('band_id', {b}, 'band_key', md5(concat_ws(',', {cols})))".format(
-            b=b,
-            cols=", ".join(f"m{i}" for i in range(b * BAND_R, (b + 1) * BAND_R)),
-        )
-        for b in range(NUM_PERMS // BAND_R)
-    )
-    bands = wide.selectExpr(
-        "doc_id", f"explode(array({band_structs})) AS bs"
-    ).selectExpr("doc_id", "bs.band_id AS band_id", "bs.band_key AS band_key")
-    cands = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(
-            F.explode(
-                F.expr(_pairs_expr("docs"))
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cands = _minhash_candidates(spark, sf_dir)
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark,
@@ -1743,7 +1749,10 @@ def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn > 1")
         .select("doc_id")
     )
-    mh = dedup_minhash_pairs(spark, sf_dir).select(
+    # candidate set only — the exact-Jaccard verify joins never filter rows
+    # (every candidate doc has a shingle set), so the flagged-doc set is
+    # identical and the audit skips one full document re-tokenization
+    mh = _minhash_candidates(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     sh = dedup_simhash_pairs(spark, sf_dir).select(
