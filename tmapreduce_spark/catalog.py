@@ -131,6 +131,32 @@ _COVERED_R4: frozenset[str] = frozenset(
     }
 )
 
+# round 5 (CORRECTNESS_r05.json: 50 green)
+_COVERED_R5: frozenset[str] = frozenset(
+    {
+        "agg_benford_profile", "agg_gini_concentration", "agg_weighted_median",
+        "ann_ivf_pq_topk", "dedup_chunk_exact", "dedup_cross_source_matrix",
+        "dedup_methods_overlap", "dedup_minhash_est_vs_exact", "diag_column_ndv",
+        "diag_distribution_drift", "diag_join_explosion", "embedding_dim_stats",
+        "embedding_kmeans_iterate", "embedding_pca_power",
+        "embedding_prefix_recall", "events_attribution_last_touch",
+        "events_attribution_multi_touch", "events_cohort_ltv",
+        "events_drawdown_max", "events_gap_burstiness",
+        "events_interval_join_mixed", "events_markov_transitions",
+        "events_rfm_segments", "events_survival_curve", "events_user_path_topk",
+        "graph_degree_stats", "join_asof_nearest", "join_asof_tolerance",
+        "join_interval_overlap", "layout_hilbert_key", "mr_grep",
+        "mr_inverted_index", "multimodal_decode_real", "multimodal_phash_dedup",
+        "orders_market_basket", "pipeline_contamination_report",
+        "pipeline_importance_weights", "pipeline_interleave_order",
+        "pipeline_quality_ablate", "pipeline_seqlen_histogram",
+        "pipeline_token_budget_mix", "skyline_pareto_orders",
+        "text_bigram_lm_score", "text_novelty_score", "text_nucleus_vocab",
+        "text_quality_classifier", "text_vocab_oov_rate", "window_rolling_mad_flag",
+        "window_rolling_median", "window_streak_longest",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -140,7 +166,13 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}
-for _rnd, _names in ((1, _COVERED_R1), (2, _COVERED_R2), (3, _COVERED_R3), (4, _COVERED_R4)):
+for _rnd, _names in (
+    (1, _COVERED_R1),
+    (2, _COVERED_R2),
+    (3, _COVERED_R3),
+    (4, _COVERED_R4),
+    (5, _COVERED_R5),
+):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd
 
