@@ -348,6 +348,19 @@ def read_stream(
     - ``rate``: Spark's rate source mapped to deterministic synthetic
       events — an infinite load generator for soak/perf runs.
 
+    Production swap-in: against a real broker, replace the source line
+    with ``spark.readStream.format("kafka")
+    .option("kafka.bootstrap.servers", ...).option("subscribe", "events")
+    .load()`` — it emits the same envelope columns this mock encodes
+    (key/value/topic/partition/offset), so the ``from_json(value)`` decode
+    and EVERY downstream graph (windows, watermarks, stateful ops) are
+    unchanged; no broker ships in this sandbox, which is the only reason
+    the envelope arrives from a directory instead of a socket. The
+    downstream graph's source-independence is asserted by
+    ``tests/test_streaming.py::test_tumbling_matches_batch_from_kafka_mock``
+    (same transform over file and kafka-mock sources equals the batch
+    twin).
+
     .. warning:: ``kind='file'`` sets ``spark.sql.legacy.parquet.nanosAsLong
        = true`` on the CALLER'S session and leaves it set: the testdata
        stores TIMESTAMP(NANOS) and the flag must still be active whenever a
