@@ -183,6 +183,12 @@ HEADLINE = [
     "dedup_audit_sample",
     "window_mean_gap",
     "pipeline_interleave_order",
+    # round 6 additions
+    "diag_ks_drift",
+    "diag_psi_drift",
+    "events_change_point",
+    "dedup_winnowing_fingerprint",
+    "pipeline_mix_temperature",
 ]
 
 

@@ -1026,3 +1026,46 @@ def test_snapshot_asof_pushes_cutoff_and_group_limits(spark):
     plan = physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert "PushedFilters" in plan
+
+
+def test_ks_drift_value_windows_are_bucket_partitioned(spark):
+    """The KS running CDF must never run an unpartitioned window over the
+    per-value axis: the in-bucket running sums are PARTITIONED by the
+    prefix bucket (the only unpartitioned window is over the tiny
+    range-bounded bucket table), and no pair enumeration appears."""
+    from tmapreduce_spark.operators.analytics import diag_ks_drift
+
+    df = diag_ks_drift(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    import re
+
+    assert "CartesianProduct" not in plan
+    # the per-value running-sum window carries the bk partition key
+    assert re.search(r"\[bk#\d+L?\], \[vq#", plan), plan
+
+
+def test_winnowing_is_map_only(spark):
+    """Winnowing fingerprints are pure per-row array algebra: no window,
+    no aggregation, no join — the only exchange allowed is the guarded
+    spread() fan-out of the compact scan."""
+    from tmapreduce_spark.functions.dedup import dedup_winnowing_fingerprint
+
+    df = dedup_winnowing_fingerprint(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # spread repartition only (tree + detail)
+
+
+def test_change_point_windows_share_one_user_shuffle(spark):
+    """All change-point windows (running sum, row_number, full-partition
+    totals) key on user_id — one hashpartitioning exchange feeds them; the
+    argmax joins broadcast the tiny per-user tables."""
+    from tmapreduce_spark.operators.analytics import events_change_point
+
+    df = events_change_point(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

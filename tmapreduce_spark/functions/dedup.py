@@ -1878,7 +1878,82 @@ FROM ranked GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # fingerprint window: guarantee = any match of >= w+k-1 tokens
+
+
+def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    al. SIGMOD'03): hash every SEQUENTIAL token 3-gram, slide a window of
+    WINNOW_W consecutive hashes, keep each window's minimum — the selected
+    subset is position-robust (any shared run of >= w+k-1 tokens between
+    two documents is GUARANTEED to share a fingerprint, the property raw
+    `doc_fingerprint` rolling hashes lack) while storing only ~2/(w+1) of
+    the k-gram hashes. Output: per-doc k-gram count, fingerprint count,
+    and the md5 of the sorted fingerprint set (the stored sketch a
+    cross-doc matcher would band on).
+
+    Determinism: pure per-row array algebra (no shuffle at all beyond the
+    guarded `spread`); min over int64 hashes, sorted join for the digest —
+    bit-identical in both engines. Docs shorter than w k-grams keep one
+    window over whatever exists; docs under k tokens emit an empty set
+    (md5 of '').
+
+    Scale: zero-shuffle map-only pass; per-row state is the doc's own
+    k-gram array. At 100 TB this is the cheapest possible shape — the
+    expensive cross-doc step would band on fp values downstream, fanned
+    out by bucket exactly like the MinHash band join."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
+    toks = d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks")
+    hs = toks.selectExpr(
+        "doc_id",
+        f"transform({_SHINGLES_SPARK_TOKS}, s -> {_h60_spark('s')}) AS hs",
+    )
+    wins = hs.selectExpr(
+        "doc_id",
+        "CAST(size(hs) AS BIGINT) AS n_kgrams",
+        f"CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(0, greatest(size(hs) - {WINNOW_W}, 0)), "
+        f"i -> array_min(slice(hs, i + 1, {WINNOW_W}))) END AS wmins",
+    )
+    return wins.selectExpr(
+        "doc_id",
+        "n_kgrams",
+        "CAST(size(array_distinct(wmins)) AS BIGINT) AS n_fp",
+        "md5(array_join(array_sort(array_distinct(wmins)), ',')) AS fp_md5",
+    )
+
+
+DEDUP_WINNOWING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS kgs FROM documents),
+h AS (
+  SELECT doc_id, list_transform(kgs, s -> {_h60_duck('s')}) AS hs FROM t),
+w AS (
+  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(0, greatest(len(hs) - {WINNOW_W}, 0) + 1),
+                                  i -> list_aggregate(hs[i + 1 : i + {WINNOW_W}], 'min'))
+         END AS wmins
+  FROM h)
+SELECT doc_id, n_kgrams,
+       CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fp,
+       md5(array_to_string(list_sort(list_distinct(wmins)), ',')) AS fp_md5
+FROM w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_winnowing_fingerprint": QuerySpec(
+        dedup_winnowing_fingerprint, DEDUP_WINNOWING_SQL, "dedup"
+    ),
     "text_novelty_score": QuerySpec(text_novelty_score, _novelty_sql(), "dedup"),
     "dedup_methods_overlap": QuerySpec(
         dedup_methods_overlap, DEDUP_METHODS_OVERLAP_SQL, "dedup"

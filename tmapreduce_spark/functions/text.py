@@ -2368,7 +2368,77 @@ FROM kept GROUP BY source
 """
 
 
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights across sources (alpha = 0.3 —
+    the multilingual-LM mixing rule from mBERT/XLM-R: w_i proportional to
+    p_i^alpha): upweights tail sources, downweights head ones, the
+    standard complement of `pipeline_token_budget_mix`'s hard caps.
+    Output per source: doc count, raw share, temperature weight, and the
+    boost factor w/p (how much the sampler over/under-represents the
+    source vs natural frequency).
+
+    Determinism: the normalizer sums p_i^alpha over sources in SORTED
+    source order via an explicit array fold on BOTH engines (a plain SUM
+    aggregates in engine-dependent order; 20 doubles summed differently
+    can flip the 1e-6 rounding) — DuckDB's list_reduce seeds with the
+    first element, IEEE-identical to Spark's 0.0 seed since 0+x == x.
+
+    Scale: one count aggregate per source (partial-aggregated), one
+    collected fold over the SOURCE list — model-side state bounded by the
+    number of corpora, not rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    t = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_total",
+        "power(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS x",
+    )
+    den = t.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "named_struct('source', source, 'x', x))), s -> s.x), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("den")
+    )
+    return (
+        t.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "source",
+            "n_docs",
+            mround("CAST(n_docs AS DOUBLE) / n_total", 6) + " AS p_raw",
+            mround("x / den", 6) + " AS w_temp",
+            mround("(x / den) / (CAST(n_docs AS DOUBLE) / n_total)", 6)
+            + " AS boost",
+        )
+    )
+
+
+PIPELINE_MIX_TEMPERATURE_SQL = f"""
+WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+t AS (
+  SELECT source, n_docs, n_total,
+         power(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS x
+  FROM per CROSS JOIN tot),
+den AS (
+  SELECT list_reduce(list_transform(list_sort(list({{'source': source, 'x': x}})),
+                                    s -> s.x),
+                     (acc, v) -> acc + v) AS den
+  FROM t)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {mround('CAST(n_docs AS DOUBLE) / n_total', 6)} AS p_raw,
+       {mround('x / den', 6)} AS w_temp,
+       {mround('(x / den) / (CAST(n_docs AS DOUBLE) / n_total)', 6)} AS boost
+FROM t CROSS JOIN den
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_mix_temperature": QuerySpec(
+        pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
+    ),
     "text_nucleus_vocab": QuerySpec(text_nucleus_vocab, TEXT_NUCLEUS_SQL, "text"),
     "text_vocab_oov_rate": QuerySpec(text_vocab_oov_rate, TEXT_VOCAB_OOV_SQL, "text"),
     "pipeline_importance_weights": QuerySpec(

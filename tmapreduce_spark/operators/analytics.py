@@ -1231,6 +1231,293 @@ FROM per_cust GROUP BY cohort_month
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (exact, distributed prefix sums)
+# ---------------------------------------------------------------------------
+
+_KS_BUCKET_MICROS = 500_000  # prefix-sum bucket width on the value-micros axis
+
+
+def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the `click`
+    and `purchase` value distributions — the standard continuous-drift test
+    (chi-square `diag_distribution_drift` needs binning; KS compares the
+    full CDFs). D = max over x of |F_a(x) - F_b(x)|, reported with the
+    value where the gap peaks (earliest on ties) and the exact integer
+    numerator max|C_a*N_b - C_b*N_a| so no float compare ever picks the
+    argmax.
+
+    Scale: per-value counts partial-aggregate (one shuffle on the money
+    grid); the global running CDF uses TWO-LEVEL prefix sums — per-bucket
+    totals (bucket table bounded by the VALUE RANGE / 0.5-unit width,
+    independent of row count) feed exclusive offsets, and the in-bucket
+    running sums are a window PARTITIONED by bucket, so no single task
+    ever sees the whole axis. The only unpartitioned window runs over the
+    tiny bucket table. Int64 holds C*N to ~3e9 rows per side; past that
+    swap the products to DECIMAL — the argmax logic is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(
+        "event_type IN ('click', 'purchase') AND value IS NOT NULL"
+    ).selectExpr(
+        f"{cents('value')} AS vq",
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a",
+    )
+    pv = s.groupBy("vq").agg(
+        F.sum("is_a").alias("c1"), F.sum(F.expr("1 - is_a")).alias("c2")
+    ).withColumn("bk", F.expr(f"vq div {_KS_BUCKET_MICROS}"))
+    bt = pv.groupBy("bk").agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "bk",
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(wb), F.lit(0)).alias("o2"),
+    )
+    wv = (
+        Window.partitionBy("bk")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = s.agg(F.sum("is_a").alias("n1"), F.sum(F.expr("1 - is_a")).alias("n2"))
+    scored = (
+        pv.join(F.broadcast(off), "bk")
+        .select(
+            "vq",
+            (F.col("o1") + F.sum("c1").over(wv)).alias("ca"),
+            (F.col("o2") + F.sum("c2").over(wv)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("vq", "n1", "n2", "abs(ca * n2 - cb * n1) AS d_num")
+    )
+    mx = scored.groupBy("n1", "n2").agg(F.max("d_num").alias("ks_num"))
+    return (
+        scored.join(F.broadcast(mx), ["n1", "n2"])
+        .filter("d_num = ks_num")
+        .groupBy("n1", "n2", "ks_num")
+        .agg(F.min("vq").alias("vq_at"))
+        .selectExpr(
+            "n1 AS n_click",
+            "n2 AS n_purchase",
+            "ks_num",
+            "CAST(vq_at AS DOUBLE) / 1000000 AS ks_at_value",
+            mround("CAST(ks_num AS DOUBLE) / (n1 * n2)", 6) + " AS ks_stat",
+        )
+    )
+
+
+DIAG_KS_DRIFT_SQL = f"""
+WITH s AS (
+  SELECT {cents('value')} AS vq,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+tot AS (SELECT sum(is_a) AS n1, sum(1 - is_a) AS n2 FROM s),
+pv AS (SELECT vq, sum(is_a) AS c1, sum(1 - is_a) AS c2 FROM s GROUP BY vq),
+cum AS (
+  SELECT vq, sum(c1) OVER (ORDER BY vq) AS ca, sum(c2) OVER (ORDER BY vq) AS cb
+  FROM pv),
+scored AS (
+  SELECT vq, n1, n2, abs(ca * n2 - cb * n1) AS d_num FROM cum CROSS JOIN tot),
+mx AS (SELECT n1, n2, max(d_num) AS ks_num FROM scored GROUP BY n1, n2)
+SELECT CAST(mx.n1 AS BIGINT) AS n_click, CAST(mx.n2 AS BIGINT) AS n_purchase,
+       CAST(mx.ks_num AS BIGINT) AS ks_num,
+       CAST(min(scored.vq) AS DOUBLE) / 1000000 AS ks_at_value,
+       {mround('CAST(mx.ks_num AS DOUBLE) / (mx.n1 * mx.n2)', 6)} AS ks_stat
+FROM scored
+JOIN mx ON scored.n1 = mx.n1 AND scored.n2 = mx.n2 AND scored.d_num = mx.ks_num
+GROUP BY mx.n1, mx.n2, mx.ks_num
+"""
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation change point
+# ---------------------------------------------------------------------------
+
+
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change point per user: the split position t that
+    maximizes the between-segment mean shift — the first step of every
+    offline change-point detector, and the complement of
+    `window_cusum_detect` (CUSUM peaks drift vs the GLOBAL mean; binary
+    segmentation maximizes the LEFT-vs-RIGHT contrast directly). The
+    maximized objective |S_t*(n-t) - (S_n-S_t)*t| is the mean difference
+    cross-multiplied to INTEGER micros — the argmax never compares floats,
+    and ties break to the earliest t on both engines.
+
+    Scale: one user_id shuffle; running + full-partition window sums, two
+    tiny self-joins keyed on user_id to pull the winning row. Int64 holds
+    S*n to ~1e5-row users at money-grid values; DECIMAL swap beyond.
+    Single-event users have no interior split and drop out (documented)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.partitionBy("user_id")
+    pre = (
+        e.filter(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id", "event_id", "unix_micros(ts) AS us", f"{cents('value')} AS vq"
+        )
+        .withColumn("t", F.row_number().over(w))
+        .withColumn("s_run", F.sum("vq").over(wrun))
+        .withColumn("n", F.count("*").over(wfull))
+        .withColumn("s_all", F.sum("vq").over(wfull))
+        .filter("t < n")
+        .withColumn("score", F.expr("abs(s_run * (n - t) - (s_all - s_run) * t)"))
+    )
+    mx = pre.groupBy("user_id").agg(F.max("score").alias("best"))
+    best = (
+        pre.join(F.broadcast(mx), "user_id")
+        .filter("score = best")
+        .groupBy("user_id", "best")
+        .agg(F.min("t").alias("split_t"))
+    )
+    return (
+        pre.join(
+            F.broadcast(best.selectExpr("user_id", "best", "split_t AS t")),
+            ["user_id", "t"],
+        )
+        .filter("score = best")
+        .selectExpr(
+            "user_id",
+            "n AS n_events",
+            "CAST(t AS BIGINT) AS split_t",
+            "us AS split_us",
+            "best AS score_num",
+            mround("CAST(s_run AS DOUBLE) / t / 1000000", 6) + " AS mean_left",
+            mround("CAST(s_all - s_run AS DOUBLE) / (n - t) / 1000000", 6)
+            + " AS mean_right",
+        )
+    )
+
+
+EVENTS_CHANGE_POINT_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {cents('value')} AS vq
+  FROM events WHERE value IS NOT NULL),
+pre AS (
+  SELECT user_id, us,
+         row_number() OVER w AS t,
+         sum(vq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_run,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(vq) OVER (PARTITION BY user_id) AS s_all
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+scored AS (
+  SELECT *, abs(s_run * (n - t) - (s_all - s_run) * t) AS score
+  FROM pre WHERE t < n),
+mx AS (SELECT user_id, max(score) AS best FROM scored GROUP BY user_id),
+best AS (
+  SELECT scored.user_id, best, min(t) AS split_t
+  FROM scored JOIN mx ON scored.user_id = mx.user_id AND scored.score = mx.best
+  GROUP BY scored.user_id, best)
+SELECT scored.user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(split_t AS BIGINT) AS split_t, us AS split_us,
+       CAST(best AS BIGINT) AS score_num,
+       {mround('CAST(s_run AS DOUBLE) / t / 1000000', 6)} AS mean_left,
+       {mround('CAST(s_all - s_run AS DOUBLE) / (n - t) / 1000000', 6)}
+         AS mean_right
+FROM scored
+JOIN best ON scored.user_id = best.user_id AND scored.t = best.split_t
+WHERE scored.score = best.best
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift
+# ---------------------------------------------------------------------------
+
+
+def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order prices between the reference
+    period (< 1998) and the current one — THE industry drift gate for
+    deployed-model inputs (PSI < 0.1 stable / > 0.25 shifted), completing
+    the drift family: chi-square (`diag_distribution_drift`) for
+    categorical, KS (`diag_ks_drift`) for continuous CDFs, PSI for binned
+    share shift. Bins are the reference period's own deciles via
+    :func:`_exact_quantile_disc_cuts` (the distributed exact
+    percentile_disc — never a single-task sort), so the reference lands
+    ~10% per bin by construction and the PSI terms read directly as
+    share migration. Shares are floored at 1e-4 inside the log term (the
+    standard empty-bin guard) and each term is (p-q)*ln(p/q).
+
+    Scale: the cut computation is two linear passes + a pruned fetch; the
+    binning pass is one broadcast of 9 cuts and one 10-group aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = _exact_quantile_disc_cuts(
+        o.filter("o_orderdate < DATE '1998-01-01'"),
+        "o_totalprice",
+        [(k, 10) for k in range(1, 10)],
+    )
+    cuts = spark.createDataFrame(
+        [tuple(vals)], ", ".join(f"c{k} double" for k in range(1, 10))
+    )
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).selectExpr(
+        "CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_ref",
+        f"{bin_expr} AS bin",
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(F.expr("1 - is_ref")).alias("n_cur")
+    )
+    tot = binned.agg(
+        F.sum("is_ref").alias("nr"), F.sum(F.expr("1 - is_ref")).alias("nc")
+    )
+    p = "greatest(CAST(n_ref AS DOUBLE) / nr, 0.0001)"
+    q = "greatest(CAST(n_cur AS DOUBLE) / nc, 0.0001)"
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "n_ref",
+            "n_cur",
+            mround("CAST(n_ref AS DOUBLE) / nr", 6) + " AS p_ref",
+            mround("CAST(n_cur AS DOUBLE) / nc", 6) + " AS p_cur",
+            mround(f"(({p}) - ({q})) * ln(({p}) / ({q}))", 6) + " AS psi_term",
+        )
+    )
+
+
+def _psi_sql() -> str:
+    p = "greatest(CAST(n_ref AS DOUBLE) / nr, 0.0001)"
+    q = "greatest(CAST(n_cur AS DOUBLE) / nc, 0.0001)"
+    return (
+        "WITH ref AS (SELECT o_totalprice FROM orders "
+        "WHERE o_orderdate < DATE '1998-01-01'),\n"
+        "cuts AS (SELECT "
+        + ", ".join(
+            f"quantile_disc(o_totalprice, 0.{k}) AS c{k}" for k in range(1, 10)
+        )
+        + " FROM ref),\nbinned AS (\n  SELECT CASE WHEN o_orderdate < DATE"
+        " '1998-01-01' THEN 1 ELSE 0 END AS is_ref, 1 + "
+        + " + ".join(
+            f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)"
+            for k in range(1, 10)
+        )
+        + """ AS bin
+  FROM orders CROSS JOIN cuts),
+per AS (
+  SELECT bin, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+  FROM binned GROUP BY bin),
+tot AS (SELECT sum(is_ref) AS nr, sum(1 - is_ref) AS nc FROM binned)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       """
+        + mround("CAST(n_ref AS DOUBLE) / nr", 6)
+        + " AS p_ref,\n       "
+        + mround("CAST(n_cur AS DOUBLE) / nc", 6)
+        + " AS p_cur,\n       "
+        + mround(f"(({p}) - ({q})) * ln(({p}) / ({q}))", 6)
+        + """ AS psi_term
+FROM per CROSS JOIN tot
+"""
+    )
+
+
+DIAG_PSI_DRIFT_SQL = _psi_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rolling_mad_flag": QuerySpec(
         window_rolling_mad_flag, WINDOW_ROLLING_MAD_SQL, "window"
@@ -1286,4 +1573,9 @@ QUERIES: dict[str, QuerySpec] = {
     "skyline_pareto_orders": QuerySpec(
         skyline_pareto_orders, SKYLINE_PARETO_SQL, "window"
     ),
+    "diag_ks_drift": QuerySpec(diag_ks_drift, DIAG_KS_DRIFT_SQL, "aggregation"),
+    "events_change_point": QuerySpec(
+        events_change_point, EVENTS_CHANGE_POINT_SQL, "window"
+    ),
+    "diag_psi_drift": QuerySpec(diag_psi_drift, DIAG_PSI_DRIFT_SQL, "aggregation"),
 }
