@@ -698,7 +698,11 @@ def dedup_span_exact(
     fan-out bound + parity-scale no-op are locked by
     ``tests/test_dedup_ops.py``. True suffix-array dedup covers the
     residual case of monster spans built entirely from hot windows."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark,
+        "doc_id",
+    )
     sh = (
         d.selectExpr("doc_id", "source", r"split(trim(lower(text)), '\\s+') AS t")
         .filter(F.size("t") >= SPAN_W)  # sequence(1, 0) would run DESCENDING

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.functions.dedup import DEDUP_SPAN_SQL
 from tmapreduce_spark.parity import mavg, mround, mround_col
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 
 def charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,7 +799,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram)), and the per-doc rollup is a second tiny shuffle keyed on doc_id.
     At 100 TB this is the same two-shuffle shape as wordcount — no windows,
     no arrays shipped between stages."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
     toks = d.selectExpr(
         "doc_id", r"split(trim(lower(text)), '\\s+') AS t"
     ).filter(F.size("t") >= 3)

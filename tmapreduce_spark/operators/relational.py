@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import DUCK, SPARK, cents, mavg, mround, msum2
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -2383,7 +2383,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     popularity; per-part order counts ride in as one broadcast aggregate.
     The (a, b) groupBy partial-aggregates; a hot pair is still one
     reducer key with a scalar state."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        spark,
+        "l_orderkey",
+    )
     # ONE basket aggregation feeds pairs, per-part counts, and the order
     # total: the three consumers share an identical subtree rooted at the
     # l_orderkey exchange, which AQE dedupes at runtime (post-execution
