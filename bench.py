@@ -189,6 +189,11 @@ HEADLINE = [
     "events_change_point",
     "dedup_winnowing_fingerprint",
     "pipeline_mix_temperature",
+    "agg_mann_whitney",
+    "events_growth_accounting",
+    "dedup_winnowing_pairs",
+    "pipeline_dedup_rate_curve",
+    "text_lexical_diversity",
 ]
 
 

@@ -1910,6 +1910,18 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram array. At 100 TB this is the cheapest possible shape — the
     expensive cross-doc step would band on fp values downstream, fanned
     out by bucket exactly like the MinHash band join."""
+    return _winnow_selected(spark, sf_dir).selectExpr(
+        "doc_id",
+        "n_kgrams",
+        "CAST(size(array_distinct(wmins)) AS BIGINT) AS n_fp",
+        "md5(array_join(array_sort(array_distinct(wmins)), ',')) AS fp_md5",
+    )
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kgrams, wmins) — the per-window winnowing minima, shared
+    by the per-doc fingerprint digest and the cross-doc pair matcher so
+    the window geometry can't drift between them."""
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark,
@@ -1920,18 +1932,12 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"transform({_SHINGLES_SPARK_TOKS}, s -> {_h60_spark('s')}) AS hs",
     )
-    wins = hs.selectExpr(
+    return hs.selectExpr(
         "doc_id",
         "CAST(size(hs) AS BIGINT) AS n_kgrams",
         f"CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
         f"ELSE transform(sequence(0, greatest(size(hs) - {WINNOW_W}, 0)), "
         f"i -> array_min(slice(hs, i + 1, {WINNOW_W}))) END AS wmins",
-    )
-    return wins.selectExpr(
-        "doc_id",
-        "n_kgrams",
-        "CAST(size(array_distinct(wmins)) AS BIGINT) AS n_fp",
-        "md5(array_join(array_sort(array_distinct(wmins)), ',')) AS fp_md5",
     )
 
 
@@ -1954,9 +1960,141 @@ FROM w
 """
 
 
+WINNOW_FP_CAP = 50  # a fingerprint in more docs than this is boilerplate
+WINNOW_MIN_SHARED = 2  # pairs need >= 2 shared fingerprints (noise floor)
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc matcher over winnowing fingerprints: pairs sharing >=
+    WINNOW_MIN_SHARED selected k-gram minima, with the shared count as the
+    match strength — the plagiarism/mirror detector the per-doc
+    `dedup_winnowing_fingerprint` sketch exists to feed, completing the
+    family the same way simhash/minhash go signature -> pairs.
+
+    Scale: the SAME in-group pair emission as every other matcher here —
+    fingerprints shared by more than WINNOW_FP_CAP docs are boilerplate
+    and are dropped BEFORE pair generation (the `SPAN_OCC_CAP` /
+    stop-shingle precedent), so fan-out is bounded by cap^2 per
+    fingerprint, never document frequency; one (fp) shuffle, one pair
+    groupBy."""
+    rows = _winnow_selected(spark, sf_dir).selectExpr(
+        "doc_id", "explode(array_distinct(wmins)) AS fp"
+    )
+    groups = (
+        rows.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= WINNOW_FP_CAP))
+    )
+    return (
+        groups.select(F.explode(F.expr(_pairs_expr("docs"))).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+        .selectExpr("doc_a", "doc_b", "n_shared_fp")
+    )
+
+
+DEDUP_WINNOWING_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS kgs FROM documents),
+h AS (
+  SELECT doc_id, list_transform(kgs, s -> {_h60_duck('s')}) AS hs FROM t),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(0, greatest(len(hs) - {WINNOW_W}, 0) + 1),
+                                  i -> list_aggregate(hs[i + 1 : i + {WINNOW_W}], 'min'))
+         END AS wmins
+  FROM h),
+fps AS (SELECT doc_id, unnest(list_distinct(wmins)) AS fp FROM w),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {WINNOW_FP_CAP}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+  FROM fps a
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN ok ON ok.fp = a.fp
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_shared_fp AS BIGINT) AS n_shared_fp
+FROM pairs WHERE n_shared_fp >= {WINNOW_MIN_SHARED}
+"""
+
+
+def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate-vs-threshold curve: for each Jaccard cut 0.5..0.9, the
+    verified near-dup pairs kept, distinct docs flagged, and the corpus
+    fraction that would be removed — the table you read BEFORE committing
+    to a similarity threshold (RefinedWeb/Dolma tune exactly this knob).
+    Thresholds compare on the integer millionth grid the jaccard is
+    already rounded to, so 0.6's inexact binary representation can never
+    flip a boundary pair.
+
+    Scale: the verified-pairs pipeline runs ONCE (its own bounded lineage);
+    the curve on top is a 5-row broadcast cross join and one threshold
+    groupBy over the pair set."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).selectExpr(
+        "doc_b", "CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS jq"
+    )
+    th = spark.createDataFrame([(t,) for t in range(5, 10)], "t long")
+    tot = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs_total"))
+    )
+    hits = (
+        pairs.crossJoin(F.broadcast(th))
+        .filter("jq >= t * 100000")
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_flagged"),
+        )
+    )
+    return (
+        th.join(hits, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            mround("CAST(t AS DOUBLE) / 10", 1) + " AS threshold",
+            "coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs",
+            "coalesce(n_docs_flagged, CAST(0 AS BIGINT)) AS n_docs_flagged",
+            mround(
+                "CAST(coalesce(n_docs_flagged, 0) AS DOUBLE) / n_docs_total", 6
+            )
+            + " AS flagged_frac",
+        )
+    )
+
+
+PIPELINE_DEDUP_RATE_SQL = (
+    "WITH pairs AS (SELECT doc_b, CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"
+    " AS jq FROM ("
+    + DEDUP_MINHASH_PAIRS_SQL
+    + f"""
+) raw),
+th AS (SELECT unnest(range(5, 10)) AS t),
+tot AS (SELECT count(*) AS n_docs_total FROM documents),
+hits AS (
+  SELECT t, count(*) AS n_pairs, count(DISTINCT doc_b) AS n_docs_flagged
+  FROM pairs CROSS JOIN th WHERE jq >= t * 100000 GROUP BY t)
+SELECT {mround('CAST(th.t AS DOUBLE) / 10', 1)} AS threshold,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+       {mround('CAST(coalesce(n_docs_flagged, 0) AS DOUBLE) / n_docs_total', 6)}
+         AS flagged_frac
+FROM th LEFT JOIN hits ON th.t = hits.t CROSS JOIN tot
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_winnowing_fingerprint": QuerySpec(
         dedup_winnowing_fingerprint, DEDUP_WINNOWING_SQL, "dedup"
+    ),
+    "dedup_winnowing_pairs": QuerySpec(
+        dedup_winnowing_pairs, DEDUP_WINNOWING_PAIRS_SQL, "dedup"
+    ),
+    "pipeline_dedup_rate_curve": QuerySpec(
+        pipeline_dedup_rate_curve, PIPELINE_DEDUP_RATE_SQL, "pipeline"
     ),
     "text_novelty_score": QuerySpec(text_novelty_score, _novelty_sql(), "dedup"),
     "dedup_methods_overlap": QuerySpec(

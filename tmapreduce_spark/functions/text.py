@@ -2439,9 +2439,76 @@ FROM t CROSS JOIN den
 """
 
 
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio, hapax fraction
+    (types occurring once — Zipf tail share), and top-token concentration
+    — the vocabulary-health triple behind template/spam detection (a
+    generated doc shows low TTR + high top-token share; a keyword-stuffed
+    one shows the inverse hapax signature). Exact integer counting, one
+    division chain at the surface.
+
+    Scale: the wordcount shape — (doc, token) partial-agg then a per-doc
+    rollup; both shuffles key on doc_id (the spread exchange double-serves
+    the first), nothing ships arrays."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
+    per_tok = (
+        d.selectExpr(
+            "doc_id", r"explode(split(trim(lower(text)), '\\s+')) AS tok"
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("n_hapax"),
+            F.max("c").alias("top_c"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            mround("CAST(n_types AS DOUBLE) / n_tokens", 6) + " AS ttr",
+            mround("CAST(n_hapax AS DOUBLE) / n_types", 6) + " AS hapax_frac",
+            mround("CAST(top_c AS DOUBLE) / n_tokens", 6) + " AS top_token_frac",
+        )
+    )
+
+
+TEXT_LEXICAL_DIVERSITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+per_tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax, max(c) AS top_c
+  FROM per_tok GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types, CAST(n_hapax AS BIGINT) AS n_hapax,
+       {mround('CAST(n_types AS DOUBLE) / n_tokens', 6)} AS ttr,
+       {mround('CAST(n_hapax AS DOUBLE) / n_types', 6)} AS hapax_frac,
+       {mround('CAST(top_c AS DOUBLE) / n_tokens', 6)} AS top_token_frac
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
+    ),
+    "text_lexical_diversity": QuerySpec(
+        text_lexical_diversity, TEXT_LEXICAL_DIVERSITY_SQL, "text"
     ),
     "text_nucleus_vocab": QuerySpec(text_nucleus_vocab, TEXT_NUCLEUS_SQL, "text"),
     "text_vocab_oov_rate": QuerySpec(text_vocab_oov_rate, TEXT_VOCAB_OOV_SQL, "text"),

@@ -1238,23 +1238,16 @@ FROM per_cust GROUP BY cohort_month
 _KS_BUCKET_MICROS = 500_000  # prefix-sum bucket width on the value-micros axis
 
 
-def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT two-sample Kolmogorov-Smirnov statistic between the `click`
-    and `purchase` value distributions — the standard continuous-drift test
-    (chi-square `diag_distribution_drift` needs binning; KS compares the
-    full CDFs). D = max over x of |F_a(x) - F_b(x)|, reported with the
-    value where the gap peaks (earliest on ties) and the exact integer
-    numerator max|C_a*N_b - C_b*N_a| so no float compare ever picks the
-    argmax.
-
-    Scale: per-value counts partial-aggregate (one shuffle on the money
-    grid); the global running CDF uses TWO-LEVEL prefix sums — per-bucket
-    totals (bucket table bounded by the VALUE RANGE / 0.5-unit width,
-    independent of row count) feed exclusive offsets, and the in-bucket
-    running sums are a window PARTITIONED by bucket, so no single task
-    ever sees the whole axis. The only unpartitioned window runs over the
-    tiny bucket table. Int64 holds C*N to ~3e9 rows per side; past that
-    swap the products to DECIMAL — the argmax logic is unchanged."""
+def _two_sample_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared two-sample rank machinery for `diag_ks_drift` and
+    `agg_mann_whitney`: per distinct value-micros, the per-sample counts
+    (c1 = click, c2 = purchase) and INCLUSIVE cumulative counts (ca, cb)
+    over the global value order, plus the sample totals (n1, n2) — all
+    exact integers. The global cumulative uses TWO-LEVEL prefix sums:
+    per-bucket totals (bucket table bounded by the VALUE RANGE / width,
+    independent of row count) feed exclusive offsets; in-bucket running
+    sums are a window PARTITIONED by bucket — no single task ever sees
+    the whole axis."""
     e = load_table(spark, sf_dir, "events")
     s = e.filter(
         "event_type IN ('click', 'purchase') AND value IS NOT NULL"
@@ -1278,15 +1271,38 @@ def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = s.agg(F.sum("is_a").alias("n1"), F.sum(F.expr("1 - is_a")).alias("n2"))
-    scored = (
+    return (
         pv.join(F.broadcast(off), "bk")
         .select(
             "vq",
+            "c1",
+            "c2",
             (F.col("o1") + F.sum("c1").over(wv)).alias("ca"),
             (F.col("o2") + F.sum("c2").over(wv)).alias("cb"),
         )
         .crossJoin(F.broadcast(tot))
-        .selectExpr("vq", "n1", "n2", "abs(ca * n2 - cb * n1) AS d_num")
+    )
+
+
+def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the `click`
+    and `purchase` value distributions — the standard continuous-drift test
+    (chi-square `diag_distribution_drift` needs binning; KS compares the
+    full CDFs). D = max over x of |F_a(x) - F_b(x)|, reported with the
+    value where the gap peaks (earliest on ties) and the exact integer
+    numerator max|C_a*N_b - C_b*N_a| so no float compare ever picks the
+    argmax.
+
+    Scale: per-value counts partial-aggregate (one shuffle on the money
+    grid); the global running CDF uses TWO-LEVEL prefix sums — per-bucket
+    totals (bucket table bounded by the VALUE RANGE / 0.5-unit width,
+    independent of row count) feed exclusive offsets, and the in-bucket
+    running sums are a window PARTITIONED by bucket, so no single task
+    ever sees the whole axis. The only unpartitioned window runs over the
+    tiny bucket table. Int64 holds C*N to ~3e9 rows per side; past that
+    swap the products to DECIMAL — the argmax logic is unchanged."""
+    scored = _two_sample_cum(spark, sf_dir).selectExpr(
+        "vq", "n1", "n2", "abs(ca * n2 - cb * n1) AS d_num"
     )
     mx = scored.groupBy("n1", "n2").agg(F.max("d_num").alias("ks_num"))
     return (
@@ -1325,6 +1341,160 @@ SELECT CAST(mx.n1 AS BIGINT) AS n_click, CAST(mx.n2 AS BIGINT) AS n_purchase,
 FROM scored
 JOIN mx ON scored.n1 = mx.n1 AND scored.n2 = mx.n2 AND scored.d_num = mx.ks_num
 GROUP BY mx.n1, mx.n2, mx.ks_num
+"""
+
+
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann-Whitney U between the `click` and `purchase` value
+    samples — the rank-based location test that completes the drift family
+    (chi-square: categorical; KS: CDF shape; PSI: binned shares; MW:
+    stochastic dominance), and, via U/(n1*n2), the exact AUC of
+    "does a random click value exceed a random purchase value". Ties get
+    average ranks; everything stays INTEGER by carrying 2x the rank sum
+    (avg tied rank = C_before + (cnt+1)/2, so 2*R1 = sum over values of
+    c1 * (2*C_before + cnt + 1) — exact, reduction-order-free).
+
+    Scale: rides :func:`_two_sample_cum`'s two-level prefix sums — one
+    value-grid aggregate, bucket-partitioned windows, a broadcast totals
+    row. Int64 holds 2R1 to ~2e9 rows per side; DECIMAL swap beyond."""
+    cum = _two_sample_cum(spark, sf_dir)
+    return (
+        cum.selectExpr(
+            "n1",
+            "n2",
+            # C_before over the COMBINED sample = inclusive cum minus own counts
+            "c1 * (2 * ((ca + cb) - (c1 + c2)) + (c1 + c2) + 1) AS r1_x2_part",
+        )
+        .groupBy("n1", "n2")
+        .agg(F.sum("r1_x2_part").alias("r1_x2"))
+        .selectExpr(
+            "n1 AS n_click",
+            "n2 AS n_purchase",
+            "r1_x2",
+            "r1_x2 - n1 * (n1 + 1) AS u1_x2",
+            mround("CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 / (n1 * n2)", 6)
+            + " AS auc_click_gt",
+        )
+    )
+
+
+AGG_MANN_WHITNEY_SQL = f"""
+WITH s AS (
+  SELECT {cents('value')} AS vq,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+tot AS (SELECT sum(is_a) AS n1, sum(1 - is_a) AS n2 FROM s),
+pv AS (SELECT vq, sum(is_a) AS c1, sum(1 - is_a) AS c2 FROM s GROUP BY vq),
+cum AS (
+  SELECT vq, c1, c2,
+         sum(c1) OVER (ORDER BY vq) AS ca, sum(c2) OVER (ORDER BY vq) AS cb
+  FROM pv),
+r AS (
+  SELECT n1, n2,
+         sum(c1 * (2 * ((ca + cb) - (c1 + c2)) + (c1 + c2) + 1)) AS r1_x2
+  FROM cum CROSS JOIN tot GROUP BY n1, n2)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       CAST(r1_x2 AS BIGINT) AS r1_x2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       {mround('CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 / (n1 * n2)', 6)}
+         AS auc_click_gt
+FROM r
+"""
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital "accounting for growth"
+    framework): every active user-week is classified NEW (first-ever week),
+    RETAINED (also active the previous week), or RESURRECTED (active
+    before, but not last week); per week the three counts plus CHURNED
+    (active last week, silent this week) — the decomposition that tells you
+    whether growth is acquisition or retention. Week = epoch-day div 7
+    (pure integer arithmetic, no engine week() conventions).
+
+    Scale: one (user, week) distinct aggregate, then lag()/min() windows
+    PARTITIONED per user (bounded by the calendar, not events), and a
+    week-keyed final rollup. Churn emits from the same per-user window as
+    a +1 on week+1, unioned before the rollup — two linear passes, no
+    self-join."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.selectExpr("user_id", "CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS d")
+        .selectExpr("user_id", "d div 7 AS wk")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lab = (
+        uw.withColumn("first_wk", F.min("wk").over(Window.partitionBy("user_id")))
+        .withColumn("prev_wk", F.lag("wk").over(w))
+        .selectExpr(
+            "user_id",
+            "wk",
+            "CASE WHEN wk = first_wk THEN 'new' "
+            "WHEN prev_wk = wk - 1 THEN 'retained' "
+            "ELSE 'resurrected' END AS status",
+            "lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk",
+        )
+    )
+    active = lab.groupBy("wk").agg(
+        F.sum(F.expr("CASE WHEN status = 'new' THEN 1 ELSE 0 END")).alias("n_new"),
+        F.sum(F.expr("CASE WHEN status = 'retained' THEN 1 ELSE 0 END")).alias(
+            "n_retained"
+        ),
+        F.sum(F.expr("CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END")).alias(
+            "n_resurrected"
+        ),
+    )
+    max_wk = uw.agg(F.max("wk").alias("mw"))
+    churn = (
+        lab.crossJoin(F.broadcast(max_wk))
+        .filter("(next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= mw")
+        .selectExpr("wk + 1 AS wk")
+        .groupBy("wk")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "wk", "left")
+        .selectExpr(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "coalesce(n_churned, CAST(0 AS BIGINT)) AS n_churned",
+        )
+    )
+
+
+EVENTS_GROWTH_ACCOUNTING_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) // 7 AS wk
+  FROM events),
+lab AS (
+  SELECT user_id, wk,
+         CASE WHEN wk = min(wk) OVER (PARTITION BY user_id) THEN 'new'
+              WHEN lag(wk) OVER w = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status,
+         lead(wk) OVER w AS next_wk
+  FROM uw
+  WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+active AS (
+  SELECT wk,
+         sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM lab GROUP BY wk),
+mx AS (SELECT max(wk) AS mw FROM uw),
+churn AS (
+  SELECT wk + 1 AS wk, count(*) AS n_churned
+  FROM lab CROSS JOIN mx
+  WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= mw
+  GROUP BY wk + 1)
+SELECT CAST(active.wk AS BIGINT) AS wk, CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_retained AS BIGINT) AS n_retained,
+       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+FROM active LEFT JOIN churn ON active.wk = churn.wk
 """
 
 
@@ -1578,4 +1748,10 @@ QUERIES: dict[str, QuerySpec] = {
         events_change_point, EVENTS_CHANGE_POINT_SQL, "window"
     ),
     "diag_psi_drift": QuerySpec(diag_psi_drift, DIAG_PSI_DRIFT_SQL, "aggregation"),
+    "agg_mann_whitney": QuerySpec(
+        agg_mann_whitney, AGG_MANN_WHITNEY_SQL, "aggregation"
+    ),
+    "events_growth_accounting": QuerySpec(
+        events_growth_accounting, EVENTS_GROWTH_ACCOUNTING_SQL, "time-window"
+    ),
 }
