@@ -194,6 +194,10 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "pipeline_dedup_rate_curve",
     "text_lexical_diversity",
+    "events_bot_score",
+    "diag_null_profile",
+    "text_zipf_fit",
+    "embedding_pq_distortion",
 ]
 
 

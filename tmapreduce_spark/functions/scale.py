@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
-from tmapreduce_spark.parity import DUCK, SPARK, msum2
+from tmapreduce_spark.parity import DUCK, SPARK, mround, msum2
 from tmapreduce_spark.functions.similarity import (
     N_PLANES,
     QUANT,
@@ -32,7 +32,7 @@ from tmapreduce_spark.functions.similarity import (
     collect_query_model,
     topk_ranked,
 )
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 from tmapreduce_spark.functions.similarity import N_QUERIES as ANN_QUERIES
 
@@ -1195,3 +1195,105 @@ GROUP BY vec_b
 
 
 QUERIES["dedup_semdedup"] = QuerySpec(dedup_semdedup, DEDUP_SEMDEDUP_SQL, "dedup")
+
+
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-distortion audit: per vector, the exact int64
+    squared error between the vector and its product-quantized
+    reconstruction (same PQ_M x PQ_K codebook and argmin encoding as
+    `ann_pq_topk`), plus the relative error sqrt(err)/|v| — the number
+    that tells you whether PQ_M/PQ_K are adequate BEFORE you deploy the
+    compressed index (the recall loss ann_pq_topk shows is this
+    distortion surfacing downstream). Companion of
+    `embedding_quantize_int8`'s scalar-quantization audit.
+
+    Determinism: per-subspace min of exact int64 L2² (no tie-break needed
+    — only the min enters), one sqrt-ratio division chain at the surface
+    (IEEE sqrt is correctly rounded, so both engines agree bit-for-bit).
+
+    Scale: ONE Arrow-batched linear pass with the tiny codebook in the
+    closure; no shuffle at all. The audit reads original vectors (it
+    measures the encoder), so it runs where vectors already live —
+    typically sampled in production; the exact form here is the oracle's
+    definition."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_rows = e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    CB = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cb_rows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    dim = CB.shape[1]
+    dm = dim // PQ_M
+    subcb = [CB[:, m * dm : (m + 1) * dm] for m in range(PQ_M)]
+    sub_n2 = [np.einsum("ij,ij->i", c, c) for c in subcb]
+
+    def dist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+                + 0.5
+            ).astype(np.int64)
+            vn2 = np.einsum("ij,ij->i", V, V)
+            err2 = np.zeros(len(V), dtype=np.int64)
+            for m in range(PQ_M):
+                Vm = V[:, m * dm : (m + 1) * dm]
+                d2 = (
+                    np.einsum("ij,ij->i", Vm, Vm)[:, None]
+                    - 2 * (Vm @ subcb[m].T)
+                    + sub_n2[m][None, :]
+                )
+                err2 += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype("int64"),
+                    "err2": err2,
+                    "vn2": vn2,
+                }
+            )
+
+    out = spread(e, spark).mapInPandas(dist, "vec_id bigint, err2 bigint, vn2 bigint")
+    return out.selectExpr(
+        "vec_id",
+        "err2",
+        "vn2",
+        mround(
+            "CASE WHEN vn2 = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE sqrt(CAST(err2 AS DOUBLE)) / sqrt(CAST(vn2 AS DOUBLE)) END",
+            6,
+        )
+        + " AS rel_err",
+    )
+
+
+def _pq_distortion_sql() -> str:
+    dm = 16  # dim 64 / PQ_M 4 — pins the testdata dimensionality like _pq_sql
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, {dm} + 1), "
+        "i -> (v.qe[{off} + i] - cb.cb_qe[{off} + i])"
+        " * (v.qe[{off} + i] - cb.cb_qe[{off} + i]))) AS BIGINT)"
+    ).format(dm=dm, off=f"s.m * {dm}")
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+sub AS (SELECT m FROM (VALUES (0), (1), (2), (3)) t(m)),
+cb AS (SELECT vec_id AS c, qe AS cb_qe FROM v WHERE vec_id < {PQ_K}),
+dist AS (
+  SELECT v.vec_id, s.m, {d2} AS d2
+  FROM v CROSS JOIN sub s CROSS JOIN cb),
+best AS (SELECT vec_id, m, min(d2) AS md2 FROM dist GROUP BY vec_id, m),
+err AS (SELECT vec_id, CAST(sum(md2) AS BIGINT) AS err2 FROM best GROUP BY vec_id),
+n2 AS (SELECT vec_id, CAST({_qdot_duck('qe', 'qe')} AS BIGINT) AS vn2 FROM v)
+SELECT n2.vec_id, err2, vn2,
+       {mround('CASE WHEN vn2 = 0 THEN CAST(0 AS DOUBLE) ELSE sqrt(CAST(err2 AS DOUBLE)) / sqrt(CAST(vn2 AS DOUBLE)) END', 6)}
+         AS rel_err
+FROM err JOIN n2 ON err.vec_id = n2.vec_id
+"""
+
+
+QUERIES["embedding_pq_distortion"] = QuerySpec(
+    embedding_pq_distortion, _pq_distortion_sql(), "similarity"
+)

@@ -2503,6 +2503,106 @@ FROM agg
 """
 
 
+ZIPF_K = 500  # vocabulary head the power law is fit over
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus vocabulary head: OLS of ln(freq)
+    on ln(rank) for the top-ZIPF_K tokens — slope ≈ −1 is the natural-text
+    signature; a flat slope flags template/boilerplate corpora and a steep
+    one flags vocabulary collapse (the corpus-health scalar next to
+    `text_lexical_diversity`'s per-doc triple). Reported with intercept
+    and R² of the log-log fit.
+
+    Determinism: the five OLS moment sums fold over the 500 points in
+    RANK order via an array accumulator on BOTH engines (DuckDB's
+    list_reduce mis-evaluates struct accumulators and seeds with the first
+    element — 0+x == x makes the Spark zero-seed fold IEEE-identical);
+    per-point ln() is one call on identical doubles.
+
+    Scale: the vocabulary count partial-aggregates; TakeOrdered keeps
+    ZIPF_K rows; everything after is model-side (a 500-element array on
+    one row)."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
+    counts = (
+        d.selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS tok")
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(ZIPF_K)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).selectExpr(
+        "rank",
+        "ln(CAST(rank AS DOUBLE)) AS x",
+        "ln(CAST(c AS DOUBLE)) AS y",
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(named_struct("
+        "'r', rank, 'x', x, 'y', y))), s -> array(CAST(1 AS DOUBLE), s.x, s.y,"
+        " s.x * s.x, s.x * s.y, s.y * s.y)), "
+        "array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),"
+        " CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)), "
+        "(acc, v) -> array(acc[0] + v[0], acc[1] + v[1], acc[2] + v[2],"
+        " acc[3] + v[3], acc[4] + v[4], acc[5] + v[5]))"
+    )
+    return ranked.agg(F.expr(fold).alias("m")).selectExpr(
+        "CAST(m[0] AS BIGINT) AS n_points",
+        mround(
+            "(m[0] * m[4] - m[1] * m[2]) / (m[0] * m[3] - m[1] * m[1])", 6
+        )
+        + " AS slope",
+        mround(
+            "(m[2] - ((m[0] * m[4] - m[1] * m[2]) / (m[0] * m[3] - m[1] * m[1]))"
+            " * m[1]) / m[0]",
+            6,
+        )
+        + " AS intercept",
+        mround(
+            "((m[0] * m[4] - m[1] * m[2]) * (m[0] * m[4] - m[1] * m[2]))"
+            " / ((m[0] * m[3] - m[1] * m[1]) * (m[0] * m[5] - m[2] * m[2]))",
+            6,
+        )
+        + " AS r2",
+    )
+
+
+TEXT_ZIPF_FIT_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+counts AS (
+  SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {ZIPF_K}),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, tok) AS rank, c FROM top),
+pts AS (
+  SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked),
+m AS (
+  SELECT list_reduce(
+           list_transform(list_sort(list({{'r': rank, 'x': x, 'y': y}})),
+                          s -> [CAST(1 AS DOUBLE), s.x, s.y, s.x * s.x,
+                                s.x * s.y, s.y * s.y]),
+           (acc, v) -> [acc[1] + v[1], acc[2] + v[2], acc[3] + v[3],
+                        acc[4] + v[4], acc[5] + v[5], acc[6] + v[6]]) AS m
+  FROM pts)
+SELECT CAST(m[1] AS BIGINT) AS n_points,
+       {mround('(m[1] * m[5] - m[2] * m[3]) / (m[1] * m[4] - m[2] * m[2])', 6)}
+         AS slope,
+       {mround('(m[3] - ((m[1] * m[5] - m[2] * m[3]) / (m[1] * m[4] - m[2] * m[2])) * m[2]) / m[1]', 6)}
+         AS intercept,
+       {mround('((m[1] * m[5] - m[2] * m[3]) * (m[1] * m[5] - m[2] * m[3])) / ((m[1] * m[4] - m[2] * m[2]) * (m[1] * m[6] - m[3] * m[3]))', 6)}
+         AS r2
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
@@ -2510,6 +2610,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lexical_diversity": QuerySpec(
         text_lexical_diversity, TEXT_LEXICAL_DIVERSITY_SQL, "text"
     ),
+    "text_zipf_fit": QuerySpec(text_zipf_fit, TEXT_ZIPF_FIT_SQL, "text"),
     "text_nucleus_vocab": QuerySpec(text_nucleus_vocab, TEXT_NUCLEUS_SQL, "text"),
     "text_vocab_oov_rate": QuerySpec(text_vocab_oov_rate, TEXT_VOCAB_OOV_SQL, "text"),
     "pipeline_importance_weights": QuerySpec(

@@ -1592,6 +1592,202 @@ WHERE scored.score = best.best
 """
 
 
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot/automation score per user — the three behavioral
+    signatures fused into one pass: machine-regular cadence (gap CV² low,
+    cf. `events_gap_burstiness`), low action diversity (Simpson, cf.
+    `events_type_diversity`), and abnormal rate (events per active day).
+    Every FLAG comparison is cross-multiplied to exact integers (CV² < 1/2
+    ⟺ 2(n·S2 − S²) < S², Simpson < 3/10 ⟺ 10(n² − Σc²) < 3n², rate > 20
+    ⟺ n > 20·days), so no float threshold ever flips between engines; the
+    displayed metrics are the usual one-division mrounds.
+
+    Scale: gap moments ride the lag() window and its groupBy on ONE
+    user_id shuffle; type counts are a (user, type) partial agg rolled up
+    and broadcast back (per-user output is cluster-small). The flags are
+    pure arithmetic on the joined feature row — the feature-store + rule
+    pattern, no extra scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = e.selectExpr(
+        "user_id", "event_id", "event_type", "unix_micros(ts) AS us"
+    )
+    gaps = base.withColumn("prev", F.lag("us").over(w)).selectExpr(
+        "user_id",
+        "us",
+        "CASE WHEN prev IS NULL THEN NULL ELSE (us - prev) div 1000000 END AS g",
+    )
+    feat = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("g").alias("n_g"),
+        F.sum("g").alias("s1"),
+        F.sum(F.expr("g * g")).alias("s2"),
+        F.countDistinct(F.expr("us div 86400000000")).alias("n_days"),
+    )
+    tc = (
+        base.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("c * c")).alias("sum_c2"))
+    )
+    return (
+        feat.join(F.broadcast(tc), "user_id")
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "n_days",
+            mround(
+                "CASE WHEN n_g >= 2 AND s1 > 0 THEN "
+                "CAST(n_g * s2 - s1 * s1 AS DOUBLE) / (s1 * s1) "
+                "ELSE CAST(NULL AS DOUBLE) END",
+                6,
+            )
+            + " AS gap_cv2",
+            mround(
+                "CAST(n_events * n_events - sum_c2 AS DOUBLE)"
+                " / (n_events * n_events)",
+                6,
+            )
+            + " AS simpson",
+            mround("CAST(n_events AS DOUBLE) / n_days", 6) + " AS per_day",
+            "CASE WHEN n_g >= 5 AND s1 > 0 AND 2 * (n_g * s2 - s1 * s1)"
+            " < s1 * s1 THEN 1 ELSE 0 END AS flag_regular",
+            "CASE WHEN 10 * (n_events * n_events - sum_c2)"
+            " < 3 * n_events * n_events THEN 1 ELSE 0 END AS flag_monotone",
+            "CASE WHEN n_events > 20 * n_days THEN 1 ELSE 0 END AS flag_rate",
+        )
+        .selectExpr(
+            "*",
+            "CAST(flag_regular + flag_monotone + flag_rate AS BIGINT)"
+            " AS bot_score",
+        )
+    )
+
+
+EVENTS_BOT_SCORE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+gaps AS (
+  SELECT user_id, us,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+           // 1000000 AS g
+  FROM base),
+feat AS (
+  SELECT user_id, count(*) AS n_events, count(g) AS n_g,
+         sum(g) AS s1, sum(g * g) AS s2,
+         count(DISTINCT us // 86400000000) AS n_days
+  FROM gaps GROUP BY user_id),
+tc AS (
+  SELECT user_id, sum(c * c) AS sum_c2 FROM (
+    SELECT user_id, event_type, count(*) AS c
+    FROM base GROUP BY user_id, event_type) t
+  GROUP BY user_id)
+SELECT feat.user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_days AS BIGINT) AS n_days,
+       floor((CASE WHEN n_g >= 2 AND s1 > 0
+              THEN CAST(n_g * s2 - s1 * s1 AS DOUBLE) / (s1 * s1)
+              ELSE CAST(NULL AS DOUBLE) END) * 1000000 + 0.5) / 1000000
+         AS gap_cv2,
+       floor((CAST(n_events * n_events - sum_c2 AS DOUBLE)
+              / (n_events * n_events)) * 1000000 + 0.5) / 1000000 AS simpson,
+       floor((CAST(n_events AS DOUBLE) / n_days) * 1000000 + 0.5) / 1000000
+         AS per_day,
+       CASE WHEN n_g >= 5 AND s1 > 0 AND 2 * (n_g * s2 - s1 * s1) < s1 * s1
+            THEN 1 ELSE 0 END AS flag_regular,
+       CASE WHEN 10 * (n_events * n_events - sum_c2)
+            < 3 * n_events * n_events THEN 1 ELSE 0 END AS flag_monotone,
+       CASE WHEN n_events > 20 * n_days THEN 1 ELSE 0 END AS flag_rate,
+       CAST((CASE WHEN n_g >= 5 AND s1 > 0 AND 2 * (n_g * s2 - s1 * s1)
+                  < s1 * s1 THEN 1 ELSE 0 END)
+            + (CASE WHEN 10 * (n_events * n_events - sum_c2)
+                    < 3 * n_events * n_events THEN 1 ELSE 0 END)
+            + (CASE WHEN n_events > 20 * n_days THEN 1 ELSE 0 END) AS BIGINT)
+         AS bot_score
+FROM feat JOIN tc ON feat.user_id = tc.user_id
+"""
+
+
+_NULL_PROFILE_COLS: dict[str, list[str]] = {
+    "events": ["event_id", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"],
+}
+
+
+def diag_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table completeness census: per (table, column), row count,
+    NULL count, and null fraction over a fixed schema manifest — the
+    third leg of the data-quality family (`diag_pk_uniqueness` audits
+    keys, `diag_referential_orphans` audits edges, this audits VALUES).
+    The first gate before imputation/COALESCE decisions: a column that
+    silently went 40% NULL after an upstream change shows here before any
+    aggregate silently absorbs it.
+
+    Scale: one pruned-column scan per table, each a single conditional-sum
+    aggregate (no shuffle beyond the 1-row agg); output rows = manifest
+    size."""
+    parts = []
+    for tbl, cols in _NULL_PROFILE_COLS.items():
+        t = load_table(spark, sf_dir, tbl)
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.expr(f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END")).alias(
+                    f"null_{c}"
+                )
+                for c in cols
+            ],
+        )
+        stack = ", ".join(f"'{c}', null_{c}" for c in cols)
+        parts.append(
+            agg.selectExpr(
+                f"'{tbl}' AS table_name",
+                "n_rows",
+                f"stack({len(cols)}, {stack}) AS (column_name, n_null)",
+            ).selectExpr(
+                "table_name",
+                "column_name",
+                "n_rows",
+                "n_null",
+                mround("CAST(n_null AS DOUBLE) / n_rows", 6) + " AS null_frac",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _null_profile_sql() -> str:
+    selects = []
+    for tbl, cols in _NULL_PROFILE_COLS.items():
+        for c in cols:
+            selects.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column_name, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_null, "
+                + mround(
+                    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                    " AS DOUBLE) / count(*)",
+                    6,
+                )
+                + f" AS null_frac FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+DIAG_NULL_PROFILE_SQL = _null_profile_sql()
+
+
 # ---------------------------------------------------------------------------
 # Population Stability Index drift
 # ---------------------------------------------------------------------------
@@ -1753,5 +1949,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_growth_accounting": QuerySpec(
         events_growth_accounting, EVENTS_GROWTH_ACCOUNTING_SQL, "time-window"
+    ),
+    "events_bot_score": QuerySpec(
+        events_bot_score, EVENTS_BOT_SCORE_SQL, "time-window"
+    ),
+    "diag_null_profile": QuerySpec(
+        diag_null_profile, DIAG_NULL_PROFILE_SQL, "aggregation"
     ),
 }
