@@ -198,6 +198,8 @@ HEADLINE = [
     "diag_null_profile",
     "text_zipf_fit",
     "embedding_pq_distortion",
+    "events_sessionized_funnel",
+    "mr_sort",
 ]
 
 

@@ -312,3 +312,17 @@ def test_gateway_error_paths(spark):
         job_id = body["job_id"]
         status, body = _http("GET", gw.port, f"/getresult?job_id={job_id}&token=bad")
         assert status == 500 and "wrong token" in body["message"]
+
+
+def test_mr_sort_output_globally_key_ordered(spark):
+    """The distributed-sort canonical program: with identity map/reduce the
+    FRAMEWORK's key-sort contract alone must produce globally ordered
+    output — rows arrive in non-decreasing key order across partitions
+    (range-partitioned Finish stage), which is the whole point of the
+    TeraSort shape."""
+    from tests.conftest import SF_SMOKE
+    from tmapreduce_spark.operators.mapreduce_queries import mr_sort
+
+    keys = [r["key"] for r in mr_sort(spark, SF_SMOKE).collect()]
+    assert len(keys) > 0
+    assert keys == sorted(keys)

@@ -531,3 +531,27 @@ def test_streaming_drawdown_fold_handles_negatives_like_batch(spark):
     assert round(batch["final_value"] * 1e6) == cum
     assert round(batch["peak_value"] * 1e6) == peak
     assert round(batch["max_drawdown"] * 1e6) == dd
+
+
+def test_streaming_rate_spike_converges_to_batch(spark):
+    """Streaming rate-spike twin: under in-order availableNow replay, the
+    LAST emission per (event_type, hour) must equal the batch
+    `events_rate_spike` row exactly — same counts, same mround ratio, same
+    spike flag, and no (type, hour) keys the batch doesn't emit."""
+    from tmapreduce_spark.operators.analytics import events_rate_spike
+    from tmapreduce_spark.streaming.stateful import streaming_rate_spike
+
+    s = streaming_rate_spike(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_rate_spike", output_mode="update")
+    got = {}
+    for r in mem.collect():  # insertion order: later batches overwrite
+        got[(r["event_type"], int(r["hidx"]))] = (
+            int(r["n"]), r["spike_ratio"], bool(r["is_spike"])
+        )
+    want = {
+        (r["event_type"], int(r["hidx"])): (
+            int(r["n"]), r["spike_ratio"], bool(r["is_spike"])
+        )
+        for r in events_rate_spike(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -294,7 +294,7 @@ class MapReduceEngine:
 
     # -- scale path ---------------------------------------------------------
 
-    def apply_df(self, df: DataFrame, job_type: str) -> DataFrame:
+    def apply_df(self, df: DataFrame, job_type: str, ordered: bool = False) -> DataFrame:
         """Run a registered (map_fn, reduce_fn) pair over an arbitrary
         ``DataFrame[key string, value string]`` fully distributed — the 100 TB
         path the reference cannot take (its payload transits master RAM and
@@ -307,6 +307,14 @@ class MapReduceEngine:
         order follows Spark's shuffle arrival order — canonical for
         associative reducers; order-sensitive reducers should sort inside the
         UDF.
+
+        ``ordered=True`` additionally applies the Finish stage's key-order
+        contract (the reference merge-sorts reduce output by key,
+        ``job.cc:45-66``) DISTRIBUTEDLY: sortByKey range-partitions, so
+        partitions are globally ordered and a partition-order collect yields
+        the reference's concatenation order without ever funneling rows
+        through one task — this is what makes the distributed-sort canonical
+        program (``mr_sort``) an engine contract rather than a driver sort.
         """
         jt = self.registry.get(job_type)
         map_fn, reduce_fn, combine_fn = jt.map_fn, jt.reduce_fn, jt.combine_fn
@@ -332,6 +340,8 @@ class MapReduceEngine:
         reduced = mapped.groupByKey().flatMap(
             lambda kv: [(kv[0], out) for out in reduce_fn(kv[0], list(kv[1]))]
         )
+        if ordered:
+            reduced = reduced.sortByKey()
         return reduced.toDF(["key", "result"])
 
     # -- internals ----------------------------------------------------------

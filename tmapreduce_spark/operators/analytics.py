@@ -1231,6 +1231,135 @@ FROM per_cust GROUP BY cohort_month
 """
 
 
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN sessions: per user, how many 15-min-gap sessions
+    contain an ordered view → click → purchase chain — the conversion
+    definition product analytics actually uses (`events_funnel`'s global
+    per-stage horizons credit cross-session journeys; this one requires
+    the whole chain inside one visit). Chain semantics: first view in the
+    session, first click AT/after it, first purchase at/after that click —
+    each stage resolved by one min() aggregate, so the chain is exact and
+    order-respecting without any sequence scan.
+
+    Scale: sessionization is the gaps-and-islands window
+    (`events_sessionize_islands`' split rule); the three stage aggregates
+    and their joins all key on (user_id, session_id) — one partitioning
+    carried end to end, per-user output rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 900_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn("sid", F.sum("new_session").over(w)).selectExpr(
+        "user_id", "sid", "event_type", "unix_micros(ts) AS us"
+    )
+    key = ["user_id", "sid"]
+    tv = (
+        sess.filter("event_type = 'view'")
+        .groupBy(*key)
+        .agg(F.min("us").alias("t_view"))
+    )
+    tc = (
+        sess.join(tv, key)
+        .filter("event_type = 'click' AND us >= t_view")
+        .groupBy(*key)
+        .agg(F.min("us").alias("t_click"))
+    )
+    tp = (
+        sess.join(tc, key)
+        .filter("event_type = 'purchase' AND us >= t_click")
+        .groupBy(*key)
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    n_sess = sess.groupBy("user_id").agg(
+        F.countDistinct("sid").alias("n_sessions")
+    )
+    return (
+        n_sess.join(
+            tv.groupBy("user_id").agg(F.count("*").alias("n_view_sessions")),
+            "user_id",
+            "left",
+        )
+        .join(
+            tc.groupBy("user_id").agg(F.count("*").alias("n_click_sessions")),
+            "user_id",
+            "left",
+        )
+        .join(
+            tp.groupBy("user_id").agg(F.count("*").alias("n_converted")),
+            "user_id",
+            "left",
+        )
+        .selectExpr(
+            "user_id",
+            "n_sessions",
+            "coalesce(n_view_sessions, CAST(0 AS BIGINT)) AS n_view_sessions",
+            "coalesce(n_click_sessions, CAST(0 AS BIGINT)) AS n_click_sessions",
+            "coalesce(n_converted, CAST(0 AS BIGINT)) AS n_converted",
+            mround(
+                "CAST(coalesce(n_converted, 0) AS DOUBLE) / n_sessions", 6
+            )
+            + " AS session_cvr",
+        )
+    )
+
+
+EVENTS_SESSIONIZED_FUNNEL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS sid
+  FROM marked),
+tv AS (
+  SELECT user_id, sid, min(us) AS t_view
+  FROM sess WHERE event_type = 'view' GROUP BY user_id, sid),
+tc AS (
+  SELECT s.user_id, s.sid, min(s.us) AS t_click
+  FROM sess s JOIN tv ON s.user_id = tv.user_id AND s.sid = tv.sid
+  WHERE s.event_type = 'click' AND s.us >= tv.t_view
+  GROUP BY s.user_id, s.sid),
+tp AS (
+  SELECT s.user_id, s.sid, min(s.us) AS t_purchase
+  FROM sess s JOIN tc ON s.user_id = tc.user_id AND s.sid = tc.sid
+  WHERE s.event_type = 'purchase' AND s.us >= tc.t_click
+  GROUP BY s.user_id, s.sid),
+ns AS (SELECT user_id, count(DISTINCT sid) AS n_sessions FROM sess GROUP BY user_id)
+SELECT ns.user_id, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(coalesce(v.n, 0) AS BIGINT) AS n_view_sessions,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_click_sessions,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_converted,
+       floor((CAST(coalesce(p.n, 0) AS DOUBLE) / n_sessions) * 1000000 + 0.5)
+         / 1000000 AS session_cvr
+FROM ns
+LEFT JOIN (SELECT user_id, count(*) AS n FROM tv GROUP BY user_id) v
+  ON v.user_id = ns.user_id
+LEFT JOIN (SELECT user_id, count(*) AS n FROM tc GROUP BY user_id) c
+  ON c.user_id = ns.user_id
+LEFT JOIN (SELECT user_id, count(*) AS n FROM tp GROUP BY user_id) p
+  ON p.user_id = ns.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift (exact, distributed prefix sums)
 # ---------------------------------------------------------------------------
@@ -1955,5 +2084,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "diag_null_profile": QuerySpec(
         diag_null_profile, DIAG_NULL_PROFILE_SQL, "aggregation"
+    ),
+    "events_sessionized_funnel": QuerySpec(
+        events_sessionized_funnel, EVENTS_SESSIONIZED_FUNNEL_SQL, "time-window"
     ),
 }

@@ -119,7 +119,37 @@ SELECT tok AS key, ids AS result FROM agg
 """
 
 
+def mr_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sort through the MapReduce path — the fourth canonical
+    program from the MapReduce paper (§2.3 "Distributed Sort", the TeraSort
+    shape): map and reduce are both identity; ORDERING comes entirely from
+    the framework's key-sort contract (the reference merge-sorts reduce
+    input by key, `job.cc:45-66`, and the engine's Finish stage range-
+    partitions by key so the concatenated output is globally ordered —
+    `tests/test_mapreduce.py` pins that contract; the driver's hash compare
+    is order-blind, so the oracle here checks the SET and the ordering
+    lives in the test). Sort key = zero-padded (n_chars, doc_id) — the
+    composite-key trick that makes numeric order collate lexically."""
+    d = load_table(spark, sf_dir, "documents")
+    kv = d.selectExpr(
+        "concat(lpad(CAST(n_chars AS STRING), 6, '0'), ':', "
+        "lpad(CAST(doc_id AS STRING), 8, '0')) AS key",
+        "CAST(doc_id AS STRING) AS value",
+    )
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(kv, "identity", ordered=True)
+
+
+MR_SORT_SQL = """
+SELECT lpad(CAST(n_chars AS VARCHAR), 6, '0') || ':'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+       CAST(doc_id AS VARCHAR) AS result
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mr_sort": QuerySpec(mr_sort, MR_SORT_SQL, "mapreduce"),
     "mr_inverted_index": QuerySpec(mr_inverted_index, MR_INVERTED_INDEX_SQL, "mapreduce"),
     "mr_grep": QuerySpec(mr_grep, MR_GREP_SQL, "mapreduce"),
     "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),

@@ -359,3 +359,90 @@ def streaming_drawdown(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming rate-spike alerting -------------------------------------------
+#
+# Streaming twin of the batch `events_rate_spike` catalog entry: state per
+# event type is the trailing window of hourly counts — at most LOOKBACK+1
+# (hidx, count) pairs, pruned against the newest hour seen, so state is
+# bounded by the CALENDAR window regardless of stream length. Under in-order
+# replay the LAST emission per (type, hour) equals the batch operator's row
+# exactly (asserted in tests/test_streaming.py): early emissions carry
+# partial counts and are superseded, the alerting-dashboard shape.
+
+SPIKE_OUTPUT_SCHEMA = (
+    "event_type string, hidx bigint, n bigint, spike_ratio double,"
+    " is_spike boolean"
+)
+SPIKE_STATE_SCHEMA = "hidxs array<bigint>, counts array<bigint>"
+
+
+def _update_spike_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from tmapreduce_spark.operators.analytics import (
+        _SPIKE_LOOKBACK,
+        _SPIKE_WARMUP,
+    )
+
+    (etype,) = key
+    hs, cs = state.get if state.exists else ([], [])
+    buckets = dict(zip(hs, cs))
+    touched = set()
+    for pdf in pdfs:
+        for h in pdf["hidx"]:
+            h = int(h)
+            buckets[h] = buckets.get(h, 0) + 1
+            touched.add(h)
+    rows = []
+    # emit from the UN-pruned dict: an older hour touched in this batch
+    # still needs its full [h-24, h-1] baseline even when the batch also
+    # advanced the newest hour past it (pruning first would drop the
+    # oldest baseline bucket and inflate the ratio)
+    for h in sorted(touched):
+        base = [c for hh, c in buckets.items() if h - _SPIKE_LOOKBACK <= hh <= h - 1]
+        cnt_prev, sum_prev = len(base), sum(base)
+        if cnt_prev >= _SPIKE_WARMUP:
+            n = buckets[h]
+            ratio = math.floor(float(n * cnt_prev) / sum_prev * 1_000_000 + 0.5) / 1_000_000
+            rows.append((etype, h, n, ratio, bool(3 * sum_prev <= n * cnt_prev)))
+    if buckets:
+        mx = max(buckets)
+        buckets = {h: c for h, c in buckets.items() if h >= mx - _SPIKE_LOOKBACK}
+    state.update((list(buckets.keys()), list(buckets.values())))
+    yield pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "hidx": [r[1] for r in rows],
+            "n": [r[2] for r in rows],
+            "spike_ratio": [r[3] for r in rows],
+            "is_spike": [r[4] for r in rows],
+        }
+    )
+
+
+def streaming_rate_spike(events: DataFrame) -> DataFrame:
+    """Streaming hourly rate-spike alerts per event type with a bounded
+    trailing-24h count window of state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.selectExpr(
+            "event_type",
+            "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+            " AS hidx",
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_spike_state,
+            outputStructType=SPIKE_OUTPUT_SCHEMA,
+            stateStructType=SPIKE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
