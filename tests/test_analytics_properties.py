@@ -146,3 +146,122 @@ def test_fixed_point_rescale_bounds_and_sign(gv):
     for x, y in zip(gv, out):
         if abs(x) == m:
             assert y == (S if x > 0 else -S)
+
+
+# --- round 6 cores -----------------------------------------------------------
+
+
+def _rank_cuts_model(values, fracs):
+    """Brute-force percentile_disc: value at exact-integer rank
+    ceil(num*n/den), 1-based, over the sorted list."""
+    s = sorted(values)
+    n = len(s)
+    return [s[max(1, -((-num * n) // den)) - 1] for num, den in fracs]
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_histogram_narrowing_rank_walk_matches_sorted_index(values):
+    """The count-histogram narrowing walk behind _exact_quantile_disc_cuts
+    (bucket offsets + duplicate-collapsed in-bucket rank walk) must locate
+    the SAME value as direct sorted-list indexing for any multiset and any
+    decile — including duplicate-heavy lists and n divisible by den (the
+    DECIMAL-vs-float rank edge)."""
+    fracs = [(k, 10) for k in range(1, 10)]
+    want = _rank_cuts_model(values, fracs)
+
+    # replicate the operator's walk in pure python: fixed-grid buckets,
+    # cumulative offsets, per-bucket (value, count) rank walk
+    lo, hi = min(values), max(values)
+    if hi == lo:
+        assert want == [lo] * 9
+        return
+    buckets = 16
+    from collections import Counter
+
+    def b_of(x):
+        return min(buckets - 1, max(0, int(((x - lo) / (hi - lo)) * buckets)))
+
+    counts = Counter(b_of(x) for x in values)
+    n = len(values)
+    cum, cum_before = 0, {}
+    for b in sorted(counts):
+        cum_before[b] = cum
+        cum += counts[b]
+    got = []
+    for num, den in fracs:
+        r = max(1, -((-num * n) // den))
+        for b in sorted(counts):
+            if cum_before[b] + counts[b] >= r:
+                break
+        pairs = Counter(x for x in values if b_of(x) == b)
+        local, acc = r - cum_before[b], 0
+        for v in sorted(pairs):
+            acc += pairs[v]
+            if acc >= local:
+                got.append(v)
+                break
+    assert got == want
+
+
+def _winnow_fps(tokens, k=3, w=4):
+    """Pure-python replica of the winnowing selection (md5-derived h60
+    hashes, k-gram windows, per-window minima)."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(max(len(tokens) - k + 1, 0))
+    ]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not hs:
+        return set()
+    return {
+        min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)
+    }
+
+
+@given(
+    st.lists(st.sampled_from("ab cd ef gh ij kl mn op".split()), min_size=8, max_size=40),
+    st.lists(st.sampled_from("qr st uv wx yz".split()), min_size=0, max_size=10),
+    st.lists(st.sampled_from("qr st uv wx yz".split()), min_size=0, max_size=10),
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(run, pre, post):
+    """The MOSS guarantee: two docs sharing a contiguous token run of
+    length >= w + k - 1 = 6 MUST share at least one winnowing fingerprint,
+    for any surrounding context."""
+    doc_a = pre + run + post
+    doc_b = list(reversed(post)) + run + list(reversed(pre))
+    assert _winnow_fps(doc_a) & _winnow_fps(doc_b)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.booleans()), min_size=2, max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_mann_whitney_grouped_formula_equals_naive_ranks(data):
+    """The per-value 2x-rank-sum formula (c1 * (2*C_before + cnt + 1))
+    behind agg_mann_whitney must equal the naive average-tie-rank sum over
+    the combined sorted sample, for any mixture including all-ties."""
+    from collections import Counter
+
+    vals = [v for v, _ in data]
+    a_vals = [v for v, is_a in data if is_a]
+    if not a_vals or len(a_vals) == len(data):
+        return
+    # naive: assign average ranks over the sorted combined sample
+    s = sorted(vals)
+    first = {}
+    for i, v in enumerate(s, start=1):
+        first.setdefault(v, i)
+    cnt = Counter(vals)
+    avg_rank_x2 = {v: 2 * first[v] + (cnt[v] - 1) for v in cnt}
+    naive_x2 = sum(avg_rank_x2[v] for v in a_vals)
+    # grouped formula
+    c1 = Counter(a_vals)
+    cum = 0
+    grouped_x2 = 0
+    for v in sorted(cnt):
+        grouped_x2 += c1.get(v, 0) * (2 * cum + cnt[v] + 1)
+        cum += cnt[v]
+    assert grouped_x2 == naive_x2

@@ -215,3 +215,19 @@ def test_hilbert_layout_write_tightens_rowgroup_envelopes(spark, tmp_path):
     # Hilbert-sorted row groups cover a fraction of the 1024x1024 space;
     # the unclustered write's groups cover essentially all of it.
     assert mean_clustered < mean_plain / 4, (mean_clustered, mean_plain)
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    """The spread() fan-out guard: an input that already has >=
+    defaultParallelism partitions (the production case) passes through
+    UNTOUCHED — no repartition exchange is ever added at scale — while a
+    single-partition local scan fans out to defaultParallelism."""
+    from tests.conftest import SF_SMOKE
+    from tmapreduce_spark.sources.catalog import load_table, spread
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    assert d.rdd.getNumPartitions() < target  # single-row-group local file
+    assert spread(d, spark, "doc_id").rdd.getNumPartitions() == target
+    wide = d.repartition(target + 4, "doc_id")
+    assert spread(wide, spark, "doc_id") is wide  # returned unmodified
