@@ -1069,3 +1069,31 @@ def test_change_point_windows_share_one_user_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionized_funnel_keeps_session_key_partitioning(spark):
+    """The three funnel-stage aggregates and their joins all key on
+    (user_id, session_id): no cartesian/nested-loop anywhere, and the
+    stage joins stay hash joins."""
+    from tmapreduce_spark.operators.analytics import events_sessionized_funnel
+
+    df = events_sessionized_funnel(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_growth_accounting_windows_are_user_partitioned(spark):
+    """Growth accounting's lag/min/lead windows all carry the user_id
+    partition key — never an unpartitioned window over user-weeks."""
+    import re
+
+    from tmapreduce_spark.operators.analytics import events_growth_accounting
+
+    df = events_growth_accounting(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # every windowspecdefinition in the optimized plan partitions by user_id
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
+    assert specs and all("user_id" in s for s in specs), specs
