@@ -200,6 +200,7 @@ HEADLINE = [
     "embedding_pq_distortion",
     "events_sessionized_funnel",
     "mr_sort",
+    "embedding_cluster_balance",
 ]
 
 

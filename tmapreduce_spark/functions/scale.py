@@ -244,6 +244,48 @@ def sketch_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroid_model(e: DataFrame):
+    """Collect the IVF centroid model (the first IVF_K corpus vectors on the
+    quantized grid) and return (cent_rows, centroid_ranks): centroid_ranks
+    orders centroid ids best-first per row (cosine DESC, cid ASC — stable
+    argsort, so equal cosines keep ascending-cid order, matching the
+    oracle). Shared by the ANN probes and the list-balance audit so the
+    assignment geometry can't drift between them."""
+    import numpy as np
+
+    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    C = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        * 1_000_000 + 0.5
+    ).astype(np.int64)
+    c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+
+    def centroid_ranks(Q: "np.ndarray") -> "np.ndarray":
+        dots = Q @ C.T  # exact int64
+        nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+        cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
+        return np.argsort(-cos, axis=1, kind="stable")
+
+    centroid_ranks.C = C
+    return cent_rows, centroid_ranks
+
+
+def _ivf_assign_df(e: DataFrame, centroid_ranks) -> DataFrame:
+    """One Arrow pass assigning every vector its nearest centroid."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            best = centroid_ranks(np.floor(E * 1_000_000 + 0.5).astype(np.int64))[:, 0]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
+            )
+
+    return e.mapInPandas(assign, "vec_id bigint, centroid int")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of IVF_K centroids
     by quantized-exact cosine (int64 dots, ties to the lowest centroid id),
@@ -267,37 +309,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame
     assert ANN_QUERIES <= IVF_K, "query assignments derive from the centroid collect"
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = e.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    C = np.floor(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-        * 1_000_000 + 0.5
-    ).astype(np.int64)
-    c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
-
-    def centroid_ranks(Q: "np.ndarray") -> "np.ndarray":
-        """Centroid ids ordered best-first per row (cosine DESC, cid ASC —
-        argsort is stable, so equal cosines keep ascending-cid order,
-        matching the oracle)."""
-        dots = Q @ C.T  # exact int64
-        nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
-        cos = dots.astype(np.float64) / (nrm[:, None] * c_nrm[None, :])
-        return np.argsort(-cos, axis=1, kind="stable")
-
-    def assign(batches):
-        for pdf in batches:
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            best = centroid_ranks(np.floor(E * 1_000_000 + 0.5).astype(np.int64))[:, 0]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].astype("int64"), "centroid": best.astype("int32")}
-            )
-
-    assigned = e.mapInPandas(assign, "vec_id bigint, centroid int")
+    cent_rows, centroid_ranks = _ivf_centroid_model(e)
+    assigned = _ivf_assign_df(e, centroid_ranks)
     corpus = e.join(assigned, "vec_id")
 
     # query-side probe lists driver-side (queries ⊂ collected centroid rows):
     # one broadcast row per (query, probed centroid) keeps the candidate
     # lookup a plain equi-join.
-    q_ranks = centroid_ranks(C[:ANN_QUERIES])
+    q_ranks = centroid_ranks(centroid_ranks.C[:ANN_QUERIES])
     q = spark.createDataFrame(
         [
             (int(r["vec_id"]), list(r["embedding"]), int(q_ranks[i, p]))
@@ -1296,4 +1315,69 @@ FROM err JOIN n2 ON err.vec_id = n2.vec_id
 
 QUERIES["embedding_pq_distortion"] = QuerySpec(
     embedding_pq_distortion, _pq_distortion_sql(), "similarity"
+)
+
+
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance audit: per centroid, the inverted-list size and its
+    load factor n*IVF_K/total (1.0 = perfectly balanced) — the health check
+    that decides whether the IVF layout actually bounds probe cost: a hot
+    list holding half the corpus means nprobe=1 reads half the corpus, and
+    the fix (re-train centroids / split the hot list) happens BEFORE the
+    index ships. Same assignment geometry as `ann_ivf_topk`
+    (`_ivf_centroid_model` / `_ivf_assign_df` are shared, so the audit can
+    never drift from the probe path).
+
+    Scale: one Arrow assignment pass + one IVF_K-group aggregate; the
+    centroid list left-joins so an EMPTY list (the other failure mode)
+    still reports its zero."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, centroid_ranks = _ivf_centroid_model(e)
+    assigned = _ivf_assign_df(spread(e, spark), centroid_ranks)
+    per = assigned.groupBy("centroid").agg(F.count("*").alias("n_vecs"))
+    cents = spark.range(IVF_K).selectExpr("CAST(id AS INT) AS centroid")
+    tot = assigned.agg(F.count("*").alias("n_total"))
+    return (
+        cents.join(per, "centroid", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(centroid AS BIGINT) AS centroid",
+            "coalesce(n_vecs, CAST(0 AS BIGINT)) AS n_vecs",
+            mround(
+                f"CAST(coalesce(n_vecs, 0) * {IVF_K} AS DOUBLE) / n_total", 6
+            )
+            + " AS load_factor",
+        )
+    )
+
+
+EMBEDDING_CLUSTER_BALANCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+cent AS (SELECT vec_id AS cid, qe AS ce,
+                sqrt(CAST({_qdot_duck('qe', 'qe')} AS DOUBLE)) AS cn
+         FROM q WHERE vec_id < {IVF_K}),
+scored AS (
+  SELECT q.vec_id, c.cid,
+         CAST({_qdot_duck('q.qe', 'c.ce')} AS DOUBLE)
+           / (sqrt(CAST({_qdot_duck('q.qe', 'q.qe')} AS DOUBLE)) * c.cn) AS cos
+  FROM q CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1),
+per AS (SELECT cid, count(*) AS n_vecs FROM best GROUP BY cid),
+tot AS (SELECT count(*) AS n_total FROM best),
+cents AS (SELECT unnest(range(0, {IVF_K})) AS cid)
+SELECT CAST(cents.cid AS BIGINT) AS centroid,
+       CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
+       {mround(f'CAST(coalesce(n_vecs, 0) * {IVF_K} AS DOUBLE) / n_total', 6)}
+         AS load_factor
+FROM cents LEFT JOIN per ON per.cid = cents.cid CROSS JOIN tot
+"""
+
+
+QUERIES["embedding_cluster_balance"] = QuerySpec(
+    embedding_cluster_balance, EMBEDDING_CLUSTER_BALANCE_SQL, "similarity"
 )
