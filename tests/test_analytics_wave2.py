@@ -532,3 +532,31 @@ def test_holt_forecast_matches_python_fold(spark):
         assert abs(r["level"] - l) <= 1e-6
         assert abs(r["trend"] - b) <= 1e-6
         assert abs(r["forecast_next"] - (l + b)) <= 2e-6
+
+
+def test_change_point_split_equals_cusum_peak(spark):
+    """Estimator identity: the change-point objective |S_t*(n-t) -
+    (S_n-S_t)*t| equals |n*S_t - t*S_n| — the CUSUM statistic — so
+    events_change_point's split position must coincide with
+    window_cusum_detect's peak position for every user (both break ties to
+    the earliest index; the fixture has no NULL values, so both operators
+    index the same event sequence)."""
+    from tests.conftest import SF_SMOKE
+    from tmapreduce_spark.operators.analytics import events_change_point
+    from tmapreduce_spark.operators.windows import window_cusum_detect
+
+    split = {
+        r["user_id"]: int(r["split_t"])
+        for r in events_change_point(spark, SF_SMOKE).collect()
+    }
+    peak_col = next(
+        c for c in window_cusum_detect(spark, SF_SMOKE).columns
+        if c in ("peak_rn", "rn", "peak_pos", "peak_t")
+    )
+    peak = {
+        r["user_id"]: int(r[peak_col])
+        for r in window_cusum_detect(spark, SF_SMOKE).collect()
+    }
+    assert split, "no users"
+    for u, t in split.items():
+        assert peak[u] == t, (u, peak[u], t)

@@ -1633,14 +1633,16 @@ FROM active LEFT JOIN churn ON active.wk = churn.wk
 
 
 def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-segmentation change point per user: the split position t that
-    maximizes the between-segment mean shift — the first step of every
-    offline change-point detector, and the complement of
-    `window_cusum_detect` (CUSUM peaks drift vs the GLOBAL mean; binary
-    segmentation maximizes the LEFT-vs-RIGHT contrast directly). The
-    maximized objective |S_t*(n-t) - (S_n-S_t)*t| is the mean difference
-    cross-multiplied to INTEGER micros — the argmax never compares floats,
-    and ties break to the earliest t on both engines.
+    """Binary-segmentation change point per user: the split position t
+    maximizing |S_t*(n-t) - (S_n-S_t)*t| = t*(n-t)*|mean_left - mean_right|
+    — the t(n-t)-weighted mean-shift objective, cross-multiplied to INTEGER
+    micros so the argmax never compares floats and ties break to the
+    earliest t on both engines. Algebraically this equals |n*S_t - t*S_n|,
+    i.e. the CUSUM-peak position `window_cusum_detect` reports — the two
+    operators share the estimator (a good cross-check, pinned in tests);
+    what THIS one adds is the segmentation readout: the split row
+    (t, timestamp), both segment means, and the exact integer score, the
+    output a change-point consumer acts on rather than the drift statistic.
 
     Scale: one user_id shuffle; running + full-partition window sums, two
     tiny self-joins keyed on user_id to pull the winning row. Int64 holds
