@@ -119,3 +119,25 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
             F.col("value").cast("string").alias("value"),
         )
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame, out_dir: str, n_shards: int, shard_col: str = "shard"
+) -> None:
+    """Materialize a corpus as deterministic JSONL shards — the standard
+    LLM-training export format (one JSON object per line, a fixed shard
+    count a downstream loader can address): `repartition(n, shard_col)`
+    routes every row of a shard into ONE task, and the partitionBy write
+    lays each shard down as its own `shard=K/` directory, so shard
+    membership is exactly the md5-priority assignment
+    (`pipeline_shard_output`-style), never file-size chance.
+
+    Scale: one hash exchange on the shard key; each writer task streams
+    its shard — no driver collect, no global sort. Shard sizes stay
+    balanced because the assignment column is a content hash."""
+    (
+        df.repartition(n_shards, shard_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .json(out_dir)
+    )
