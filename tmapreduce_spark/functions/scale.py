@@ -1336,7 +1336,10 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _ivf_assign_df(spread(e, spark), centroid_ranks)
     per = assigned.groupBy("centroid").agg(F.count("*").alias("n_vecs"))
     cents = spark.range(IVF_K).selectExpr("CAST(id AS INT) AS centroid")
-    tot = assigned.agg(F.count("*").alias("n_total"))
+    # total derives from the <=IVF_K-row `per` table — consuming `assigned`
+    # a second time would re-run the Arrow assignment pass over the corpus
+    # (separate exchanges, so AQE cannot dedupe them)
+    tot = per.agg(F.sum("n_vecs").alias("n_total"))
     return (
         cents.join(per, "centroid", "left")
         .crossJoin(F.broadcast(tot))

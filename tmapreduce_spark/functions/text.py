@@ -2385,7 +2385,9 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     source order via an explicit array fold on BOTH engines (a plain SUM
     aggregates in engine-dependent order; 20 doubles summed differently
     can flip the 1e-6 rounding) — DuckDB's list_reduce seeds with the
-    first element, IEEE-identical to Spark's 0.0 seed since 0+x == x.
+    first element, IEEE-identical to Spark's 0.0 seed since 0+x == x;
+    power(p, 0.3) is a documented engine-side-transcendental exception
+    (see parity.py).
 
     Scale: one count aggregate per source (partial-aggregated), one
     collected fold over the SOURCE list — model-side state bounded by the
@@ -2518,7 +2520,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK order via an array accumulator on BOTH engines (DuckDB's
     list_reduce mis-evaluates struct accumulators and seeds with the first
     element — 0+x == x makes the Spark zero-seed fold IEEE-identical);
-    per-point ln() is one call on identical doubles.
+    per-point ln() is one call on identical doubles — a documented
+    engine-side-transcendental exception (see parity.py: 1-ulp risk
+    ~1e-10 per value).
 
     Scale: the vocabulary count partial-aggregates; TakeOrdered keeps
     ZIPF_K rows; everything after is model-side (a 500-element array on

@@ -660,12 +660,17 @@ def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 655
     SQL `0.1` literals are DECIMAL, so both engines compute the rank in
     exact arithmetic, and a float 0.1 here would be off-by-one at n
     divisible by 10."""
+    # percentile_disc ignores NULLs; drop them up front so the bucket
+    # expression can't route NULL rows into bucket 0 (greatest(0, NULL)
+    # ignores the NULL) and shift every rank walk
+    df = df.filter(F.col(col).isNotNull())
     row = df.agg(
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
     ).collect()[0]
-    n, lo, hi = row["n"], float(row["lo"]), float(row["hi"])
+    n = row["n"]
     if n == 0:
         return [None] * len(fracs)
+    lo, hi = float(row["lo"]), float(row["hi"])
     if hi == lo:
         return [lo] * len(fracs)
     bexpr = (
@@ -1544,8 +1549,9 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (user, week) distinct aggregate, then lag()/min() windows
     PARTITIONED per user (bounded by the calendar, not events), and a
     week-keyed final rollup. Churn emits from the same per-user window as
-    a +1 on week+1, unioned before the rollup — two linear passes, no
-    self-join."""
+    a +1 on week+1 and meets the active rollup in a FULL-outer join, so a
+    week where everyone went silent at once still reports its churn — two
+    linear passes, no self-join."""
     e = load_table(spark, sf_dir, "events")
     uw = (
         e.selectExpr("user_id", "CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS d")
@@ -1582,13 +1588,16 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wk")
         .agg(F.count("*").alias("n_churned"))
     )
+    # FULL outer: a week with zero actives but nonzero churn (everyone went
+    # silent at once) must still emit its row — a left join from `active`
+    # would silently drop those churned users from the decomposition
     return (
-        active.join(churn, "wk", "left")
+        active.join(churn, "wk", "full")
         .selectExpr(
             "wk",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
+            "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new",
+            "coalesce(n_retained, CAST(0 AS BIGINT)) AS n_retained",
+            "coalesce(n_resurrected, CAST(0 AS BIGINT)) AS n_resurrected",
             "coalesce(n_churned, CAST(0 AS BIGINT)) AS n_churned",
         )
     )
@@ -1619,11 +1628,12 @@ churn AS (
   FROM lab CROSS JOIN mx
   WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= mw
   GROUP BY wk + 1)
-SELECT CAST(active.wk AS BIGINT) AS wk, CAST(n_new AS BIGINT) AS n_new,
-       CAST(n_retained AS BIGINT) AS n_retained,
-       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+SELECT CAST(coalesce(active.wk, churn.wk) AS BIGINT) AS wk,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
        CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
-FROM active LEFT JOIN churn ON active.wk = churn.wk
+FROM active FULL OUTER JOIN churn ON active.wk = churn.wk
 """
 
 
@@ -1935,7 +1945,10 @@ def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_disc — never a single-task sort), so the reference lands
     ~10% per bin by construction and the PSI terms read directly as
     share migration. Shares are floored at 1e-4 inside the log term (the
-    standard empty-bin guard) and each term is (p-q)*ln(p/q).
+    standard empty-bin guard) and each term is (p-q)*ln(p/q) — one of the
+    three documented engine-side-transcendental exceptions (see
+    `tmapreduce_spark/parity.py`: 1-ulp ln divergence vs an mround(6)
+    boundary, ~1e-10 per value).
 
     Scale: the cut computation is two linear passes + a pruned fetch; the
     binning pass is one broadcast of 9 cuts and one 10-group aggregate."""

@@ -131,9 +131,12 @@ def mr_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in the test). Sort key = zero-padded (n_chars, doc_id) — the
     composite-key trick that makes numeric order collate lexically."""
     d = load_table(spark, sf_dir, "documents")
+    # lpad TRUNCATES strings longer than the pad width, which would corrupt
+    # the numeric collation silently — 12/19 digits cover int32 n_chars and
+    # the full int64 doc_id range
     kv = d.selectExpr(
-        "concat(lpad(CAST(n_chars AS STRING), 6, '0'), ':', "
-        "lpad(CAST(doc_id AS STRING), 8, '0')) AS key",
+        "concat(lpad(CAST(n_chars AS STRING), 12, '0'), ':', "
+        "lpad(CAST(doc_id AS STRING), 19, '0')) AS key",
         "CAST(doc_id AS STRING) AS value",
     )
     engine = MapReduceEngine(spark)
@@ -141,8 +144,8 @@ def mr_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MR_SORT_SQL = """
-SELECT lpad(CAST(n_chars AS VARCHAR), 6, '0') || ':'
-         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+SELECT lpad(CAST(n_chars AS VARCHAR), 12, '0') || ':'
+         || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS key,
        CAST(doc_id AS VARCHAR) AS result
 FROM documents
 """

@@ -25,6 +25,21 @@ These emit SQL text valid in BOTH dialects except integer division (Spark
 Scale note: BIGINT micro-units cap at ~9.2e18 — safe for per-group sums up to
 ~9e12 money units; for 100 TB whole-table sums switch the inner cast to
 DECIMAL(38,0) (also exact) — the grid stays the same.
+
+Transcendental exception (r06): three operators apply ln()/power() to
+DATA-DEPENDENT values engine-side — `diag_psi_drift` (psi_term),
+`text_zipf_fit` (log-log OLS), `pipeline_mix_temperature` (p^0.3). Java's
+Math.log/pow and libm's are both within 1 ulp but not correctly rounded, so
+the pre-mround doubles can differ by 1 ulp between engines. This is a
+MEASURED, accepted risk, not an oversight: the transcendental's ARGUMENT is
+an identical exact rational on both sides, so a disagreement requires the
+true value to sit within ~2^-52·|x| of an mround(6) half-way boundary —
+~1e-10 per emitted value, ~531 values across the three ops per driver round
+(~5e-8/round). Everything else in the catalog stays transcendental-free
+(Benford pre-rounds its constants; the LM/PMI/quality scores use exact
+rational ratios precisely to avoid this). If a flip is ever observed, the
+remedy is to emit the exact rational argument and move the log to the
+consumer.
 """
 
 from __future__ import annotations

@@ -429,8 +429,6 @@ def _update_spike_state(
 def streaming_rate_spike(events: DataFrame) -> DataFrame:
     """Streaming hourly rate-spike alerts per event type with a bounded
     trailing-24h count window of state."""
-    from pyspark.sql import functions as F
-
     return (
         events.selectExpr(
             "event_type",
