@@ -555,3 +555,31 @@ def test_streaming_rate_spike_converges_to_batch(spark):
         for r in events_rate_spike(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_sessionized_funnel_converges_to_batch(spark):
+    """Streaming sessionized-funnel twin: after in-order availableNow
+    replay, the LAST emission per user equals the batch
+    `events_sessionized_funnel` row exactly — session counts, per-stage
+    session counts, conversions, and the mround'd conversion rate."""
+    from tmapreduce_spark.operators.analytics import events_sessionized_funnel
+    from tmapreduce_spark.streaming.stateful import streaming_sessionized_funnel
+
+    s = streaming_sessionized_funnel(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_sfunnel", output_mode="update")
+    got = {}
+    for r in mem.collect():  # later batches overwrite: last emission wins
+        got[int(r["user_id"])] = (
+            int(r["n_sessions"]), int(r["n_view_sessions"]),
+            int(r["n_click_sessions"]), int(r["n_converted"]),
+            r["session_cvr"],
+        )
+    want = {
+        int(r["user_id"]): (
+            int(r["n_sessions"]), int(r["n_view_sessions"]),
+            int(r["n_click_sessions"]), int(r["n_converted"]),
+            r["session_cvr"],
+        )
+        for r in events_sessionized_funnel(spark, SF_SMOKE).collect()
+    }
+    assert got == want

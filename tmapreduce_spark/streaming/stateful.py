@@ -444,3 +444,92 @@ def streaming_rate_spike(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming sessionized funnel --------------------------------------------
+#
+# Streaming twin of the batch `events_sessionized_funnel` catalog entry: state
+# per user is (last event time, session count, funnel stage, first-view /
+# first-qualifying-click times, per-user session counters) — eight int64s,
+# O(distinct users) total. The 15-min gap rule and the ordered
+# view -> click(>= view) -> purchase(>= click) chain replicate the batch
+# operator's cascading-min semantics event-for-event under in-order replay;
+# the LAST emission per user equals the batch row exactly (asserted in
+# tests/test_streaming.py) — the live conversion dashboard shape.
+
+SFUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, n_sessions bigint, n_view_sessions bigint,"
+    " n_click_sessions bigint, n_converted bigint, session_cvr double"
+)
+SFUNNEL_STATE_SCHEMA = (
+    "last_us bigint, n_sess bigint, stage bigint, t_view bigint,"
+    " t_click bigint, n_view bigint, n_click bigint, n_conv bigint"
+)
+_SESSION_GAP_US = 900_000_000
+
+
+def _update_sfunnel_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    last_us, n_sess, stage, t_view, t_click, n_view, n_click, n_conv = (
+        state.get if state.exists else (-1, 0, 0, -1, -1, 0, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    for ty, ts in zip(rows["event_type"], rows["ts_us"]):
+        ts = int(ts)
+        if last_us < 0 or ts - last_us > _SESSION_GAP_US:
+            n_sess += 1
+            stage, t_view, t_click = 0, -1, -1
+        last_us = ts
+        if stage == 0 and ty == "view":
+            stage, t_view = 1, ts
+            n_view += 1
+        elif stage == 1 and ty == "click" and ts >= t_view:
+            stage, t_click = 2, ts
+            n_click += 1
+        elif stage == 2 and ty == "purchase" and ts >= t_click:
+            stage = 3
+            n_conv += 1
+    state.update(
+        (last_us, n_sess, stage, t_view, t_click, n_view, n_click, n_conv)
+    )
+    cvr = (
+        math.floor(float(n_conv) / n_sess * 1_000_000 + 0.5) / 1_000_000
+        if n_sess
+        else 0.0
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sess],
+            "n_view_sessions": [n_view],
+            "n_click_sessions": [n_click],
+            "n_converted": [n_conv],
+            "session_cvr": [cvr],
+        }
+    )
+
+
+def streaming_sessionized_funnel(events: DataFrame) -> DataFrame:
+    """Streaming per-user in-session funnel with eight int64s of state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sfunnel_state,
+            outputStructType=SFUNNEL_OUTPUT_SCHEMA,
+            stateStructType=SFUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
