@@ -79,3 +79,36 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_results_identical_across_parallelism(spark):
+    """The docs/SCALE.md determinism claim, executed: float-bearing
+    aggregates must be BIT-identical when the shuffle partition count (and
+    therefore reduction grouping/order) changes — the property that exact
+    integer-space reduction buys. 7 vs the session default exercises
+    different partition assignments for every groupBy/window."""
+    NAMES = [
+        "q1_pricing_summary",
+        "agg_gini_concentration",
+        "diag_ks_drift",
+        "dedup_minhash_pairs",
+        "window_ewma",
+    ]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_all():
+        out = {}
+        for n in NAMES:
+            pdf = CATALOG[n].fn(spark, SF_SMOKE).toPandas()
+            pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+            out[n] = sorted(map(tuple, pdf.astype(str).values.tolist()))
+        return out
+
+    try:
+        base = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for n in NAMES:
+        assert base[n] == alt[n], f"{n} drifted across parallelism"
