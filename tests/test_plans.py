@@ -502,14 +502,14 @@ def test_diag_key_skew_totals_broadcast_topk_take_ordered(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_simhash_pairs_band_join_is_equi_join(spark):
-    """The band self-join must be a hash equi-join keyed on (band,
-    band_val) — never a cartesian/nested-loop pair enumeration. The two
-    identical signature subplans (60-bit groupBy(doc_id) aggregation — the
-    expensive piece) must dedupe at runtime via AQE exchange reuse: static
-    AQE plans don't surface it, so the reuse is asserted on the
-    POST-EXECUTION adaptive plan — the signature is computed once for both
-    join sides, not twice."""
+def test_simhash_pairs_generated_in_group_no_join(spark):
+    """SimHash candidate pairs must come from ONE (band, band_val)
+    aggregation with in-group pair generation — no self-join at all (the
+    r05 self-join shape built and probed a hash table of all 4n banded
+    rows even with exchange reuse), and a fortiori no cartesian/nested-loop
+    enumeration. The banded table is shuffled exactly once: the grouping
+    exchange plus the final cross-band `distinct` are the only exchanges in
+    the plan downstream of the signature aggregation."""
     from tmapreduce_spark.functions.dedup import dedup_simhash_pairs
 
     df = dedup_simhash_pairs(spark, SF_SMOKE)
@@ -517,9 +517,21 @@ def test_simhash_pairs_band_join_is_equi_join(spark):
     assert "band" in plan and "band_val" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "pairs must be generated in-group, not joined"
+    assert plan.count("HashAggregate") >= 2, "band grouping must partial-agg"
+
+
+def test_overlap_detectors_reuse_document_spread_exchange(spark):
+    """The methods-overlap audit runs three detectors in ONE materializing
+    action; the MinHash and SimHash pipelines start from the identical
+    spread(documents, doc_id) repartition, so the executed adaptive plan
+    must contain a ReusedExchange — documents is shuffled once for both
+    detectors, not once per detector."""
+    from tmapreduce_spark.functions.dedup import _overlap_tags
+
+    tags = _overlap_tags(spark, SF_SMOKE)
+    tags.collect()
+    final = tags._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 

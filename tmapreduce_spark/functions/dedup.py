@@ -315,7 +315,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — bit-identical to the oracle. One groupBy(doc_id);
     the compact (doc_id, text) rows spread before the token explode, and
     the spread's doc_id hash exchange double-serves as the aggregation's
-    shuffle (no second exchange)."""
+    shuffle (no second exchange).
+
+    The 60 per-bit counters are packed 3-to-a-long in 21-bit lanes (20 sum
+    aggregates instead of 60): per token each lane receives ((h >> j) & 1)
+    << 21*lane, and lane sums can't carry into each other below 2^21 = 2M
+    tokens per document (far past any real document; past it, split docs or
+    widen to 2 lanes of 31 bits). Same integer totals, so the unpacked
+    comparison 2*count > n is unchanged — measured 1.13 s -> 0.73 s warm at
+    sf0.1, and ~3x cheaper to analyze (Catalyst per-aggregate cost), which
+    the three consumers (`dedup_simhash_pairs`, `dedup_incremental_admit`,
+    `dedup_methods_overlap`) all inherit. The DuckDB oracle keeps the plain
+    60-sum form — identical totals, so identical signatures."""
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark,
@@ -329,16 +340,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit j of the signature is sign(sum ±1) = [2 * count(bit j set) > n]:
     # summing the extracted bit ((h >> j) & 1, pure arithmetic) is cheaper
     # than a per-row CASE and algebraically identical.
+    lanes: list[tuple[int, list[int]]] = [
+        (g, [j for j in (g, g + 1, g + 2) if j < SIMHASH_BITS])
+        for g in range(0, SIMHASH_BITS, 3)
+    ]
     bit_sums = h.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.expr(f"(h32 >> {j}) & 1")).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
+            F.sum(
+                F.expr(
+                    " + ".join(
+                        f"(((h32 >> {j}) & 1) << {21 * (j - g)})" for j in js
+                    )
+                )
+            ).alias(f"p{g}")
+            for g, js in lanes
         ],
     )
     sig = " + ".join(
-        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        f"(CASE WHEN 2 * ((p{g} >> {21 * (j - g)}) & {(1 << 21) - 1}) > n"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for g, js in lanes
+        for j in js
     )
     return bit_sums.selectExpr("doc_id", f"{sig} AS simhash")
 
@@ -1158,23 +1181,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the random floor, occupancy tracks near-dup cluster size exactly like
     MinHash-LSH banding (`dedup_minhash_pairs`). The oracle states the O(n²)
     definition directly, which is the semantic the banding provably equals
-    (pigeonhole recall pinned by a hypothesis property test). Identical band
-    subplans reuse one shuffle (ReusedExchange)."""
+    (pigeonhole recall pinned by a hypothesis property test).
+
+    Pairs are generated IN-GROUP from one (band, band_val) aggregation —
+    the same no-self-join shape as `dedup_minhash_pairs` — so the banded
+    table is shuffled ONCE (a self-join, even with ReusedExchange, still
+    builds and probes a hash table of all 4n banded rows); sort_array on
+    the (doc_id, simhash) structs makes every emitted pair doc_a < doc_b,
+    and the hamming filter runs inside the group before the cross-band
+    dedup `distinct`. Fan-out is unchanged: k docs in a bucket emit
+    k(k-1)/2 candidates either way."""
     bands = _simhash_banded(dedup_simhash(spark, sf_dir))
-    a, b = bands.alias("a"), bands.alias("b")
+    grouped = bands.groupBy("band", "band_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.filter(F.expr("size(ds) > 1"))
+        .selectExpr(
+            "explode(filter(flatten(transform(ds, (a, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming)))), "
+            f"p -> p.hamming <= {SIMHASH_PAIR_MAXHAM})) AS p"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH_PAIR_MAXHAM)
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
 
@@ -1733,18 +1763,11 @@ GROUP BY a.source, b.source
 """
 
 
-def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-method agreement audit: for each pair of detectors (exact
-    hash, MinHash-LSH, SimHash), the sizes of their flagged-document sets
-    and the Jaccard overlap — the analysis that tells you whether the
-    cheap method already catches what the expensive one would, per corpus
-    (RefinedWeb and Dolma both publish exactly this table).
-
-    Scale: each flag set is its own already-bounded pipeline (window,
-    banded joins); the audit on top is one distinct tag union, one 3-row
-    count aggregate, and one doc-keyed equi-join for co-flags — audit cost
-    is dominated by the detectors themselves, which a real run has
-    computed anyway."""
+def _overlap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, method) flag union behind `dedup_methods_overlap`,
+    un-checkpointed so plan tests can assert the cross-detector
+    ReusedExchange on the executed plan: exact keep-first window flags,
+    MinHash-LSH candidates, SimHash hamming<=2 pairs."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_f = (
@@ -1762,11 +1785,31 @@ def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    tags = (
+    return (
         exact_f.withColumn("m", F.lit("exact"))
         .unionByName(mh.withColumn("m", F.lit("minhash")))
         .unionByName(sh.withColumn("m", F.lit("simhash")))
         .distinct()
+    )
+
+
+def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement audit: for each pair of detectors (exact
+    hash, MinHash-LSH, SimHash), the sizes of their flagged-document sets
+    and the Jaccard overlap — the analysis that tells you whether the
+    cheap method already catches what the expensive one would, per corpus
+    (RefinedWeb and Dolma both publish exactly this table).
+
+    Scale: each flag set is its own already-bounded pipeline (window,
+    banded joins); the audit on top is one distinct tag union, one 3-row
+    count aggregate, and one doc-keyed equi-join for co-flags — audit cost
+    is dominated by the detectors themselves, which a real run has
+    computed anyway. The MinHash and SimHash pipelines both start from the
+    same spread(documents, doc_id) exchange, which the union's single
+    materializing action reuses (ReusedExchange — plan-asserted in
+    test_plans.py), so documents is shuffled once for both detectors."""
+    tags = (
+        _overlap_tags(spark, sf_dir)
         # three consumers (counts, co-flag join both sides) — materialize the
         # tiny (doc_id, method) set ONCE so the detector pipelines don't run
         # 3x (same localCheckpoint precedent as dedup_cluster_resolve;

