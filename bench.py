@@ -201,6 +201,9 @@ HEADLINE = [
     "events_sessionized_funnel",
     "mr_sort",
     "embedding_cluster_balance",
+    "tokenizer_bpe_merges",
+    "agg_welch_ttest",
+    "events_cuped_adjusted_lift",
 ]
 
 

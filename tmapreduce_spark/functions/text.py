@@ -2607,7 +2607,133 @@ FROM m
 """
 
 
+BPE_MERGES = 3
+
+
+def _bpe_escape(sym: str) -> str:
+    """Escape a symbol for embedding as a SQL string literal."""
+    return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGES merge rules of byte-pair-encoding tokenizer
+    training over the corpus (Sennrich et al., ACL'16): build the word
+    frequency table, split words into character symbols, then repeatedly
+    (count adjacent symbol pairs weighted by word frequency → take the
+    most frequent pair, ties broken (count DESC, sym_a, sym_b) → merge
+    its occurrences greedily left-to-right inside every word). Output:
+    one row per merge rule with its pair count — the start of the merges
+    file every BPE/GPT-2-style tokenizer ships. (No end-of-word marker:
+    the fixture corpus is space-tokenized lowercase words, so the marker
+    would be a constant suffix; documented deviation from the Sennrich
+    formulation, identical in both engines.)
+
+    Determinism: pair counts are integer sums; greedy application is the
+    same left-to-right fold on both engines (non-overlapping: after a
+    merge the new symbol becomes the fold's tail, so `aaa` + (a,a) →
+    [aa, a], the standard BPE behavior).
+
+    Scale: each round is ONE linear pass over the word table (pair
+    explode + partial-aggregated groupBy) plus a 1-row top-1 collect —
+    the merge rule is MODEL state exactly like the k-means centroids
+    (scale.py) and PCA Gram (similarity.py), so rounds never stack
+    lineage over the data: the word table is the only distributed input,
+    and it is vocabulary-sized (≪ corpus), re-derived per round from one
+    groupBy. For production merge counts (30k rounds) you'd checkpoint
+    the symbol table every ~50 rounds and batch-apply rules in-between —
+    same plan shape, noted here because 3 rounds don't need it."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS w")
+        .filter("w != ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.selectExpr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS s",
+        "freq",
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = cur.filter("size(s) >= 2").selectExpr(
+            "explode(transform(sequence(0, size(s) - 2), "
+            "i -> named_struct('a', s[i], 'b', s[i + 1]))) AS p",
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        rules.append((rank, a, b, a + b, cnt))
+        ea, eb, eab = _bpe_escape(a), _bpe_escape(b), _bpe_escape(a + b)
+        cur = cur.selectExpr(
+            "CASE WHEN size(s) < 2 THEN s ELSE "
+            "aggregate(slice(s, 2, size(s) - 1), array(s[0]), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ea}' AND x = '{eb}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{eab}')) "
+            "ELSE concat(acc, array(x)) END) END AS s",
+            "freq",
+        )
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
+    )
+
+
+def _bpe_sql() -> str:
+    """Unrolled BPE_MERGES-round oracle: char split → per-round (adjacent
+    pair count → deterministic top-1 → correlated list_reduce merge)."""
+    rounds = []
+    for r in range(1, BPE_MERGES + 1):
+        rounds.append(
+            f"""p{r} AS (
+  SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM s{r}, unnest(list_transform(range(1, len(s)),
+       i -> struct_pack(a := s[i], b := s[i + 1]))) AS t(u)
+  GROUP BY 1, 2),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        if r < BPE_MERGES:
+            rounds.append(
+                f"""s{r + 1} AS (
+  SELECT CASE WHEN len(s) < 2 THEN s ELSE list_reduce(
+           list_prepend([s[1]], list_transform(s[2:], x -> [x])),
+           (acc, v) -> CASE WHEN acc[-1] = t{r}.a AND v[1] = t{r}.b
+                       THEN acc[:len(acc) - 1] || [t{r}.a || t{r}.b]
+                       ELSE acc || [v[1]] END) END AS s, freq
+  FROM s{r} CROSS JOIN t{r})"""
+            )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,"
+        f" cnt AS pair_count FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return rf"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents) t
+  WHERE w != '' GROUP BY w),
+s1 AS (SELECT list_transform(range(1, len(w) + 1), i -> w[i:i]) AS s, freq
+       FROM words),
+{",".join(rounds)}
+{selects}
+"""
+
+
+TOKENIZER_BPE_MERGES_SQL = _bpe_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tokenizer_bpe_merges": QuerySpec(
+        tokenizer_bpe_merges, TOKENIZER_BPE_MERGES_SQL, "text"
+    ),
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
     ),

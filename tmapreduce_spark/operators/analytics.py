@@ -2028,7 +2028,206 @@ FROM per CROSS JOIN tot
 DIAG_PSI_DRIFT_SQL = _psi_sql()
 
 
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the `click` and `view` value
+    samples — the parametric companion of `agg_mann_whitney` (MW asks about
+    stochastic dominance; Welch asks about mean difference without assuming
+    equal variances), i.e. the standard A/B-test read-out. Reports both
+    sample means/variances, the t statistic, and the Welch–Satterthwaite
+    degrees of freedom.
+
+    Determinism: the only aggregates are integer — n, sum(cents),
+    sum(cents^2) — so reduction order is irrelevant; every downstream
+    double (mean, variance, t, df) is ONE fixed arithmetic expression over
+    those exact integers, and sqrt is correctly rounded in IEEE, so both
+    engines produce bit-identical values before mround. Int64 holds
+    sum(cents^2) to ~9e14 per group at this value range (~1e6 rows);
+    beyond, swap the two moment sums to DECIMAL(38,0) — same expressions.
+
+    Scale: one partial-aggregated groupBy over a 2-value key; the final
+    algebra runs on a 2-row frame. No shuffle beyond the 2-group exchange."""
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.filter(F.expr("event_type IN ('click', 'view') AND value IS NOT NULL"))
+        .selectExpr("event_type", f"{cents('value', 100)} AS vq")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("sx"),
+            F.sum(F.expr("vq * vq")).alias("sx2"),
+        )
+    )
+    a = m.filter("event_type = 'click'").selectExpr(
+        "n AS n_a", "sx AS sx_a", "sx2 AS sx2_a"
+    )
+    b = m.filter("event_type = 'view'").selectExpr(
+        "n AS n_b", "sx AS sx_b", "sx2 AS sx2_b"
+    )
+    # sample variance in money units: (n*Σx² − (Σx)²) / (n(n−1)) / 100²,
+    # combined in DOUBLE from the exact integer sums (deterministic: one
+    # fixed IEEE expression over identical operands on both engines)
+    va = "((CAST(n_a AS DOUBLE) * sx2_a - CAST(sx_a AS DOUBLE) * sx_a) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000)"
+    vb = "((CAST(n_b AS DOUBLE) * sx2_b - CAST(sx_b AS DOUBLE) * sx_b) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000)"
+    se2 = f"({va} / n_a + {vb} / n_b)"
+    return a.crossJoin(F.broadcast(b)).selectExpr(
+        "n_a",
+        "n_b",
+        mround("CAST(sx_a AS DOUBLE) / 100 / n_a", 6) + " AS mean_a",
+        mround("CAST(sx_b AS DOUBLE) / 100 / n_b", 6) + " AS mean_b",
+        mround(va, 6) + " AS var_a",
+        mround(vb, 6) + " AS var_b",
+        mround(
+            f"(CAST(sx_a AS DOUBLE) / 100 / n_a - CAST(sx_b AS DOUBLE) / 100 / n_b)"
+            f" / sqrt({se2})",
+            6,
+        )
+        + " AS t_stat",
+        mround(
+            f"{se2} * {se2} / ({va} * {va} / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))"
+            f" + {vb} * {vb} / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))",
+            6,
+        )
+        + " AS welch_df",
+    )
+
+
+def _welch_sql() -> str:
+    va = "((CAST(n_a AS DOUBLE) * sx2_a - CAST(sx_a AS DOUBLE) * sx_a) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000)"
+    vb = "((CAST(n_b AS DOUBLE) * sx2_b - CAST(sx_b AS DOUBLE) * sx_b) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000)"
+    se2 = f"({va} / n_a + {vb} / n_b)"
+    return f"""
+WITH m AS (
+  SELECT event_type, count(*) AS n, sum(vq) AS sx, sum(vq * vq) AS sx2
+  FROM (SELECT event_type, {cents('value', 100)} AS vq FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL) t
+  GROUP BY event_type),
+a AS (SELECT CAST(n AS BIGINT) AS n_a, CAST(sx AS BIGINT) AS sx_a,
+             CAST(sx2 AS BIGINT) AS sx2_a FROM m WHERE event_type = 'click'),
+b AS (SELECT CAST(n AS BIGINT) AS n_b, CAST(sx AS BIGINT) AS sx_b,
+             CAST(sx2 AS BIGINT) AS sx2_b FROM m WHERE event_type = 'view')
+SELECT n_a, n_b,
+       {mround('CAST(sx_a AS DOUBLE) / 100 / n_a', 6)} AS mean_a,
+       {mround('CAST(sx_b AS DOUBLE) / 100 / n_b', 6)} AS mean_b,
+       {mround(va, 6)} AS var_a,
+       {mround(vb, 6)} AS var_b,
+       {mround(f'(CAST(sx_a AS DOUBLE) / 100 / n_a - CAST(sx_b AS DOUBLE) / 100 / n_b) / sqrt({se2})', 6)} AS t_stat,
+       {mround(f'{se2} * {se2} / ({va} * {va} / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) + {vb} * {vb} / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))', 6)} AS welch_df
+FROM a CROSS JOIN b
+"""
+
+
+AGG_WELCH_TTEST_SQL = _welch_sql()
+
+
+CUPED_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment read-out (Deng et al., WSDM'13): assign
+    users to arms by user_id parity, treat the first half of the event
+    window as the PRE-experiment covariate period and the second half as
+    the experiment, and report per-arm raw and variance-reduced adjusted
+    spend means: adj = post − θ·(pre − mean(pre)), θ = cov(pre, post) /
+    var(pre) pooled over all users. This is the standard trick that
+    removes pre-existing user-level variance from an A/B metric.
+
+    Determinism: per-user pre/post sums are exact integer cents; θ and the
+    global pre-mean derive from integer aggregates (n, Σpre, Σpost,
+    Σpre², Σpre·post) combined in one fixed double expression, and each
+    arm's adjusted mean is computed ALGEBRAICALLY from its integer group
+    sums — mean_adj = mean_post − θ·(mean_pre − mean_pre_global) — never
+    by averaging per-user doubles, so no float reduction order exists
+    anywhere. Int64 holds Σpre·post to ~9e18 (per-user month sums ≲1e5
+    cents → products ≲1e10, ~1e8 users); DECIMAL(38,0) swap beyond.
+
+    Scale: one groupBy(user_id) with partial aggregation, one 2-row arm
+    aggregate, one broadcast of the 1-row pooled-moment table."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id",
+            f"CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}' THEN {cents('value', 100)} ELSE 0 END AS pre_c",
+            f"CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}' THEN {cents('value', 100)} ELSE 0 END AS post_c",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("pre_c").alias("pre"), F.sum("post_c").alias("post"))
+        .selectExpr("user_id", "user_id % 2 AS arm", "pre", "post")
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("nu"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.expr("pre * pre")).alias("spp"),
+        F.sum(F.expr("pre * post")).alias("spo"),
+    )
+    # θ = cov/var = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — cents scale cancels
+    theta = (
+        "((CAST(nu AS DOUBLE) * spo - CAST(sp AS DOUBLE) * so)"
+        " / (CAST(nu AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp))"
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pre").alias("g_pre"),
+        F.sum("post").alias("g_post"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .selectExpr(
+            "arm",
+            "n_users",
+            mround("CAST(g_pre AS DOUBLE) / 100 / n_users", 6) + " AS mean_pre",
+            mround("CAST(g_post AS DOUBLE) / 100 / n_users", 6) + " AS mean_post",
+            mround(
+                f"CAST(g_post AS DOUBLE) / 100 / n_users - {theta}"
+                f" * (CAST(g_pre AS DOUBLE) / 100 / n_users"
+                f" - CAST(sp AS DOUBLE) / 100 / nu)",
+                6,
+            )
+            + " AS mean_post_adjusted",
+            mround(theta, 6) + " AS theta",
+        )
+    )
+
+
+def _cuped_sql() -> str:
+    theta = (
+        "((CAST(nu AS DOUBLE) * spo - CAST(sp AS DOUBLE) * so)"
+        " / (CAST(nu AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}' THEN {cents('value', 100)} ELSE 0 END) AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}' THEN {cents('value', 100)} ELSE 0 END) AS BIGINT) AS post
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(pre) AS BIGINT) AS sp,
+         CAST(sum(post) AS BIGINT) AS so, CAST(sum(pre * pre) AS BIGINT) AS spp,
+         CAST(sum(pre * post) AS BIGINT) AS spo
+  FROM per_user),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre) AS BIGINT) AS g_pre, CAST(sum(post) AS BIGINT) AS g_post
+  FROM per_user GROUP BY arm)
+SELECT arm, n_users,
+       {mround('CAST(g_pre AS DOUBLE) / 100 / n_users', 6)} AS mean_pre,
+       {mround('CAST(g_post AS DOUBLE) / 100 / n_users', 6)} AS mean_post,
+       {mround(f'CAST(g_post AS DOUBLE) / 100 / n_users - {theta} * (CAST(g_pre AS DOUBLE) / 100 / n_users - CAST(sp AS DOUBLE) / 100 / nu)', 6)} AS mean_post_adjusted,
+       {mround(theta, 6)} AS theta
+FROM arms CROSS JOIN pooled
+"""
+
+
+EVENTS_CUPED_SQL = _cuped_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_welch_ttest": QuerySpec(agg_welch_ttest, AGG_WELCH_TTEST_SQL, "aggregation"),
+    "events_cuped_adjusted_lift": QuerySpec(
+        events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
+    ),
     "window_rolling_mad_flag": QuerySpec(
         window_rolling_mad_flag, WINDOW_ROLLING_MAD_SQL, "window"
     ),
