@@ -93,6 +93,8 @@ def test_results_identical_across_parallelism(spark):
         "diag_ks_drift",
         "dedup_minhash_pairs",
         "window_ewma",
+        "agg_welch_ttest",
+        "events_cuped_adjusted_lift",
     ]
     saved = spark.conf.get("spark.sql.shuffle.partitions")
 

@@ -1,0 +1,137 @@
+"""Semantic invariants for the round-6 operators: BPE merge training vs an
+independent pure-Python reference (including greedy non-overlap edge cases on
+a crafted corpus), Welch t-test vs numpy moments, CUPED theta/adjustment vs
+the textbook definition."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.functions.text import BPE_MERGES, tokenizer_bpe_merges
+from tmapreduce_spark.operators.analytics import (
+    CUPED_SPLIT_TS,
+    agg_welch_ttest,
+    events_cuped_adjusted_lift,
+)
+from tmapreduce_spark.sources.catalog import load_table
+
+
+def _bpe_reference(word_freq: dict[str, int], k: int):
+    """Textbook BPE trainer: adjacent pair counts over the vocabulary,
+    deterministic (count DESC, a, b) top-1, greedy left-to-right merge."""
+    syms = {w: list(w) for w in word_freq}
+    rules = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + word_freq[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, a, b, a + b, cnt))
+        for w, s in syms.items():
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The distributed trainer must reproduce the textbook algorithm on the
+    real corpus word-frequency table."""
+    wf = {
+        r["w"]: r["c"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS w")
+        .filter("w != ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    expect = _bpe_reference(wf, BPE_MERGES)
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in tokenizer_bpe_merges(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_greedy_nonoverlap_on_crafted_corpus(spark, tmp_path):
+    """Greedy left-to-right non-overlap: a corpus dominated by 'aaaa' must
+    merge (a,a) counting 3 adjacent pairs per word but apply it as
+    [aa, aa] (2 non-overlapping), so round 2's top pair is (aa, aa)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa b")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp_path, "documents.parquet"))
+    rules = tokenizer_bpe_merges(spark, str(tmp_path)).collect()
+    assert (rules[0]["sym_a"], rules[0]["sym_b"], rules[0]["pair_count"]) == ("a", "a", 9)
+    assert (rules[1]["sym_a"], rules[1]["sym_b"], rules[1]["pair_count"]) == ("aa", "aa", 3)
+
+
+def test_welch_matches_numpy_moments(spark):
+    """t statistic and Welch–Satterthwaite df recomputed from the raw cents
+    samples with numpy must agree to the mround(6) grid."""
+    import numpy as np
+
+    e = load_table(spark, SF_SMOKE, "events")
+    vals = {
+        t: np.array(
+            [
+                int(math.floor(r["value"] * 100 + 0.5))
+                for r in e.filter(
+                    (F.col("event_type") == t) & F.col("value").isNotNull()
+                ).collect()
+            ],
+            dtype=np.int64,
+        )
+        for t in ("click", "view")
+    }
+    a, b = vals["click"] / 100.0, vals["view"] / 100.0
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 * se2 / (
+        va * va / (len(a) ** 2 * (len(a) - 1)) + vb * vb / (len(b) ** 2 * (len(b) - 1))
+    )
+    row = agg_welch_ttest(spark, SF_SMOKE).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["t_stat"] - t) < 2e-6
+    assert abs(row["welch_df"] - df) < 2e-6
+
+
+def test_cuped_theta_and_adjustment_definition(spark):
+    """theta must equal pooled cov(pre, post)/var(pre) over per-user cents
+    sums, and each arm's adjusted mean must equal
+    mean_post − θ·(mean_pre − global mean_pre)."""
+    import numpy as np
+
+    e = load_table(spark, SF_SMOKE, "events")
+    rows = e.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id",
+        f"CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS pre",
+        f"CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS post",
+    ).groupBy("user_id").agg(F.sum("pre").alias("pre"), F.sum("post").alias("post")).collect()
+    pre = np.array([r["pre"] for r in rows], dtype=np.float64)
+    post = np.array([r["post"] for r in rows], dtype=np.float64)
+    arm = np.array([r["user_id"] % 2 for r in rows])
+    n = len(pre)
+    theta = ((n * (pre * post).sum() - pre.sum() * post.sum())
+             / (n * (pre * pre).sum() - pre.sum() ** 2))
+    out = {r["arm"]: r for r in events_cuped_adjusted_lift(spark, SF_SMOKE).collect()}
+    assert abs(out[0]["theta"] - theta) < 2e-6
+    for g in (0, 1):
+        m_post = post[arm == g].mean() / 100
+        m_pre = pre[arm == g].mean() / 100
+        adj = m_post - theta * (m_pre - pre.mean() / 100)
+        assert abs(out[g]["mean_post_adjusted"] - adj) < 2e-6
+        assert abs(out[g]["mean_post"] - m_post) < 2e-6
