@@ -204,6 +204,8 @@ HEADLINE = [
     "tokenizer_bpe_merges",
     "agg_welch_ttest",
     "events_cuped_adjusted_lift",
+    "tokenizer_apply_fertility",
+    "eval_pass_at_k",
 ]
 
 

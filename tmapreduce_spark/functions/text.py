@@ -2642,6 +2642,20 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. For production merge counts (30k rounds) you'd checkpoint
     the symbol table every ~50 rounds and batch-apply rules in-between —
     same plan shape, noted here because 3 rounds don't need it."""
+    rules, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the BPE_MERGES training rounds; returns (rules, the (w, s, freq)
+    vocabulary table with all merges applied) — shared by the merge-rule
+    report and the fertility audit so the two can't disagree on the
+    trained tokenizer."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS w")
@@ -2650,6 +2664,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     cur = words.selectExpr(
+        "w",
         "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS s",
         "freq",
     )
@@ -2673,6 +2688,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules.append((rank, a, b, a + b, cnt))
         ea, eb, eab = _bpe_escape(a), _bpe_escape(b), _bpe_escape(a + b)
         cur = cur.selectExpr(
+            "w",
             "CASE WHEN size(s) < 2 THEN s ELSE "
             "aggregate(slice(s, 2, size(s) - 1), array(s[0]), "
             f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ea}' AND x = '{eb}' "
@@ -2680,15 +2696,14 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE concat(acc, array(x)) END) END AS s",
             "freq",
         )
-    return spark.createDataFrame(
-        rules,
-        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
-    )
+    return rules, cur
 
 
-def _bpe_sql() -> str:
-    """Unrolled BPE_MERGES-round oracle: char split → per-round (adjacent
-    pair count → deterministic top-1 → correlated list_reduce merge)."""
+def _bpe_sql_ctes(emit_final: bool) -> str:
+    """Shared unrolled CTE chain for the BPE oracles: char split → per-round
+    (adjacent pair count → deterministic top-1 → correlated list_reduce
+    merge). With emit_final, also applies round BPE_MERGES' rule so
+    s{BPE_MERGES + 1} is the fully trained vocabulary."""
     rounds = []
     for r in range(1, BPE_MERGES + 1):
         rounds.append(
@@ -2699,30 +2714,34 @@ def _bpe_sql() -> str:
   GROUP BY 1, 2),
 t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"""
         )
-        if r < BPE_MERGES:
+        if r < BPE_MERGES or emit_final:
             rounds.append(
                 f"""s{r + 1} AS (
-  SELECT CASE WHEN len(s) < 2 THEN s ELSE list_reduce(
+  SELECT w, CASE WHEN len(s) < 2 THEN s ELSE list_reduce(
            list_prepend([s[1]], list_transform(s[2:], x -> [x])),
            (acc, v) -> CASE WHEN acc[-1] = t{r}.a AND v[1] = t{r}.b
                        THEN acc[:len(acc) - 1] || [t{r}.a || t{r}.b]
                        ELSE acc || [v[1]] END) END AS s, freq
   FROM s{r} CROSS JOIN t{r})"""
             )
+    return rf"""WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents) t
+  WHERE w != '' GROUP BY w),
+s1 AS (SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS s, freq
+       FROM words),
+{",".join(rounds)}"""
+
+
+def _bpe_sql() -> str:
     selects = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,"
         f" cnt AS pair_count FROM t{r}"
         for r in range(1, BPE_MERGES + 1)
     )
-    return rf"""
-WITH words AS (
-  SELECT w, count(*) AS freq FROM (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-    FROM documents) t
-  WHERE w != '' GROUP BY w),
-s1 AS (SELECT list_transform(range(1, len(w) + 1), i -> w[i:i]) AS s, freq
-       FROM words),
-{",".join(rounds)}
+    return f"""
+{_bpe_sql_ctes(emit_final=False)}
 {selects}
 """
 
@@ -2730,9 +2749,72 @@ s1 AS (SELECT list_transform(range(1, len(w) + 1), i -> w[i:i]) AS s, freq
 TOKENIZER_BPE_MERGES_SQL = _bpe_sql()
 
 
+def tokenizer_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility audit of the trained BPE_MERGES-rule tokenizer: apply the
+    learned merges to the vocabulary, then report per source the corpus
+    word/char/token totals and the two ratios every tokenizer eval quotes
+    — fertility (tokens per word) and compression (chars per token). This
+    is the read-out that tells you whether the merges learned on a mixed
+    corpus serve each domain equally (a domain with high fertility is
+    under-served and will cost more context window).
+
+    Determinism: totals are integer sums; the two ratios are one fixed
+    double division each, mround(6).
+
+    Scale: training is `_bpe_train` (linear rounds, 1-row model-state
+    collects); the audit joins the corpus token stream to the
+    vocabulary's (word → token count) map — a groupBy-shaped equi-join on
+    the word key (vocabulary ≪ corpus; AQE broadcasts it when it fits) —
+    then one partial-aggregated groupBy(source). No new shuffle shape."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    per_word = vocab.selectExpr("w", "CAST(size(s) AS BIGINT) AS n_tok")
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "source", r"explode(split(trim(lower(text)), '\\s+')) AS w"
+    ).filter("w != ''")
+    return (
+        toks.join(per_word, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.expr("length(w)")).alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            mround("CAST(n_tokens AS DOUBLE) / n_words", 6) + " AS fertility",
+            mround("CAST(n_chars AS DOUBLE) / n_tokens", 6) + " AS chars_per_token",
+        )
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+{_bpe_sql_ctes(emit_final=True)},
+per_word AS (
+  SELECT w, CAST(len(s) AS BIGINT) AS n_tok FROM s{BPE_MERGES + 1}),
+toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+flt AS (SELECT source, w FROM toks WHERE w != '')
+SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(f.w)) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       {mround('CAST(sum(n_tok) AS DOUBLE) / count(*)', 6)} AS fertility,
+       {mround('CAST(sum(length(f.w)) AS DOUBLE) / sum(n_tok)', 6)} AS chars_per_token
+FROM flt f JOIN per_word p ON f.w = p.w
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tokenizer_bpe_merges": QuerySpec(
         tokenizer_bpe_merges, TOKENIZER_BPE_MERGES_SQL, "text"
+    ),
+    "tokenizer_apply_fertility": QuerySpec(
+        tokenizer_apply_fertility, TOKENIZER_FERTILITY_SQL, "text"
     ),
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"

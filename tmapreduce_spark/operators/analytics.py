@@ -2223,8 +2223,90 @@ FROM arms CROSS JOIN pooled
 EVENTS_CUPED_SQL = _cuped_sql()
 
 
+PASS_AT_KS = (1, 5, 10)
+
+
+def _pass_at_k_expr(k: int) -> str:
+    """1 − Π_{i<k} (n−c−i)/(n−i), the unbiased pass@k estimator (Chen et
+    al., 2021, eq. 1), as ONE fixed-order IEEE product chain — identical
+    text in both dialects, so identical binary doubles. Rows with fewer
+    than k failures pass with certainty (some success is always drawn)."""
+    p = "CAST(1 AS DOUBLE)"
+    for i in range(k):
+        p = f"({p} * (n - c - {i}) / (n - {i}))"
+    return (
+        f"CASE WHEN n - c < {k} THEN CAST(1000000000 AS BIGINT) "
+        f"ELSE CAST(floor((1 - {p}) * 1000000000 + 0.5) AS BIGINT) END"
+    )
+
+
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over the events fixture read as an eval harness: each user is
+    a TASK, their events are the n SAMPLES drawn for it, and a `purchase`
+    is a correct sample — compute the unbiased pass@k estimator
+    1 − C(n−c, k)/C(n, k) per task and its mean over tasks for k ∈
+    {1, 5, 10}, the number every code/reasoning eval reports (HumanEval's
+    metric). Tasks with n < k are excluded for that k (the estimator is
+    undefined), and reported via n_tasks.
+
+    Determinism: per-task estimators are a fixed-order product chain over
+    exact integers (identical binary doubles on both engines), pre-rounded
+    to an integer 1e-9 grid BEFORE the cross-task mean so the reduction is
+    an integer sum — no float summation order anywhere. The mean is one
+    deterministic division, mround(6).
+
+    Scale: one partial-aggregated groupBy(user_id) to (n, c), then three
+    1-row aggregates over the reduced task table (union-shared scan). The
+    task table is users-sized; nothing downstream touches raw events."""
+    e = load_table(spark, sf_dir, "events")
+    per_task = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias("c"),
+    )
+    outs = []
+    for k in PASS_AT_KS:
+        outs.append(
+            per_task.filter(f"n >= {k}")
+            .selectExpr(f"{_pass_at_k_expr(k)} AS p9")
+            .agg(
+                F.count("*").alias("n_tasks"),
+                F.sum("p9").alias("s9"),
+            )
+            .selectExpr(
+                f"CAST({k} AS BIGINT) AS k",
+                "n_tasks",
+                mround("CAST(s9 AS DOUBLE) / 1000000000 / n_tasks", 6)
+                + " AS mean_pass_at_k",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _pass_at_k_sql() -> str:
+    selects = "\nUNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_tasks,
+       {mround(f'CAST(sum(p9_{k}) AS DOUBLE) / 1000000000 / count(*)', 6)} AS mean_pass_at_k
+FROM (SELECT {_pass_at_k_expr(k)} AS p9_{k} FROM per_task WHERE n >= {k}) t{k}"""
+        for k in PASS_AT_KS
+    )
+    return f"""
+WITH per_task AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY user_id)
+{selects}
+"""
+
+
+EVAL_PASS_AT_K_SQL = _pass_at_k_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_welch_ttest": QuerySpec(agg_welch_ttest, AGG_WELCH_TTEST_SQL, "aggregation"),
+    "eval_pass_at_k": QuerySpec(eval_pass_at_k, EVAL_PASS_AT_K_SQL, "aggregation"),
     "events_cuped_adjusted_lift": QuerySpec(
         events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
     ),
