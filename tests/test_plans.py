@@ -535,6 +535,31 @@ def test_overlap_detectors_reuse_document_spread_exchange(spark):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 
+def test_pass_at_k_reuses_task_table_exchange(spark):
+    """The three k-level aggregates must share ONE per-task reduction: the
+    executed plan's identical groupBy(user_id) subplans dedupe via
+    ReusedExchange, so raw events are scanned and shuffled once, not once
+    per k."""
+    from tmapreduce_spark.operators.analytics import eval_pass_at_k
+
+    df = eval_pass_at_k(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") + final.count("ReusedQueryStage") >= 2, final
+
+
+def test_fertility_vocab_join_is_equi_join(spark):
+    """The fertility audit joins the corpus token stream to the trained
+    vocabulary on the word key — must be a hash/sort-merge equi-join,
+    never a nested-loop enumeration."""
+    from tmapreduce_spark.functions.text import tokenizer_apply_fertility
+
+    plan = physical_plan(tokenizer_apply_fertility(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_existence_flag_join_aggregates_flag_side_first(spark):
     """The mark join's flag side must partial-aggregate (distinct custkeys)
     BEFORE the join so join input is customer-bounded, not order-bounded."""
