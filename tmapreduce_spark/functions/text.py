@@ -2633,15 +2633,13 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge the new symbol becomes the fold's tail, so `aaa` + (a,a) →
     [aa, a], the standard BPE behavior).
 
-    Scale: each round is ONE linear pass over the word table (pair
-    explode + partial-aggregated groupBy) plus a 1-row top-1 collect —
-    the merge rule is MODEL state exactly like the k-means centroids
-    (scale.py) and PCA Gram (similarity.py), so rounds never stack
-    lineage over the data: the word table is the only distributed input,
-    and it is vocabulary-sized (≪ corpus), re-derived per round from one
-    groupBy. For production merge counts (30k rounds) you'd checkpoint
-    the symbol table every ~50 rounds and batch-apply rules in-between —
-    same plan shape, noted here because 3 rounds don't need it."""
+    Scale: the corpus is scanned ONCE (the word-frequency groupBy, then
+    localCheckpoint); each round is one linear pass over the
+    vocabulary-sized symbol table (pair explode + partial-aggregated
+    groupBy) plus a 1-row top-1 collect — the merge rule is MODEL state
+    exactly like the k-means centroids (scale.py) and PCA Gram
+    (similarity.py) — and the applied merge is re-checkpointed so rounds
+    never stack lineage (see `_bpe_train`)."""
     rules, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rules,
@@ -2655,7 +2653,15 @@ def _bpe_train(
     """Run the BPE_MERGES training rounds; returns (rules, the (w, s, freq)
     vocabulary table with all merges applied) — shared by the merge-rule
     report and the fertility audit so the two can't disagree on the
-    trained tokenizer."""
+    trained tokenizer.
+
+    The vocabulary is localCheckpoint-ed ONCE after the corpus groupBy and
+    again after each merge application: without the truncation, round r's
+    lineage re-scans the corpus r times AND stacks r nested fold lambdas,
+    whose Catalyst analysis cost grows superlinearly (measured 1.6 s →
+    3.0 s → 10.3 s per round at sf0.1; ~1 s total with the checkpoints —
+    the same materialize-the-iteration fix as the PCA Gram and the CC
+    rounds). The checkpointed table is vocabulary-sized, ≪ corpus."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS w")
@@ -2667,7 +2673,7 @@ def _bpe_train(
         "w",
         "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS s",
         "freq",
-    )
+    ).localCheckpoint()
     rules: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
         pairs = cur.filter("size(s) >= 2").selectExpr(
@@ -2695,7 +2701,7 @@ def _bpe_train(
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{eab}')) "
             "ELSE concat(acc, array(x)) END) END AS s",
             "freq",
-        )
+        ).localCheckpoint()
     return rules, cur
 
 
