@@ -206,6 +206,7 @@ HEADLINE = [
     "events_cuped_adjusted_lift",
     "tokenizer_apply_fertility",
     "eval_pass_at_k",
+    "multimodal_wav_energy",
 ]
 
 

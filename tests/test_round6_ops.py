@@ -135,3 +135,62 @@ def test_cuped_theta_and_adjustment_definition(spark):
         adj = m_post - theta * (m_pre - pre.mean() / 100)
         assert abs(out[g]["mean_post_adjusted"] - adj) < 2e-6
         assert abs(out[g]["mean_post"] - m_post) < 2e-6
+
+
+def test_wav_decoder_walks_chunks_honestly():
+    """The WAV parser must tolerate an extra chunk before fmt/data and
+    odd-size chunk padding, reject non-RIFF payloads, and gate compressed
+    formats behind NotImplementedError — never silently misread."""
+    import struct
+
+    import pytest
+
+    from tmapreduce_spark.functions.multimodal import decode_wav, encode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    wav = encode_wav(8000, samples)
+    rate, got = decode_wav(wav)
+    assert (rate, got) == (8000, samples)
+
+    # splice an odd-size LIST chunk between WAVE and fmt: parsers that
+    # assume the canonical 44-byte layout break here
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # padded
+    spliced = wav[:12] + extra + wav[12:]
+    rate2, got2 = decode_wav(spliced)
+    assert (rate2, got2) == (8000, samples)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))
+
+    # format tag 2 = ADPCM → honest gate
+    bad = bytearray(wav)
+    bad[20] = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_energy_frame_split_boundaries(spark, tmp_path):
+    """A clip whose length is NOT a WAV_FRAME multiple must count its
+    ragged tail frame against a proportionally smaller threshold (mean
+    rule), matching the oracle's least() bound — recompute one doc by
+    hand."""
+    from tmapreduce_spark.functions.multimodal import (
+        WAV_ACTIVE_MEAN,
+        WAV_FRAME,
+        _wav_params,
+        _wav_sample,
+        multimodal_wav_energy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = multimodal_wav_energy(spark, SF_SMOKE).orderBy("doc_id").limit(1).collect()[0]
+    d = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id").limit(1).collect()[0]
+    seed, n = _wav_params(d["text"].encode())
+    a = [abs(_wav_sample(seed, i)) for i in range(n)]
+    frames = [a[f : f + WAV_FRAME] for f in range(0, n, WAV_FRAME)]
+    active = sum(1 for fr in frames if sum(fr) >= WAV_ACTIVE_MEAN * len(fr))
+    assert row["n_samples"] == n
+    assert row["peak_abs"] == max(a)
+    assert row["sum_abs"] == sum(a)
+    assert row["n_frames"] == len(frames)
+    assert row["active_frames"] == active
