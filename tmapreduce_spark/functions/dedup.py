@@ -205,6 +205,18 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate SET (`dedup_methods_overlap`'s flag audit — the sets join
     never filters rows, every candidate doc has a shingle set) skip the
     document re-tokenization the exact-Jaccard verify pays."""
+    return (
+        _minhash_band_docs(spark, sf_dir)
+        .select(F.explode(F.expr(_pairs_expr("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _minhash_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band_id, band_key, docs) for every band bucket holding >= 2 docs —
+    the single definition of the MinHash band geometry, shared by the pair
+    generator and the flag-set audit."""
     wide = _minhash_wide(spark, sf_dir)
     band_structs = ", ".join(
         "named_struct('band_id', {b}, 'band_key', md5(concat_ws(',', {cols})))".format(
@@ -220,9 +232,6 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("docs"))
         .filter(F.size("docs") >= 2)
-        .select(F.explode(F.expr(_pairs_expr("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
 
 
@@ -1778,13 +1787,32 @@ def _overlap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # candidate set only — the exact-Jaccard verify joins never filter rows
     # (every candidate doc has a shingle set), so the flagged-doc set is
-    # identical and the audit skips one full document re-tokenization
-    mh = _minhash_candidates(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
-    sh = dedup_simhash_pairs(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
+    # identical and the audit skips one full document re-tokenization.
+    # Both flag sets are emitted IN-GROUP without materializing pair rows:
+    # a doc is minhash-flagged iff it is not its bucket's minimum (<= k-1
+    # rows per bucket instead of k(k-1)/2 pair rows + a pair distinct),
+    # and simhash-flagged iff an earlier-sorted bucket member sits within
+    # the hamming radius — same popcount work as pair generation but <= k
+    # emitted rows and one less exchange each.
+    mh = (
+        _minhash_band_docs(spark, sf_dir)
+        .selectExpr(
+            "explode(slice(array_sort(docs), 2, size(docs) - 1)) AS doc_id"
+        )
+        .distinct()
+    )
+    sh_grouped = _simhash_banded(dedup_simhash(spark, sf_dir)).groupBy(
+        "band", "band_val"
+    ).agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+    sh = (
+        sh_grouped.filter(F.expr("size(ds) > 1"))
+        .selectExpr(
+            "explode(filter(transform(ds, (b, i) -> CASE WHEN i > 0 AND "
+            f"exists(slice(ds, 1, i), a -> bit_count(a.simhash ^ b.simhash) <= {SIMHASH_PAIR_MAXHAM}) "
+            "THEN b.doc_id ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)) AS doc_id"
+        )
+        .distinct()
+    )
     return (
         exact_f.withColumn("m", F.lit("exact"))
         .unionByName(mh.withColumn("m", F.lit("minhash")))
