@@ -207,6 +207,8 @@ HEADLINE = [
     "tokenizer_apply_fertility",
     "eval_pass_at_k",
     "multimodal_wav_energy",
+    "events_seasonal_decompose",
+    "embedding_outlier_zscore",
 ]
 
 

@@ -836,7 +836,101 @@ FROM {prev} JOIN diag ON {prev}.j = diag.j CROSS JOIN vm
     )
 
 
+OUTLIER_TOPK = 20
+
+
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-OUTLIER_TOPK anomalous embeddings by diagonal Mahalanobis
+    distance: per-dimension mean/variance from one moment pass, then each
+    vector's score = Σ_d (x_d − μ_d)² / σ²_d — the curation screen that
+    surfaces mis-encoded or out-of-distribution vectors before they poison
+    an ANN index or a training mix (full-covariance Mahalanobis needs the
+    64×64 inverse; the diagonal form is the standard first pass and needs
+    only the `embedding_dim_stats` moments).
+
+    Determinism: components quantize to the 1e-6 grid; per-dim moments are
+    integer sums; μ/σ² are fixed double expressions over those integers;
+    each per-dim term is pre-rounded to a 1e-6 integer grid BEFORE the
+    64-term per-vector sum runs as an integer aggregate — no float
+    reduction order anywhere. Top-k ties break on vec_id.
+
+    Scale: two linear passes (moment pass collapses to 64 rows via partial
+    agg; score pass joins the broadcast 64-row moment table after
+    posexplode and integer-sums per vec_id) + TakeOrderedAndProject.
+    Int64 holds Σvq² to ~9e18 = ~9e6 rows per dim at this grid; DECIMAL
+    swap documented past that."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.selectExpr(
+        "vec_id", "label", "posexplode(embedding) AS (dim, v)"
+    ).selectExpr(
+        "vec_id",
+        "label",
+        "dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq",
+    )
+    mom = (
+        comps.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("s1"),
+            F.sum(F.expr("vq * vq")).alias("s2"),
+        )
+        .selectExpr(
+            "dim",
+            "CAST(s1 AS DOUBLE) / 1000000 / n AS mu",
+            "(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n AS DOUBLE) * (n - 1)) / 1000000000000 AS var_d",
+        )
+    )
+    term = (
+        "CAST(floor((CAST(vq AS DOUBLE) / 1000000 - mu) * (CAST(vq AS DOUBLE) / 1000000 - mu)"
+        " / var_d * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        comps.join(F.broadcast(mom), "dim")
+        .selectExpr("vec_id", "label", f"{term} AS t6")
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t6").alias("s6"))
+        .selectExpr(
+            "vec_id",
+            "label",
+            mround("CAST(s6 AS DOUBLE) / 1000000", 6) + " AS mahalanobis_diag",
+        )
+        .orderBy(F.desc("mahalanobis_diag"), "vec_id")
+        .limit(OUTLIER_TOPK)
+    )
+
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH comps AS (
+  SELECT vec_id, label, u.i - 1 AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+mom AS (
+  SELECT dim, CAST(sum(vq) AS DOUBLE) / 1000000 / count(*) AS mu,
+         (CAST(count(*) AS DOUBLE) * sum(vq * vq) - CAST(sum(vq) AS DOUBLE) * sum(vq))
+         / (CAST(count(*) AS DOUBLE) * (count(*) - 1)) / 1000000000000 AS var_d
+  FROM comps GROUP BY dim),
+terms AS (
+  SELECT vec_id, label,
+         CAST(floor((CAST(vq AS DOUBLE) / 1000000 - mu) * (CAST(vq AS DOUBLE) / 1000000 - mu)
+              / var_d * 1000000 + 0.5) AS BIGINT) AS t6
+  FROM comps JOIN mom USING (dim)),
+scored AS (
+  SELECT vec_id, label, CAST(sum(t6) AS BIGINT) AS s6
+  FROM terms GROUP BY vec_id, label)
+SELECT vec_id, label,
+       {mround('CAST(s6 AS DOUBLE) / 1000000', 6)} AS mahalanobis_diag
+FROM scored
+ORDER BY mahalanobis_diag DESC, vec_id
+LIMIT {OUTLIER_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_outlier_zscore": QuerySpec(
+        embedding_outlier_zscore, EMBEDDING_OUTLIER_SQL, "similarity"
+    ),
     "embedding_pca_power": QuerySpec(
         embedding_pca_power, _pca_sql(), "similarity"
     ),

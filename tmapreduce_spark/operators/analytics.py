@@ -2304,9 +2304,118 @@ WITH per_task AS (
 EVAL_PASS_AT_K_SQL = _pass_at_k_sql()
 
 
+SEASONAL_HALF = 12  # centered trend window: ±12 hours
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of each event type's hourly mean
+    value: observed = per-hour mean, trend = centered ±SEASONAL_HALF-hour
+    rolling mean, seasonal = hour-of-day mean of the detrended series,
+    residual = observed − trend − seasonal — the additive decomposition
+    behind every traffic/revenue anomaly dashboard (classical
+    moving-average STL, Cleveland et al.'s first stage).
+
+    Determinism, term by term: the hourly reduction is integer (cents,
+    counts); the TREND is a ratio of two integer RANGE-window sums (both
+    order-independent), NOT a float average of hourly means — this is what
+    makes a windowed mean safe cross-engine (DuckDB computes windowed
+    float sums via segment trees, Spark sliding — different orders);
+    observed is one fixed division; residuals pre-round to a 1e-6 integer
+    grid before the hour-of-day seasonal mean so that groupBy is an
+    integer sum; the final residual is per-row arithmetic. RANGE frames on
+    the integer hour index make calendar gaps shrink the window instead of
+    stretching it (the `events_rate_spike` precedent).
+
+    Scale: one partial-aggregated groupBy to the (type, hour) grid (~720
+    rows/type/month — KB at any corpus size), then windows and one
+    24-key aggregate over that grid. Raw events are touched once."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "unix_micros(ts) div 3600000000 AS hr",
+            f"{cents('value', 100)} AS vc",
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"), F.sum("vc").alias("sc"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    base = (
+        hourly.withColumn("wc", F.sum("cnt").over(w))
+        .withColumn("ws", F.sum("sc").over(w))
+        .selectExpr(
+            "event_type",
+            "hr",
+            "hr % 24 AS hod",
+            "CAST(sc AS DOUBLE) / 100 / cnt AS observed",
+            "CAST(ws AS DOUBLE) / 100 / wc AS trend",
+        )
+        .withColumn(
+            "r6",
+            F.expr("CAST(floor((observed - trend) * 1000000 + 0.5) AS BIGINT)"),
+        )
+    )
+    seas = base.groupBy("event_type", "hod").agg(
+        F.sum("r6").alias("sr6"), F.count("*").alias("nh")
+    )
+    return (
+        base.join(F.broadcast(seas), ["event_type", "hod"])
+        .selectExpr(
+            "event_type",
+            "hr",
+            "CAST(hod AS BIGINT) AS hour_of_day",
+            mround("observed", 6) + " AS observed",
+            mround("trend", 6) + " AS trend",
+            mround("CAST(sr6 AS DOUBLE) / 1000000 / nh", 6) + " AS seasonal",
+            mround(
+                "observed - trend - CAST(sr6 AS DOUBLE) / 1000000 / nh", 6
+            )
+            + " AS residual",
+        )
+    )
+
+
+EVENTS_SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS cnt, CAST(sum({cents('value', 100)}) AS BIGINT) AS sc
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+base AS (
+  SELECT event_type, hr, hr % 24 AS hod,
+         CAST(sc AS DOUBLE) / 100 / cnt AS observed,
+         CAST(sum(sc) OVER wtr AS DOUBLE) / 100
+           / sum(cnt) OVER wtr AS trend
+  FROM hourly
+  WINDOW wtr AS (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN {SEASONAL_HALF} PRECEDING AND {SEASONAL_HALF} FOLLOWING)),
+based AS (
+  SELECT *, CAST(floor((observed - trend) * 1000000 + 0.5) AS BIGINT) AS r6
+  FROM base),
+seas AS (
+  SELECT event_type, hod, CAST(sum(r6) AS BIGINT) AS sr6,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM based GROUP BY 1, 2)
+SELECT b.event_type, b.hr, CAST(b.hod AS BIGINT) AS hour_of_day,
+       {mround('b.observed', 6)} AS observed,
+       {mround('b.trend', 6)} AS trend,
+       {mround('CAST(s.sr6 AS DOUBLE) / 1000000 / s.nh', 6)} AS seasonal,
+       {mround('b.observed - b.trend - CAST(s.sr6 AS DOUBLE) / 1000000 / s.nh', 6)} AS residual
+FROM based b JOIN seas s ON b.event_type = s.event_type AND b.hod = s.hod
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_welch_ttest": QuerySpec(agg_welch_ttest, AGG_WELCH_TTEST_SQL, "aggregation"),
     "eval_pass_at_k": QuerySpec(eval_pass_at_k, EVAL_PASS_AT_K_SQL, "aggregation"),
+    "events_seasonal_decompose": QuerySpec(
+        events_seasonal_decompose, EVENTS_SEASONAL_SQL, "time-window"
+    ),
     "events_cuped_adjusted_lift": QuerySpec(
         events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
     ),
