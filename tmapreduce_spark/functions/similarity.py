@@ -928,9 +928,6 @@ LIMIT {OUTLIER_TOPK}
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "embedding_outlier_zscore": QuerySpec(
-        embedding_outlier_zscore, EMBEDDING_OUTLIER_SQL, "similarity"
-    ),
     "embedding_pca_power": QuerySpec(
         embedding_pca_power, _pca_sql(), "similarity"
     ),
@@ -947,4 +944,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, "similarity"),
     "ann_topk_cosine": QuerySpec(ann_topk_cosine, _ann_topk_sql(), "similarity"),
     "similarity_pairs_blocked": QuerySpec(similarity_pairs_blocked, SIMILARITY_PAIRS_SQL, "similarity"),
+    "embedding_outlier_zscore": QuerySpec(
+        embedding_outlier_zscore, EMBEDDING_OUTLIER_SQL, "similarity"
+    ),
 }

@@ -2816,12 +2816,6 @@ GROUP BY source
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "tokenizer_bpe_merges": QuerySpec(
-        tokenizer_bpe_merges, TOKENIZER_BPE_MERGES_SQL, "text"
-    ),
-    "tokenizer_apply_fertility": QuerySpec(
-        tokenizer_apply_fertility, TOKENIZER_FERTILITY_SQL, "text"
-    ),
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
     ),
@@ -2888,4 +2882,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL, "text"),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL, "text"),
+    "tokenizer_bpe_merges": QuerySpec(
+        tokenizer_bpe_merges, TOKENIZER_BPE_MERGES_SQL, "text"
+    ),
+    "tokenizer_apply_fertility": QuerySpec(
+        tokenizer_apply_fertility, TOKENIZER_FERTILITY_SQL, "text"
+    ),
 }

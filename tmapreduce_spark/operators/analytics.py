@@ -2411,14 +2411,6 @@ FROM based b JOIN seas s ON b.event_type = s.event_type AND b.hod = s.hod
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "agg_welch_ttest": QuerySpec(agg_welch_ttest, AGG_WELCH_TTEST_SQL, "aggregation"),
-    "eval_pass_at_k": QuerySpec(eval_pass_at_k, EVAL_PASS_AT_K_SQL, "aggregation"),
-    "events_seasonal_decompose": QuerySpec(
-        events_seasonal_decompose, EVENTS_SEASONAL_SQL, "time-window"
-    ),
-    "events_cuped_adjusted_lift": QuerySpec(
-        events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
-    ),
     "window_rolling_mad_flag": QuerySpec(
         window_rolling_mad_flag, WINDOW_ROLLING_MAD_SQL, "window"
     ),
@@ -2492,5 +2484,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_sessionized_funnel": QuerySpec(
         events_sessionized_funnel, EVENTS_SESSIONIZED_FUNNEL_SQL, "time-window"
+    ),
+    "agg_welch_ttest": QuerySpec(agg_welch_ttest, AGG_WELCH_TTEST_SQL, "aggregation"),
+    "eval_pass_at_k": QuerySpec(eval_pass_at_k, EVAL_PASS_AT_K_SQL, "aggregation"),
+    "events_seasonal_decompose": QuerySpec(
+        events_seasonal_decompose, EVENTS_SEASONAL_SQL, "time-window"
+    ),
+    "events_cuped_adjusted_lift": QuerySpec(
+        events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
     ),
 }
