@@ -194,3 +194,65 @@ def test_wav_energy_frame_split_boundaries(spark, tmp_path):
     assert row["sum_abs"] == sum(a)
     assert row["n_frames"] == len(frames)
     assert row["active_frames"] == active
+
+
+def test_pass_at_k_estimator_properties(spark):
+    """Estimator sanity on real data: bounded in [0, 1], monotone
+    non-decreasing in k (drawing more samples can only help), and the mean
+    over tasks exactly equals the hand-computed combinatorial definition
+    1 − C(n−c, k)/C(n, k)."""
+    from math import comb
+
+    from tmapreduce_spark.operators.analytics import PASS_AT_KS, eval_pass_at_k
+
+    rows = {r["k"]: r for r in eval_pass_at_k(spark, SF_SMOKE).collect()}
+    means = [rows[k]["mean_pass_at_k"] for k in sorted(rows)]
+    assert all(0.0 <= m <= 1.0 for m in means)
+
+    tasks = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias("c"),
+        )
+        .collect()
+    )
+    for k in PASS_AT_KS:
+        vals = [
+            1.0 - comb(r["n"] - r["c"], k) / comb(r["n"], k)
+            for r in tasks
+            if r["n"] >= k
+        ]
+        # the engine pre-rounds each estimator to the 1e-9 grid
+        grid = [int(math.floor(v * 1e9 + 0.5)) for v in vals]
+        expect = math.floor(sum(grid) / 1e9 / len(grid) * 1e6 + 0.5) / 1e6
+        assert rows[k]["n_tasks"] == len(vals)
+        assert abs(rows[k]["mean_pass_at_k"] - expect) < 1e-9
+    # monotone in k on the shared task subset (n >= max k)
+    big = [r for r in tasks if r["n"] >= max(PASS_AT_KS)]
+    for k1, k2 in zip(sorted(PASS_AT_KS), sorted(PASS_AT_KS)[1:]):
+        m1 = sum(1 - comb(r["n"] - r["c"], k1) / comb(r["n"], k1) for r in big)
+        m2 = sum(1 - comb(r["n"] - r["c"], k2) / comb(r["n"], k2) for r in big)
+        assert m2 >= m1
+
+
+def test_seasonal_decomposition_identity(spark):
+    """observed − trend − seasonal must equal residual on every row (to the
+    mround grid), and each (type, hour-of-day) group's residual must be
+    centered: the seasonal term absorbed the hour-of-day mean."""
+    from collections import defaultdict
+
+    from tmapreduce_spark.operators.analytics import events_seasonal_decompose
+
+    rows = events_seasonal_decompose(spark, SF_SMOKE).collect()
+    assert rows
+    by_hod = defaultdict(list)
+    for r in rows:
+        assert abs((r["observed"] - r["trend"] - r["seasonal"]) - r["residual"]) < 2e-6
+        by_hod[(r["event_type"], r["hour_of_day"])].append(
+            r["observed"] - r["trend"]
+        )
+    for (_t, _h), detr in by_hod.items():
+        seas = [r["seasonal"] for r in rows if (r["event_type"], r["hour_of_day"]) == (_t, _h)][0]
+        assert abs(sum(detr) / len(detr) - seas) < 2e-5
