@@ -209,6 +209,8 @@ HEADLINE = [
     "multimodal_wav_energy",
     "events_seasonal_decompose",
     "embedding_outlier_zscore",
+    "agg_hdr_latency_percentiles",
+    "multimodal_wav_resample",
 ]
 
 

@@ -971,3 +971,104 @@ FROM fr
 QUERIES["multimodal_wav_energy"] = QuerySpec(
     multimodal_wav_energy, MULTIMODAL_WAV_SQL, "multimodal"
 )
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id bigint, rate_in bigint, rate_out bigint, n_in bigint, n_out bigint, "
+    "peak_out bigint, sum_abs_out bigint"
+)
+
+
+def audio_resample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: synthesize the WAV clip, decode it, decimate by 2
+    (floor mean of each sample pair, odd tail sample dropped), then
+    ROUND-TRIP the result through the container — re-encode at half rate,
+    re-decode — so both the writer and the parser sit on the audited path,
+    and report the output stats."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            seed, n = _wav_params(bytes(p))
+            rate, samples = decode_wav(
+                encode_wav(WAV_RATE, [_wav_sample(seed, i) for i in range(n)])
+            )
+            s = np.asarray(samples, dtype=np.int64)
+            half = s[: (len(s) // 2) * 2].reshape(-1, 2)
+            # TRUNCATING division toward zero: DuckDB's integer `//`
+            # truncates for negative operands (it floors only for floats),
+            # so the shared formula is fix((a+b)/2), not floor
+            out = np.fix((half[:, 0] + half[:, 1]) / 2.0).astype(np.int64)
+            rate2, out2 = decode_wav(encode_wav(rate // 2, out.tolist()))
+            a = np.abs(np.asarray(out2, dtype=np.int64))
+            rows.append(
+                (
+                    int(doc_id),
+                    rate,
+                    rate2,
+                    len(s),
+                    len(a),
+                    int(a.max()) if len(a) else 0,
+                    int(a.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "rate_in",
+                "rate_out",
+                "n_in",
+                "n_out",
+                "peak_out",
+                "sum_abs_out",
+            ],
+        )
+
+
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample (decimate by 2 with pair averaging) over the real
+    WAV decode path, ROUND-TRIPPED through the container: decode →
+    decimate → re-encode at half rate → re-decode → stats. The audio twin
+    of `multimodal_resize`; the oracle recomputes the decimated samples
+    from the shared formula — trunc((s_2i + s_2i+1) / 2), TRUNCATING
+    toward zero, because DuckDB's integer `//` truncates for negative
+    operands (it floors only for floats) — so a writer/parser asymmetry
+    or a floor-vs-trunc mistake on negative samples breaks parity (it
+    did, by one sample unit, until this was pinned).
+
+    Scale: one Arrow-batched linear pass, no shuffle — the antialias
+    filter of a production resampler replaces the pair mean inside the
+    same stage."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        audio_resample_batch, schema=AUDIO_RESAMPLE_SCHEMA
+    )
+
+
+MULTIMODAL_WAV_RESAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, hv % 65536 AS seed, 256 + hv % 1024 AS n FROM h),
+o AS (
+  SELECT doc_id, n,
+         list_transform(range(n // 2), i ->
+           (((seed * 31 + 7 * (2 * i) * (2 * i)) % 65536 - 32768)
+            + ((seed * 31 + 7 * (2 * i + 1) * (2 * i + 1)) % 65536 - 32768)) // 2) AS outs
+  FROM p)
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS rate_in,
+       CAST({WAV_RATE} // 2 AS BIGINT) AS rate_out,
+       CAST(n AS BIGINT) AS n_in,
+       CAST(n // 2 AS BIGINT) AS n_out,
+       CAST(list_max(list_transform(outs, x -> abs(x))) AS BIGINT) AS peak_out,
+       CAST(list_sum(list_transform(outs, x -> abs(x))) AS BIGINT) AS sum_abs_out
+FROM o
+"""
+
+
+QUERIES["multimodal_wav_resample"] = QuerySpec(
+    multimodal_wav_resample, MULTIMODAL_WAV_RESAMPLE_SQL, "multimodal"
+)

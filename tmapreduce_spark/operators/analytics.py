@@ -2410,6 +2410,95 @@ FROM based b JOIN seas s ON b.event_type = s.event_type AND b.hod = s.hod
 """
 
 
+HDR_SUBS = 8  # sub-buckets per power-of-two bucket => <= 12.5% relative error
+
+
+def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style tail-latency percentiles over per-user
+    inter-event gaps (ms): each gap lands in a (power-of-two exponent,
+    HDR_SUBS linear sub-bucket) bin — the HdrHistogram/Gil Tene layout
+    every latency SLO dashboard uses — and p50/p90/p99/p99.9 are read off
+    the cumulative bin counts as exact bin lower bounds (relative error
+    bounded by 1/HDR_SUBS, count exact). Unlike `agg_equidepth_histogram`
+    (exact values, data-dependent cuts) this is the fixed-layout mergeable
+    form: bins are value-determined, so partial histograms from any number
+    of partitions/days merge by addition.
+
+    Determinism: everything is integer — the exponent comes from
+    length(bin(gap)) (no transcendental log2), bin lower bounds are shifts,
+    the rank thresholds are ceil via integer arithmetic.
+
+    Scale: one lag window per user (shared user shuffle), one groupBy onto
+    the <= ~500-bin grid (partial-aggregated — kilobytes from any corpus),
+    one tiny cumulative window over the bins, one 1-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+        .withColumn("gap_ms", F.expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) div 1000"))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    _ = wu  # window spelled inline above so the lag and filter share one pass
+    # bin lower bound: exact value below HDR_SUBS; (HDR_SUBS + sub) << (e-3)
+    # above (e = length(bin(x)) - 1, transcendental-free exponent)
+    lo = (
+        f"CASE WHEN gap_ms < {HDR_SUBS} THEN gap_ms "
+        f"ELSE shiftleft({HDR_SUBS} + (shiftright(gap_ms, length(bin(gap_ms)) - 4) & {HDR_SUBS - 1}), "
+        f"length(bin(gap_ms)) - 4) END"
+    )
+    bins = (
+        gaps.selectExpr(f"{lo} AS bin_lo", "gap_ms")
+        .groupBy("bin_lo")
+        .agg(F.count("*").alias("c"), F.max("gap_ms").alias("mx"))
+    )
+    wcum = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("c").over(wcum))
+    labels = {500: "p50_lo_ms", 900: "p90_lo_ms", 990: "p99_lo_ms", 999: "p999_lo_ms"}
+    return (
+        cum.crossJoin(
+            F.broadcast(bins.agg(F.sum("c").alias("n"), F.max("mx").alias("max_ms")))
+        )
+        .groupBy("n", "max_ms")
+        .agg(
+            *[
+                F.expr(
+                    f"min(CASE WHEN cum * 1000 >= {q} * n THEN bin_lo END)"
+                ).alias(name)
+                for q, name in labels.items()
+            ]
+        )
+        .selectExpr(
+            "n AS n_gaps", "max_ms", *labels.values()
+        )
+    )
+
+
+AGG_HDR_SQL = f"""
+WITH gaps AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000 AS gap_ms
+  FROM events),
+g AS (SELECT gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+bins AS (
+  SELECT CASE WHEN gap_ms < {HDR_SUBS} THEN gap_ms
+              ELSE (({HDR_SUBS} + ((gap_ms >> (length(bin(gap_ms)) - 4)) & {HDR_SUBS - 1}))
+                    << (length(bin(gap_ms)) - 4)) END AS bin_lo,
+         CAST(count(*) AS BIGINT) AS c, CAST(max(gap_ms) AS BIGINT) AS mx
+  FROM g GROUP BY 1),
+cum AS (
+  SELECT bin_lo, c, mx,
+         sum(c) OVER (ORDER BY bin_lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bins),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(max(mx) AS BIGINT) AS max_ms FROM bins)
+SELECT n AS n_gaps, max_ms,
+       CAST(min(CASE WHEN cum * 1000 >= 500 * n THEN bin_lo END) AS BIGINT) AS p50_lo_ms,
+       CAST(min(CASE WHEN cum * 1000 >= 900 * n THEN bin_lo END) AS BIGINT) AS p90_lo_ms,
+       CAST(min(CASE WHEN cum * 1000 >= 990 * n THEN bin_lo END) AS BIGINT) AS p99_lo_ms,
+       CAST(min(CASE WHEN cum * 1000 >= 999 * n THEN bin_lo END) AS BIGINT) AS p999_lo_ms
+FROM cum CROSS JOIN tot
+GROUP BY n, max_ms
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_rolling_mad_flag": QuerySpec(
         window_rolling_mad_flag, WINDOW_ROLLING_MAD_SQL, "window"
@@ -2492,5 +2581,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_cuped_adjusted_lift": QuerySpec(
         events_cuped_adjusted_lift, EVENTS_CUPED_SQL, "time-window"
+    ),
+    "agg_hdr_latency_percentiles": QuerySpec(
+        agg_hdr_latency_percentiles, AGG_HDR_SQL, "aggregation"
     ),
 }

@@ -75,8 +75,10 @@ def cents(expr: str, micro: int = 1_000_000) -> str:
 def msum2(expr: str, dialect: str) -> str:
     """Order-independent sum of a money expression, presented at 2 decimals
     as DOUBLE. Half-away-from-zero on negatives via the explicit CASE, so the
-    integer division always sees positive operands (where Spark's truncating
-    ``div`` and DuckDB's flooring ``//`` agree)."""
+    integer division always sees positive operands — where Spark's ``div``
+    and DuckDB's ``//`` agree. (Both TRUNCATE toward zero on integer
+    operands — DuckDB floors only for floats, verified r06 — but negative
+    behavior never enters through this guard.)"""
     d = _idiv(dialect)
     s = f"sum({cents(expr)})"
     return (
