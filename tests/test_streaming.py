@@ -583,3 +583,48 @@ def test_streaming_sessionized_funnel_converges_to_batch(spark):
         for r in events_sessionized_funnel(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_hdr_partials_merge_to_batch_percentiles(spark):
+    """The mergeability claim of `agg_hdr_latency_percentiles`, executed:
+    per-user streaming HDR partials merged by plain addition must
+    reproduce the batch operator's percentile row exactly, and the python
+    bin function must agree with the engine layout."""
+    from collections import Counter
+
+    from tmapreduce_spark.operators.analytics import agg_hdr_latency_percentiles
+    from tmapreduce_spark.streaming.stateful import hdr_bin_lo, streaming_hdr_gaps
+
+    s = streaming_hdr_gaps(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_hdr", output_mode="update")
+    merged: Counter = Counter()
+    max_gap = 0
+    # update-mode emissions: the LAST row per user is the final state
+    per_user = {}
+    for i, r in enumerate(mem.collect()):
+        per_user[r["user_id"]] = (i, r)
+    for _i, r in per_user.values():
+        merged.update(dict(zip(r["bin_los"], r["counts"])))
+        max_gap = max(max_gap, r["max_gap"])
+    n = sum(merged.values())
+
+    def pick(q_thousandths: int) -> int:
+        cum = 0
+        for b in sorted(merged):
+            cum += merged[b]
+            if cum * 1000 >= q_thousandths * n:
+                return b
+        raise AssertionError("rank not reached")
+
+    batch = agg_hdr_latency_percentiles(spark, SF_SMOKE).collect()[0]
+    assert batch["n_gaps"] == n
+    assert batch["max_ms"] == max_gap
+    assert batch["p50_lo_ms"] == pick(500)
+    assert batch["p90_lo_ms"] == pick(900)
+    assert batch["p99_lo_ms"] == pick(990)
+    assert batch["p999_lo_ms"] == pick(999)
+    # the shared bin function matches the engine layout on every edge:
+    # sub-bucket boundaries, exact small values, power-of-two corners
+    for g in [0, 1, 7, 8, 9, 15, 16, 17, 127, 128, 1023, 1024, 123456789]:
+        lo = hdr_bin_lo(g)
+        assert lo <= g < (lo + max(1, lo // 8) if g >= 8 else lo + 1), (g, lo)

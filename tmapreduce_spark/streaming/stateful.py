@@ -533,3 +533,90 @@ def streaming_sessionized_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming HDR gap histogram ---------------------------------------------
+#
+# Streaming twin of the batch `agg_hdr_latency_percentiles` catalog entry,
+# and the executable proof of its mergeability claim: each user's state is
+# (last event timestamp, partial HDR bin counts) — bins are VALUE-determined
+# (power-of-two exponent x HDR_SUBS linear sub-buckets), so the per-user
+# partial histograms emitted here merge by plain addition into the exact
+# global histogram, and the merged percentiles equal the batch operator's
+# row bit-for-bit (asserted in tests/test_streaming.py). Per-user grouping
+# keeps the stream scale-true (no single-key funnel); state is bounded by
+# the bin layout (<= ~500 bins) + one timestamp per user.
+
+HDR_OUTPUT_SCHEMA = (
+    "user_id bigint, bin_los array<bigint>, counts array<bigint>,"
+    " max_gap bigint, n_gaps bigint"
+)
+HDR_STATE_SCHEMA = (
+    "last_us bigint, started boolean, bin_los array<bigint>,"
+    " counts array<bigint>, max_gap bigint"
+)
+
+
+def hdr_bin_lo(gap_ms: int, subs: int = 8) -> int:
+    """Bin lower bound of the batch operator's HDR layout — the single
+    python definition, shared by the streaming updater and the merge test
+    (mirrors the SQL: exact below `subs`; (subs + sub) << (e - 3) above,
+    e = bit length - 1)."""
+    if gap_ms < subs:
+        return gap_ms
+    e = gap_ms.bit_length() - 1
+    sub = (gap_ms >> (e - 3)) & (subs - 1)
+    return (subs + sub) << (e - 3)
+
+
+def _update_hdr_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_us, started, bin_los, counts, max_gap = (
+        state.get if state.exists else (0, False, [], [], 0)
+    )
+    bins = dict(zip(bin_los, counts))
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    for us in rows["ts_us"]:
+        us = int(us)
+        if started:
+            gap_ms = (us - last_us) // 1000
+            b = hdr_bin_lo(gap_ms)
+            bins[b] = bins.get(b, 0) + 1
+            max_gap = max(max_gap, gap_ms)
+        last_us, started = us, True
+    items = sorted(bins.items())
+    state.update(
+        (last_us, started, [b for b, _ in items], [c for _, c in items], max_gap)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "bin_los": [[b for b, _ in items]],
+            "counts": [[c for _, c in items]],
+            "max_gap": [max_gap],
+            "n_gaps": [sum(c for _, c in items)],
+        }
+    )
+
+
+def streaming_hdr_gaps(events: DataFrame) -> DataFrame:
+    """Streaming per-user HDR gap histogram — mergeable partials whose sum
+    reproduces the batch percentile row exactly."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_hdr_state,
+            outputStructType=HDR_OUTPUT_SCHEMA,
+            stateStructType=HDR_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
