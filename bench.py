@@ -211,6 +211,7 @@ HEADLINE = [
     "embedding_outlier_zscore",
     "agg_hdr_latency_percentiles",
     "multimodal_wav_resample",
+    "window_forecast_backtest",
 ]
 
 

@@ -486,6 +486,20 @@ def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical profile to `window_ewma` — one user_id shuffle,
     O(16) state per row."""
+    return _holt_folded(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_id",
+        "us",
+        mround("st[0]", 6) + " AS level",
+        mround("st[1]", 6) + " AS trend",
+        mround("st[0] + st[1]", 6) + " AS forecast_next",
+    )
+
+
+def _holt_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, us, value, st) with st = [level, trend] after the
+    Holt fold over the truncated frame — the single fold definition, shared
+    by the forecast report and the rolling-origin backtest."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -506,17 +520,8 @@ def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(acc, x) -> array({step_l}, "
         f"acc[1] * 0.5 + (({step_l}) - acc[0]) * 0.5))"
     )
-    return (
-        base.withColumn("lv", F.collect_list("value").over(w))
-        .withColumn("st", F.expr(fold))
-        .selectExpr(
-            "user_id",
-            "event_id",
-            "us",
-            mround("st[0]", 6) + " AS level",
-            mround("st[1]", 6) + " AS trend",
-            mround("st[0] + st[1]", 6) + " AS forecast_next",
-        )
+    return base.withColumn("lv", F.collect_list("value").over(w)).withColumn(
+        "st", F.expr(fold)
     )
 
 
@@ -544,6 +549,88 @@ FROM folded
 
 
 WINDOW_HOLT_SQL = _holt_sql()
+
+
+def window_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt forecaster: at each event t the
+    model's one-step-ahead forecast (made at t-1, same fold as
+    `window_holt_forecast` via the shared `_holt_folded`) is compared to
+    the realized value, and the corpus-wide error profile — MAE, signed
+    bias, MAPE — is reported. This is the eval loop of the forecasting
+    family: the number that tells you whether Holt's trend term earns its
+    keep over plain EWMA on this corpus before anyone ships it.
+
+    Determinism: the forecast is the mround(6) value the forecast report
+    itself emits (so the backtest scores the OUTPUT contract, not a
+    private variant); per-event |err|, err, and |err|/value terms are
+    pre-rounded to a 1e-6 integer grid BEFORE the corpus mean, so the
+    reduction is an integer sum (value > 0 throughout the fixture grid;
+    NULLIF guards division anyway).
+
+    Scale: the fold's one user shuffle is reused by the lag window (same
+    partitioning + ordering — no second exchange); the final aggregate is
+    partial-combined to a single row."""
+    h = _holt_folded(spark, sf_dir).selectExpr(
+        "user_id", "us", "event_id", "value",
+        mround("st[0] + st[1]", 6) + " AS fc",
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    scored = (
+        h.withColumn("fc_prev", F.lag("fc").over(wlag))
+        .filter(F.col("fc_prev").isNotNull())
+        .selectExpr(
+            "CAST(floor(abs(value - fc_prev) * 1000000 + 0.5) AS BIGINT) AS ae6",
+            "CAST(floor((value - fc_prev) * 1000000 + 0.5) AS BIGINT) AS e6",
+            "CAST(floor(abs(value - fc_prev) / nullif(value, 0) * 1000000 + 0.5) AS BIGINT) AS ape6",
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_forecasts"),
+        F.sum("ae6").alias("sae"),
+        F.sum("e6").alias("se"),
+        F.sum("ape6").alias("sape"),
+    ).selectExpr(
+        "n_forecasts",
+        mround("CAST(sae AS DOUBLE) / 1000000 / n_forecasts", 6) + " AS mae",
+        mround("CAST(se AS DOUBLE) / 1000000 / n_forecasts", 6) + " AS bias",
+        mround("CAST(sape AS DOUBLE) / 1000000 / n_forecasts", 6) + " AS mape",
+    )
+
+
+def _backtest_sql() -> str:
+    step_l = "(acc[1] + acc[2]) * 0.5 + v[1] * 0.5"
+    fold = (
+        "list_reduce(list_prepend([CAST(lv[1] AS DOUBLE), CAST(0 AS DOUBLE)], "
+        "list_transform(lv[2:], x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)])), "
+        f"(acc, v) -> [{step_l}, "
+        f"acc[2] * 0.5 + (({step_l}) - acc[1]) * 0.5])"
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN {EWMA_LAGS - 1} PRECEDING AND CURRENT ROW) AS lv
+  FROM events WHERE value IS NOT NULL),
+folded AS (SELECT user_id, us, event_id, value, {fold} AS st FROM base),
+fc AS (SELECT user_id, us, event_id, value,
+              {mround('st[1] + st[2]', 6)} AS fc
+       FROM folded),
+scored AS (
+  SELECT CAST(floor(abs(value - fc_prev) * 1000000 + 0.5) AS BIGINT) AS ae6,
+         CAST(floor((value - fc_prev) * 1000000 + 0.5) AS BIGINT) AS e6,
+         CAST(floor(abs(value - fc_prev) / nullif(value, 0) * 1000000 + 0.5) AS BIGINT) AS ape6
+  FROM (SELECT value, lag(fc) OVER (PARTITION BY user_id ORDER BY us, event_id) AS fc_prev
+        FROM fc) t
+  WHERE fc_prev IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+       {mround('CAST(sum(ae6) AS DOUBLE) / 1000000 / count(*)', 6)} AS mae,
+       {mround('CAST(sum(e6) AS DOUBLE) / 1000000 / count(*)', 6)} AS bias,
+       {mround('CAST(sum(ape6) AS DOUBLE) / 1000000 / count(*)', 6)} AS mape
+FROM scored
+"""
+
+
+WINDOW_BACKTEST_SQL = _backtest_sql()
 
 
 def window_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,4 +800,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_SQL, "window"),
     "window_moving_avg": QuerySpec(window_moving_avg, WINDOW_MOVING_SQL, "window"),
     "window_ntile": QuerySpec(window_ntile, WINDOW_NTILE_SQL, "window"),
+    "window_forecast_backtest": QuerySpec(
+        window_forecast_backtest, WINDOW_BACKTEST_SQL, "window"
+    ),
 }
