@@ -212,6 +212,7 @@ HEADLINE = [
     "agg_hdr_latency_percentiles",
     "multimodal_wav_resample",
     "window_forecast_backtest",
+    "sketch_countmin_exact",
 ]
 
 

@@ -1384,3 +1384,112 @@ FROM cents LEFT JOIN per ON per.cid = cents.cid CROSS JOIN tot
 QUERIES["embedding_cluster_balance"] = QuerySpec(
     embedding_cluster_balance, EMBEDDING_CLUSTER_BALANCE_SQL, "similarity"
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch with DETERMINISTIC hashes — the exactly-oracle-checkable
+# member of the sketch family (the HLL entries above are approximate by
+# construction and carry rows-only checks; CM counters are plain integer
+# sums once the hash functions are fixed, so DuckDB reproduces them
+# bit-for-bit).
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 256  # counters per row
+
+
+def _cm_col_spark(tok: str, r: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat({tok}, '#', '{r}')), 1, 8), 16, 10) "
+        f"AS BIGINT) % {CM_W}"
+    )
+
+
+def _cm_col_duck(tok: str, r: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5({tok} || '#' || '{r}'), 1, 8)) AS BIGINT) "
+        f"% {CM_W}"
+    )
+
+
+def sketch_countmin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, audited exactly: build
+    the CM_D×CM_W counter grid (md5-derived row hashes), then report, for
+    the top-10 true-count tokens, the true count, the CM point estimate
+    (min over rows of the hashed counter), and the overestimate — which the
+    CM guarantee says is ≥ 0 always and ≤ εN with probability 1−δ
+    (ε = e/CM_W, δ = e^−CM_D; Cormode & Muthukrishnan '05). Because the
+    hashes are deterministic, every counter is an integer sum both engines
+    compute identically — this entry is the exact-oracle anchor of the
+    sketch family next to the rows-only HLL entries.
+
+    Scale: the counter grid is FIXED-SIZE mergeable state (CM_D·CM_W cells)
+    built by one partial-aggregated groupBy — a billion tokens collapse to
+    1024 cells before the shuffle, the whole point of CM; the audit joins
+    the broadcast top-10 against the broadcast grid."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        r"explode(split(trim(lower(text)), '\\s+')) AS tok"
+    ).filter("tok != ''")
+    cells = (
+        toks.selectExpr(
+            "explode(array("
+            + ", ".join(
+                f"named_struct('r', {r}, 'c', {_cm_col_spark('tok', r)})"
+                for r in range(CM_D)
+            )
+            + ")) AS rc"
+        )
+        .groupBy("rc.r", "rc.c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(10)
+    )
+    keys = top.selectExpr(
+        "tok",
+        "true_cnt",
+        "explode(array("
+        + ", ".join(
+            f"named_struct('r', {r}, 'c', {_cm_col_spark('tok', r)})"
+            for r in range(CM_D)
+        )
+        + ")) AS rc",
+    ).selectExpr("tok", "true_cnt", "rc.r AS r", "rc.c AS c")
+    return (
+        keys.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .selectExpr("tok", "true_cnt", "cm_estimate", "cm_estimate - true_cnt AS overestimate")
+    )
+
+
+SKETCH_COUNTMIN_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+flt AS (SELECT tok FROM toks WHERE tok != ''),
+cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS r, {_cm_col_duck('tok', r)} AS c FROM flt" for r in range(CM_D))}
+  ) g GROUP BY r, c),
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM flt GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT 10),
+keys AS (
+  {" UNION ALL ".join(f"SELECT tok, true_cnt, {r} AS r, {_cm_col_duck('tok', r)} AS c FROM top" for r in range(CM_D))}
+)
+SELECT tok, true_cnt, CAST(min(cnt) AS BIGINT) AS cm_estimate,
+       CAST(min(cnt) - true_cnt AS BIGINT) AS overestimate
+FROM keys JOIN cells USING (r, c)
+GROUP BY tok, true_cnt
+"""
+
+
+QUERIES["sketch_countmin_exact"] = QuerySpec(
+    sketch_countmin_exact, SKETCH_COUNTMIN_SQL, "sketch"
+)
