@@ -213,6 +213,7 @@ HEADLINE = [
     "multimodal_wav_resample",
     "window_forecast_backtest",
     "sketch_countmin_exact",
+    "events_lag_features_asof",
 ]
 
 

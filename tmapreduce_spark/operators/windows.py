@@ -804,3 +804,102 @@ QUERIES: dict[str, QuerySpec] = {
         window_forecast_backtest, WINDOW_BACKTEST_SQL, "window"
     ),
 }
+
+
+US_H = 3_600_000_000  # microseconds per hour
+
+
+def events_lag_features_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-matrix build: for every `purchase` event, the
+    feature vector a model would have seen STRICTLY BEFORE that instant —
+    trailing 24h/7d activity counts, 7-day spend, previous event type, and
+    seconds since the previous event. The defining constraint is leakage
+    freedom: every RANGE frame ends at -1 microsecond, so the label row's
+    own value can never enter its features (the feature-store correctness
+    rule as-of joins exist for, expressed as windows because label and
+    features ride the SAME stream here).
+
+    Determinism: counts and cents sums are integers inside exactly-bounded
+    integer RANGE frames; gap seconds are integer division; the previous
+    type is lag() under a total order.
+
+    Scale: ONE user_id shuffle serves every frame and the lag (identical
+    partitioning + ordering); purchases filter AFTER the windows (a
+    pre-filter would corrupt the trailing counts). RANGE frame state is
+    bounded by a user's 7-day activity, not history."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        f"{cents('value', 100)} AS vc",
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # RANGE frames need a single numeric sort key: order on us alone there
+    # (the -1µs bound excludes same-instant rows regardless of event_id
+    # ties); lag keeps the (us, event_id) total order
+    wr = Window.partitionBy("user_id").orderBy("us")
+    feats = (
+        base.withColumn("n_24h", F.count("*").over(wr.rangeBetween(-24 * US_H, -1)))
+        .withColumn(
+            "n_clicks_7d",
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).over(
+                wr.rangeBetween(-7 * 24 * US_H, -1)
+            ),
+        )
+        .withColumn(
+            "spend_7d_c",
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END")).over(
+                wr.rangeBetween(-7 * 24 * US_H, -1)
+            ),
+        )
+        .withColumn("prev_type", F.lag("event_type").over(order))
+        .withColumn("prev_us", F.lag("us").over(order))
+    )
+    return feats.filter("event_type = 'purchase'").selectExpr(
+        "user_id",
+        "event_id",
+        "us AS label_us",
+        "coalesce(n_24h, 0) AS n_events_24h",
+        "coalesce(n_clicks_7d, 0) AS n_clicks_7d",
+        "CAST(coalesce(spend_7d_c, 0) AS DOUBLE) / 100 AS spend_7d",
+        "coalesce(prev_type, 'none') AS prev_type",
+        "CASE WHEN prev_us IS NULL THEN CAST(-1 AS BIGINT) "
+        "ELSE (us - prev_us) div 1000000 END AS secs_since_prev",
+    )
+
+
+EVENTS_LAG_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         {cents('value', 100)} AS vc
+  FROM events),
+feats AS (
+  SELECT user_id, event_id, event_type, us,
+         count(*) OVER w24 AS n_24h,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w7d AS n_clicks_7d,
+         sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) OVER w7d AS spend_7d_c,
+         lag(event_type) OVER wo AS prev_type,
+         lag(us) OVER wo AS prev_us
+  FROM base
+  WINDOW
+    w24 AS (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN {24 * US_H} PRECEDING AND 1 PRECEDING),
+    w7d AS (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN {7 * 24 * US_H} PRECEDING AND 1 PRECEDING),
+    wo AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT user_id, event_id, us AS label_us,
+       CAST(coalesce(n_24h, 0) AS BIGINT) AS n_events_24h,
+       CAST(coalesce(n_clicks_7d, 0) AS BIGINT) AS n_clicks_7d,
+       CAST(coalesce(spend_7d_c, 0) AS DOUBLE) / 100 AS spend_7d,
+       coalesce(prev_type, 'none') AS prev_type,
+       CASE WHEN prev_us IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE (us - prev_us) // 1000000 END AS secs_since_prev
+FROM feats
+WHERE event_type = 'purchase'
+"""
+
+QUERIES["events_lag_features_asof"] = QuerySpec(
+    events_lag_features_asof, EVENTS_LAG_FEATURES_SQL, "time-window"
+)
