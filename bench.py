@@ -214,6 +214,7 @@ HEADLINE = [
     "window_forecast_backtest",
     "sketch_countmin_exact",
     "events_lag_features_asof",
+    "agg_bootstrap_ci",
 ]
 
 

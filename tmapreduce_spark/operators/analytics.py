@@ -2586,3 +2586,110 @@ QUERIES: dict[str, QuerySpec] = {
         agg_hdr_latency_percentiles, AGG_HDR_SQL, "aggregation"
     ),
 }
+
+
+BOOT_B = 32  # bootstrap resamples
+# inverse-CDF cutoffs for Poisson(1) on a 1e6 grid (P(0), P(<=1), ... P(<=4));
+# weights cap at 5 — the tail beyond contributes < 1e-4 of resamples
+BOOT_CUTS = (367879, 735758, 919698, 981011, 996340)
+
+
+def _boot_weight(expr_hash: str) -> str:
+    """Poisson(1) weight from a uniform 1e6-grid hash value — same CASE text
+    in both dialects."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {expr_hash} < {c} THEN {w}" for w, c in enumerate(BOOT_CUTS)
+        )
+        + " ELSE 5 END"
+    )
+
+
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order price —
+    BOOT_B resamples whose per-row weights come from md5(orderkey,
+    replicate) through the Poisson(1) inverse CDF, i.e. the ONLY bootstrap
+    that works on a data-parallel engine (resample by reweighting in one
+    pass, never by materializing samples; Chamandy et al., Google 2012).
+    Reports the full-sample mean and the [2.5%, 97.5%] band as order
+    statistics of the replicate means.
+
+    Determinism: the "randomness" is md5 — both engines derive identical
+    weights, every replicate mean is a ratio of integer sums, and the band
+    picks order statistics from the sorted 32-element array (no
+    interpolation).
+
+    Scale: the replicate fan-out (x BOOT_B rows) happens map-side and
+    collapses to BOOT_B rows per partition via partial aggregation before
+    the shuffle — the wire carries B rows per task no matter the corpus;
+    the order-statistics step runs on a BOOT_B-row table."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        f"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
+        f"CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1000000"
+    )
+    reps = (
+        o.selectExpr("o_orderkey", f"{cents('o_totalprice')} AS vc")
+        .selectExpr("o_orderkey", "vc", f"explode(sequence(0, {BOOT_B - 1})) AS b")
+        .selectExpr("b", "vc", f"{_boot_weight(h)} AS w")
+        .groupBy("b")
+        .agg(F.sum(F.expr("CAST(w AS BIGINT) * vc")).alias("swv"), F.sum("w").alias("sw"))
+        .selectExpr("CAST(swv AS DOUBLE) / 1000000 / sw AS mean_b")
+    )
+    point = o.selectExpr(f"{cents('o_totalprice')} AS vc").agg(
+        F.sum("vc").alias("sv"), F.count("*").alias("n")
+    )
+    lo_i = -(-25 * BOOT_B // 1000)  # ceil(0.025 * B), 1-indexed
+    hi_i = -(-975 * BOOT_B // 1000)
+    band = reps.agg(
+        F.expr("sort_array(collect_list(mean_b))").alias("ms")
+    ).selectExpr(
+        f"CAST({BOOT_B} AS BIGINT) AS n_replicates",
+        mround(f"ms[{lo_i - 1}]", 6) + " AS ci_lo",
+        mround(f"ms[{hi_i - 1}]", 6) + " AS ci_hi",
+    )
+    return point.crossJoin(F.broadcast(band)).selectExpr(
+        "n AS n_rows",
+        mround("CAST(sv AS DOUBLE) / 1000000 / n", 6) + " AS mean_price",
+        "n_replicates",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _bootstrap_sql() -> str:
+    h = (
+        "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#' || "
+        "CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000"
+    )
+    lo_i = -(-25 * BOOT_B // 1000)
+    hi_i = -(-975 * BOOT_B // 1000)
+    return f"""
+WITH reps AS (
+  SELECT b, CAST(sum(CAST(w AS BIGINT) * vc) AS DOUBLE) / 1000000 / sum(w) AS mean_b
+  FROM (
+    SELECT o_orderkey, {cents('o_totalprice')} AS vc, u.b AS b,
+           {_boot_weight(h)} AS w
+    FROM orders, unnest(range({BOOT_B})) AS u(b)) t
+  GROUP BY b),
+band AS (
+  SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+         {mround(f'(list_sort(list(mean_b)))[{lo_i}]', 6)} AS ci_lo,
+         {mround(f'(list_sort(list(mean_b)))[{hi_i}]', 6)} AS ci_hi
+  FROM reps),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {mround(f"CAST(sum({cents('o_totalprice')}) AS DOUBLE) / 1000000 / count(*)", 6)} AS mean_price
+  FROM orders)
+SELECT n_rows, mean_price, n_replicates, ci_lo, ci_hi
+FROM point CROSS JOIN band
+"""
+
+
+AGG_BOOTSTRAP_SQL = _bootstrap_sql()
+
+
+QUERIES["agg_bootstrap_ci"] = QuerySpec(
+    agg_bootstrap_ci, AGG_BOOTSTRAP_SQL, "aggregation"
+)
