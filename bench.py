@@ -215,6 +215,7 @@ HEADLINE = [
     "sketch_countmin_exact",
     "events_lag_features_asof",
     "agg_bootstrap_ci",
+    "mr_join",
 ]
 
 

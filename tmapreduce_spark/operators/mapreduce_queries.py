@@ -151,6 +151,34 @@ FROM documents
 """
 
 
+def mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side (repartition) join through the MapReduce path — THE
+    canonical join pattern of the MapReduce era (tag each relation in map,
+    co-locate on the join key, cross the tagged groups in reduce): nation
+    joined to customer on nationkey, emitting "nation|customer" rows under
+    the reference's flat (key, result) contract. The relational twin is any
+    `join_*` catalog entry; this one proves the two-UDF surface expresses
+    joins at all — and documents WHY the relational engine wins: the reduce
+    buffer holds one key's entire fan-in (the skew trap `join_salted_skew`
+    exists to solve), while Catalyst picks broadcast/SMJ per side and never
+    materializes per-key groups."""
+    n = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS STRING) AS key", "concat('N:', n_name) AS value"
+    )
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_nationkey AS STRING) AS key", "concat('C:', c_name) AS value"
+    )
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(n.unionByName(c), "reducejoin")
+
+
+MR_JOIN_SQL = """
+SELECT CAST(n_nationkey AS VARCHAR) AS key,
+       n_name || '|' || c_name AS result
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mr_sort": QuerySpec(mr_sort, MR_SORT_SQL, "mapreduce"),
     "mr_inverted_index": QuerySpec(mr_inverted_index, MR_INVERTED_INDEX_SQL, "mapreduce"),
@@ -158,4 +186,5 @@ QUERIES: dict[str, QuerySpec] = {
     "mr_charcount": QuerySpec(mr_charcount, MR_CHARCOUNT_SQL, "mapreduce"),
     "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),
     "mr_charcount_combined": QuerySpec(mr_charcount_combined, MR_CHARCOUNT_SQL, "mapreduce"),
+    "mr_join": QuerySpec(mr_join, MR_JOIN_SQL, "mapreduce"),
 }

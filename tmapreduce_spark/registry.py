@@ -149,6 +149,24 @@ def invertedindex_reduce(key: str, values: list[str]) -> Iterable[str]:
     return [key, ",".join(sorted(set(values)))]
 
 
+def reducejoin_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Reduce-side (repartition) join map — the classic MapReduce join: the
+    input value arrives pre-tagged with its source relation ("N:" left /
+    "C:" right); map is tag-preserving identity, so both relations
+    co-locate on the join key at the reducers."""
+    return [(key, value)]
+
+
+def reducejoin_reduce(key: str, values: list[str]) -> Iterable[str]:
+    """Emit the per-key cross product of left and right tagged values as
+    "left|right" strings, both sides sorted first so the output is
+    deterministic under any shuffle order. Keys missing either side emit
+    nothing (inner-join semantics)."""
+    lefts = sorted(v[2:] for v in values if v.startswith("N:"))
+    rights = sorted(v[2:] for v in values if v.startswith("C:"))
+    return [f"{l}|{r}" for l in lefts for r in rights]
+
+
 def default_registry() -> JobRegistry:
     reg = JobRegistry()
     reg.register("charcount", charcount_map, charcount_reduce)
@@ -161,4 +179,5 @@ def default_registry() -> JobRegistry:
     reg.register("wordcount+c", wordcount_map, charcount_reduce, sum_combine)
     reg.register("grep-spark", grep_spark_map, identity_reduce)
     reg.register("invertedindex", invertedindex_map, invertedindex_reduce)
+    reg.register("reducejoin", reducejoin_map, reducejoin_reduce)
     return reg
