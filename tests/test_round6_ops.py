@@ -256,3 +256,13 @@ def test_seasonal_decomposition_identity(spark):
     for (_t, _h), detr in by_hod.items():
         seas = [r["seasonal"] for r in rows if (r["event_type"], r["hour_of_day"]) == (_t, _h)][0]
         assert abs(sum(detr) / len(detr) - seas) < 2e-5
+
+
+def test_wav_vectorized_samples_equal_scalar():
+    """The numpy-vectorized synthesis must equal the scalar shared formula
+    element-for-element (including the negative wrap at the int16 fold)."""
+    from tmapreduce_spark.functions.multimodal import _wav_sample, _wav_samples
+
+    for seed in (0, 1, 65535, 12345):
+        vec = _wav_samples(seed, 300)
+        assert vec == [_wav_sample(seed, i) for i in range(300)]

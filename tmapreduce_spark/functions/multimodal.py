@@ -810,11 +810,18 @@ WAV_ACTIVE_MEAN = 1 << 14
 def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     """Minimal RIFF/WAVE writer: canonical 44-byte header (PCM format
     chunk, mono, 16-bit little-endian) + data chunk. Samples are clamped
-    int16."""
+    int16 (numpy clip + '<i2' serialization — byte-identical to the
+    struct.pack form, ~10x cheaper per clip)."""
     import struct
 
+    import numpy as np
+
     n = len(samples)
-    data = struct.pack(f"<{n}h", *[max(-32768, min(32767, s)) for s in samples])
+    data = (
+        np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
     out = bytearray()
     out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
     out += struct.pack(
@@ -850,8 +857,10 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         raise NotImplementedError(f"compressed WAV (format {fmt}) needs a codec")
     if channels != 1 or bits != 16:
         raise NotImplementedError(f"unsupported layout ({channels}ch/{bits}bit)")
+    import numpy as np
+
     n = len(data) // 2
-    return rate, list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, np.frombuffer(data[: n * 2], dtype="<i2").astype(int).tolist()
 
 
 def _wav_params(text_payload: bytes) -> tuple[int, int]:
@@ -864,6 +873,15 @@ def _wav_params(text_payload: bytes) -> tuple[int, int]:
 def _wav_sample(seed: int, i: int) -> int:
     """Deterministic int16 sample formula shared with the oracle."""
     return (seed * 31 + 7 * i * i) % 65536 - 32768
+
+
+def _wav_samples(seed: int, n: int) -> list[int]:
+    """Vectorized `_wav_sample` over 0..n-1 (the per-sample python loop was
+    the UDFs' hot path); equality with the scalar form is test-pinned."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * 31 + 7 * i * i) % 65536 - 32768).tolist()
 
 
 AUDIO_ENERGY_SCHEMA = (
@@ -884,7 +902,7 @@ def audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
             seed, n = _wav_params(bytes(p))
-            wav = encode_wav(WAV_RATE, [_wav_sample(seed, i) for i in range(n)])
+            wav = encode_wav(WAV_RATE, _wav_samples(seed, n))
             rate, samples = decode_wav(wav)
             a = np.abs(np.asarray(samples, dtype=np.int64))
             n_frames = (len(a) + WAV_FRAME - 1) // WAV_FRAME
@@ -992,7 +1010,7 @@ def audio_resample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
             seed, n = _wav_params(bytes(p))
             rate, samples = decode_wav(
-                encode_wav(WAV_RATE, [_wav_sample(seed, i) for i in range(n)])
+                encode_wav(WAV_RATE, _wav_samples(seed, n))
             )
             s = np.asarray(samples, dtype=np.int64)
             half = s[: (len(s) // 2) * 2].reshape(-1, 2)
