@@ -2589,9 +2589,11 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 BOOT_B = 32  # bootstrap resamples
-# inverse-CDF cutoffs for Poisson(1) on a 1e6 grid (P(0), P(<=1), ... P(<=4));
-# weights cap at 5 — the tail beyond contributes < 1e-4 of resamples
-BOOT_CUTS = (367879, 735758, 919698, 981011, 996340)
+BOOT_M = 2147483647  # Mersenne prime 2^31 - 1 (Lehmer modulus)
+# inverse-CDF cutoffs for Poisson(1) on the 2^16 grid
+# (P(0), P(<=1), ... P(<=4)); weights cap at 5 — the tail beyond
+# contributes < 1e-4 of resamples
+BOOT_CUTS = (24109, 48218, 60272, 64290, 65294)
 
 
 def _boot_weight(expr_hash: str) -> str:
@@ -2608,82 +2610,103 @@ def _boot_weight(expr_hash: str) -> str:
 
 def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean order price —
-    BOOT_B resamples whose per-row weights come from md5(orderkey,
-    replicate) through the Poisson(1) inverse CDF, i.e. the ONLY bootstrap
-    that works on a data-parallel engine (resample by reweighting in one
-    pass, never by materializing samples; Chamandy et al., Google 2012).
-    Reports the full-sample mean and the [2.5%, 97.5%] band as order
-    statistics of the replicate means.
+    BOOT_B resamples whose per-row weights reweight the rows in ONE pass,
+    i.e. the only bootstrap that works on a data-parallel engine (never
+    materialize resamples; Chamandy et al., Google 2012). Reports the
+    full-sample mean and the order-statistics band of the replicate means.
 
-    Determinism: the "randomness" is md5 — both engines derive identical
-    weights, every replicate mean is a ratio of integer sums, and the band
-    picks order statistics from the sorted 32-element array (no
-    interpolation).
+    Determinism: the "randomness" is one md5 per ROW (two 31-bit uniform
+    seeds from the digest) stretched across replicates by Lehmer-style
+    integer mixing — u_b = (s1·(2b+1) + s2·(b²+1)) mod (2³¹−1) mod 2¹⁶ —
+    so both engines derive identical weights from identical arithmetic
+    (all intermediates < 2^42, no overflow in either), every replicate
+    mean is a ratio of integer sums, and the band picks order statistics
+    from the sorted 32-element array. One md5 per row (not per replicate)
+    is what makes the query cheap — the digest supplies the entropy, the
+    mixing only decorrelates replicates.
 
-    Scale: the replicate fan-out (x BOOT_B rows) happens map-side and
-    collapses to BOOT_B rows per partition via partial aggregation before
-    the shuffle — the wire carries B rows per task no matter the corpus;
-    the order-statistics step runs on a BOOT_B-row table."""
+    Scale: map side is 1 hash + BOOT_B CASE expressions per row; the 32
+    weighted sums accumulate as WIDE aggregate columns in a single 1-row
+    aggregate (partial-combined — the wire carries 64 longs per task at
+    any corpus size); the order-statistics step runs on a 32-row table."""
     o = load_table(spark, sf_dir, "orders")
-    h = (
-        f"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
-        f"CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1000000"
+    seeded = o.selectExpr(
+        f"{cents('o_totalprice')} AS vc",
+        "md5(CAST(o_orderkey AS STRING)) AS d",
+    ).selectExpr(
+        "vc",
+        f"CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT) % {BOOT_M} AS s1",
+        f"CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT) % {BOOT_M} AS s2",
     )
-    reps = (
-        o.selectExpr("o_orderkey", f"{cents('o_totalprice')} AS vc")
-        .selectExpr("o_orderkey", "vc", f"explode(sequence(0, {BOOT_B - 1})) AS b")
-        .selectExpr("b", "vc", f"{_boot_weight(h)} AS w")
-        .groupBy("b")
-        .agg(F.sum(F.expr("CAST(w AS BIGINT) * vc")).alias("swv"), F.sum("w").alias("sw"))
-        .selectExpr("CAST(swv AS DOUBLE) / 1000000 / sw AS mean_b")
-    )
-    point = o.selectExpr(f"{cents('o_totalprice')} AS vc").agg(
-        F.sum("vc").alias("sv"), F.count("*").alias("n")
+
+    def u(b: int) -> str:
+        return f"(((s1 * {2 * b + 1} + s2 * {b * b + 1}) % {BOOT_M}) % 65536)"
+
+    wide = seeded.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("sv"),
+        *[
+            a
+            for b in range(BOOT_B)
+            for a in (
+                F.sum(
+                    F.expr(f"CAST({_boot_weight(u(b))} AS BIGINT) * vc")
+                ).alias(f"swv{b}"),
+                F.sum(F.expr(_boot_weight(u(b)))).alias(f"sw{b}"),
+            )
+        ]
     )
     lo_i = -(-25 * BOOT_B // 1000)  # ceil(0.025 * B), 1-indexed
     hi_i = -(-975 * BOOT_B // 1000)
-    band = reps.agg(
-        F.expr("sort_array(collect_list(mean_b))").alias("ms")
-    ).selectExpr(
-        f"CAST({BOOT_B} AS BIGINT) AS n_replicates",
-        mround(f"ms[{lo_i - 1}]", 6) + " AS ci_lo",
-        mround(f"ms[{hi_i - 1}]", 6) + " AS ci_hi",
+    means = (
+        "sort_array(array("
+        + ", ".join(
+            f"CAST(swv{b} AS DOUBLE) / 1000000 / sw{b}" for b in range(BOOT_B)
+        )
+        + "))"
     )
-    return point.crossJoin(F.broadcast(band)).selectExpr(
+    return wide.selectExpr(
         "n AS n_rows",
         mround("CAST(sv AS DOUBLE) / 1000000 / n", 6) + " AS mean_price",
-        "n_replicates",
-        "ci_lo",
-        "ci_hi",
+        f"CAST({BOOT_B} AS BIGINT) AS n_replicates",
+        mround(f"{means}[{lo_i - 1}]", 6) + " AS ci_lo",
+        mround(f"{means}[{hi_i - 1}]", 6) + " AS ci_hi",
     )
 
 
 def _bootstrap_sql() -> str:
-    h = (
-        "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#' || "
-        "CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000"
-    )
+    def u(b: int) -> str:
+        return f"(((s1 * {2 * b + 1} + s2 * {b * b + 1}) % {BOOT_M}) % 65536)"
+
     lo_i = -(-25 * BOOT_B // 1000)
     hi_i = -(-975 * BOOT_B // 1000)
+    wides = ", ".join(
+        f"CAST(sum(CAST({_boot_weight(u(b))} AS BIGINT) * vc) AS BIGINT) AS swv{b}, "
+        f"CAST(sum({_boot_weight(u(b))}) AS BIGINT) AS sw{b}"
+        for b in range(BOOT_B)
+    )
+    means = (
+        "list_sort(["
+        + ", ".join(
+            f"CAST(swv{b} AS DOUBLE) / 1000000 / sw{b}" for b in range(BOOT_B)
+        )
+        + "])"
+    )
     return f"""
-WITH reps AS (
-  SELECT b, CAST(sum(CAST(w AS BIGINT) * vc) AS DOUBLE) / 1000000 / sum(w) AS mean_b
-  FROM (
-    SELECT o_orderkey, {cents('o_totalprice')} AS vc, u.b AS b,
-           {_boot_weight(h)} AS w
-    FROM orders, unnest(range({BOOT_B})) AS u(b)) t
-  GROUP BY b),
-band AS (
-  SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
-         {mround(f'(list_sort(list(mean_b)))[{lo_i}]', 6)} AS ci_lo,
-         {mround(f'(list_sort(list(mean_b)))[{hi_i}]', 6)} AS ci_hi
-  FROM reps),
-point AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         {mround(f"CAST(sum({cents('o_totalprice')}) AS DOUBLE) / 1000000 / count(*)", 6)} AS mean_price
-  FROM orders)
-SELECT n_rows, mean_price, n_replicates, ci_lo, ci_hi
-FROM point CROSS JOIN band
+WITH seeded AS (
+  SELECT {cents('o_totalprice')} AS vc,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % {BOOT_M} AS s1,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) % {BOOT_M} AS s2
+  FROM orders),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS sv, {wides}
+  FROM seeded)
+SELECT n AS n_rows,
+       {mround('CAST(sv AS DOUBLE) / 1000000 / n', 6)} AS mean_price,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       {mround(f'{means}[{lo_i}]', 6)} AS ci_lo,
+       {mround(f'{means}[{hi_i}]', 6)} AS ci_hi
+FROM wide
 """
 
 
