@@ -17,8 +17,7 @@ import os
 
 import pytest
 
-from tests.conftest import SF_SMOKE
-from tmapreduce_spark.plans.signatures import BASELINE_PATH, compute_signatures
+from tmapreduce_spark.plans.signatures import BASELINE_PATH, SIG_SF, compute_signatures
 
 # Default gate: the shape-critical subset — every query whose plan carries a
 # join strategy, iteration, skew treatment, or Python boundary the SCALE
@@ -65,7 +64,7 @@ def test_plan_signatures_match_baseline(spark):
     names = None if full else CRITICAL
     missing = [n for n in (names or []) if n not in baseline]
     assert not missing, f"baseline missing {missing} — regenerate signatures"
-    got = compute_signatures(spark, SF_SMOKE, names=names)
+    got = compute_signatures(spark, SIG_SF, names=names)
     diffs = {
         n: (baseline.get(n), got[n])
         for n in got

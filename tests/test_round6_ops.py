@@ -169,11 +169,12 @@ def test_wav_decoder_walks_chunks_honestly():
         decode_wav(bytes(bad))
 
 
-def test_wav_energy_frame_split_boundaries(spark, tmp_path):
+def test_wav_energy_frame_split_boundaries(spark):
     """A clip whose length is NOT a WAV_FRAME multiple must count its
     ragged tail frame against a proportionally smaller threshold (mean
-    rule), matching the oracle's least() bound — recompute one doc by
-    hand."""
+    rule), matching the oracle's least() bound — recompute by hand a doc
+    PROVEN to have a ragged tail (a doc whose n is a frame multiple would
+    silently skip the boundary branch this test exists to pin)."""
     from tmapreduce_spark.functions.multimodal import (
         WAV_ACTIVE_MEAN,
         WAV_FRAME,
@@ -183,9 +184,15 @@ def test_wav_energy_frame_split_boundaries(spark, tmp_path):
     )
     from tests.conftest import SF_SMOKE
 
-    row = multimodal_wav_energy(spark, SF_SMOKE).orderBy("doc_id").limit(1).collect()[0]
-    d = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id").limit(1).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id").limit(8).collect()
+    d = next(x for x in docs if _wav_params(x["text"].encode())[1] % WAV_FRAME != 0)
+    row = next(
+        r
+        for r in multimodal_wav_energy(spark, SF_SMOKE).collect()
+        if r["doc_id"] == d["doc_id"]
+    )
     seed, n = _wav_params(d["text"].encode())
+    assert n % WAV_FRAME != 0
     a = [abs(_wav_sample(seed, i)) for i in range(n)]
     frames = [a[f : f + WAV_FRAME] for f in range(0, n, WAV_FRAME)]
     active = sum(1 for fr in frames if sum(fr) >= WAV_ACTIVE_MEAN * len(fr))

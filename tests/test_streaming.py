@@ -599,11 +599,15 @@ def test_streaming_hdr_partials_merge_to_batch_percentiles(spark):
     mem = run_stream_to_memory(spark, s, "t_hdr", output_mode="update")
     merged: Counter = Counter()
     max_gap = 0
-    # update-mode emissions: the LAST row per user is the final state
+    # update-mode emissions: the FINAL state per user is the one with the
+    # most gaps recorded (n_gaps is monotone per user — arrival order of
+    # memory-sink rows is an implementation detail, not a contract)
     per_user = {}
-    for i, r in enumerate(mem.collect()):
-        per_user[r["user_id"]] = (i, r)
-    for _i, r in per_user.values():
+    for r in mem.collect():
+        best = per_user.get(r["user_id"])
+        if best is None or r["n_gaps"] > best["n_gaps"]:
+            per_user[r["user_id"]] = r
+    for r in per_user.values():
         merged.update(dict(zip(r["bin_los"], r["counts"])))
         max_gap = max(max_gap, r["max_gap"])
     n = sum(merged.values())

@@ -816,7 +816,6 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
 
     import numpy as np
 
-    n = len(samples)
     data = (
         np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
         .astype("<i2")

@@ -2709,7 +2709,12 @@ def _bpe_sql_ctes(emit_final: bool) -> str:
     """Shared unrolled CTE chain for the BPE oracles: char split → per-round
     (adjacent pair count → deterministic top-1 → correlated list_reduce
     merge). With emit_final, also applies round BPE_MERGES' rule so
-    s{BPE_MERGES + 1} is the fully trained vocabulary."""
+    s{BPE_MERGES + 1} is the fully trained vocabulary. The merge applies
+    via LEFT JOIN ON TRUE (not CROSS JOIN): when the pair supply exhausts
+    before BPE_MERGES rounds, t{r} is EMPTY and a cross join would wipe
+    the vocabulary — the left join keeps every word with NULL rule fields,
+    which the fold's CASE treats as never-matching, mirroring the Spark
+    trainer's loop break."""
     rounds = []
     for r in range(1, BPE_MERGES + 1):
         rounds.append(
@@ -2728,7 +2733,7 @@ t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"""
            (acc, v) -> CASE WHEN acc[-1] = t{r}.a AND v[1] = t{r}.b
                        THEN acc[:len(acc) - 1] || [t{r}.a || t{r}.b]
                        ELSE acc || [v[1]] END) END AS s, freq
-  FROM s{r} CROSS JOIN t{r})"""
+  FROM s{r} LEFT JOIN t{r} ON TRUE)"""
             )
     return rf"""WITH words AS (
   SELECT w, count(*) AS freq FROM (

@@ -2432,13 +2432,11 @@ def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the <= ~500-bin grid (partial-aggregated — kilobytes from any corpus),
     one tiny cumulative window over the bins, one 1-row aggregate."""
     e = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = (
         e.selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
         .withColumn("gap_ms", F.expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) div 1000"))
         .filter(F.col("gap_ms").isNotNull())
     )
-    _ = wu  # window spelled inline above so the lag and filter share one pass
     # bin lower bound: exact value below HDR_SUBS; (HDR_SUBS + sub) << (e-3)
     # above (e = length(bin(x)) - 1, transcendental-free exponent)
     lo = (
@@ -2597,8 +2595,8 @@ BOOT_CUTS = (24109, 48218, 60272, 64290, 65294)
 
 
 def _boot_weight(expr_hash: str) -> str:
-    """Poisson(1) weight from a uniform 1e6-grid hash value — same CASE text
-    in both dialects."""
+    """Poisson(1) weight from a uniform 2^16-grid hash value (BOOT_CUTS are
+    the Poisson(1) CDF scaled by 65536) — same CASE text in both dialects."""
     return (
         "CASE "
         + " ".join(

@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 
 BASELINE_PATH = Path(__file__).with_name("signatures.json")
 
+# The SINGLE scale factor for baseline plans — regeneration and the gating
+# test must agree on it (size statistics drive broadcast-vs-SMJ choices, so
+# plans at different SFs legitimately differ).
+SIG_SF = "/root/testdata/sf0.001"
+
 # Substring-counted operator markers. Chosen so no marker is a substring of
 # another's occurrences: "Sort " (trailing space) matches the Sort node but
 # not SortAggregate/SortMergeJoin; Exchange subtracts ReusedExchange so
@@ -57,9 +62,7 @@ OPS = [
 def plan_signature(plan: str) -> dict[str, int]:
     sig: dict[str, int] = {}
     for op in OPS:
-        if op == "Window":
-            c = len(re.findall(r"\bWindow\b", plan))
-        elif op == "Exchange":
+        if op == "Exchange":
             c = plan.count("Exchange") - plan.count("ReusedExchange")
         else:
             c = plan.count(op)
@@ -93,7 +96,7 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-signatures")
     spark.sparkContext.setLogLevel("ERROR")
-    sigs = compute_signatures(spark, "/root/testdata/sf0.001")
+    sigs = compute_signatures(spark, SIG_SF)
     BASELINE_PATH.write_text(json.dumps(sigs, indent=1, sort_keys=True) + "\n")
     print(f"wrote {len(sigs)} signatures to {BASELINE_PATH}")
 

@@ -560,13 +560,15 @@ HDR_STATE_SCHEMA = (
 def hdr_bin_lo(gap_ms: int, subs: int = 8) -> int:
     """Bin lower bound of the batch operator's HDR layout — the single
     python definition, shared by the streaming updater and the merge test
-    (mirrors the SQL: exact below `subs`; (subs + sub) << (e - 3) above,
-    e = bit length - 1)."""
+    (mirrors the SQL: exact below `subs`; (subs + sub) << (e - sb) above,
+    e = bit length - 1, sb = log2(subs) — derived, so a future HDR_SUBS
+    change cannot silently break the shift the way a hardcoded -3 would)."""
     if gap_ms < subs:
         return gap_ms
+    sb = subs.bit_length() - 1
     e = gap_ms.bit_length() - 1
-    sub = (gap_ms >> (e - 3)) & (subs - 1)
-    return (subs + sub) << (e - 3)
+    sub = (gap_ms >> (e - sb)) & (subs - 1)
+    return (subs + sub) << (e - sb)
 
 
 def _update_hdr_state(
@@ -584,6 +586,13 @@ def _update_hdr_state(
     for us in rows["ts_us"]:
         us = int(us)
         if started:
+            if us < last_us:
+                # late arrival relative to state already emitted across an
+                # earlier micro-batch: a negative gap is not a latency —
+                # drop the row (the watermark-discard policy; the batch
+                # twin sees globally sorted input so this path never
+                # fires under in-order replay)
+                continue
             gap_ms = (us - last_us) // 1000
             b = hdr_bin_lo(gap_ms)
             bins[b] = bins.get(b, 0) + 1
