@@ -216,6 +216,7 @@ HEADLINE = [
     "events_lag_features_asof",
     "agg_bootstrap_ci",
     "mr_join",
+    "eval_ndcg_ivf",
 ]
 
 

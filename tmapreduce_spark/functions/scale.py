@@ -23,12 +23,14 @@ from tmapreduce_spark.functions.similarity import (
     N_PLANES,
     QUANT,
     TOP_K,
+    _ann_topk_sql,
     _bucket_duck,
     _buckets_of,
     _plane_dot_duck,
     _plane_matrix,
     _qdot_duck,
     _quant_duck,
+    ann_topk_cosine,
     collect_query_model,
     topk_ranked,
 )
@@ -1493,3 +1495,88 @@ GROUP BY tok, true_cnt
 QUERIES["sketch_countmin_exact"] = QuerySpec(
     sketch_countmin_exact, SKETCH_COUNTMIN_SQL, "sketch"
 )
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking-quality eval of the IVF index vs the exact ranking
+# ---------------------------------------------------------------------------
+
+# discounts 1/log2(r+1) for ranks 1..TOP_K, precomputed as full-precision
+# double literals shared verbatim by both engines (the Benford precedent:
+# transcendentals evaluate at CODE GENERATION time, never at query time)
+NDCG_DISCOUNTS = tuple(1.0 / __import__("math").log2(r + 1) for r in range(1, 11))
+# ideal DCG on the same 1e-9 integer grid the per-term scores use:
+# relevance of exact rank i is (TOP_K + 1 - i), its own discount applies
+NDCG_IDCG9 = sum(
+    int((11 - (i + 1)) * d * 1_000_000_000 + 0.5) for i, d in enumerate(NDCG_DISCOUNTS)
+)
+
+
+def _ndcg_disc_case(rank_col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {rank_col} = {r + 1} THEN {d!r}"
+            for r, d in enumerate(NDCG_DISCOUNTS)
+        )
+        + " ELSE 0.0 END"
+    )
+
+
+def eval_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the IVF(nprobe=1) ranking against the exact cosine
+    ranking, per query — the graded ranking metric that complements the
+    binary recall checks: a probe that returns the right neighbors in the
+    wrong ORDER, or swaps near-ties deep in the list, scores below 1 here
+    while recall@k stays perfect. Relevance of a neighbor is its exact-rank
+    gain (TOP_K+1 − exact_rank, 0 for non-top-k); discounts 1/log2(r+1)
+    are code-generation-time constants (no query-time transcendental).
+
+    Determinism: per-term gain·discount products pre-round to a 1e-9
+    integer grid before the per-query sum (integer reduction); the ideal
+    DCG is the matching compile-time integer constant; one final division
+    + mround.
+
+    Scale: the two rankings are the existing ANN pipelines (each a linear
+    Arrow pass + bucket join); the eval itself is a 10-rows-per-query
+    left join and a query-keyed integer aggregate."""
+    exact = ann_topk_cosine(spark, sf_dir).selectExpr(
+        "query_id", "neighbor_id", f"{10 + 1} - rank AS rel"
+    )
+    approx = ann_ivf_topk(spark, sf_dir)
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .selectExpr(
+            "query_id",
+            "CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END AS hit",
+            "CAST(floor(coalesce(rel, 0) * ("
+            + _ndcg_disc_case("rank")
+            + ") * 1000000000 + 0.5) AS BIGINT) AS t9",
+        )
+        .groupBy("query_id")
+        .agg(F.sum("hit").alias("n_exact_hits"), F.sum("t9").alias("dcg9"))
+        .selectExpr(
+            "query_id",
+            "n_exact_hits",
+            mround("CAST(dcg9 AS DOUBLE) / 1000000000", 6) + " AS dcg",
+            mround(f"CAST(dcg9 AS DOUBLE) / {NDCG_IDCG9}", 6) + " AS ndcg",
+        )
+    )
+
+
+EVAL_NDCG_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id, 11 - rank AS rel
+  FROM ({_ann_topk_sql()}) t),
+approx AS (SELECT * FROM ({_ivf_sql()}) t)
+SELECT a.query_id,
+       CAST(sum(CASE WHEN e.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       {mround("CAST(sum(CAST(floor(coalesce(e.rel, 0) * (" + _ndcg_disc_case("a.rank") + ") * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000", 6)} AS dcg,
+       {mround("CAST(sum(CAST(floor(coalesce(e.rel, 0) * (" + _ndcg_disc_case("a.rank") + ") * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / " + str(NDCG_IDCG9), 6)} AS ndcg
+FROM approx a
+LEFT JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+
+QUERIES["eval_ndcg_ivf"] = QuerySpec(eval_ndcg_ivf, EVAL_NDCG_SQL, "similarity")
