@@ -273,3 +273,79 @@ def test_wav_vectorized_samples_equal_scalar():
     for seed in (0, 1, 65535, 12345):
         vec = _wav_samples(seed, 300)
         assert vec == [_wav_sample(seed, i) for i in range(300)]
+
+
+def test_countmin_overestimate_invariant_for_every_token(spark):
+    """CM guarantee on the WHOLE vocabulary (the catalog query audits only
+    the top-10): estimate >= true count for every token, with the python
+    md5 mirror independently reproducing the engine's hash/cell layout."""
+    import hashlib
+    from collections import Counter
+
+    from tmapreduce_spark.functions.scale import CM_D, CM_W
+
+    wf = Counter()
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .selectExpr(r"explode(split(trim(lower(text)), '\\s+')) AS tok")
+        .filter("tok != ''")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        wf[r["tok"]] = r["c"]
+
+    def col(tok: str, row: int) -> int:
+        return int(hashlib.md5(f"{tok}#{row}".encode()).hexdigest()[:8], 16) % CM_W
+
+    cells = Counter()
+    for tok, c in wf.items():
+        for r in range(CM_D):
+            cells[(r, col(tok, r))] += c
+    for tok, c in wf.items():
+        est = min(cells[(r, col(tok, r))] for r in range(CM_D))
+        assert est >= c, (tok, est, c)
+
+    # and the python mirror must agree with the engine's audit rows
+    from tmapreduce_spark.functions.scale import sketch_countmin_exact
+
+    for row in sketch_countmin_exact(spark, SF_SMOKE).collect():
+        est = min(cells[(r, col(row["tok"], r))] for r in range(CM_D))
+        assert row["cm_estimate"] == est
+        assert row["true_cnt"] == wf[row["tok"]]
+        assert row["overestimate"] >= 0
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark):
+    """NDCG must land in [0, 1]; a query whose IVF list reproduces the
+    exact list rank-for-rank must score exactly 1."""
+    from tmapreduce_spark.functions.scale import ann_ivf_topk, eval_ndcg_ivf
+    from tmapreduce_spark.functions.similarity import ann_topk_cosine
+
+    rows = {r["query_id"]: r for r in eval_ndcg_ivf(spark, SF_SMOKE).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert 0 <= r["n_exact_hits"] <= 10
+
+    # full independent recompute (same 1e-9 grid) from the two rankings —
+    # covers every query, and by construction a rank-for-rank match would
+    # hit the compile-time ideal DCG exactly (ndcg = 1)
+    from tmapreduce_spark.functions.scale import NDCG_DISCOUNTS, NDCG_IDCG9
+
+    exact = {}
+    for r in ann_topk_cosine(spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], {})[r["neighbor_id"]] = 11 - r["rank"]
+    approx = {}
+    for r in ann_ivf_topk(spark, SF_SMOKE).collect():
+        approx.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    for q, ranked in approx.items():
+        dcg9 = sum(
+            int(
+                exact[q].get(nb, 0) * NDCG_DISCOUNTS[rank - 1] * 1_000_000_000
+                + 0.5
+            )
+            for rank, nb in ranked.items()
+        )
+        want = math.floor(dcg9 / NDCG_IDCG9 * 1e6 + 0.5) / 1e6
+        assert rows[q]["ndcg"] == want, (q, rows[q]["ndcg"], want)
