@@ -217,6 +217,11 @@ HEADLINE = [
     "agg_bootstrap_ci",
     "mr_join",
     "eval_ndcg_ivf",
+    "text_bm25_topk",
+    "eval_calibration_bins",
+    "eval_threshold_sweep",
+    "pipeline_compaction_plan",
+    "agg_winsorized_stats",
 ]
 
 

@@ -164,6 +164,18 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
     {"approx_distinct_sketch", "approx_quantiles_sketch", "sketch_hll_partition_merge"}
 )
 
+# Entries added AFTER this round's backlog ordering was frozen: they enumerate
+# behind the earlier never-sampled backlog (which was sized/sequenced to the
+# driver's ~50-row window) so a late addition can never push an older unproven
+# entry out of the verification window. Fold into the normal backlog next
+# round when _COVERED_R6 lands.
+_BACKLOG_DEFER: frozenset[str] = frozenset(
+    {
+        "text_bm25_topk", "eval_calibration_bins", "eval_threshold_sweep",
+        "pipeline_compaction_plan", "agg_winsorized_stats",
+    }
+)
+
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}
 for _rnd, _names in (
@@ -193,11 +205,16 @@ def _driver_priority_order(catalog: dict[str, QuerySpec]) -> dict[str, QuerySpec
     already-proven entries follow oldest-verified-first (stalest green gets
     re-checked soonest); the terminal no-oracle sketches come dead last."""
     backlog_by_cat: dict[str, list[str]] = {}
+    deferred: list[str] = []
     for name, spec in catalog.items():
         if name not in _COVERED_ROUND and name not in _NO_ORACLE_TERMINAL:
-            backlog_by_cat.setdefault(spec.category, []).append(name)
+            if name in _BACKLOG_DEFER:
+                deferred.append(name)
+            else:
+                backlog_by_cat.setdefault(spec.category, []).append(name)
 
     ordered = _round_robin(backlog_by_cat)
+    ordered.extend(deferred)
     covered = [n for n in catalog if n in _COVERED_ROUND]
     pos = {n: i for i, n in enumerate(catalog)}
     covered.sort(key=lambda n: (_COVERED_ROUND[n], pos[n]))

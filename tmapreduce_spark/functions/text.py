@@ -2820,6 +2820,316 @@ GROUP BY source
 """
 
 
+BM25_TOP_K = 5  # characteristic terms per document
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 term scoring — the retrieval-era upgrade of
+    :func:`text_tfidf_topk` (same postings substrate) with document-length
+    normalization: score = idf_sur * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    at the textbook k1=1.2, b=0.75. Like tf-idf, the log is deliberately
+    dropped from the Robertson idf: idf_sur = (N - df + 0.5)/(df + 0.5) is
+    the exact rational argument of ln() and monotone in it, so the ranking
+    (which is what BM25 exists for) is unchanged while every arithmetic op
+    stays cross-engine IEEE-exact (PARITY notes).
+
+    Scale: one tokenize + postings groupBy, a df window keyed by token, and
+    a dl window + top-k rank window both keyed by doc_id (one exchange
+    serves both); corpus stats (N, total token count) are a broadcast 1-row
+    aggregate. Identical shuffle shapes to text_tfidf_topk — linear at
+    100 TB, no new exchange."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+    )
+    enriched = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
+    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        "dl",
+        mround(
+            "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+            " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+            " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))",
+            6,
+        )
+        + " AS bm25",
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "dl", "bm25", "rank")
+    )
+
+
+TEXT_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_dl
+  FROM postings),
+enriched AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+scored AS (
+  SELECT doc_id, tok, tf, df, dl,
+         {mround('(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)'
+                 ' * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)'
+                 ' + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))', 6)} AS bm25
+  FROM enriched CROSS JOIN stats),
+ranked AS (
+  SELECT doc_id, tok, tf, df, dl, bm25,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, tok ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, tok, tf, df, dl, bm25, rank FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+# Classifier-eval substrate: the hashed-linear stand-in model's score (exact
+# integer micro-units of the mround(6) sigmoid — see text_quality_classifier)
+# next to a rule-based quality label (the text_quality composite >= 0.65 on
+# the SAME lowercased tokenization, so both derive from one token exchange).
+# The stand-in weights are hash-derived, hence uncorrelated with the rule by
+# construction — the fixture value is the exact distributed eval machinery,
+# not the (deliberately humble) model.
+QC_LABEL_CUT = 0.65
+
+
+def _qc_score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "doc_id", r"explode(split(trim(lower(text)), '\\s+')) AS tok"
+    ).filter("tok <> ''")
+    bucket = f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % {QC_DIM}"
+    w_milli = f"(({bucket}) * {QC_MULT}) % {QC_MOD} - {(QC_MOD - 1) // 2}"
+    per_doc = toks.selectExpr("doc_id", "tok", f"{w_milli} AS w_milli").groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").alias("n_toks"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum("w_milli").alias("w_sum"),
+    )
+    logit = f"({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000"
+    return per_doc.selectExpr(
+        "doc_id",
+        f"CAST(floor((0.5 + ({logit}) / (1 + abs({logit})) / 2) * 1000000 + 0.5) AS BIGINT)"
+        " AS score_micro",
+        "CAST((CAST(n_distinct AS DOUBLE) / n_toks * 0.5"
+        f" + least(n_toks / 64.0, 1.0) * 0.5) >= {QC_LABEL_CUT} AS INT) AS label",
+    )
+
+
+_QC_SCORE_LABEL_SQL = rf"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+feat AS (
+  SELECT doc_id, tok,
+         (CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % {QC_DIM})
+           * {QC_MULT} % {QC_MOD} - {(QC_MOD - 1) // 2} AS w_milli
+  FROM toks WHERE tok <> ''),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_distinct,
+         sum(w_milli) AS w_sum
+  FROM feat GROUP BY doc_id),
+scored AS (
+  SELECT doc_id,
+         CAST(floor((0.5 + (({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000)
+               / (1 + abs(({QC_BIAS_MILLI} + CAST(w_sum AS DOUBLE) / n_toks) / 1000)) / 2)
+               * 1000000 + 0.5) AS BIGINT) AS score_micro,
+         CAST((CAST(n_distinct AS DOUBLE) / n_toks * 0.5
+               + least(n_toks / 64.0, 1.0) * 0.5) >= {QC_LABEL_CUT} AS INT) AS label
+  FROM per_doc)
+"""
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / ECE input for the quality classifier: bin the
+    model score on a fixed 0.02 grid (bin = score_micro div 20000 — an
+    integer division of exact micro-units, so bin assignment is
+    cross-engine exact), then per bin report support, positives, the mean
+    predicted score, the empirical positive rate, and |gap|. ECE is the
+    support-weighted mean of abs_gap — left to the consumer so the output
+    stays a per-bin table.
+
+    Scale: the substrate is one tokenize + one groupBy(doc_id); the
+    calibration rollup is a second groupBy over per-doc rows with partial
+    aggregation onto ~a dozen bin groups. All sums are integer (micro-unit
+    scores, 0/1 labels) — reduction-order-proof."""
+    per = _qc_score_label(spark, sf_dir)
+    agg = per.selectExpr("score_micro div 20000 AS bin", "score_micro", "label").groupBy(
+        "bin"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum("score_micro").alias("sum_micro"),
+    )
+    ms = "CAST(sum_micro AS DOUBLE) / 1000000 / n"
+    pr = "CAST(n_pos AS DOUBLE) / n"
+    return agg.selectExpr(
+        "bin",
+        "n",
+        "n_pos",
+        mround(ms, 6) + " AS mean_score",
+        mround(pr, 6) + " AS pos_rate",
+        mround(f"abs(({ms}) - ({pr}))", 6) + " AS abs_gap",
+    )
+
+
+EVAL_CALIBRATION_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+agg AS (
+  SELECT score_micro // 20000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(score_micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY 1)
+SELECT bin, n, n_pos,
+       {mround('CAST(sum_micro AS DOUBLE) / 1000000 / n', 6)} AS mean_score,
+       {mround('CAST(n_pos AS DOUBLE) / n', 6)} AS pos_rate,
+       {mround('abs((CAST(sum_micro AS DOUBLE) / 1000000 / n) - (CAST(n_pos AS DOUBLE) / n))', 6)} AS abs_gap
+FROM agg
+"""
+
+
+def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the quality classifier against the rule
+    label at nine operating thresholds (0.56..0.64, the stand-in model's
+    observed score range). The confusion counts come from ONE linear pass:
+    per-doc rows collapse to a (centi-score-bin, label) contingency table
+    (≲40 rows), which then cross-joins the 9-row threshold dim — the
+    classic PR-curve-without-resorting trick. Thresholds sit exactly on
+    centi-bin edges, so `score >= t` is an integer bin comparison with no
+    float boundary risk. F1 uses the division-free identity
+    2·tp/(2·tp+fp+fn); precision is NULL where nothing is predicted
+    positive.
+
+    Scale: corpus-sized work is the substrate's single groupBy(doc_id);
+    everything after operates on the ≲40-row contingency table."""
+    per = _qc_score_label(spark, sf_dir)
+    cnts = per.selectExpr("score_micro div 10000 AS centi", "label").groupBy(
+        "centi", "label"
+    ).agg(F.count("*").alias("cnt"))
+    thr = spark.range(56, 65).selectExpr("CAST(id AS BIGINT) AS thr_centi")
+    joined = cnts.crossJoin(F.broadcast(thr))
+    agg = joined.groupBy("thr_centi").agg(
+        F.sum(F.expr("CASE WHEN centi >= thr_centi AND label = 1 THEN cnt ELSE 0 END")).cast("bigint").alias("tp"),
+        F.sum(F.expr("CASE WHEN centi >= thr_centi AND label = 0 THEN cnt ELSE 0 END")).cast("bigint").alias("fp"),
+        F.sum(F.expr("CASE WHEN centi < thr_centi AND label = 1 THEN cnt ELSE 0 END")).cast("bigint").alias("fn"),
+        F.sum(F.expr("CASE WHEN centi < thr_centi AND label = 0 THEN cnt ELSE 0 END")).cast("bigint").alias("tn"),
+    )
+    return agg.selectExpr(
+        "CAST(thr_centi AS DOUBLE) / 100 AS threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "CASE WHEN tp + fp = 0 THEN NULL ELSE "
+        + mround("CAST(tp AS DOUBLE) / (tp + fp)", 6)
+        + " END AS precision",
+        "CASE WHEN tp + fn = 0 THEN NULL ELSE "
+        + mround("CAST(tp AS DOUBLE) / (tp + fn)", 6)
+        + " END AS recall",
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE "
+        + mround("CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)", 6)
+        + " END AS f1",
+    )
+
+
+EVAL_THRESHOLD_SWEEP_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+cnts AS (
+  SELECT score_micro // 10000 AS centi, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY 1, 2),
+thr AS (SELECT CAST(unnest(range(56, 65)) AS BIGINT) AS thr_centi),
+agg AS (
+  SELECT thr_centi,
+         CAST(sum(CASE WHEN centi >= thr_centi AND label = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN centi >= thr_centi AND label = 0 THEN cnt ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN centi < thr_centi AND label = 1 THEN cnt ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN centi < thr_centi AND label = 0 THEN cnt ELSE 0 END) AS BIGINT) AS tn
+  FROM cnts CROSS JOIN thr GROUP BY thr_centi)
+SELECT CAST(thr_centi AS DOUBLE) / 100 AS threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN NULL ELSE {mround('CAST(tp AS DOUBLE) / (tp + fp)', 6)} END AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL ELSE {mround('CAST(tp AS DOUBLE) / (tp + fn)', 6)} END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE {mround('CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)', 6)} END AS f1
+FROM agg
+"""
+
+
+COMPACT_TARGET_BYTES = 2048  # per-output-file target (fixture-scaled)
+
+
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the Delta-OPTIMIZE / Iceberg-rewrite
+    bin-packing shape: within each source, walk documents in doc_id order
+    accumulating bytes (the `n_chars` stat column — the plan never touches
+    `text`, so the scan is two pruned columns), and open a new output file
+    whenever the EXCLUSIVE running total crosses the target. file_seq =
+    floor(running_excl / target) admits bounded overflow per file (≤ one
+    document), which is exactly the greedy heuristic real compactors use.
+    Output: one row per planned file with its document span and size.
+
+    Scale: one window cumsum keyed by source + one groupBy on the same key
+    — a single exchange. Deterministic packing is inherently sequential
+    per key; at 100 TB the key widens to (source, shard) so each packing
+    walk stays executor-sized."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = d.withColumn(
+        "file_seq",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(COMPACT_TARGET_BYTES)
+        ).cast("bigint"),
+    )
+    return (
+        planned.groupBy("source", "file_seq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select("source", "file_seq", "n_docs", "bytes", "first_doc", "last_doc")
+    )
+
+
+PIPELINE_COMPACTION_SQL = f"""
+WITH planned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {COMPACT_TARGET_BYTES}) AS BIGINT) AS file_seq
+  FROM documents)
+SELECT source, file_seq, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM planned GROUP BY source, file_seq
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
@@ -2892,5 +3202,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "tokenizer_apply_fertility": QuerySpec(
         tokenizer_apply_fertility, TOKENIZER_FERTILITY_SQL, "text"
+    ),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, TEXT_BM25_SQL, "text"),
+    "eval_calibration_bins": QuerySpec(
+        eval_calibration_bins, EVAL_CALIBRATION_SQL, "text"
+    ),
+    "eval_threshold_sweep": QuerySpec(
+        eval_threshold_sweep, EVAL_THRESHOLD_SWEEP_SQL, "text"
+    ),
+    "pipeline_compaction_plan": QuerySpec(
+        pipeline_compaction_plan, PIPELINE_COMPACTION_SQL, "pipeline"
     ),
 }

@@ -2714,3 +2714,61 @@ AGG_BOOTSTRAP_SQL = _bootstrap_sql()
 QUERIES["agg_bootstrap_ci"] = QuerySpec(
     agg_bootstrap_ci, AGG_BOOTSTRAP_SQL, "aggregation"
 )
+
+
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group location estimates for a heavy-tailed money column:
+    exact p05/p95 cuts (percentile_disc — ACTUAL data values, so the cuts
+    are cross-engine exact with no interpolation), the winsorized mean
+    (values clamped into [p05, p95]), and the trimmed mean (values outside
+    the cuts dropped). The means go through the integer micro-unit sum
+    (``cents``) so reduction order cannot move a bit.
+
+    Scale: one sort-based aggregation per group for the two cuts, then a
+    broadcast join of the 5-row cuts table back onto the scan for one
+    partial-aggregated pass — the same two-pass shape as
+    events_anomaly_mad. At a group cardinality where the per-group exact
+    percentile is itself the bottleneck, approx_percentile is the sketch
+    swap-in; the clamp/trim logic is unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wz_orders")
+    return spark.sql(
+        f"""
+        WITH cuts AS (
+          SELECT o_orderpriority,
+                 percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p05,
+                 percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+          FROM _wz_orders GROUP BY o_orderpriority)
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               min(c.p05) AS p05,
+               min(c.p95) AS p95,
+               {mround('CAST(sum(' + cents('least(greatest(o.o_totalprice, c.p05), c.p95)') + ') AS DOUBLE) / 1000000 / count(*)', 6)} AS winsor_mean,
+               CAST(sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+               {mround('CAST(sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN ' + cents('o.o_totalprice') + ' ELSE 0 END) AS DOUBLE) / 1000000 / sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN 1 ELSE 0 END)', 6)} AS trim_mean
+        FROM _wz_orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+AGG_WINSORIZED_SQL = f"""
+WITH cuts AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.05) AS p05,
+         quantile_disc(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       min(c.p05) AS p05,
+       min(c.p95) AS p95,
+       {mround('CAST(sum(' + cents('least(greatest(o.o_totalprice, c.p05), c.p95)') + ') AS DOUBLE) / 1000000 / count(*)', 6)} AS winsor_mean,
+       CAST(sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+       {mround('CAST(sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN ' + cents('o.o_totalprice') + ' ELSE 0 END) AS DOUBLE) / 1000000 / sum(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95 THEN 1 ELSE 0 END)', 6)} AS trim_mean
+FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+QUERIES["agg_winsorized_stats"] = QuerySpec(
+    agg_winsorized_stats, AGG_WINSORIZED_SQL, "aggregation"
+)
