@@ -218,6 +218,7 @@ HEADLINE = [
     "mr_join",
     "eval_ndcg_ivf",
     "text_bm25_topk",
+    "text_bm25_search",
     "eval_calibration_bins",
     "eval_threshold_sweep",
     "pipeline_compaction_plan",

@@ -72,6 +72,58 @@ def test_bm25_matches_independent_python_recompute(spark):
         assert r["dl"] == dl[r["doc_id"]]
 
 
+def test_bm25_search_matches_independent_python_recompute(spark):
+    from tmapreduce_spark.functions.text import (
+        BM25_QUERIES,
+        BM25_SEARCH_TOP_K,
+        text_bm25_search,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for doc_id, text in docs.items():
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        dl[doc_id] = len(toks)
+        for t in toks:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n_docs = len([d for d in dl if dl[d] > 0])
+    sum_dl = sum(dl.values())
+
+    def bm25_micro(doc_id: int, t: str) -> int:
+        f = tf[(doc_id, t)]
+        idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+        norm = f + 1.2 * (0.25 + 0.75 * dl[doc_id] * n_docs / sum_dl)
+        return math.floor(idf * (f * 2.2) / norm * 1_000_000 + 0.5)
+
+    expected: dict[tuple[str, int], tuple[int, int, int]] = {}
+    for q, terms in BM25_QUERIES.items():
+        per_doc: dict[int, tuple[int, int]] = {}
+        for doc_id in docs:
+            hit = [t for t in terms if (doc_id, t) in tf]
+            if hit:
+                per_doc[doc_id] = (len(hit), sum(bm25_micro(doc_id, t) for t in hit))
+        ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        for rank, (doc_id, (n_hit, micro)) in enumerate(
+            ranked[:BM25_SEARCH_TOP_K], start=1
+        ):
+            expected[(q, doc_id)] = (n_hit, micro, rank)
+
+    got = text_bm25_search(spark, SF_SMOKE).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n_hit, micro, rank = expected[(r["query_id"], r["doc_id"])]
+        assert r["n_hit_terms"] == n_hit
+        assert r["score"] == micro / 1_000_000
+        assert r["rank"] == rank
+
+
 def test_threshold_sweep_matches_direct_recount_and_is_monotone(spark):
     per = {
         r["doc_id"]: (r["score_micro"], r["label"])

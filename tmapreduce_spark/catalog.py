@@ -171,8 +171,8 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 # round when _COVERED_R6 lands.
 _BACKLOG_DEFER: frozenset[str] = frozenset(
     {
-        "text_bm25_topk", "eval_calibration_bins", "eval_threshold_sweep",
-        "pipeline_compaction_plan", "agg_winsorized_stats",
+        "text_bm25_topk", "text_bm25_search", "eval_calibration_bins",
+        "eval_threshold_sweep", "pipeline_compaction_plan", "agg_winsorized_stats",
     }
 )
 

@@ -3074,6 +3074,123 @@ FROM agg
 """
 
 
+# Fixed ad-hoc query workload for the retrieval path (terms drawn from the
+# synthetic corpus vocabulary; q3 includes the rarest token so one query
+# exercises the high-idf regime).
+BM25_QUERIES: dict[str, list[str]] = {
+    "q_hash_join": ["hash", "join"],
+    "q_sort_pipeline": ["sort", "merge", "window"],
+    "q_dedup": ["dup", "scan"],
+    "q_streaming": ["stream", "batch"],
+    "q_engine": ["spark", "query", "fast"],
+}
+BM25_SEARCH_TOP_K = 10
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side BM25 retrieval — the actual search-engine shape on top of
+    :func:`text_bm25_topk`'s scoring: a fixed 5-query workload joins the
+    postings on the term key (the query table is broadcast — it is the tiny
+    side by construction), each matched term contributes its BM25 weight,
+    and per (query, doc) the contributions sum AS INTEGER MICRO-UNITS so
+    the float reduction order cannot move a bit; top-10 docs per query by
+    (score DESC, doc_id ASC).
+
+    Scale: identical postings/window substrate as text_bm25_topk plus one
+    broadcast equi-join (term dim ≪ corpus) and one (query, doc) groupBy —
+    at 100 TB this is exactly how batch retrieval over an inverted index
+    runs; the WindowGroupLimit top-k never materializes a global sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+    )
+    enriched = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
+    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "tok",
+        "CAST(floor(("
+        "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+        ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    hits = scored.join(F.broadcast(qterms), "tok").groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum("bm25_micro").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_SEARCH_TOP_K)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "n_hit_terms",
+            "CAST(score_micro AS DOUBLE) / 1000000 AS score",
+            "rank",
+        )
+    )
+
+
+def _bm25_query_values() -> str:
+    return ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(BM25_QUERIES.items()) for t in ts
+    )
+
+
+TEXT_BM25_SEARCH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_dl
+  FROM postings),
+enriched AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+scored AS (
+  SELECT doc_id, tok,
+         CAST(floor((
+           (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+           * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+         ) * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+  FROM enriched CROSS JOIN stats),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+hits AS (
+  SELECT query_id, s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(bm25_micro) AS BIGINT) AS score_micro
+  FROM scored s JOIN qterms USING (tok)
+  GROUP BY query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, n_hit_terms,
+         CAST(score_micro AS DOUBLE) / 1000000 AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM hits)
+SELECT query_id, doc_id, n_hit_terms, score, rank
+FROM ranked WHERE rank <= {BM25_SEARCH_TOP_K}
+"""
+
+
 COMPACT_TARGET_BYTES = 2048  # per-output-file target (fixture-scaled)
 
 
@@ -3204,6 +3321,7 @@ QUERIES: dict[str, QuerySpec] = {
         tokenizer_apply_fertility, TOKENIZER_FERTILITY_SQL, "text"
     ),
     "text_bm25_topk": QuerySpec(text_bm25_topk, TEXT_BM25_SQL, "text"),
+    "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SEARCH_SQL, "text"),
     "eval_calibration_bins": QuerySpec(
         eval_calibration_bins, EVAL_CALIBRATION_SQL, "text"
     ),
