@@ -223,6 +223,7 @@ HEADLINE = [
     "eval_threshold_sweep",
     "pipeline_compaction_plan",
     "agg_winsorized_stats",
+    "pipeline_kanonymity_audit",
 ]
 
 

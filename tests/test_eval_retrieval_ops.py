@@ -245,6 +245,29 @@ def test_winsorized_stats_match_numpy(spark):
         assert p05 <= r["winsor_mean"] <= p95
 
 
+def test_kanonymity_audit_matches_direct_recount(spark):
+    from tmapreduce_spark.functions.text import K_ANON, pipeline_kanonymity_audit
+
+    rows = load_table(spark, SF_SMOKE, "documents").select("lang", "source").collect()
+    sizes: dict[tuple[str, str], int] = {}
+    for r in rows:
+        sizes[(r["lang"], r["source"])] = sizes.get((r["lang"], r["source"]), 0) + 1
+    n_risk = sum(n for n in sizes.values() if n < K_ANON)
+    share = _mround6(n_risk / len(rows))
+    got = pipeline_kanonymity_audit(spark, SF_SMOKE).collect()
+    assert len(got) == len(sizes)
+    assert sum(r["n"] for r in got) == len(rows)
+    for r in got:
+        n = sizes[(r["lang"], r["source"])]
+        assert r["n"] == n
+        assert r["at_risk"] == (n < K_ANON)
+        assert r["corpus_risk_share"] == share
+    # the audit must flag at least one group each way on the fixture corpus,
+    # otherwise the operator is untested on the interesting branch
+    flags = {r["at_risk"] for r in got}
+    assert flags == {True, False}
+
+
 def test_new_ops_prune_scans_and_avoid_cartesian(spark):
     plan = physical_plan(pipeline_compaction_plan(spark, SF_SMOKE))
     # the packing plan must never read the text payload — stats columns only

@@ -173,6 +173,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
     {
         "text_bm25_topk", "text_bm25_search", "eval_calibration_bins",
         "eval_threshold_sweep", "pipeline_compaction_plan", "agg_winsorized_stats",
+        "pipeline_kanonymity_audit",
     }
 )
 

@@ -3247,6 +3247,51 @@ FROM planned GROUP BY source, file_seq
 """
 
 
+K_ANON = 5  # minimum group size for a quasi-identifier combo to be releasable
+
+
+def pipeline_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over the (lang, source) quasi-identifier —
+    the privacy gate that complements :func:`pipeline_pii_scrub` before a
+    corpus ships: any QI group smaller than k=5 re-identifies its members by
+    attribute combination alone, PII-scrubbed or not. Per group: size,
+    at-risk flag, and the corpus-wide share of documents sitting in at-risk
+    groups (the number a release checklist actually quotes — suppressing
+    those rows is the standard remediation).
+
+    Scale: one partial-aggregated groupBy on the QI key; the corpus risk
+    share is a 1-row aggregate over the GROUP table (cardinality = QI
+    combinations, ≪ corpus) broadcast back — never a second data pass."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    risk = groups.agg(
+        F.sum(F.expr(f"CASE WHEN n < {K_ANON} THEN n ELSE 0 END")).alias("n_risk"),
+        F.sum("n").alias("n_total"),
+    )
+    return groups.crossJoin(F.broadcast(risk)).selectExpr(
+        "lang",
+        "source",
+        "n",
+        f"CAST(n < {K_ANON} AS BOOLEAN) AS at_risk",
+        mround("CAST(n_risk AS DOUBLE) / n_total", 6) + " AS corpus_risk_share",
+    )
+
+
+PIPELINE_KANON_SQL = f"""
+WITH groups AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+risk AS (
+  SELECT CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_risk,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM groups)
+SELECT lang, source, n,
+       CAST(n < {K_ANON} AS BOOLEAN) AS at_risk,
+       {mround('CAST(n_risk AS DOUBLE) / n_total', 6)} AS corpus_risk_share
+FROM groups CROSS JOIN risk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_mix_temperature": QuerySpec(
         pipeline_mix_temperature, PIPELINE_MIX_TEMPERATURE_SQL, "pipeline"
@@ -3330,5 +3375,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pipeline_compaction_plan": QuerySpec(
         pipeline_compaction_plan, PIPELINE_COMPACTION_SQL, "pipeline"
+    ),
+    "pipeline_kanonymity_audit": QuerySpec(
+        pipeline_kanonymity_audit, PIPELINE_KANON_SQL, "pipeline"
     ),
 }
