@@ -23,6 +23,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "agg_spearman_corr",
+    "events_autocorrelation",
+    "events_xcorr_leadlag",
+    "events_spectral_energy",
+    "eval_isotonic_calibration",
+    "retrieval_rrf_hybrid",
+    "graph_kcore",
     "window_holt_forecast",
     "window_rolling_mad_flag",
     "orders_cohort_repeat_rate",

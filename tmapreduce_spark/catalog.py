@@ -173,7 +173,9 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
     {
         "text_bm25_topk", "text_bm25_search", "eval_calibration_bins",
         "eval_threshold_sweep", "pipeline_compaction_plan", "agg_winsorized_stats",
-        "pipeline_kanonymity_audit",
+        "pipeline_kanonymity_audit", "agg_spearman_corr", "events_autocorrelation",
+        "events_xcorr_leadlag", "events_spectral_energy", "eval_isotonic_calibration",
+        "retrieval_rrf_hybrid", "graph_kcore",
     }
 )
 

@@ -2217,3 +2217,108 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL, "dedup"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_KCORE_KS = (2, 3)
+_KCORE_ROUNDS = 6
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership over the near-dup graph: per node its degree and
+    whether it survives 2-core and 3-core peeling (iteratively drop nodes
+    with fewer than k surviving neighbors). Coreness separates DENSE
+    duplicate cliques — template farms, mirrors, SEO spam, which survive
+    peeling — from pendant chains and stars that pairwise counts can't
+    distinguish; next to triangle count it is the standard graph-density
+    audit before trusting CC clusters.
+
+    Both engines run the SAME fixed _KCORE_ROUNDS peeling rounds (a
+    deterministic bounded unroll; `tests` pin that the fixture graphs
+    reach the fixpoint a round early, so the bound is slack, and peeling
+    is monotone — once the fixpoint is hit further rounds are no-ops, so
+    a generous bound never changes the answer). Spark iterates with a
+    localCheckpoint per round — the CC/BFS pattern (`dedup.py:595-622`)
+    that keeps the lineage flat instead of geometric; the DuckDB oracle is
+    the same peel unrolled as MATERIALIZED CTEs.
+
+    Scale: every round is two hash equi-joins + one partial-agg groupBy on
+    single doc ids over the banding-bounded EDGE set (never the corpus),
+    and the survivor set only shrinks. At web scale, rounds is a knob
+    (chains longer than the bound would read as conservative
+    over-membership) and the exact-coreness swap is the h-index
+    propagation loop on the same checkpointed substrate."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = (
+        e.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    nodes = und.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )
+    out = nodes
+    for k in _KCORE_KS:
+        alive = nodes.select("doc_id")
+        for _ in range(_KCORE_ROUNDS):
+            alive = (
+                und.join(alive.withColumnRenamed("doc_id", "src"), "src")
+                .join(alive.withColumnRenamed("doc_id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .select(F.col("src").alias("doc_id"))
+                .localCheckpoint()
+            )
+        out = out.join(
+            alive.withColumn(f"in_{k}core", F.lit(1)), "doc_id", "left"
+        )
+    return out.selectExpr(
+        "doc_id",
+        "CAST(degree AS BIGINT) AS degree",
+        "CAST(coalesce(in_2core, 0) AS BIGINT) AS in_2core",
+        "CAST(coalesce(in_3core, 0) AS BIGINT) AS in_3core",
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = []
+    for k in _KCORE_KS:
+        ctes.append(
+            f"a{k}_0 AS MATERIALIZED (SELECT doc_id FROM nodes)"
+        )
+        for r in range(1, _KCORE_ROUNDS + 1):
+            ctes.append(
+                f"""a{k}_{r} AS MATERIALIZED (
+  SELECT u.src AS doc_id FROM und u
+  JOIN a{k}_{r - 1} p ON u.src = p.doc_id
+  JOIN a{k}_{r - 1} q ON u.dst = q.doc_id
+  GROUP BY u.src HAVING count(*) >= {k})"""
+            )
+    last = {k: f"a{k}_{_KCORE_ROUNDS}" for k in _KCORE_KS}
+    return (
+        "WITH e AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + DEDUP_MINHASH_PAIRS_SQL
+        + """) t),
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e
+       UNION ALL SELECT doc_b, doc_a FROM e),
+nodes AS (SELECT src AS doc_id, count(*) AS degree FROM und GROUP BY src),
+"""
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.doc_id, CAST(n.degree AS BIGINT) AS degree,
+       CAST(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_2core,
+       CAST(CASE WHEN c3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_3core
+FROM nodes n
+LEFT JOIN {last[2]} c2 ON n.doc_id = c2.doc_id
+LEFT JOIN {last[3]} c3 ON n.doc_id = c3.doc_id
+"""
+    )
+
+
+GRAPH_KCORE_SQL = _kcore_sql()
+
+QUERIES["graph_kcore"] = QuerySpec(graph_kcore, GRAPH_KCORE_SQL, "dedup")

@@ -3380,3 +3380,226 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_kanonymity_audit, PIPELINE_KANON_SQL, "pipeline"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAV as closed-form minimax on the bounded bin table)
+# ---------------------------------------------------------------------------
+
+
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the quality classifier on the 0.02
+    score grid: the monotone-nondecreasing fit of empirical positive rate
+    vs score — what you apply to raw model scores before thresholding so
+    that "0.8 means 80%". Instead of the sequential pool-adjacent-violators
+    scan (which does not distribute), the fit uses the EXACT closed form
+    iso(k) = max_{i<=k} min_{j>=k} posrate(i..j): interval positive rates
+    come from prefix sums over the bin table, and the minimax runs as two
+    tiny grouped reductions over the O(B^3) (i,k,j) triangle — B is ~a
+    dozen bins, so this is driver-trivial, and min/max over IEEE-identical
+    doubles is deterministic on both engines.
+
+    Scale: the corpus-sized work is the classifier substrate's single
+    tokenize + groupBy(doc_id) (shared with eval_calibration_bins); the
+    isotonic algebra touches only the BOUNDED bin table — the score grid
+    caps B at 51 whatever the corpus size, which is exactly why the
+    minimax reduction beats shipping rows to a sequential PAV.
+
+    Properties pinned in tests: iso_fit is non-decreasing in bin, lies in
+    [0,1], and the support-weighted fit total equals total positives (PAV
+    preserves mass); values match an independent sequential-PAV recompute."""
+    per = _qc_score_label(spark, sf_dir)
+    bins = (
+        per.selectExpr("score_micro div 20000 AS bin", "label")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cpos"),
+    )
+    i = pre.selectExpr("bin AS i_bin", "n AS i_n", "n_pos AS i_pos",
+                       "cn AS i_cn", "cpos AS i_cpos")
+    j = pre.selectExpr("bin AS j_bin", "cn AS j_cn", "cpos AS j_cpos")
+    ivals = (
+        i.join(F.broadcast(j), F.expr("i_bin <= j_bin"))
+        .selectExpr(
+            "i_bin",
+            "j_bin",
+            "CAST(j_cpos - i_cpos + i_pos AS DOUBLE)"
+            " / CAST(j_cn - i_cn + i_n AS DOUBLE) AS iv_rate",
+        )
+    )
+    k = bins.selectExpr("bin AS k_bin")
+    inner = (
+        ivals.join(F.broadcast(k), F.expr("i_bin <= k_bin AND k_bin <= j_bin"))
+        .groupBy("k_bin", "i_bin")
+        .agg(F.min("iv_rate").alias("min_j"))
+        .groupBy("k_bin")
+        .agg(F.max("min_j").alias("iso_raw"))
+    )
+    return (
+        bins.join(inner, bins.bin == inner.k_bin)
+        .selectExpr(
+            "bin",
+            "n",
+            "n_pos",
+            mround("CAST(n_pos AS DOUBLE) / n", 6) + " AS pos_rate",
+            mround("iso_raw", 6) + " AS iso_fit",
+        )
+    )
+
+
+EVAL_ISOTONIC_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+bins AS (
+  SELECT score_micro // 20000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1),
+pre AS (
+  SELECT bin, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+  FROM bins),
+ivals AS (
+  SELECT i.bin AS i_bin, j.bin AS j_bin,
+         CAST(j.cpos - i.cpos + i.n_pos AS DOUBLE)
+           / CAST(j.cn - i.cn + i.n AS DOUBLE) AS iv_rate
+  FROM pre i JOIN pre j ON i.bin <= j.bin),
+inner_min AS (
+  SELECT k.bin AS k_bin, v.i_bin, min(v.iv_rate) AS min_j
+  FROM ivals v JOIN bins k ON v.i_bin <= k.bin AND k.bin <= v.j_bin
+  GROUP BY 1, 2),
+iso AS (
+  SELECT k_bin, max(min_j) AS iso_raw FROM inner_min GROUP BY k_bin)
+SELECT b.bin, b.n, b.n_pos,
+       {mround('CAST(b.n_pos AS DOUBLE) / b.n', 6)} AS pos_rate,
+       {mround('i.iso_raw', 6)} AS iso_fit
+FROM bins b JOIN iso i ON b.bin = i.k_bin
+"""
+
+
+QUERIES["eval_isotonic_calibration"] = QuerySpec(
+    eval_isotonic_calibration, EVAL_ISOTONIC_SQL, "eval"
+)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and term-coverage rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP_K = 5
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the same fixed 5-query
+    workload is run through TWO rankers — BM25 (`text_bm25_search`'s
+    top-10) and a term-coverage ranker (distinct query terms matched, then
+    total tf — the boolean-AND-leaning signal BM25's tf saturation can
+    rank differently) — and fused by RRF, the standard score-free fusion
+    for heterogeneous rankers (lexical + semantic in production; two
+    lexical views here): score = Σ 1/(60+rank). Contributions are
+    integer-micro via 1000000 div (60+rank) — exact integers, so the
+    fused ordering is reduction-order-proof; ties break on doc_id.
+
+    Scale: both rankers ride the one postings exchange (broadcast query
+    dim, per-(query,doc) partial-agg groupBy, WindowGroupLimit top-k); the
+    fusion is a full outer join of two ≤(queries×10)-row lists — model-
+    side-sized, independent of corpus size."""
+    bm = text_bm25_search(spark, sf_dir).selectExpr(
+        "query_id", "doc_id", "rank AS rank_bm25"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    cov = (
+        postings.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matched"), F.desc("total_tf"), F.asc("doc_id")
+    )
+    covr = (
+        cov.withColumn("rank_cov", F.row_number().over(wc).cast("bigint"))
+        .filter(F.col("rank_cov") <= BM25_SEARCH_TOP_K)
+        .select("query_id", "doc_id", "rank_cov")
+    )
+    both = bm.join(covr, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        f"coalesce(1000000 div ({RRF_K} + rank_bm25), 0)"
+        f" + coalesce(1000000 div ({RRF_K} + rank_cov), 0)"
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        both.selectExpr(
+            "query_id", "doc_id", "rank_bm25", "rank_cov",
+            f"CAST({rrf} AS BIGINT) AS rrf_micro",
+        )
+        .withColumn("rank_fused", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank_fused") <= RRF_TOP_K)
+    )
+
+
+RETRIEVAL_RRF_SQL = rf"""
+WITH bm AS ({TEXT_BM25_SEARCH_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+cov AS (
+  SELECT query_id, p.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM postings p JOIN qterms USING (tok)
+  GROUP BY query_id, p.doc_id),
+covr AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY n_matched DESC, total_tf DESC, doc_id ASC) AS BIGINT)
+           AS rank_cov
+  FROM cov QUALIFY rank_cov <= {BM25_SEARCH_TOP_K}),
+merged AS (
+  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         b.rank AS rank_bm25, c.rank_cov
+  FROM bm b FULL OUTER JOIN covr c
+    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+fused AS (
+  SELECT query_id, doc_id, rank_bm25, rank_cov,
+         CAST(coalesce(1000000 // ({RRF_K} + rank_bm25), 0)
+              + coalesce(1000000 // ({RRF_K} + rank_cov), 0) AS BIGINT)
+           AS rrf_micro
+  FROM merged)
+SELECT query_id, doc_id, rank_bm25, rank_cov, rrf_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank_fused
+FROM fused
+QUALIFY rank_fused <= {RRF_TOP_K}
+"""
+
+
+QUERIES["retrieval_rrf_hybrid"] = QuerySpec(
+    retrieval_rrf_hybrid, RETRIEVAL_RRF_SQL, "eval"
+)

@@ -2772,3 +2772,395 @@ GROUP BY o.o_orderpriority
 QUERIES["agg_winsorized_stats"] = QuerySpec(
     agg_winsorized_stats, AGG_WINSORIZED_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Rank correlation / time-series correlation wave (r06)
+# ---------------------------------------------------------------------------
+
+
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between quantity and extended
+    price per return flag — the robust monotone-association measure a
+    feature-selection or drift pass wants when the columns are nothing like
+    Gaussian (quantity is a 50-value integer grid with massive ties; price
+    is heavy-tailed money). Ranks are the textbook AVERAGE ranks, carried
+    as DOUBLED integers (2·rank() + ties − 1, an exact integer even for
+    half ranks); rho is then Pearson over the doubled ranks via
+    :func:`tmapreduce_spark.parity.pearson_txt` — scale/shift invariance
+    of Pearson makes the doubling free, and every moment sum is an exact
+    int64, so reduction order cannot move a bit.
+
+    Scale: two window ranks over the group partition plus one partial-agg
+    groupBy — the same shuffle the ranks already need. Doubled-rank moment
+    sums stay in int64 to ~5e5 rows per group (sf0.1 is ~2e5); past that
+    swap the sum accumulators to DECIMAL(38,0), the combination is
+    unchanged (parity.py scale note). There is no per-pair work anywhere —
+    Spearman via ranks is O(n log n), never the O(n^2) of Kendall."""
+    from tmapreduce_spark.parity import pearson_txt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wxc = Window.partitionBy("l_returnflag", "l_quantity")
+    wy = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wyc = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = (
+        li.withColumn("ax", 2 * F.rank().over(wx) + F.count("*").over(wxc) - 1)
+        .withColumn("ay", 2 * F.rank().over(wy) + F.count("*").over(wyc) - 1)
+        .select(
+            "l_returnflag",
+            F.col("ax").cast("bigint").alias("ax"),
+            F.col("ay").cast("bigint").alias("ay"),
+        )
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ax").alias("sx"),
+        F.sum("ay").alias("sy"),
+        F.sum(F.expr("ax * ax")).alias("sxx"),
+        F.sum(F.expr("ay * ay")).alias("syy"),
+        F.sum(F.expr("ax * ay")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "n",
+        pearson_txt("n", "sx", "sy", "sxx", "syy", "sxy") + " AS rho_spearman",
+    )
+
+
+def _spearman_sql() -> str:
+    from tmapreduce_spark.parity import pearson_txt
+
+    return f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+              + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+              AS BIGINT) AS ax,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+              + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+              AS BIGINT) AS ay
+  FROM lineitem),
+agg AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ax) AS BIGINT) AS sx, CAST(sum(ay) AS BIGINT) AS sy,
+         CAST(sum(ax * ax) AS BIGINT) AS sxx,
+         CAST(sum(ay * ay) AS BIGINT) AS syy,
+         CAST(sum(ax * ay) AS BIGINT) AS sxy
+  FROM ranked GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       {pearson_txt("n", "sx", "sy", "sxx", "syy", "sxy")} AS rho_spearman
+FROM agg
+"""
+
+
+AGG_SPEARMAN_SQL = _spearman_sql()
+
+QUERIES["agg_spearman_corr"] = QuerySpec(
+    agg_spearman_corr, AGG_SPEARMAN_SQL, "aggregation"
+)
+
+
+# --- zero-filled dense hourly series (shared by ACF / xcorr / spectral) ----
+
+_ACF_MAX_LAG = 12
+_XCORR_MAX_LAG = 6
+
+
+def _dense_hourly(spark: SparkSession, sf_dir: str, event_type: str | None = None) -> DataFrame:
+    """Zero-filled dense hourly count series over the FULL event time range
+    (all types define the range so every series shares one clock): one
+    partial-agg groupBy collapses the stream to (hour, n); the calendar
+    spine is sequence(min, max) off a 1-row range aggregate — series length
+    is bounded by wall-clock hours, not event volume, so everything
+    downstream runs on a reduced table."""
+    e = load_table(spark, sf_dir, "events")
+    hidx = "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+    counted = (
+        e.selectExpr(f"{hidx} AS hidx", "event_type")
+        .filter("event_type = '%s'" % event_type if event_type else "true")
+        .groupBy("hidx")
+        .agg(F.count("*").alias("n"))
+    )
+    rng = e.selectExpr(f"{hidx} AS hidx").agg(
+        F.min("hidx").alias("lo"), F.max("hidx").alias("hi")
+    )
+    spine = rng.selectExpr("explode(sequence(lo, hi)) AS hidx")
+    return spine.join(counted, "hidx", "left").selectExpr(
+        "hidx", "CAST(coalesce(n, 0) AS BIGINT) AS n"
+    )
+
+
+def _dense_hourly_sql(event_type: str | None = None) -> str:
+    where = f"WHERE event_type = '{event_type}'" if event_type else ""
+    return f"""
+counted AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hidx,
+         count(*) AS n
+  FROM events {where} GROUP BY 1),
+rng AS (
+  SELECT min(hidx) AS lo, max(hidx) AS hi
+  FROM (SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+          AS hidx FROM events) t),
+dense AS (
+  SELECT s.hidx, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT unnest(generate_series(lo, hi)) AS hidx FROM rng) s
+  LEFT JOIN counted c USING (hidx))
+"""
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-rate series at lags
+    1..12 — the seasonality fingerprint (a daily cycle shows up as a ridge
+    toward lag 24; short-memory burstiness decays within a few lags) that
+    feeds forecasting-model choice before anyone fits one. The series is
+    the zero-filled dense hourly count (gaps are real zero-activity hours,
+    not missing rows); each lag's coefficient is the Pearson correlation of
+    the (x_t, x_{t+L}) overlap pairs, combined from exact int64 moment
+    sums via :func:`tmapreduce_spark.parity.pearson_txt`.
+
+    Scale: the only corpus-sized work is the one groupBy building the
+    hourly rollup; the lag self-join runs on the reduced series (calendar
+    hours x 12 lags) keyed on hidx+L = hidx — an equi hash join, no range
+    scan, no window over the raw stream."""
+    from tmapreduce_spark.parity import pearson_txt
+
+    dense = _dense_hourly(spark, sf_dir)
+    lags = spark.range(1, _ACF_MAX_LAG + 1).selectExpr("CAST(id AS BIGINT) AS lag")
+    a = dense.selectExpr("hidx", "n AS x")
+    b = dense.selectExpr("hidx AS hidx_b", "n AS y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("hidx + lag = hidx_b"))
+        .select("lag", "x", "y")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "lag",
+        "n_pairs",
+        pearson_txt("n_pairs", "sx", "sy", "sxx", "syy", "sxy") + " AS acf",
+    )
+
+
+def _acf_sql() -> str:
+    from tmapreduce_spark.parity import pearson_txt
+
+    return f"""
+WITH {_dense_hourly_sql()},
+lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS BIGINT) AS lag),
+pairs AS (
+  SELECT l.lag, a.n AS x, b.n AS y
+  FROM dense a CROSS JOIN lags l JOIN dense b ON a.hidx + l.lag = b.hidx),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag)
+SELECT lag, n_pairs,
+       {pearson_txt("n_pairs", "sx", "sy", "sxx", "syy", "sxy")} AS acf
+FROM agg
+"""
+
+
+EVENTS_ACF_SQL = _acf_sql()
+
+QUERIES["events_autocorrelation"] = QuerySpec(
+    events_autocorrelation, EVENTS_ACF_SQL, "events"
+)
+
+
+def events_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the view and purchase hourly
+    series at lags -6..+6 — the does-browsing-predict-buying (and with how
+    many hours of lead) question behind attribution windows and campaign
+    timing. corr(view_t, purchase_{t+L}): a peak at positive L means views
+    LEAD purchases by L hours. Both series ride the shared zero-filled
+    hourly spine so they are aligned on one clock; each lag's coefficient
+    is Pearson over the overlap pairs from exact int64 moment sums.
+
+    Scale: identical shape to events_autocorrelation — one corpus groupBy
+    per series, then a 13-lag equi-join on the reduced calendar-bounded
+    series."""
+    from tmapreduce_spark.parity import pearson_txt
+
+    va = _dense_hourly(spark, sf_dir, "view").selectExpr("hidx", "n AS x")
+    pb = _dense_hourly(spark, sf_dir, "purchase").selectExpr(
+        "hidx AS hidx_b", "n AS y"
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).selectExpr(
+        "CAST(id AS BIGINT) AS lag"
+    )
+    pairs = (
+        va.crossJoin(F.broadcast(lags))
+        .join(pb, F.expr("hidx + lag = hidx_b"))
+        .select("lag", "x", "y")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "lag",
+        "n_pairs",
+        pearson_txt("n_pairs", "sx", "sy", "sxx", "syy", "sxy") + " AS xcorr",
+    )
+
+
+def _xcorr_sql() -> str:
+    from tmapreduce_spark.parity import pearson_txt
+
+    va = _dense_hourly_sql("view").replace("counted", "counted_v").replace(
+        "dense", "dense_v"
+    ).replace("rng", "rng_v")
+    pb = _dense_hourly_sql("purchase").replace("counted", "counted_p").replace(
+        "dense", "dense_p"
+    ).replace("rng", "rng_p")
+    return f"""
+WITH {va},
+{pb.lstrip()},
+lags AS (SELECT CAST(unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS BIGINT) AS lag),
+pairs AS (
+  SELECT l.lag, a.n AS x, b.n AS y
+  FROM dense_v a CROSS JOIN lags l JOIN dense_p b ON a.hidx + l.lag = b.hidx),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag)
+SELECT lag, n_pairs,
+       {pearson_txt("n_pairs", "sx", "sy", "sxx", "syy", "sxy")} AS xcorr
+FROM agg
+"""
+
+
+EVENTS_XCORR_SQL = _xcorr_sql()
+
+QUERIES["events_xcorr_leadlag"] = QuerySpec(
+    events_xcorr_leadlag, EVENTS_XCORR_SQL, "events"
+)
+
+
+# --- fixed-period spectral energy (DFT components via literal twiddles) ----
+
+_SPECTRAL_PERIODS = (24, 168)  # daily and weekly cycles, in hours
+
+
+def _twiddle_rows() -> list[tuple[int, int, int, int]]:
+    """(period, phase, cos_micro, sin_micro) for every phase of every probe
+    period — computed ONCE in Python at module import and injected into
+    BOTH engines as literals, so no engine-side trig ever runs (libm cos
+    is not correctly rounded; identical literals are). Micro-unit grid
+    keeps the per-row products exact integers."""
+    import math
+
+    rows = []
+    for p in _SPECTRAL_PERIODS:
+        for ph in range(p):
+            ang = 2.0 * math.pi * ph / p
+            rows.append(
+                (
+                    p,
+                    ph,
+                    int(math.floor(math.cos(ang) * 1_000_000 + 0.5)),
+                    int(math.floor(math.sin(ang) * 1_000_000 + 0.5)),
+                )
+            )
+    return rows
+
+
+def events_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT component of the hourly event-rate series at the daily (24 h)
+    and weekly (168 h) probe periods — the direct strength-of-seasonality
+    readout (amplitude in events/hour) that confirms what the ACF ridge
+    hints at, without fitting anything. Per period P:
+    cs = Σ n_t·cos(2πt/P), ss = Σ n_t·sin(2πt/P) over the zero-filled
+    dense series, amplitude = 2·sqrt(cs²+ss²)/T. The twiddle factors are
+    integer-micro literals from ONE Python computation (`_twiddle_rows`)
+    shipped to both engines, so cs/ss are exact int64 sums — engine trig
+    never runs and reduction order cannot move a bit; the only float work
+    is the final per-period amplitude chain.
+
+    Scale: one corpus groupBy to the hourly rollup; the probe is a
+    broadcast join of the 192-row twiddle dim onto the calendar-bounded
+    series and one partial-agg groupBy to 2 rows. Adding probe periods is
+    rows in the literal dim, not passes over the data."""
+    dense = _dense_hourly(spark, sf_dir)
+    tw = spark.createDataFrame(
+        _twiddle_rows(), "period long, phase long, c_micro long, s_micro long"
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _SPECTRAL_PERIODS], "period long"
+    )
+    probed = (
+        dense.crossJoin(F.broadcast(periods))
+        .withColumn("phase", F.expr("hidx % period"))
+        .join(F.broadcast(tw), ["period", "phase"])
+    )
+    agg = probed.groupBy("period").agg(
+        F.count("*").cast("bigint").alias("t_hours"),
+        F.sum("n").alias("n_events"),
+        F.sum(F.expr("n * c_micro")).alias("cs_units"),
+        F.sum(F.expr("n * s_micro")).alias("ss_units"),
+    )
+    amp = (
+        "2 * sqrt(CAST(cs_units AS DOUBLE) * CAST(cs_units AS DOUBLE)"
+        " + CAST(ss_units AS DOUBLE) * CAST(ss_units AS DOUBLE))"
+        " / 1000000 / t_hours"
+    )
+    return agg.selectExpr(
+        "period",
+        "t_hours",
+        "n_events",
+        "cs_units",
+        "ss_units",
+        mround(amp, 6) + " AS amplitude",
+        mround("CAST(n_events AS DOUBLE) / t_hours", 6) + " AS mean_rate",
+    )
+
+
+def _spectral_sql() -> str:
+    vals = ", ".join(f"({p}, {ph}, {c}, {s})" for p, ph, c, s in _twiddle_rows())
+    amp = (
+        "2 * sqrt(CAST(cs_units AS DOUBLE) * CAST(cs_units AS DOUBLE)"
+        " + CAST(ss_units AS DOUBLE) * CAST(ss_units AS DOUBLE))"
+        " / 1000000 / t_hours"
+    )
+    return f"""
+WITH {_dense_hourly_sql()},
+tw AS (SELECT * FROM (VALUES {vals}) AS v(period, phase, c_micro, s_micro)),
+probed AS (
+  SELECT t.period, d.n, t.c_micro, t.s_micro
+  FROM dense d JOIN tw t ON d.hidx % t.period = t.phase),
+agg AS (
+  SELECT period, CAST(count(*) AS BIGINT) AS t_hours,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(n * c_micro) AS BIGINT) AS cs_units,
+         CAST(sum(n * s_micro) AS BIGINT) AS ss_units
+  FROM probed GROUP BY period)
+SELECT CAST(period AS BIGINT) AS period, t_hours, n_events, cs_units, ss_units,
+       {mround(amp, 6)} AS amplitude,
+       {mround("CAST(n_events AS DOUBLE) / t_hours", 6)} AS mean_rate
+FROM agg
+"""
+
+
+EVENTS_SPECTRAL_SQL = _spectral_sql()
+
+QUERIES["events_spectral_energy"] = QuerySpec(
+    events_spectral_energy, EVENTS_SPECTRAL_SQL, "events"
+)

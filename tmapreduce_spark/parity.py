@@ -91,3 +91,25 @@ def mavg(expr: str, digits: int = 6) -> str:
     """Order-independent average of a money expression at `digits` decimals
     (same text both dialects: no integer division involved)."""
     return mround(f"CAST(sum({cents(expr)}) AS DOUBLE) / 1000000 / count(*)", digits)
+
+
+def pearson_txt(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str,
+                digits: int = 6) -> str:
+    """Deterministic Pearson correlation from EXACT integer moment sums
+    (same text both dialects). The six inputs must be BIGINT columns built
+    from integer-valued per-row terms (counts, doubled ranks, micro-units),
+    so the sums are reduction-order-independent; the combination
+    (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)) then runs entirely
+    in DOUBLE — every int64 is cast to double FIRST (one deterministic
+    rounding both engines share; doing the products in int64 would overflow
+    at ~1e5 rows of doubled ranks), and sqrt is IEEE-correctly-rounded on
+    both. NULL on zero variance."""
+    cn, cx, cy = f"CAST({n} AS DOUBLE)", f"CAST({sx} AS DOUBLE)", f"CAST({sy} AS DOUBLE)"
+    cxx, cyy, cxy = (
+        f"CAST({sxx} AS DOUBLE)",
+        f"CAST({syy} AS DOUBLE)",
+        f"CAST({sxy} AS DOUBLE)",
+    )
+    num = f"({cn} * {cxy} - {cx} * {cy})"
+    den = f"sqrt(({cn} * {cxx} - {cx} * {cx}) * ({cn} * {cyy} - {cy} * {cy}))"
+    return f"CASE WHEN {den} = 0 THEN NULL ELSE {mround(f'{num} / {den}', digits)} END"
