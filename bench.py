@@ -23,6 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "multimodal_wav_tone_probe",
+    "agg_cramers_v",
+    "pipeline_cv_folds",
+    "pipeline_dp_counts",
+    "eval_rank_kendall",
+    "graph_label_propagation",
     "agg_spearman_corr",
     "events_autocorrelation",
     "events_xcorr_leadlag",

@@ -176,6 +176,9 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "pipeline_kanonymity_audit", "agg_spearman_corr", "events_autocorrelation",
         "events_xcorr_leadlag", "events_spectral_energy", "eval_isotonic_calibration",
         "retrieval_rrf_hybrid", "graph_kcore",
+        "agg_cramers_v", "pipeline_cv_folds", "pipeline_dp_counts",
+        "eval_rank_kendall", "graph_label_propagation",
+        "multimodal_wav_tone_probe",
     }
 )
 

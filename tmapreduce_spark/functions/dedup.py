@@ -2322,3 +2322,136 @@ LEFT JOIN {last[3]} c3 ON n.doc_id = c3.doc_id
 GRAPH_KCORE_SQL = _kcore_sql()
 
 QUERIES["graph_kcore"] = QuerySpec(graph_kcore, GRAPH_KCORE_SQL, "dedup")
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+_LP_SEED_MOD = 3  # deterministic seed set: nodes with doc_id % 3 == 0
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph: nodes
+    with doc_id % 3 == 0 are CLAMPED seeds carrying their document's lang
+    label; every other node repeatedly adopts the majority label among its
+    labeled neighbors (deterministic tie-break: smallest label), keeping
+    its previous label when no neighbor is labeled. Three synchronous
+    rounds — the transductive "spread the trusted annotation to its
+    near-duplicates" pass a labeling pipeline runs before paying for model
+    inference on everything (near-dups should inherit the human label).
+
+    Both engines run the SAME fixed _LP_ROUNDS synchronous rounds (Spark:
+    per-round localCheckpoint like CC/BFS/kcore; oracle: the rounds
+    unrolled as MATERIALIZED CTEs), so parity is exact by construction —
+    no convergence assumption enters the contract.
+
+    Scale: each round is one doc-id equi-join of the label table against
+    the banding-bounded edge set + one (node, label) partial-agg groupBy +
+    one WindowGroupLimit-shaped majority pick — linear in edges, and the
+    label table is one row per node. Rounds is the usual iterative knob."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = (
+        e.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("src").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    seeds = (
+        nodes.filter(F.col("doc_id") % _LP_SEED_MOD == 0)
+        .join(docs, "doc_id")
+        .selectExpr("doc_id", "lang AS seed_label")
+        .localCheckpoint()
+    )
+    labels = nodes.join(seeds, "doc_id", "left").selectExpr(
+        "doc_id", "seed_label AS label"
+    )
+    for _ in range(_LP_ROUNDS):
+        msgs = (
+            und.join(
+                labels.selectExpr("doc_id AS src", "label AS nl"), "src"
+            )
+            .filter(F.col("nl").isNotNull())
+            .groupBy(F.col("dst").alias("doc_id"), F.col("nl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("nl"))
+        best = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .selectExpr("doc_id", "nl AS best_label")
+        )
+        labels = (
+            labels.join(best, "doc_id", "left")
+            .join(seeds.selectExpr("doc_id", "seed_label"), "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "CASE WHEN seed_label IS NOT NULL THEN seed_label"
+                " ELSE coalesce(best_label, label) END AS label",
+            )
+            .localCheckpoint()
+        )
+    return labels.join(
+        seeds.selectExpr("doc_id", "1 AS is_seed"), "doc_id", "left"
+    ).selectExpr(
+        "doc_id", "CAST(coalesce(is_seed, 0) AS BIGINT) AS is_seed", "label"
+    )
+
+
+def _label_prop_sql() -> str:
+    ctes = []
+    prev = "l0"
+    for r in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT u.dst AS doc_id, l.label AS nl, count(*) AS cnt
+  FROM und u JOIN {prev} l ON u.src = l.doc_id
+  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+b{r} AS MATERIALIZED (
+  SELECT doc_id, nl AS best_label FROM (
+    SELECT doc_id, nl,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, nl ASC) AS rn
+    FROM m{r}) t WHERE rn = 1),
+l{r} AS MATERIALIZED (
+  SELECT l.doc_id,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.seed_label
+              ELSE coalesce(b.best_label, l.label) END AS label
+  FROM {prev} l
+  LEFT JOIN b{r} b ON l.doc_id = b.doc_id
+  LEFT JOIN seeds s ON l.doc_id = s.doc_id)"""
+        )
+        prev = f"l{r}"
+    return (
+        "WITH e AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + DEDUP_MINHASH_PAIRS_SQL
+        + f""") t),
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e
+       UNION ALL SELECT doc_b, doc_a FROM e),
+nodes AS (SELECT DISTINCT src AS doc_id FROM und),
+seeds AS MATERIALIZED (
+  SELECT n.doc_id, d.lang AS seed_label
+  FROM nodes n JOIN documents d ON n.doc_id = d.doc_id
+  WHERE n.doc_id % {_LP_SEED_MOD} = 0),
+l0 AS MATERIALIZED (
+  SELECT n.doc_id, s.seed_label AS label
+  FROM nodes n LEFT JOIN seeds s ON n.doc_id = s.doc_id),
+"""
+        + ",\n".join(ctes)
+        + f"""
+SELECT l.doc_id,
+       CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_seed,
+       l.label
+FROM {prev} l LEFT JOIN seeds s ON l.doc_id = s.doc_id
+"""
+    )
+
+
+GRAPH_LABEL_PROP_SQL = _label_prop_sql()
+
+QUERIES["graph_label_propagation"] = QuerySpec(
+    graph_label_propagation, GRAPH_LABEL_PROP_SQL, "dedup"
+)

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
+from tmapreduce_spark.parity import mround
 from tmapreduce_spark.sources.catalog import load_table
 
 DECODE_SCHEMA = (
@@ -1088,4 +1089,140 @@ FROM o
 
 QUERIES["multimodal_wav_resample"] = QuerySpec(
     multimodal_wav_resample, MULTIMODAL_WAV_RESAMPLE_SQL, "multimodal"
+)
+
+
+# ---------------------------------------------------------------------------
+# Audio tone probe (Goertzel-style fixed-period DFT over the decoded PCM)
+# ---------------------------------------------------------------------------
+
+TONE_PERIODS = (8, 16)  # probe periods in samples (freq = rate/period)
+
+
+def _tone_twiddles() -> dict[int, tuple[list[int], list[int]]]:
+    """period -> (cos_micro, sin_micro) integer twiddles, computed ONCE in
+    Python and shared verbatim by the Arrow UDF and the SQL oracle — the
+    same literal-twiddle rule as events_spectral_energy, so no engine (or
+    numpy) trig runs inside the audited path."""
+    import math
+
+    out = {}
+    for p in TONE_PERIODS:
+        cs, ss = [], []
+        for ph in range(p):
+            ang = 2.0 * math.pi * ph / p
+            cs.append(int(math.floor(math.cos(ang) * 1_000_000 + 0.5)))
+            ss.append(int(math.floor(math.sin(ang) * 1_000_000 + 0.5)))
+        out[p] = (cs, ss)
+    return out
+
+
+AUDIO_TONE_SCHEMA = (
+    "doc_id bigint, period bigint, n_samples bigint, "
+    "cs_units bigint, ss_units bigint"
+)
+
+
+def audio_tone_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: synthesize + chunk-walk-decode the WAV clip, then
+    correlate the raw PCM against the integer twiddles of each probe
+    period (one int64 dot product per period — the Goertzel/DFT-bin shape
+    used for tone and DTMF detection)."""
+    import numpy as np
+
+    tw = _tone_twiddles()
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            seed, n = _wav_params(bytes(p))
+            _rate, samples = decode_wav(encode_wav(WAV_RATE, _wav_samples(seed, n)))
+            s = np.asarray(samples, dtype=np.int64)
+            for period in TONE_PERIODS:
+                cs_t, ss_t = tw[period]
+                reps = (len(s) + period - 1) // period
+                c = np.tile(np.asarray(cs_t, dtype=np.int64), reps)[: len(s)]
+                sn = np.tile(np.asarray(ss_t, dtype=np.int64), reps)[: len(s)]
+                rows.append(
+                    (
+                        int(doc_id),
+                        period,
+                        len(s),
+                        int((s * c).sum()),
+                        int((s * sn).sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "period", "n_samples", "cs_units", "ss_units"],
+        )
+
+
+_TONE_AMP = (
+    "2 * sqrt(CAST(cs_units AS DOUBLE) * CAST(cs_units AS DOUBLE)"
+    " + CAST(ss_units AS DOUBLE) * CAST(ss_units AS DOUBLE))"
+    " / 1000000 / n_samples"
+)
+
+
+def multimodal_wav_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency tone probe over the REAL audio decode path: per
+    clip, the DFT component at the 8- and 16-sample probe periods
+    (frequencies rate/8 and rate/16) — the Goertzel single-bin shape
+    behind tone/DTMF/pilot detection, run as one exact int64 dot product
+    per period against precomputed integer twiddles (`_tone_twiddles`, the
+    events_spectral_energy literal rule: no engine trig, no float sums).
+    Amplitude is the one final IEEE chain.
+
+    Scale: rides the same one-pass Arrow decode as multimodal_wav_energy
+    — pixels^H samples never shuffle; output is |periods| rows per clip.
+    Adding probe tones is rows in the twiddle literal, not data passes."""
+    probed = binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        audio_tone_batch, schema=AUDIO_TONE_SCHEMA
+    )
+    return probed.selectExpr(
+        "doc_id",
+        "period",
+        "n_samples",
+        "cs_units",
+        "ss_units",
+        mround(_TONE_AMP, 6) + " AS amplitude",
+    )
+
+
+def _wav_tone_sql() -> str:
+    tw = _tone_twiddles()
+    arms = []
+    for period in TONE_PERIODS:
+        cs_t, ss_t = tw[period]
+        cl = "[" + ", ".join(map(str, cs_t)) + "]"
+        sl = "[" + ", ".join(map(str, ss_t)) + "]"
+        arms.append(
+            f"""SELECT doc_id, CAST({period} AS BIGINT) AS period,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(n), i ->
+         ((seed * 31 + 7 * i * i) % 65536 - 32768) * ({cl}[(i % {period}) + 1])))
+         AS BIGINT) AS cs_units,
+       CAST(list_sum(list_transform(range(n), i ->
+         ((seed * 31 + 7 * i * i) % 65536 - 32768) * ({sl}[(i % {period}) + 1])))
+         AS BIGINT) AS ss_units
+FROM p"""
+        )
+    return f"""
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, hv % 65536 AS seed, 256 + hv % 1024 AS n FROM h),
+probes AS (
+{" UNION ALL ".join(arms)})
+SELECT doc_id, period, n_samples, cs_units, ss_units,
+       {mround(_TONE_AMP, 6)} AS amplitude
+FROM probes
+"""
+
+
+MULTIMODAL_WAV_TONE_SQL = _wav_tone_sql()
+
+QUERIES["multimodal_wav_tone_probe"] = QuerySpec(
+    multimodal_wav_tone_probe, MULTIMODAL_WAV_TONE_SQL, "multimodal"
 )

@@ -1580,3 +1580,100 @@ GROUP BY a.query_id
 
 
 QUERIES["eval_ndcg_ivf"] = QuerySpec(eval_ndcg_ivf, EVAL_NDCG_SQL, "similarity")
+
+
+def eval_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau@10 between the IVF(nprobe=1) ranking and the exact
+    cosine ranking, per query — the pairwise-order metric next to
+    eval_ndcg_ivf's graded-gain one: tau counts how many of the C(m,2)
+    pairs among the COMMON retrieved items the approximate index orders
+    the same way as exact search (+1 identical order, −1 reversed). NDCG
+    rewards getting high-gain items near the top; tau penalizes every
+    inversion equally — a probe that swaps near-ties deep in the list
+    shows here first.
+
+    Exactness: both ranks are integers, concordance is integer sign
+    agreement, tau is one rational (conc − disc)/C(m,2) — no float until
+    the final mround. Ranks within a query are distinct by construction
+    (row_number), so no tie terms exist.
+
+    Scale: the two rankings are the existing linear ANN pipelines; the
+    common list is localCheckpointed ONCE (≤ TOP_K rows per query — model-
+    side state, the BFS/kcore precedent) so the pair self-join neither
+    re-executes the ANN lineage nor exceeds C(TOP_K, 2) rows per query —
+    bounded by the FIXED k, not the corpus."""
+    exact = ann_topk_cosine(spark, sf_dir).selectExpr(
+        "query_id", "neighbor_id", "rank AS e_rank"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).selectExpr(
+        "query_id", "neighbor_id", "rank AS a_rank"
+    )
+    common = approx.join(exact, ["query_id", "neighbor_id"]).localCheckpoint()
+    m = common.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    a = common.selectExpr("query_id", "a_rank AS a1", "e_rank AS e1")
+    b = common.selectExpr("query_id AS qb", "a_rank AS a2", "e_rank AS e2")
+    pairs = a.join(b, F.expr("query_id = qb AND a1 < a2"))
+    cd = pairs.groupBy("query_id").agg(
+        F.sum(F.expr("CASE WHEN e1 < e2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.expr("CASE WHEN e1 > e2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("discordant"),
+    )
+    return (
+        m.join(cd, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "n_common",
+            "CAST(coalesce(concordant, 0) AS BIGINT) AS concordant",
+            "CAST(coalesce(discordant, 0) AS BIGINT) AS discordant",
+            "CASE WHEN n_common < 2 THEN NULL ELSE "
+            + mround(
+                "CAST(coalesce(concordant, 0) - coalesce(discordant, 0)"
+                " AS DOUBLE) / (n_common * (n_common - 1) / 2)",
+                6,
+            )
+            + " END AS tau",
+        )
+    )
+
+
+def _kendall_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id, rank AS e_rank FROM ({_ann_topk_sql()}) t),
+approx AS (
+  SELECT query_id, neighbor_id, rank AS a_rank FROM ({_ivf_sql()}) t),
+common AS (
+  SELECT a.query_id, a.neighbor_id, a.a_rank, e.e_rank
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+m AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+      FROM common GROUP BY query_id),
+cd AS (
+  SELECT p.query_id,
+         CAST(sum(CASE WHEN p.e_rank < q.e_rank THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN p.e_rank > q.e_rank THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM common p JOIN common q
+    ON p.query_id = q.query_id AND p.a_rank < q.a_rank
+  GROUP BY p.query_id)
+SELECT m.query_id, m.n_common,
+       CAST(coalesce(cd.concordant, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(cd.discordant, 0) AS BIGINT) AS discordant,
+       CASE WHEN m.n_common < 2 THEN NULL ELSE
+         {mround("CAST(coalesce(cd.concordant, 0) - coalesce(cd.discordant, 0) AS DOUBLE) / (m.n_common * (m.n_common - 1) / 2)", 6)}
+       END AS tau
+FROM m LEFT JOIN cd ON m.query_id = cd.query_id
+"""
+
+
+EVAL_KENDALL_SQL = _kendall_sql()
+
+QUERIES["eval_rank_kendall"] = QuerySpec(
+    eval_rank_kendall, EVAL_KENDALL_SQL, "similarity"
+)

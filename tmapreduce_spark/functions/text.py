@@ -3603,3 +3603,166 @@ QUALIFY rank_fused <= {RRF_TOP_K}
 QUERIES["retrieval_rrf_hybrid"] = QuerySpec(
     retrieval_rrf_hybrid, RETRIEVAL_RRF_SQL, "eval"
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-validation folds
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def pipeline_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment + balance audit: every document
+    lands in one of 5 folds by md5(doc_id) — the replayable, join-free way
+    to split a corpus for cross-validation (same fold every run, on every
+    engine, no rand(), no shuffle-order dependence), with the per-(fold,
+    source) census that catches a skewed fold BEFORE a model trains on it.
+    share is the source's share within its fold; comparing shares across
+    folds is the balance read-out.
+
+    Scale: fold assignment is a per-row hash (no exchange at all); the
+    audit is one partial-agg groupBy to the (5 × sources) grid plus a
+    window over that reduced table. The assignment column is exactly what
+    a writer would partitionBy to materialize the folds."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {CV_FOLDS}"
+    )
+    grid = (
+        d.selectExpr(f"{fold} AS fold", "source", "n_chars")
+        .groupBy("fold", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("fold")
+    return grid.select(
+        "fold",
+        "source",
+        "n_docs",
+        "n_chars",
+        F.sum("n_docs").over(w).cast("bigint").alias("fold_total"),
+    ).selectExpr(
+        "fold",
+        "source",
+        "n_docs",
+        "n_chars",
+        "fold_total",
+        mround("CAST(n_docs AS DOUBLE) / fold_total", 6) + " AS share",
+    )
+
+
+PIPELINE_CV_FOLDS_SQL = f"""
+WITH grid AS (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CV_FOLDS} AS fold,
+         source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2)
+SELECT fold, source, n_docs, n_chars,
+       CAST(sum(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+       {mround('CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY fold)', 6)}
+         AS share
+FROM grid
+"""
+
+
+QUERIES["pipeline_cv_folds"] = QuerySpec(
+    pipeline_cv_folds, PIPELINE_CV_FOLDS_SQL, "pipeline"
+)
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy count release (geometric mechanism, literal CDF)
+# ---------------------------------------------------------------------------
+
+DP_NOISE_B = 20  # noise support clamp: k in [-B, B]
+
+
+def _dp_noise_rows() -> list[tuple[int, int, int]]:
+    """(noise_k, lo, hi) intervals partitioning the 2^60 uniform grid
+    according to the two-sided geometric distribution with alpha = 1/2
+    (epsilon = ln 2): P(0) = 1/3, P(±k) = (1/3)·2^−k. Computed ONCE in
+    exact rational arithmetic and injected into both engines as literals —
+    the inverse-CDF lookup becomes a range join against a 41-row table, so
+    no engine-side log/exp ever runs. Tail mass beyond ±B (≈3e-7) is
+    folded into the end intervals."""
+    from fractions import Fraction
+
+    G = 1 << 60
+    ks = list(range(-DP_NOISE_B, DP_NOISE_B + 1))
+    cum = Fraction(0)
+    rows = []
+    for k in ks:
+        p = Fraction(1, 3) * Fraction(1, 2 ** abs(k))
+        if k == -DP_NOISE_B:
+            p += Fraction(1, 3) * Fraction(1, 2 ** DP_NOISE_B)  # lower tail
+        if k == DP_NOISE_B:
+            p += Fraction(1, 3) * Fraction(1, 2 ** DP_NOISE_B)  # upper tail
+        lo = int(cum * G)
+        cum += p
+        hi = G if k == DP_NOISE_B else int(cum * G)
+        rows.append((k, lo, hi))
+    return rows
+
+
+def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-language document counts via the
+    GEOMETRIC mechanism (the discrete Laplace; epsilon = ln 2) — the
+    release gate beyond `pipeline_kanonymity_audit`'s suppression: instead
+    of dropping small groups, every published count gets integer noise
+    whose distribution provably bounds what one document's presence can
+    reveal. Noise is drawn by inverse-CDF lookup: a deterministic
+    md5-uniform per group (replayable — same release every run, the same
+    determinism-over-rand() rule as every sampler here) against the exact
+    rational CDF of the two-sided geometric, precomputed ONCE in Python
+    (`_dp_noise_rows`) and shipped to both engines as a 41-row literal
+    table — no engine-side log/exp, no float CDF. Released count clamps
+    at zero. The true count is kept in the output because this entry is
+    the calibration AUDIT of the mechanism; an actual release drops it.
+
+    Scale: one partial-agg groupBy to the per-group counts, then a
+    broadcast range join against the 41-row noise dim — per-group cost is
+    O(1) and the noise table never grows with data."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_true"))
+    noise = spark.createDataFrame(
+        _dp_noise_rows(), "noise_k long, lo long, hi long"
+    )
+    u = "CAST(conv(substring(md5(lang), 1, 15), 16, 10) AS BIGINT)"
+    seeded = counts.selectExpr("lang", "n_true", f"{u} AS u")
+    return (
+        seeded.join(F.broadcast(noise), F.expr("u >= lo AND u < hi"))
+        .selectExpr(
+            "lang",
+            "n_true",
+            "noise_k AS noise",
+            "CAST(greatest(n_true + noise_k, 0) AS BIGINT) AS n_released",
+        )
+    )
+
+
+def _dp_counts_sql() -> str:
+    vals = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _dp_noise_rows())
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_true FROM documents GROUP BY lang),
+noise AS (SELECT * FROM (VALUES {vals}) AS v(noise_k, lo, hi)),
+seeded AS (
+  SELECT lang, n_true,
+         CAST(('0x' || substring(md5(lang), 1, 15)) AS BIGINT) AS u
+  FROM counts)
+SELECT lang, n_true, CAST(noise_k AS BIGINT) AS noise,
+       CAST(greatest(n_true + noise_k, 0) AS BIGINT) AS n_released
+FROM seeded JOIN noise ON u >= lo AND u < hi
+"""
+
+
+PIPELINE_DP_COUNTS_SQL = _dp_counts_sql()
+
+QUERIES["pipeline_dp_counts"] = QuerySpec(
+    pipeline_dp_counts, PIPELINE_DP_COUNTS_SQL, "pipeline"
+)

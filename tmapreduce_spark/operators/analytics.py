@@ -3164,3 +3164,121 @@ EVENTS_SPECTRAL_SQL = _spectral_sql()
 QUERIES["events_spectral_energy"] = QuerySpec(
     events_spectral_energy, EVENTS_SPECTRAL_SQL, "events"
 )
+
+
+# --- Cramér's V association between two categorical columns ----------------
+
+
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between the documents corpus's two
+    categorical axes (lang × source) — the 0..1 effect-size companion to
+    the chi-square drift tests: "are languages distributed independently
+    of sources, and if not how far from independent?" — the first
+    stratification sanity check before building per-(lang, source)
+    training mixes. The groupBy contingency table only contains OBSERVED
+    (lang, source) cells, so the per-cell statistic uses the zero-cell-
+    complete closed form chi² = n + Σ_observed [(o·n − r·c)²/(n·r·c) −
+    r·c/n] (a missing cell contributes exactly its expectation e = r·c/n,
+    and Σ_all e = n — so absent cells are folded into the constant);
+    V = sqrt(chi²/(n·(min(R,C)−1))).
+
+    Determinism: every per-cell term is one fixed IEEE expression of exact
+    int64 counts, pre-rounded to a 1e-9 integer grid BEFORE the cross-cell
+    sum (the NDCG pattern) — so the only reduction is an integer sum and
+    both engines agree bit-for-bit.
+
+    Scale: one partial-agg groupBy collapses the corpus to the contingency
+    table (bounded by |langs|×|sources|); marginals are windows over that
+    reduced table and the final answer is a 1-row aggregate. Nothing after
+    the first groupBy ever sees a corpus row."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    en = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("r"),
+        F.sum("o").over(ws).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    dev = (
+        "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    )
+    term = (
+        f"{dev} * {dev} / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
+        " * CAST(c AS DOUBLE))"
+        " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    agg = en.selectExpr(
+        "lang",
+        "source",
+        "n",
+        f"CAST(floor(({term}) * 1000000000 + 0.5) AS BIGINT) AS t9",
+    ).groupBy().agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("t9").alias("chi9"),
+    )
+    chi2 = "(CAST(n AS DOUBLE) + CAST(chi9 AS DOUBLE) / 1000000000)"
+    v = (
+        f"sqrt(({chi2}) / (CAST(n AS DOUBLE)"
+        " * (least(n_langs, n_sources) - 1)))"
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "n_langs",
+        "n_sources",
+        mround(chi2, 6) + " AS chi2",
+        "CASE WHEN least(n_langs, n_sources) <= 1 THEN NULL ELSE "
+        + mround(v, 6)
+        + " END AS cramers_v",
+    )
+
+
+def _cramers_sql() -> str:
+    dev = (
+        "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    )
+    term = (
+        f"{dev} * {dev} / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
+        " * CAST(c AS DOUBLE))"
+        " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    chi2 = "(CAST(n AS DOUBLE) + CAST(chi9 AS DOUBLE) / 1000000000)"
+    v = (
+        f"sqrt(({chi2}) / (CAST(n AS DOUBLE)"
+        " * (least(n_langs, n_sources) - 1)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+en AS (
+  SELECT lang, source, o,
+         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(CAST(floor(({term}) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS chi9
+  FROM en)
+SELECT n, n_langs, n_sources,
+       {mround(chi2, 6)} AS chi2,
+       CASE WHEN least(n_langs, n_sources) <= 1 THEN NULL ELSE {mround(v, 6)} END
+         AS cramers_v
+FROM agg
+"""
+
+
+AGG_CRAMERS_SQL = _cramers_sql()
+
+QUERIES["agg_cramers_v"] = QuerySpec(agg_cramers_v, AGG_CRAMERS_SQL, "aggregation")
