@@ -179,6 +179,8 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "agg_cramers_v", "pipeline_cv_folds", "pipeline_dp_counts",
         "eval_rank_kendall", "graph_label_propagation",
         "multimodal_wav_tone_probe",
+        "orders_assoc_rules", "events_srm_check", "agg_mutual_information",
+        "window_bollinger_bands",
     }
 )
 

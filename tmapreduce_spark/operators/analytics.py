@@ -3282,3 +3282,197 @@ FROM agg
 AGG_CRAMERS_SQL = _cramers_sql()
 
 QUERIES["agg_cramers_v"] = QuerySpec(agg_cramers_v, AGG_CRAMERS_SQL, "aggregation")
+
+
+# --- Sample-ratio-mismatch (SRM) guardrail for deterministic A/B splits ----
+
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check over a deterministic 50/50 A/B
+    assignment of event users: the experimentation guardrail that runs
+    BEFORE any lift metric (Welch/CUPED) is trusted — a biased randomizer
+    shows up as an assignment-count chi-square far above its d.f. Users
+    are bucketed by md5(user_id) parity (replayable, engine-agnostic — the
+    same hash split `pipeline_cv_folds` uses), so the check audits the
+    exact assignment the experiment queries consume.
+
+    chi-square for a 50/50 design simplifies to (n_a - n_b)^2 / n — exact
+    integer arithmetic until one final division; the flag threshold 3.841
+    (chi-square_{1, 0.05}) compares against the exact rational via integer
+    cross-multiplication, so no float boundary decides admission.
+
+    Scale: one distinct-user reduce (partial-agg groupBy on user_id), then
+    a 1-row conditional aggregate. Nothing beyond the distinct touches the
+    event table."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    users = e.select("user_id").distinct().selectExpr(f"{arm} AS arm")
+    agg = users.groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).cast("bigint").alias("n_b"),
+    )
+    d2 = "(n_a - n_b) * (n_a - n_b)"
+    chi = f"CAST({d2} AS DOUBLE) / (n_a + n_b)"
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        mround(chi, 6) + " AS chi2",
+        # 3.841 = 3841/1000: integer cross-multiply, no float compare
+        f"CAST(CASE WHEN 1000 * ({d2}) > 3841 * (n_a + n_b) THEN 1 ELSE 0 END"
+        " AS BIGINT) AS srm_flag",
+    )
+
+
+EVENTS_SRM_SQL = f"""
+WITH users AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events) u),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users)
+SELECT n_a, n_b,
+       {mround('CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)', 6)} AS chi2,
+       CAST(CASE WHEN 1000 * ((n_a - n_b) * (n_a - n_b)) > 3841 * (n_a + n_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM agg
+"""
+
+
+QUERIES["events_srm_check"] = QuerySpec(events_srm_check, EVENTS_SRM_SQL, "events")
+
+
+# --- Mutual information / entropies of the lang x source contingency -------
+
+
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropies H(lang), H(source) and their mutual information
+    I(lang; source) over the documents corpus — the information-theoretic
+    companion to `agg_cramers_v` on the same contingency substrate:
+    Cramér's V says HOW FAR from independent, MI says how many nats of
+    lang are predictable from source (and the normalized NMI =
+    I/sqrt(H_l*H_s) is the 0..1 clustering-agreement form).
+
+    Determinism: each per-cell term is one fixed IEEE expression of exact
+    int64 counts ending in ln() — one of the documented engine-side-
+    transcendental exceptions (the PSI pattern, analytics.py ln() note):
+    both engines' ln agree to <= 1 ulp and every term is pre-rounded to a
+    1e-9 integer grid BEFORE the cross-cell sum, so the only reduction is
+    an integer sum. I = sum_ij (o/n)*ln(o*n/(r*c)) needs no zero-cell
+    correction (absent cells contribute 0), and H terms use observed
+    marginals only.
+
+    Scale: identical shape to `agg_cramers_v` — one partial-agg groupBy
+    to the bounded (lang x source) grid, windows over that grid, and a
+    1-row final aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    en = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("r"),
+        F.sum("o").over(ws).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    mi_t = (
+        "(CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) * n"
+        " / (CAST(r AS DOUBLE) * c))"
+    )
+    # H(lang) = -sum_l (r/n) ln(r/n): attribute each cell 1/c_count of its
+    # row marginal term so the grid sum telescopes without a second groupBy:
+    # instead sum over DISTINCT marginals via min-tagging (first cell of
+    # each lang/source carries the whole term).
+    hl_t = (
+        "CASE WHEN rn_l = 1 THEN -(CAST(r AS DOUBLE) / n)"
+        " * ln(CAST(r AS DOUBLE) / n) ELSE 0.0 END"
+    )
+    hs_t = (
+        "CASE WHEN rn_s = 1 THEN -(CAST(c AS DOUBLE) / n)"
+        " * ln(CAST(c AS DOUBLE) / n) ELSE 0.0 END"
+    )
+    tagged = en.withColumn(
+        "rn_l", F.row_number().over(Window.partitionBy("lang").orderBy("source"))
+    ).withColumn(
+        "rn_s", F.row_number().over(Window.partitionBy("source").orderBy("lang"))
+    )
+    g9 = "1000000000"
+    agg = tagged.selectExpr(
+        f"CAST(floor(({mi_t}) * {g9} + 0.5) AS BIGINT) AS mi9",
+        f"CAST(floor(({hl_t}) * {g9} + 0.5) AS BIGINT) AS hl9",
+        f"CAST(floor(({hs_t}) * {g9} + 0.5) AS BIGINT) AS hs9",
+    ).groupBy().agg(
+        F.sum("mi9").alias("mi9"),
+        F.sum("hl9").alias("hl9"),
+        F.sum("hs9").alias("hs9"),
+    )
+    mi = f"CAST(mi9 AS DOUBLE) / {g9}"
+    hl = f"CAST(hl9 AS DOUBLE) / {g9}"
+    hs = f"CAST(hs9 AS DOUBLE) / {g9}"
+    nmi = f"({mi}) / NULLIF(sqrt(({hl}) * ({hs})), 0)"
+    return agg.selectExpr(
+        mround(hl, 6) + " AS h_lang",
+        mround(hs, 6) + " AS h_source",
+        mround(mi, 6) + " AS mi_nats",
+        mround(nmi, 6) + " AS nmi",
+    )
+
+
+def _mi_sql() -> str:
+    g9 = "1000000000"
+    mi_t = (
+        "(CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) * n"
+        " / (CAST(r AS DOUBLE) * c))"
+    )
+    hl_t = (
+        "CASE WHEN rn_l = 1 THEN -(CAST(r AS DOUBLE) / n)"
+        " * ln(CAST(r AS DOUBLE) / n) ELSE 0.0 END"
+    )
+    hs_t = (
+        "CASE WHEN rn_s = 1 THEN -(CAST(c AS DOUBLE) / n)"
+        " * ln(CAST(c AS DOUBLE) / n) ELSE 0.0 END"
+    )
+    mi = f"CAST(mi9 AS DOUBLE) / {g9}"
+    hl = f"CAST(hl9 AS DOUBLE) / {g9}"
+    hs = f"CAST(hs9 AS DOUBLE) / {g9}"
+    nmi = f"({mi}) / NULLIF(sqrt(({hl}) * ({hs})), 0)"
+    return f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+en AS (
+  SELECT lang, source, o,
+         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells),
+tagged AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY source) AS rn_l,
+         row_number() OVER (PARTITION BY source ORDER BY lang) AS rn_s
+  FROM en),
+agg AS (
+  SELECT CAST(sum(CAST(floor(({mi_t}) * {g9} + 0.5) AS BIGINT)) AS BIGINT) AS mi9,
+         CAST(sum(CAST(floor(({hl_t}) * {g9} + 0.5) AS BIGINT)) AS BIGINT) AS hl9,
+         CAST(sum(CAST(floor(({hs_t}) * {g9} + 0.5) AS BIGINT)) AS BIGINT) AS hs9
+  FROM tagged)
+SELECT {mround(hl, 6)} AS h_lang,
+       {mround(hs, 6)} AS h_source,
+       {mround(mi, 6)} AS mi_nats,
+       {mround(nmi, 6)} AS nmi
+FROM agg
+"""
+
+
+AGG_MI_SQL = _mi_sql()
+
+QUERIES["agg_mutual_information"] = QuerySpec(
+    agg_mutual_information, AGG_MI_SQL, "aggregation"
+)

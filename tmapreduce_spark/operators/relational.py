@@ -2799,3 +2799,128 @@ QUERIES: dict[str, QuerySpec] = {
         agg_weighted_median, AGG_WEIGHTED_MEDIAN_SQL, "aggregation"
     ),
 }
+
+
+# --- Directed association rules over the market-basket substrate -----------
+
+
+ASSOC_MIN_CONF_PCT = 5  # report rules with confidence >= 0.05
+
+
+def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (antecedent -> consequent) over order
+    baskets: for every part pair co-occurring in >= BASKET_MIN_SUP orders,
+    BOTH directed rules with confidence P(conseq | ante) = n_ab/n_ante,
+    lift = n_ab*n_orders/(n_a*n_b) (direction-symmetric), and conviction
+    (1 - P(conseq)) / (1 - confidence) — the recommendation-rule triple on
+    top of the undirected affinity view `orders_market_basket`.
+
+    Exactness: every statistic is a fixed-order division of exact int64
+    counts, mrounded; conviction NULLs out at confidence = 1 via NULLIF
+    (identical semantics both engines).
+
+    Scale: identical substrate to `orders_market_basket` — pairs emitted
+    IN-GROUP from each order's sorted distinct part set (fan-out bounded
+    by basket size, never part popularity), per-part counts and the order
+    total ride in as broadcasts; the direction flip is a 2x explode of the
+    already-reduced pair table, not of data. The confidence filter prunes
+    on exact integers (100*n_ab >= pct*n_ante), so no float boundary
+    enters admission."""
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        spark,
+        "l_orderkey",
+    )
+    baskets_all = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey)) AS parts"))
+    )
+    pairs = (
+        baskets_all.filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(parts, a -> transform(parts, "
+                    "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUP)
+    )
+    part_counts = (
+        baskets_all.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_p"))
+    )
+    n_orders = baskets_all.agg(F.count("*").alias("n_orders"))
+    rules = pairs.select(
+        F.explode(
+            F.expr(
+                "array(struct(pa AS ante, pb AS conseq, n_ab AS n_ab), "
+                "struct(pb AS ante, pa AS conseq, n_ab AS n_ab))"
+            )
+        ).alias("r")
+    ).select("r.ante", "r.conseq", "r.n_ab")
+    conf = "CAST(n_ab AS DOUBLE) / n_ante"
+    lift = "CAST(n_ab AS DOUBLE) * n_orders / (CAST(n_ante AS DOUBLE) * n_conseq)"
+    conv = (
+        "(1 - CAST(n_conseq AS DOUBLE) / n_orders)"
+        f" / NULLIF(1 - ({conf}), 0)"
+    )
+    return (
+        rules.join(
+            F.broadcast(part_counts.selectExpr("l_partkey AS ante", "n_p AS n_ante")),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                part_counts.selectExpr("l_partkey AS conseq", "n_p AS n_conseq")
+            ),
+            "conseq",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.expr(f"100 * n_ab >= {ASSOC_MIN_CONF_PCT} * n_ante"))
+        .selectExpr(
+            "ante",
+            "conseq",
+            "n_ab",
+            "n_ante",
+            "n_conseq",
+            f"{mround(conf, 6)} AS confidence",
+            f"{mround(lift, 6)} AS lift",
+            f"{mround(conv, 6)} AS conviction",
+        )
+    )
+
+
+ORDERS_ASSOC_RULES_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUP}),
+rules AS (
+  SELECT pa AS ante, pb AS conseq, n_ab FROM pairs
+  UNION ALL
+  SELECT pb AS ante, pa AS conseq, n_ab FROM pairs),
+pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
+SELECT ante, conseq, n_ab, ca.n_p AS n_ante, cb.n_p AS n_conseq,
+       {mround('CAST(n_ab AS DOUBLE) / ca.n_p', 6)} AS confidence,
+       {mround('CAST(n_ab AS DOUBLE) * n_orders / (CAST(ca.n_p AS DOUBLE) * cb.n_p)', 6)} AS lift,
+       {mround('(1 - CAST(cb.n_p AS DOUBLE) / n_orders) / NULLIF(1 - (CAST(n_ab AS DOUBLE) / ca.n_p), 0)', 6)} AS conviction
+FROM rules, tot
+JOIN pc ca ON ca.l_partkey = ante
+JOIN pc cb ON cb.l_partkey = conseq
+WHERE 100 * n_ab >= {ASSOC_MIN_CONF_PCT} * ca.n_p
+"""
+
+
+QUERIES["orders_assoc_rules"] = QuerySpec(
+    orders_assoc_rules, ORDERS_ASSOC_RULES_SQL, "aggregation"
+)

@@ -903,3 +903,108 @@ WHERE event_type = 'purchase'
 QUERIES["events_lag_features_asof"] = QuerySpec(
     events_lag_features_asof, EVENTS_LAG_FEATURES_SQL, "time-window"
 )
+
+
+# --- Bollinger bands over the daily-revenue series -------------------------
+
+BB_WIN = 20  # trading-convention 20-day window, 2-sigma bands
+
+
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the daily order-revenue series: 20-day rolling
+    mean +/- 2 population sigmas, with a breakout flag when the day's
+    revenue pierces a band — the volatility-envelope read on the series
+    the anomaly/CUSUM family watches. Only days with a FULL 20-day history
+    report (rn >= BB_WIN), the standard warm-up rule.
+
+    Exactness: daily revenue is an exact int64 cents sum; the window sum
+    of squares runs in DECIMAL(38,0) on the Spark side (a single cents
+    square ~8.6e17 fits int64 but the 20-day sum does not) and DuckDB's
+    native HUGEINT sum on the oracle side — both exact integers, so the
+    variance numerator (ss*w - s*s), the IEEE-correctly-rounded sqrt, and
+    the band comparisons are bit-identical. The breakout compare runs on
+    the same doubles both engines derive from the same integers.
+
+    Scale: one groupBy collapses orders to the day grid (bounded by
+    calendar size), one window pass over that reduced series with O(1)
+    state per row. At 100 TB the day table is still ~3k rows — the window
+    runs on a table that fits in one partition by construction (a single
+    unpartitioned sort of a calendar-bounded table, not of data)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            f"{cents('o_totalprice', 100)} AS c",
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(BB_WIN - 1), 0)
+    )
+    wn = Window.orderBy("day")
+    ss_expr = F.sum(
+        (F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+    ).over(w)
+    roll = (
+        daily.withColumn("s", F.sum("c").over(w).cast("decimal(38,0)"))
+        .withColumn("ss", ss_expr)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") >= BB_WIN)
+    )
+    mean_c = f"CAST(s AS DOUBLE) / {BB_WIN}"
+    var_c = (
+        f"(CAST(ss AS DOUBLE) * {BB_WIN} - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        f" / {BB_WIN * BB_WIN}"
+    )
+    std_c = f"sqrt(greatest({var_c}, 0.0))"
+    return roll.selectExpr(
+        "day",
+        mround("CAST(c AS DOUBLE) / 100", 2) + " AS revenue",
+        mround(f"({mean_c}) / 100", 2) + " AS sma",
+        mround(f"(({mean_c}) + 2 * ({std_c})) / 100", 2) + " AS upper_band",
+        mround(f"(({mean_c}) - 2 * ({std_c})) / 100", 2) + " AS lower_band",
+        "CAST(CASE WHEN CAST(c AS DOUBLE) > "
+        f"({mean_c}) + 2 * ({std_c}) THEN 1 "
+        f"WHEN CAST(c AS DOUBLE) < ({mean_c}) - 2 * ({std_c}) THEN -1 "
+        "ELSE 0 END AS BIGINT) AS breakout",
+    )
+
+
+def _bollinger_sql() -> str:
+    mean_c = f"CAST(s AS DOUBLE) / {BB_WIN}"
+    var_c = (
+        f"(CAST(ss AS DOUBLE) * {BB_WIN} - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        f" / {BB_WIN * BB_WIN}"
+    )
+    std_c = f"sqrt(greatest({var_c}, 0.0))"
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum({cents('o_totalprice', 100)}) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+roll AS (
+  SELECT day, c,
+         sum(c) OVER w AS s,
+         sum(c * c) OVER w AS ss,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {BB_WIN - 1} PRECEDING AND CURRENT ROW))
+SELECT day,
+       {mround("CAST(c AS DOUBLE) / 100", 2)} AS revenue,
+       {mround(f"({mean_c}) / 100", 2)} AS sma,
+       {mround(f"(({mean_c}) + 2 * ({std_c})) / 100", 2)} AS upper_band,
+       {mround(f"(({mean_c}) - 2 * ({std_c})) / 100", 2)} AS lower_band,
+       CAST(CASE WHEN CAST(c AS DOUBLE) > ({mean_c}) + 2 * ({std_c}) THEN 1
+            WHEN CAST(c AS DOUBLE) < ({mean_c}) - 2 * ({std_c}) THEN -1
+            ELSE 0 END AS BIGINT) AS breakout
+FROM roll WHERE rn >= {BB_WIN}
+"""
+
+
+WINDOW_BOLLINGER_SQL = _bollinger_sql()
+
+QUERIES["window_bollinger_bands"] = QuerySpec(
+    window_bollinger_bands, WINDOW_BOLLINGER_SQL, "window"
+)
