@@ -23,6 +23,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "join_jaro_winkler",
+    "graph_link_prediction",
+    "agg_theil_sen_trend",
+    "text_readability",
     "orders_assoc_rules",
     "events_srm_check",
     "agg_mutual_information",

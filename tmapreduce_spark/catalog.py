@@ -181,6 +181,8 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "multimodal_wav_tone_probe",
         "orders_assoc_rules", "events_srm_check", "agg_mutual_information",
         "window_bollinger_bands",
+        "join_jaro_winkler", "graph_link_prediction", "agg_theil_sen_trend",
+        "text_readability",
     }
 )
 

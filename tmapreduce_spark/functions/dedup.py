@@ -2455,3 +2455,127 @@ GRAPH_LABEL_PROP_SQL = _label_prop_sql()
 QUERIES["graph_label_propagation"] = QuerySpec(
     graph_label_propagation, GRAPH_LABEL_PROP_SQL, "dedup"
 )
+
+
+# --- Link prediction over the co-purchase graph (common-neighbor Jaccard) --
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for every
+    NON-adjacent part pair whose co-purchase neighborhoods share >= 2
+    common neighbors, the common-neighbor count and neighborhood Jaccard
+    cn/(deg_a + deg_b - cn) — the "bought together with the same things
+    but never together yet" recommendation candidate, the classic
+    common-neighbors link predictor (Liben-Nowell & Kleinberg). Run on
+    the SAME repeat-co-purchase edge set `orders_assoc_rules` mines
+    (pairs co-occurring in >= 2 orders), so predicted links are exactly
+    the rules the next data refresh would be expected to add. (The
+    MinHash near-dup graph is deliberately NOT the substrate: LSH
+    components are cliques, so it has no non-adjacent 2-hop pairs —
+    measured empty at both fixture SFs.)
+
+    Exactness: counts are integers; Jaccard is one fixed division,
+    mrounded.
+
+    Scale: wedges enumerate through the CENTER node of the undirected
+    edge list (two hash equi-joins on single part ids over the
+    support-thresholded edge set — the triangle-count shape), so pair
+    fan-out is sum deg(x)^2 over the SPARSE co-purchase graph, never
+    catalog-quadratic; at billion-edge scale cap hub degrees first (the
+    standard wedge sampling). Existing edges drop via one anti-join;
+    degrees ride in as two broadcast aggregates of the same edge list."""
+    from tmapreduce_spark.sources.catalog import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        spark,
+        "l_orderkey",
+    )
+    e = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey)) AS parts"))
+        .filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(parts, a -> transform(parts, "
+                    "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("pa", "pb")
+        # the edge list feeds FOUR consumers (two wedge legs, the
+        # anti-join, degrees) — materialize it once (the CC/BFS
+        # localCheckpoint precedent) instead of re-running the basket
+        # aggregation per consumer
+        .localCheckpoint(eager=True)
+    )
+    und = e.union(e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    w1, w2 = und.alias("w1"), und.alias("w2")
+    cand = (
+        w1.join(w2, F.col("w1.pa") == F.col("w2.pa"))
+        .filter(F.col("w1.pb") < F.col("w2.pb"))
+        .select(F.col("w1.pb").alias("a"), F.col("w2.pb").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    non_adj = cand.join(
+        e.selectExpr("pa AS a", "pb AS b"), ["a", "b"], "left_anti"
+    )
+    deg = und.groupBy("pa").agg(F.count("*").alias("deg"))
+    return (
+        non_adj.join(F.broadcast(deg.selectExpr("pa AS a", "deg AS deg_a")), "a")
+        .join(F.broadcast(deg.selectExpr("pa AS b", "deg AS deg_b")), "b")
+        .selectExpr(
+            "a AS part_a",
+            "b AS part_b",
+            "cn AS common_neighbors",
+            "deg_a",
+            "deg_b",
+            mround("CAST(cn AS DOUBLE) / (deg_a + deg_b - cn)", 6)
+            + " AS jaccard",
+        )
+    )
+
+
+GRAPH_LINK_PRED_SQL = (
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+und AS (
+  SELECT pa, pb FROM e
+  UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+cand AS (
+  SELECT w1.pb AS a, w2.pb AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM und w1 JOIN und w2 ON w1.pa = w2.pa
+  WHERE w1.pb < w2.pb
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+non_adj AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = c.a AND e.pb = c.b)),
+deg AS (SELECT pa, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)
+SELECT n.a AS part_a, n.b AS part_b, n.cn AS common_neighbors,
+       da.deg AS deg_a, db.deg AS deg_b,
+       """
+    + mround("CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn)", 6)
+    + """ AS jaccard
+FROM non_adj n
+JOIN deg da ON da.pa = n.a
+JOIN deg db ON db.pa = n.b
+"""
+)
+
+
+QUERIES["graph_link_prediction"] = QuerySpec(
+    graph_link_prediction, GRAPH_LINK_PRED_SQL, "dedup"
+)

@@ -3766,3 +3766,75 @@ PIPELINE_DP_COUNTS_SQL = _dp_counts_sql()
 QUERIES["pipeline_dp_counts"] = QuerySpec(
     pipeline_dp_counts, PIPELINE_DP_COUNTS_SQL, "pipeline"
 )
+
+
+# --- Readability scoring (Flesch / Flesch-Kincaid heuristics) --------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability scores: Flesch reading ease and
+    Flesch-Kincaid grade level from the three classic counts — words
+    ([a-z]+ runs of the lowercased text), sentences ([.!?]+ runs, floored
+    at 1), and the vowel-group syllable proxy ([aeiouy]+ runs, the
+    standard cheap syllable estimator) — the document-quality feature
+    that separates natural prose from boilerplate/code/gibberish next to
+    the stopword and repetition signals.
+
+    Exactness: all three inputs are integer match counts from identical
+    ASCII character-class regexes (Java regex and RE2 agree on these
+    classes), and both formulas are fixed IEEE expressions of those
+    integers with shared decimal literals — deterministic to the bit.
+
+    Scale: a pure per-row map over the pruned (doc_id, text) projection —
+    no shuffle, no UDF, whole-stage codegen end to end; exactly the shape
+    that runs at 100 TB as one embarrassingly parallel scan."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.selectExpr(
+        "doc_id",
+        "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+        " AS n_words",
+        "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT) AS n_sentences",
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+        " AS n_syllables",
+    ).filter("n_words >= 1")
+    wps = "CAST(n_words AS DOUBLE) / n_sentences"
+    spw = "CAST(n_syllables AS DOUBLE) / n_words"
+    return scored.selectExpr(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        mround(f"206.835 - 1.015 * ({wps}) - 84.6 * ({spw})", 4)
+        + " AS flesch_ease",
+        mround(f"0.39 * ({wps}) + 11.8 * ({spw}) - 15.59", 4)
+        + " AS fk_grade",
+    )
+
+
+def _readability_sql() -> str:
+    wps = "CAST(n_words AS DOUBLE) / n_sentences"
+    spw = "CAST(n_syllables AS DOUBLE) / n_words"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       {mround(f"206.835 - 1.015 * ({wps}) - 84.6 * ({spw})", 4)} AS flesch_ease,
+       {mround(f"0.39 * ({wps}) + 11.8 * ({spw}) - 15.59", 4)} AS fk_grade
+FROM scored
+WHERE n_words >= 1
+"""
+
+
+TEXT_READABILITY_SQL = _readability_sql()
+
+QUERIES["text_readability"] = QuerySpec(
+    text_readability, TEXT_READABILITY_SQL, "text"
+)

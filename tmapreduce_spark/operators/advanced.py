@@ -1304,3 +1304,163 @@ QUERIES: dict[str, QuerySpec] = {
     "q19_disjunctive": QuerySpec(q19_disjunctive, Q19_SQL, "join+filter"),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL, "join+topk"),
 }
+
+
+# --- Jaro-Winkler fuzzy name join (shared-token canopy blocking) -----------
+
+JW_THRESHOLD = 0.9
+
+
+def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy self-join over part names — the record-linkage
+    similarity that rewards shared prefixes (census/name-matching
+    standard), complementing `join_fuzzy_name`'s edit distance and
+    `join_fuzzy_symdel`'s deletion neighborhoods. Pairs block on (brand,
+    ANY shared name token): two multiword names at JW >= 0.9 share at
+    least one full token on this corpus (a first-token-only canopy was
+    measured to MISS prefix-divergent matches like "old rod"/"cold rod"
+    — recall verified exhaustively vs the unblocked within-brand join at
+    sf0.001, 0 missed), so the canopy is recall-complete while cutting
+    the within-brand quadratic to token-bucket quadratics.
+
+    Spark computes JW in an Arrow-batched pandas UDF (no JVM builtin
+    exists) whose Python mirrors DuckDB's C++ implementation EXACTLY —
+    validated bit-for-bit over 6k random + fixture name pairs (matching
+    window, half-transposition count, p=0.1 prefix boost above 0.7, and
+    the empty-string edge where DuckDB returns 0.0) — so the >= 0.9
+    admission compares identical doubles on both engines and no mround
+    enters the filter.
+
+    Scale: candidate pairs are DISTINCT-ed on keys BEFORE scoring (a
+    5-token pair collides in up to 5 buckets — scoring once, not five
+    times, is the real cost lever: ~1.9M candidates at sf0.1), and names
+    ride back in via two broadcast joins against the part dim. The UDF
+    sees verification pairs only, never the corpus cross-product; fanout
+    per bucket is bounded by token frequency within a brand, the
+    standard canopy guarantee."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # no annotations: module-level `from __future__ import annotations`
+    # stringifies them, which the pandas_udf type-hint inference rejects
+    @pandas_udf(DoubleType())
+    def jw_udf(sa, sb):
+        return pd.Series(
+            [_jaro_winkler_py(a, b) for a, b in zip(sa, sb)], dtype="float64"
+        )
+
+    # the scorer IS deterministic; the flag only blocks Catalyst's
+    # CollapseProject/pushdown from inlining the UDF into BOTH the filter
+    # and the projection (ArrowEvalPython x2 = every pair scored twice)
+    jw_udf = jw_udf.asNondeterministic()
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    toks = p.select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.expr("split(p_name, ' ')")).alias("tok"),
+    )
+    a = toks.repartition(32, "p_brand", "tok").alias("a")
+    b = toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+    named = cand.join(
+        F.broadcast(p.selectExpr("p_partkey AS part_a", "p_name AS name_a")),
+        "part_a",
+    ).join(
+        F.broadcast(p.selectExpr("p_partkey AS part_b", "p_name AS name_b")),
+        "part_b",
+    )
+    scored = named.withColumn("sim", jw_udf(F.col("name_a"), F.col("name_b")))
+    return scored.filter(F.col("sim") >= JW_THRESHOLD).selectExpr(
+        "brand",
+        "part_a",
+        "part_b",
+        "name_a",
+        "name_b",
+        mround("sim", 6) + " AS jw_sim",
+    )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Bit-exact Python mirror of DuckDB 1.0's jaro_winkler_similarity
+    (validated on 6k cases: random strings + real part names)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        j = 1.0
+    else:
+        md = max(l1, l2) // 2 - 1
+        if md < 0:
+            md = 0
+        f1 = [False] * l1
+        f2 = [False] * l2
+        m = 0
+        for i in range(l1):
+            lo = i - md if i - md > 0 else 0
+            hi = i + md + 1 if i + md + 1 < l2 else l2
+            for k in range(lo, hi):
+                if not f2[k] and s1[i] == s2[k]:
+                    f1[i] = True
+                    f2[k] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if f1[i]:
+                while not f2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j > 0.7:
+        pl = 0
+        for ca, cb in zip(s1[:4], s2[:4]):
+            if ca == cb:
+                pl += 1
+            else:
+                break
+        j = j + pl * 0.1 * (1 - j)
+    return j
+
+
+JOIN_JARO_SQL = f"""
+WITH toks AS (
+  SELECT p_partkey, p_brand, unnest(string_split(p_name, ' ')) AS tok
+  FROM part),
+cand AS (
+  SELECT DISTINCT a.p_brand AS brand, a.p_partkey AS part_a,
+         b.p_partkey AS part_b
+  FROM toks a JOIN toks b
+    ON a.p_brand = b.p_brand AND a.tok = b.tok
+   AND a.p_partkey < b.p_partkey)
+SELECT c.brand, c.part_a, c.part_b,
+       pa.p_name AS name_a, pb.p_name AS name_b,
+       {mround('jaro_winkler_similarity(pa.p_name, pb.p_name)', 6)} AS jw_sim
+FROM cand c
+JOIN part pa ON pa.p_partkey = c.part_a
+JOIN part pb ON pb.p_partkey = c.part_b
+WHERE jaro_winkler_similarity(pa.p_name, pb.p_name) >= {JW_THRESHOLD}
+"""
+
+
+QUERIES["join_jaro_winkler"] = QuerySpec(join_jaro_winkler, JOIN_JARO_SQL, "join")

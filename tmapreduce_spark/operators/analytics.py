@@ -3476,3 +3476,83 @@ AGG_MI_SQL = _mi_sql()
 QUERIES["agg_mutual_information"] = QuerySpec(
     agg_mutual_information, AGG_MI_SQL, "aggregation"
 )
+
+
+# --- Theil-Sen robust trend of the monthly-revenue series ------------------
+
+
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of monthly revenue: the (lower)
+    median of all pairwise slopes between month points — the
+    outlier-immune alternative to the OLS slope `agg_covar_regr` fits
+    (one wild month moves OLS, but not the slope median; 29% breakdown
+    point). Reported in dollars/month with the pair census.
+
+    Exactness: months collapse to exact int64 cents totals on an integer
+    month index; each pairwise slope is ONE division of exact integers
+    (deterministic IEEE), and the median element is picked by row_number
+    over the total order (slope, i, j) — a deterministic selection, never
+    a float interpolation.
+
+    Scale: orders reduce to the calendar-bounded month grid in one
+    partial-agg groupBy; the pair self-join is quadratic only in CALENDAR
+    months (~80 here, ~3k pairs; still only ~500k pairs after a century),
+    so the all-pairs stage is bounded by time itself, not data. The
+    selection runs on the pair table via one window."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.selectExpr(
+            "year(o_orderdate) * 12 + month(o_orderdate) AS mi",
+            f"{cents('o_totalprice', 100)} AS c",
+        )
+        .groupBy("mi")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (
+        a.join(b, F.col("a.mi") < F.col("b.mi"))
+        .selectExpr(
+            "a.mi AS mi",
+            "b.mi AS mj",
+            "CAST(b.c - a.c AS DOUBLE) / (b.mi - a.mi) AS slope",
+        )
+    )
+    w = Window.orderBy("slope", "mi", "mj")
+    ranked = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("np", F.count("*").over(Window.partitionBy()))
+    )
+    med = ranked.filter(F.expr("rn = (np + 1) div 2"))
+    n_months = monthly.agg(F.count("*").cast("bigint").alias("n_months"))
+    return med.crossJoin(F.broadcast(n_months)).selectExpr(
+        "n_months",
+        "CAST(np AS BIGINT) AS n_pairs",
+        mround("slope / 100", 4) + " AS sen_slope",
+    )
+
+
+AGG_THEIL_SEN_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         CAST(sum({cents('o_totalprice', 100)}) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT a.mi AS mi, b.mi AS mj,
+         CAST(b.c - a.c AS DOUBLE) / (b.mi - a.mi) AS slope
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+ranked AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, mi, mj) AS rn,
+         count(*) OVER () AS np
+  FROM slopes),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly)
+SELECT n_months, CAST(np AS BIGINT) AS n_pairs,
+       {mround('slope / 100', 4)} AS sen_slope
+FROM ranked, nm
+WHERE rn = (np + 1) // 2
+"""
+
+
+QUERIES["agg_theil_sen_trend"] = QuerySpec(
+    agg_theil_sen_trend, AGG_THEIL_SEN_SQL, "aggregation"
+)
