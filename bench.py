@@ -23,6 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "embedding_silhouette",
+    "layout_skipping_audit",
+    "join_geo_grid_knn",
+    "join_ip_cidr_lpm",
+    "agg_skew_kurtosis",
+    "eval_confusion_multiclass",
     "join_jaro_winkler",
     "graph_link_prediction",
     "agg_theil_sen_trend",

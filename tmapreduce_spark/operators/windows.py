@@ -960,7 +960,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     std_c = f"sqrt(greatest({var_c}, 0.0))"
     return roll.selectExpr(
-        "day",
+        "date_format(day, 'yyyy-MM-dd') AS day",
         mround("CAST(c AS DOUBLE) / 100", 2) + " AS revenue",
         mround(f"({mean_c}) / 100", 2) + " AS sma",
         mround(f"(({mean_c}) + 2 * ({std_c})) / 100", 2) + " AS upper_band",
@@ -991,7 +991,7 @@ roll AS (
          row_number() OVER (ORDER BY day) AS rn
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN {BB_WIN - 1} PRECEDING AND CURRENT ROW))
-SELECT day,
+SELECT strftime(day, '%Y-%m-%d') AS day,
        {mround("CAST(c AS DOUBLE) / 100", 2)} AS revenue,
        {mround(f"({mean_c}) / 100", 2)} AS sma,
        {mround(f"(({mean_c}) + 2 * ({std_c})) / 100", 2)} AS upper_band,
