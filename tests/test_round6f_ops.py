@@ -327,3 +327,37 @@ def test_skipping_audit_zone_accounting(spark):
     assert (got["n_zones"] == want_zones).all()
     # scanned rows can never exceed the table
     assert (got["scanned_date"] <= n).all() and (got["scanned_price"] <= n).all()
+
+
+# ---------------------------------------------------------------------------
+# source_python_custom (Spark 4 Python DataSource connector)
+# ---------------------------------------------------------------------------
+
+
+def test_synthgrid_source_partitioned_scan(spark):
+    """The connector must produce the requested split surface (8 partitions)
+    and exactly the deterministic rows — distributed generation, no driver
+    materialization."""
+    from tmapreduce_spark.sources.pysource import (
+        SYNTH_HASH,
+        SYNTH_ROWS,
+        SYNTH_SPACE,
+        read_synthgrid,
+    )
+
+    df = read_synthgrid(spark)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == SYNTH_ROWS
+    sample = {r["i"]: (r["h"], r["label"]) for r in df.filter("i < 20").collect()}
+    for i in range(20):
+        assert sample[i] == (i * SYNTH_HASH % SYNTH_SPACE, f"g{i % 7}")
+
+
+def test_synthgrid_source_option_override(spark):
+    from tmapreduce_spark.sources.pysource import read_synthgrid
+
+    df = read_synthgrid(spark, num_rows=1000, num_parts=3)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 1000
+    # contiguous non-overlapping splits cover [0, n) exactly once
+    assert df.select("i").distinct().count() == 1000

@@ -185,6 +185,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "text_readability",
         "join_geo_grid_knn", "join_ip_cidr_lpm", "agg_skew_kurtosis",
         "eval_confusion_multiclass", "embedding_silhouette", "layout_skipping_audit",
+        "source_python_custom",
     }
 )
 
@@ -246,6 +247,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         windows,
     )
     from tmapreduce_spark.functions import dedup, multimodal, scale, similarity, text, udfs
+    from tmapreduce_spark.sources import pysource
 
     catalog: dict[str, QuerySpec] = {}
     for mod in (
@@ -262,6 +264,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         udfs,
         scale,
         mapreduce_queries,
+        pysource,
     ):
         for name, spec in mod.QUERIES.items():
             if name in catalog:
