@@ -23,6 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "multimodal_patch_features",
+    "agg_mann_kendall",
+    "pipeline_truncation_loss",
     "source_python_custom",
     "embedding_silhouette",
     "layout_skipping_audit",

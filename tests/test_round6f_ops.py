@@ -361,3 +361,123 @@ def test_synthgrid_source_option_override(spark):
     assert df.count() == 1000
     # contiguous non-overlapping splits cover [0, n) exactly once
     assert df.select("i").distinct().count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# multimodal_patch_features
+# ---------------------------------------------------------------------------
+
+
+def test_patch_features_matches_independent_decode(spark):
+    """Recompute patches from the shared pixel formula in pure Python
+    (independent of both the Spark UDF and the oracle SQL)."""
+    import hashlib
+
+    import duckdb
+
+    got = _run(spark, "multimodal_patch_features")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        hv = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        s, w, h = hv % 256, 4 + hv % 13, 4 + (hv // 13) % 13
+        for i in range(w * h):
+            x, y = i % w, i // w
+            base = s + 7 * x + 13 * y
+            v = base % 256 + (base + 31) % 256 + (base + 62) % 256
+            key = (doc_id, y * 2 // h, x * 2 // w)
+            n, t = want.get(key, (0, 0))
+            want[key] = (n + 1, t + v)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n, t = want[(r["doc_id"], r["patch_row"], r["patch_col"])]
+        assert (r["n_px"], r["psum"]) == (n, t)
+        assert math.isclose(r["mean_intensity"], t / (3 * n), abs_tol=1e-4)
+
+
+def test_patch_features_every_doc_has_full_grid(spark):
+    got = _run(spark, "multimodal_patch_features")
+    per_doc = got.groupby("doc_id").size()
+    assert (per_doc == 4).all()
+    # patches partition the image: sums of patch pixels = w*h per doc
+    import duckdb
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(per_doc) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_python_recompute(spark):
+    import duckdb
+
+    got = _run(spark, "agg_mann_kendall").iloc[0]
+    monthly = duckdb.sql(
+        f"""SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+            FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vals = [c for _, c in monthly]
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(vals)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    assert got["n_months"] == n
+    assert got["s_stat"] == s
+    assert got["var_num"] == var_num
+    assert got["n_pairs"] == n * (n - 1) // 2
+    z = (s - 1) / math.sqrt(var_num / 18.0) if s > 0 else (
+        (s + 1) / math.sqrt(var_num / 18.0) if s < 0 else 0.0
+    )
+    assert math.isclose(got["z_stat"], z, abs_tol=1e-6)
+    assert math.isclose(got["tau"], s / (n * (n - 1) / 2), abs_tol=1e-6)
+    assert got["significant_95"] == (abs(z) > 1.959964)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_truncation_loss
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_loss_matches_python_recompute(spark):
+    import duckdb
+
+    got = _run(spark, "pipeline_truncation_loss")
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    for ctx in (128, 512, 2048):
+        agg = {}
+        for source, text in docs:
+            toks = len([t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t])
+            n, tr, tot, lost = agg.get(source, (0, 0, 0, 0))
+            agg[source] = (
+                n + 1, tr + (toks > ctx), tot + toks, lost + max(toks - ctx, 0)
+            )
+        sub = got[got["ctx_len"] == ctx].set_index("source")
+        for source, (n, tr, tot, lost) in agg.items():
+            r = sub.loc[source]
+            assert (r["n_docs"], r["n_truncated"], r["total_tokens"],
+                    r["tokens_lost"]) == (n, tr, tot, lost)
+            assert math.isclose(r["loss_share"], lost / tot, abs_tol=1e-6)
+
+
+def test_truncation_loss_monotone_in_ctx(spark):
+    """Longer context must never lose MORE tokens (per source)."""
+    got = _run(spark, "pipeline_truncation_loss")
+    for source, grp in got.groupby("source"):
+        g = grp.sort_values("ctx_len")
+        assert g["tokens_lost"].is_monotonic_decreasing
+        assert g["n_truncated"].is_monotonic_decreasing

@@ -1226,3 +1226,93 @@ MULTIMODAL_WAV_TONE_SQL = _wav_tone_sql()
 QUERIES["multimodal_wav_tone_probe"] = QuerySpec(
     multimodal_wav_tone_probe, MULTIMODAL_WAV_TONE_SQL, "multimodal"
 )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch features over the REAL decode path
+# ---------------------------------------------------------------------------
+
+PATCH_GRID = 2  # 2x2 quadrants — the smallest grid that catches orientation bugs
+
+
+def patch_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: synthesize the REAL container (shared
+    `_synth_container` convention), decode it with the pure-python parsers,
+    and reduce the pixel array to a PATCH_GRID x PATCH_GRID grid of
+    intensity sums — the ViT patch-embedding preprocessing shape. Patch
+    assignment is integer division on the DECODED (top-down) coordinates,
+    so a bottom-up-BMP orientation bug or a stride bug flips patch rows and
+    breaks parity (the global pixel_sum of `multimodal_decode_real` cannot
+    see those)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            img = _synth_container(int(doc_id), bytes(p))
+            w, h, px = decode_pixels(img)
+            sums = [[0] * PATCH_GRID for _ in range(PATCH_GRID)]
+            cnts = [[0] * PATCH_GRID for _ in range(PATCH_GRID)]
+            for i, (r, g, b) in enumerate(px):
+                x, y = i % w, i // w
+                pr, pc = y * PATCH_GRID // h, x * PATCH_GRID // w
+                sums[pr][pc] += r + g + b
+                cnts[pr][pc] += 1
+            for pr in range(PATCH_GRID):
+                for pc in range(PATCH_GRID):
+                    rows.append(
+                        (int(doc_id), pr, pc, cnts[pr][pc], sums[pr][pc])
+                    )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "patch_row", "patch_col", "n_px", "psum"]
+        )
+
+
+def multimodal_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid feature extraction over real image decode: every document's
+    synthetic BMP/PPM container is parsed (headers, padding, bottom-up rows)
+    and folded to a 2x2 grid of exact intensity sums + mean intensity per
+    patch — the preprocessing stage in front of a ViT patch embedder, and a
+    spatial-correctness probe on the decoder itself (the oracle recomputes
+    each patch from the shared pixel formula on TOP-DOWN coordinates, so
+    misassigned rows/strides break the hash even when the total survives).
+
+    Scale: one Arrow-batched linear pass, per-task memory one image; the
+    patch table is 4 rows/doc — pixels never shuffle (the
+    `multimodal_decode_real` shape)."""
+    ab = binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        patch_features_batch,
+        schema="doc_id bigint, patch_row int, patch_col int, n_px bigint, psum bigint",
+    )
+    return ab.selectExpr(
+        "doc_id", "patch_row", "patch_col", "n_px", "psum",
+        mround("CAST(psum AS DOUBLE) / (3 * n_px)", 4) + " AS mean_intensity",
+    )
+
+
+MULTIMODAL_PATCH_SQL = f"""
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, hv % 256 AS s, 4 + hv % 13 AS w, 4 + (hv // 13) % 13 AS ht
+  FROM h),
+vals AS (
+  SELECT doc_id, w, ht,
+         u.i % w AS x, u.i // w AS y,
+           (s + 7 * (u.i % w) + 13 * (u.i // w)) % 256
+         + (s + 7 * (u.i % w) + 13 * (u.i // w) + 31) % 256
+         + (s + 7 * (u.i % w) + 13 * (u.i // w) + 62) % 256 AS v
+  FROM p, unnest(range(w * ht)) AS u(i))
+SELECT doc_id,
+       CAST(y * {PATCH_GRID} // ht AS INT) AS patch_row,
+       CAST(x * {PATCH_GRID} // w AS INT) AS patch_col,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS psum,
+       {mround('CAST(sum(v) AS DOUBLE) / (3 * count(*))', 4)} AS mean_intensity
+FROM vals
+GROUP BY doc_id, patch_row, patch_col
+"""
+
+
+QUERIES["multimodal_patch_features"] = QuerySpec(
+    multimodal_patch_features, MULTIMODAL_PATCH_SQL, "multimodal"
+)

@@ -3945,3 +3945,76 @@ FROM per CROSS JOIN overall
 QUERIES["eval_confusion_multiclass"] = QuerySpec(
     eval_confusion_multiclass, EVAL_CONFUSION_SQL, "text"
 )
+
+
+# ---------------------------------------------------------------------------
+# Context-length truncation loss audit
+# ---------------------------------------------------------------------------
+
+TRUNC_CTX_LENS = (128, 512, 2048)
+
+
+def pipeline_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation audit: for each source and each candidate
+    context length, how many documents overflow and what share of tokens a
+    hard truncation throws away — the number that picks max_seq_len for a
+    training run (and flags sources whose docs need chunking instead of
+    truncating; complements `pipeline_chunk_documents` /
+    `pipeline_pack_sequences` on the same token-count substrate).
+
+    Exactness: whitespace token counts and clipped overflows are integers;
+    the loss share is one exact-integer division per output row.
+
+    Scale: one linear pass reduces the corpus to (doc, token_count); the
+    3x context-length explode happens on that 2-column reduced frame, and
+    the report is a partial-aggregated groupBy on a (sources x 3)-key."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.selectExpr(
+        "source",
+        "size(filter(split(trim(text), '\\\\s+'), x -> x <> '')) AS tok",
+    )
+    exploded = per_doc.selectExpr(
+        "source", "tok",
+        f"explode(array{TRUNC_CTX_LENS}) AS ctx_len",
+    )
+    return (
+        exploded.groupBy("source", "ctx_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN tok > ctx_len THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("n_truncated"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("greatest(tok - ctx_len, 0)")).cast("bigint")
+            .alias("tokens_lost"),
+        )
+        .selectExpr(
+            "source", "ctx_len", "n_docs", "n_truncated", "total_tokens",
+            "tokens_lost",
+            mround("CAST(tokens_lost AS DOUBLE) / total_tokens", 6)
+            + " AS loss_share",
+        )
+    )
+
+
+PIPELINE_TRUNCATION_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents),
+exploded AS (
+  SELECT source, tok, unnest([{', '.join(str(l) for l in TRUNC_CTX_LENS)}]) AS ctx_len
+  FROM per_doc)
+SELECT source, CAST(ctx_len AS INT) AS ctx_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest(tok - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+       {mround('CAST(sum(greatest(tok - ctx_len, 0)) AS DOUBLE) / sum(tok)', 6)} AS loss_share
+FROM exploded GROUP BY source, ctx_len
+"""
+
+
+QUERIES["pipeline_truncation_loss"] = QuerySpec(
+    pipeline_truncation_loss, PIPELINE_TRUNCATION_SQL, "pipeline"
+)

@@ -3650,3 +3650,110 @@ FROM sums
 QUERIES["agg_skew_kurtosis"] = QuerySpec(
     agg_skew_kurtosis, AGG_SKEW_KURT_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the significance sibling of Theil-Sen)
+# ---------------------------------------------------------------------------
+
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on monthly revenue: S = sum of
+    sign(c_j - c_i) over all month pairs i<j, tie-corrected variance, and
+    the normal-approximation Z — the nonparametric "is there a trend at
+    all" gate that pairs with `agg_theil_sen_trend`'s "how steep" (same
+    monthly substrate, same calendar-bounded pair join).
+
+    Exactness: S, the pair census, the tie correction, and the variance
+    NUMERATOR n(n-1)(2n+5) - sum t(t-1)(2t+5) are all exact int64 (month
+    totals are exact cents, so sign() never sees a float); tau-b and Z are
+    single fixed-text double expressions of those integers (Z divides by
+    sqrt(num/18), continuity-corrected toward zero).
+
+    Scale: orders partial-aggregate to the calendar month grid before
+    anything quadratic; the pair stage is quadratic in CALENDAR months
+    (~80 here, ~500k pairs after a century) — bounded by time, not data;
+    the tie census is a groupBy over the same tiny table."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.selectExpr(
+            "year(o_orderdate) * 12 + month(o_orderdate) AS mi",
+            f"{cents('o_totalprice', 100)} AS c",
+        )
+        .groupBy("mi")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.mi") < F.col("b.mi"))
+        .selectExpr(
+            "CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg"
+        )
+        .agg(
+            F.sum("sg").cast("bigint").alias("s_stat"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    ties = (
+        monthly.groupBy("c")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("bigint").alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n_months"),
+        )
+    )
+    z = (
+        "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_num / 18.0) "
+        "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_num / 18.0) "
+        "ELSE 0.0 END"
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_months", "n_pairs", "s_stat",
+            "n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS var_num",
+        )
+        .selectExpr(
+            "n_months", "n_pairs", "s_stat", "var_num",
+            mround("CAST(s_stat AS DOUBLE) / n_pairs", 6) + " AS tau",
+            mround(z, 6) + " AS z_stat",
+            f"CAST(CASE WHEN abs({z}) > 1.959964 THEN 1 ELSE 0 END AS BOOLEAN)"
+            " AS significant_95",
+        )
+    )
+
+
+def _mann_kendall_sql() -> str:
+    z = (
+        "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_num / 18.0) "
+        "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_num / 18.0) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         CAST(sum({cents('o_totalprice', 100)}) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n_months
+  FROM (SELECT count(*) AS t FROM monthly GROUP BY c) g),
+m AS (
+  SELECT n_months, n_pairs, s_stat,
+         n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS var_num
+  FROM s CROSS JOIN ties)
+SELECT n_months, n_pairs, s_stat, var_num,
+       {mround('CAST(s_stat AS DOUBLE) / n_pairs', 6)} AS tau,
+       {mround(z, 6)} AS z_stat,
+       CAST(CASE WHEN abs({z}) > 1.959964 THEN 1 ELSE 0 END AS BOOLEAN) AS significant_95
+FROM m
+"""
+
+
+QUERIES["agg_mann_kendall"] = QuerySpec(
+    agg_mann_kendall, _mann_kendall_sql(), "aggregation"
+)
