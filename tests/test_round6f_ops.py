@@ -481,3 +481,30 @@ def test_truncation_loss_monotone_in_ctx(spark):
         g = grp.sort_values("ctx_len")
         assert g["tokens_lost"].is_monotonic_decreasing
         assert g["n_truncated"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# udf_udtf_analyze (polymorphic UDTF)
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_analyze_schema_follows_constant_arg(spark):
+    """The analyze() hook must derive a DIFFERENT typed schema per constant
+    n — the polymorphism the fixed-signature UDTF can't express."""
+    _run(spark, "udf_udtf_analyze")  # registers ngrams_udtf
+    two = spark.sql("SELECT g.* FROM (SELECT 'a b c' AS t) v, LATERAL ngrams_udtf(v.t, 2) g")
+    four = spark.sql("SELECT g.* FROM (SELECT 'a b c d e' AS t) v, LATERAL ngrams_udtf(v.t, 4) g")
+    assert two.columns == ["pos", "w0", "w1"]
+    assert four.columns == ["pos", "w0", "w1", "w2", "w3"]
+    assert [tuple(r) for r in two.collect()] == [(0, "a", "b"), (1, "b", "c")]
+    assert [tuple(r) for r in four.collect()] == [
+        (0, "a", "b", "c", "d"), (1, "b", "c", "d", "e")
+    ]
+
+
+def test_udtf_analyze_trigrams_sane(spark):
+    got = _run(spark, "udf_udtf_analyze")
+    # every trigram's first word at pos p equals the second word at pos p-1
+    one_doc = got[got["doc_id"] == got["doc_id"].iloc[0]].sort_values("pos")
+    w0, w1 = one_doc["w0"].tolist(), one_doc["w1"].tolist()
+    assert w0[1:] == w1[:-1]

@@ -274,3 +274,84 @@ QUERIES: dict[str, QuerySpec] = {
     "udf_grouped_demean": QuerySpec(udf_grouped_demean, UDF_GROUPED_SQL, "udf"),
     "udf_mapinpandas_running": QuerySpec(udf_mapinpandas_running, UDF_MAPINPANDAS_SQL, "udf"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF: output schema derived by analyze() from a constant arg
+# ---------------------------------------------------------------------------
+
+UDTF_NGRAM_N = 3
+
+
+def udf_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 POLYMORPHIC Python UDTF: the static `analyze()` hook receives
+    the call's arguments at plan time and derives the output schema from the
+    constant n — one registered function serves every n-gram width with a
+    correctly typed, column-pruned schema (the table-function analogue of a
+    generic UDF). The catalog pins n=3: per document, positional word
+    trigrams as (pos, w0, w1, w2) rows.
+
+    The reference's UDF surface is a fixed-signature C ABI pair
+    (mrf.h:9-11, one Map shape forever); `analyze()` is the Spark-native
+    answer to schema-varying user operators.
+
+    Exactness: tokenization is the ASCII \\s+ split shared with
+    `udf_udtf_tokens` (RE2/Java/Python agree on ASCII classes); everything
+    emitted is strings/ints.
+
+    Scale: a lateral UDTF is a per-row generator — Arrow-batched, no
+    shuffle; the n-wide slide is bounded by document length. Production
+    n-gram counting should fold to the `wordcount` shape immediately after
+    (the `text_bigram_topk` plan); this entry verifies the polymorphic
+    machinery itself."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant")
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("pos", IntegerType())]
+                    + [StructField(f"w{i}", StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = [
+                t for t in _re.split(r"\s+", text or "", flags=_re.ASCII) if t
+            ]
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", NGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_ngram_v"
+    )
+    return spark.sql(
+        f"""SELECT d.doc_id, g.pos, g.w0, g.w1, g.w2
+            FROM documents_ngram_v d,
+                 LATERAL ngrams_udtf(d.text, {UDTF_NGRAM_N}) g"""
+    )
+
+
+UDF_UDTF_ANALYZE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+       ts[u.i] AS w0, ts[u.i + 1] AS w1, ts[u.i + 2] AS w2
+FROM toks, unnest(range(1, len(ts) - {UDTF_NGRAM_N} + 2)) AS u(i)
+WHERE len(ts) >= {UDTF_NGRAM_N}
+"""
+
+
+QUERIES["udf_udtf_analyze"] = QuerySpec(udf_udtf_analyze, UDF_UDTF_ANALYZE_SQL, "udf")
