@@ -508,3 +508,20 @@ def test_udtf_analyze_trigrams_sane(spark):
     one_doc = got[got["doc_id"] == got["doc_id"].iloc[0]].sort_values("pos")
     w0, w1 = one_doc["w0"].tolist(), one_doc["w1"].tolist()
     assert w0[1:] == w1[:-1]
+
+
+# ---------------------------------------------------------------------------
+# scalar_variant
+# ---------------------------------------------------------------------------
+
+
+def test_variant_roundtrip_and_introspection(spark):
+    got = _run(spark, "scalar_variant")
+    # a string field read as bigint must try_variant_get -> NULL on EVERY row
+    assert (got["n_bad_casts"] == got["n_events"]).all()
+    # coalesced construction keeps the variant schema constant
+    assert (
+        got["variant_schema"]
+        == "OBJECT<ids: ARRAY<BIGINT>, k: BIGINT, tag: STRING>"
+    ).all()
+    assert got["n_events"].sum() == 1000  # every event consumed once

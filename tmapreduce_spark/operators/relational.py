@@ -2924,3 +2924,70 @@ WHERE 100 * n_ab >= {ASSOC_MIN_CONF_PCT} * ca.n_p
 QUERIES["orders_assoc_rules"] = QuerySpec(
     orders_assoc_rules, ORDERS_ASSOC_RULES_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4): parse/extract/introspect round-trip
+# ---------------------------------------------------------------------------
+
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: per event, a semi-structured document is
+    built from typed columns (ints, an array, a string), parsed into the
+    binary VARIANT type, and consumed ONLY through the variant surface —
+    typed-path extraction (`variant_get` incl. array indexing), safe
+    extraction under a type mismatch (`try_variant_get` -> NULL, counted),
+    and plan-time-free schema introspection (`schema_of_variant`). The
+    oracle recomputes every extracted value directly from the base columns,
+    so the whole construct->parse->extract round-trip must be lossless.
+
+    VARIANT is the lakehouse answer to stringly-typed JSON columns: binary
+    encoding, typed access without a schema declaration — `scalar_json`
+    covers the classic get_json_object path; this entry covers the type.
+
+    Exactness: everything extracted is integers/strings; the k field is
+    coalesced before construction so the variant schema is constant and
+    to_json's drop-null-fields default can't fork row schemas.
+
+    Scale: pure per-row expressions + one partial-aggregated groupBy on
+    the 5-value tag — codegen except the variant ops themselves."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.selectExpr(
+        "parse_json(to_json(named_struct("
+        " 'k', coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), -1),"
+        " 'ids', array(user_id % 7, user_id % 11),"
+        " 'tag', event_type))) AS v"
+    )
+    return (
+        v.selectExpr(
+            "variant_get(v, '$.tag', 'string') AS tag",
+            "variant_get(v, '$.k', 'bigint') AS k",
+            "variant_get(v, '$.ids[1]', 'bigint') AS id1",
+            "CASE WHEN try_variant_get(v, '$.tag', 'bigint') IS NULL"
+            " THEN 1 ELSE 0 END AS bad_cast",
+            "schema_of_variant(v) AS sch",
+        )
+        .groupBy("tag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum("id1").cast("bigint").alias("sum_id1"),
+            F.sum("bad_cast").cast("bigint").alias("n_bad_casts"),
+            F.min("sch").alias("variant_schema"),
+        )
+    )
+
+
+SCALAR_VARIANT_SQL = """
+SELECT event_type AS tag,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1))
+            AS BIGINT) AS sum_k,
+       CAST(sum(user_id % 11) AS BIGINT) AS sum_id1,
+       CAST(count(*) AS BIGINT) AS n_bad_casts,
+       'OBJECT<ids: ARRAY<BIGINT>, k: BIGINT, tag: STRING>' AS variant_schema
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["scalar_variant"] = QuerySpec(scalar_variant, SCALAR_VARIANT_SQL, "scalar")
