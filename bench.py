@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "graph_modularity",
+    "pipeline_dataset_hash",
     "scalar_variant",
     "udf_udtf_analyze",
     "multimodal_patch_features",

@@ -525,3 +525,89 @@ def test_variant_roundtrip_and_introspection(spark):
         == "OBJECT<ids: ARRAY<BIGINT>, k: BIGINT, tag: STRING>"
     ).all()
     assert got["n_events"].sum() == 1000  # every event consumed once
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_matches_python_recompute(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    got = _run(spark, "graph_modularity")
+    edges = duckdb.sql(
+        f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                           FROM '{SF_SMOKE}/lineitem.parquet')
+            SELECT a.l_partkey, b.l_partkey
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ).fetchall()
+    brand = dict(duckdb.sql(
+        f"SELECT p_partkey, p_brand FROM '{SF_SMOKE}/part.parquet'"
+    ).fetchall())
+    m = len(edges)
+    e_c, d_c, nodes = Counter(), Counter(), defaultdict(set)
+    for a, b in edges:
+        if brand[a] == brand[b]:
+            e_c[brand[a]] += 1
+        d_c[brand[a]] += 1
+        d_c[brand[b]] += 1
+        nodes[brand[a]].add(a)
+        nodes[brand[b]].add(b)
+    q = sum(e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c)
+    for _, r in got.iterrows():
+        c = r["brand"]
+        assert r["e_c"] == e_c[c] and r["d_c"] == d_c[c]
+        assert r["n_nodes"] == len(nodes[c])
+        assert math.isclose(
+            r["contribution"], e_c[c] / m - (d_c[c] / (2 * m)) ** 2, abs_tol=1e-6
+        )
+        assert math.isclose(r["modularity_q"], q, abs_tol=1e-5)
+    # sanity: modularity of any partition is in [-0.5, 1]
+    assert -0.5 <= got["modularity_q"].iloc[0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dataset_hash
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_hash_order_independent_and_sensitive(spark):
+    """The operator's contract: same rows in any order -> same fingerprint;
+    any edited document -> different fingerprint. Verified by recomputing
+    in Python over a shuffled row order and over a 1-doc mutation."""
+    import hashlib
+
+    import duckdb
+
+    got = _run(spark, "pipeline_dataset_hash").set_index("source")
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+    def fp(rows):
+        x, sm, n, ch = 0, 0, 0, 0
+        for _, text in rows:
+            h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+            x ^= h
+            sm += h % 1000000007
+            n += 1
+            ch += len(text)
+        return x, sm, n, ch
+
+    x, sm, n, ch = fp(docs)
+    corp = got.loc["__corpus__"]
+    assert (corp["content_xor"], corp["content_sum_mod"],
+            corp["n_docs"], corp["total_chars"]) == (x, sm, n, ch)
+    assert fp(list(reversed(docs))) == (x, sm, n, ch)  # order-independent
+    mutated = [("s", docs[0][1] + "!")] + docs[1:]
+    assert fp(mutated)[0] != x  # content-sensitive
+    # per-source fingerprints xor-merge to the corpus fingerprint
+    per = got.drop("__corpus__")
+    acc = 0
+    for _, r in per.iterrows():
+        acc ^= int(r["content_xor"])
+    assert acc == x

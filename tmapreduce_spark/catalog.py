@@ -186,7 +186,8 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "join_geo_grid_knn", "join_ip_cidr_lpm", "agg_skew_kurtosis",
         "eval_confusion_multiclass", "embedding_silhouette", "layout_skipping_audit",
         "source_python_custom", "multimodal_patch_features", "agg_mann_kendall",
-        "pipeline_truncation_loss", "udf_udtf_analyze", "scalar_variant",
+        "pipeline_truncation_loss", "udf_udtf_analyze", "scalar_variant", "graph_modularity",
+        "pipeline_dataset_hash",
     }
 )
 

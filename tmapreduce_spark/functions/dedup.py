@@ -2579,3 +2579,137 @@ JOIN deg db ON db.pa = n.b
 QUERIES["graph_link_prediction"] = QuerySpec(
     graph_link_prediction, GRAPH_LINK_PRED_SQL, "dedup"
 )
+
+
+# --- Modularity of a node partition over the co-purchase graph -------------
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition over the repeat-co-purchase
+    part graph: per brand community, internal-edge share e_c/m, expected
+    share (d_c/2m)^2 under the degree-preserving null, and the contribution
+    e_c/m - (d_c/2m)^2; plus the overall Q — the partition-quality score
+    that tells whether an attribute (here p_brand) explains the graph's
+    edge structure (the evaluation companion to `graph_label_propagation`,
+    which FINDS communities; this scores a given partition exactly).
+
+    Exactness: e_c, d_c, m are exact int64 over the same support->=2 edge
+    set `graph_link_prediction` wedges (Q = (4*m*sum_e_c - sum_d_c^2) /
+    (4m^2) in integers until two fixed divisions).
+
+    Scale: the corpus reduces to the thresholded edge list once
+    (basket-bounded pair fan-out, the assoc-rules substrate); community
+    tagging is two broadcast joins of the parts dim onto edge endpoints;
+    everything after runs on the |brands|-row community table with the
+    2-value overall aggregate broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey)) AS parts"))
+        .filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(parts, a -> transform(parts, "
+                    "b -> struct(a AS pa, b AS pb)))), p -> p.pa < p.pb)"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.pa", "pr.pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)  # 3 consumers: tagging, degrees, m
+    )
+    tagged = (
+        e.join(F.broadcast(p.selectExpr("p_partkey AS pa", "p_brand AS ba")), "pa")
+        .join(F.broadcast(p.selectExpr("p_partkey AS pb", "p_brand AS bb")), "pb")
+    )
+    internal = (
+        tagged.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    und = e.union(e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg_c = (
+        und.join(F.broadcast(p.selectExpr("p_partkey AS pa", "p_brand AS brand")), "pa")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("bigint").alias("d_c"),
+            F.countDistinct("pa").cast("bigint").alias("n_nodes"),
+        )
+    )
+    per = deg_c.join(internal, "brand", "left").selectExpr(
+        "brand", "n_nodes", "coalesce(e_c, 0) AS e_c", "d_c"
+    )
+    overall = per.agg(
+        F.sum("e_c").cast("bigint").alias("sum_ec"),
+        F.sum(F.expr("d_c * d_c")).cast("bigint").alias("sum_dc2"),
+        (F.sum("d_c") / 2).cast("bigint").alias("m"),
+    )
+    return per.crossJoin(F.broadcast(overall)).selectExpr(
+        "brand", "n_nodes", "e_c", "d_c",
+        mround("CAST(e_c AS DOUBLE) / m", 6) + " AS internal_share",
+        mround("CAST(d_c AS DOUBLE) * d_c / (CAST(4 AS DOUBLE) * m * m)", 6)
+        + " AS expected_share",
+        mround(
+            "CAST(e_c AS DOUBLE) / m - CAST(d_c AS DOUBLE) * d_c / (CAST(4 AS DOUBLE) * m * m)", 6
+        ) + " AS contribution",
+        mround(
+            "(CAST(4 AS DOUBLE) * m * sum_ec - CAST(sum_dc2 AS DOUBLE)) / (CAST(4 AS DOUBLE) * m * m)", 6
+        ) + " AS modularity_q",
+    )
+
+
+GRAPH_MODULARITY_SQL = (
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+tagged AS (
+  SELECT e.pa, e.pb, ta.p_brand AS ba, tb.p_brand AS bb
+  FROM e JOIN part ta ON ta.p_partkey = e.pa
+         JOIN part tb ON tb.p_partkey = e.pb),
+internal AS (
+  SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
+  FROM tagged WHERE ba = bb GROUP BY 1),
+und AS (
+  SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+deg_c AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS d_c,
+         CAST(count(DISTINCT und.pa) AS BIGINT) AS n_nodes
+  FROM und JOIN part p ON p.p_partkey = und.pa
+  GROUP BY 1),
+per AS (
+  SELECT d.brand, d.n_nodes, coalesce(i.e_c, 0) AS e_c, d.d_c
+  FROM deg_c d LEFT JOIN internal i ON i.brand = d.brand),
+overall AS (
+  SELECT CAST(sum(e_c) AS BIGINT) AS sum_ec,
+         CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2,
+         CAST(sum(d_c) // 2 AS BIGINT) AS m
+  FROM per)
+SELECT brand, n_nodes, e_c, d_c,
+       """
+    + mround("CAST(e_c AS DOUBLE) / m", 6)
+    + """ AS internal_share,
+       """
+    + mround("CAST(d_c AS DOUBLE) * d_c / (CAST(4 AS DOUBLE) * m * m)", 6)
+    + """ AS expected_share,
+       """
+    + mround("CAST(e_c AS DOUBLE) / m - CAST(d_c AS DOUBLE) * d_c / (CAST(4 AS DOUBLE) * m * m)", 6)
+    + """ AS contribution,
+       """
+    + mround("(CAST(4 AS DOUBLE) * m * sum_ec - CAST(sum_dc2 AS DOUBLE)) / (CAST(4 AS DOUBLE) * m * m)", 6)
+    + """ AS modularity_q
+FROM per CROSS JOIN overall
+"""
+)
+
+
+QUERIES["graph_modularity"] = QuerySpec(
+    graph_modularity, GRAPH_MODULARITY_SQL, "dedup"
+)

@@ -4018,3 +4018,67 @@ FROM exploded GROUP BY source, ctx_len
 QUERIES["pipeline_truncation_loss"] = QuerySpec(
     pipeline_truncation_loss, PIPELINE_TRUNCATION_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# Dataset content fingerprint (reproducibility / versioning)
+# ---------------------------------------------------------------------------
+
+def pipeline_dataset_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset content fingerprint per source (plus the
+    corpus total): bit_xor and modular sums of per-document md5-derived
+    int64s, doc counts, char totals — the content-addressable version id a
+    dataset card / reproducibility manifest records (two runs over the
+    same rows produce the same fingerprint REGARDLESS of partitioning or
+    row order; any added/dropped/edited document flips it).
+
+    Exactness: xor and modular integer sums are associative+commutative —
+    the reduction-order-proof property is the POINT of the operator, not
+    just a parity trick.
+
+    Scale: one pruned-column linear pass, partial-aggregated to one row
+    per source; fingerprints are mergeable across shards by construction
+    (xor of xors, sums of sums mod p), so incremental ingest can maintain
+    them without a full re-scan."""
+    d = load_table(spark, sf_dir, "documents")
+    h = "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    per_doc = d.selectExpr(
+        "source", f"{h} AS h", "length(text) AS n_chars"
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("bit_xor(h)").cast("bigint").alias("content_xor"),
+        F.sum(F.expr("h % 1000000007")).cast("bigint").alias("content_sum_mod"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    corpus = per_doc.groupBy(F.lit("__corpus__").alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("bit_xor(h)").cast("bigint").alias("content_xor"),
+        F.sum(F.expr("h % 1000000007")).cast("bigint").alias("content_sum_mod"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return per_source.unionAll(corpus)
+
+
+PIPELINE_DATASET_HASH_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
+         length(text) AS n_chars
+  FROM documents),
+tagged AS (
+  SELECT source, h, n_chars FROM per_doc
+  UNION ALL
+  SELECT '__corpus__' AS source, h, n_chars FROM per_doc)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(h) AS BIGINT) AS content_xor,
+       CAST(sum(h % 1000000007) AS BIGINT) AS content_sum_mod,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY source
+"""
+
+
+QUERIES["pipeline_dataset_hash"] = QuerySpec(
+    pipeline_dataset_hash, PIPELINE_DATASET_HASH_SQL, "pipeline"
+)

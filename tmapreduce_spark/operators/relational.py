@@ -2949,7 +2949,9 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_json's drop-null-fields default can't fork row schemas.
 
     Scale: pure per-row expressions + one partial-aggregated groupBy on
-    the 5-value tag — codegen except the variant ops themselves."""
+    the 5-value tag; schema introspection runs on ONE row (it is a
+    dataset-level fact under the coalesced construction) and broadcasts —
+    never a per-row schema string through the aggregate."""
     e = load_table(spark, sf_dir, "events")
     v = e.selectExpr(
         "parse_json(to_json(named_struct("
@@ -2957,14 +2959,13 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'ids', array(user_id % 7, user_id % 11),"
         " 'tag', event_type))) AS v"
     )
-    return (
+    agg = (
         v.selectExpr(
             "variant_get(v, '$.tag', 'string') AS tag",
             "variant_get(v, '$.k', 'bigint') AS k",
             "variant_get(v, '$.ids[1]', 'bigint') AS id1",
             "CASE WHEN try_variant_get(v, '$.tag', 'bigint') IS NULL"
             " THEN 1 ELSE 0 END AS bad_cast",
-            "schema_of_variant(v) AS sch",
         )
         .groupBy("tag")
         .agg(
@@ -2972,9 +2973,14 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
             F.sum("id1").cast("bigint").alias("sum_id1"),
             F.sum("bad_cast").cast("bigint").alias("n_bad_casts"),
-            F.min("sch").alias("variant_schema"),
         )
     )
+    # schema introspection is a per-DATASET fact under the coalesced
+    # construction (every row carries the same variant shape) — run it on
+    # ONE row and broadcast, instead of stringifying the schema per row
+    # and min-folding it through a SortAggregate
+    sch = v.limit(1).selectExpr("schema_of_variant(v) AS variant_schema")
+    return agg.crossJoin(F.broadcast(sch))
 
 
 SCALAR_VARIANT_SQL = """
