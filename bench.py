@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the plans whose scale behavior matters most (fact-fact joins, LSH dedup,
 # similarity search, the MapReduce parity path).
 HEADLINE = [
+    "events_survival_km",
     "graph_modularity",
     "pipeline_dataset_hash",
     "scalar_variant",
@@ -277,11 +278,22 @@ def main() -> None:
 
     def run_pass(tag: str) -> dict[str, float]:
         times: dict[str, float] = {}
+        jsc = spark.sparkContext._jsc
         for name in HEADLINE:
             spec = catalog[name]
+            before = set(jsc.getPersistentRDDs().keySet().toArray())
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            # free this query's localCheckpoint RDDs OUTSIDE the timed
+            # window — the iterative graph/dedup entries each pin a few
+            # checkpointed RDDs, and across 200+ queries x 2 passes the
+            # accumulation raises executor GC pressure enough to inflate
+            # the WARM pass past cold (observed on the r06 record)
+            m = jsc.getPersistentRDDs()
+            for rid in list(m.keySet().toArray()):
+                if rid not in before:
+                    m.get(rid).unpersist(False)
             print(f"# {tag} {name}: {times[name]:.3f}s", file=sys.stderr)
         return times
 

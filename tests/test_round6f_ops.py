@@ -611,3 +611,46 @@ def test_dataset_hash_order_independent_and_sensitive(spark):
     for _, r in per.iterrows():
         acc ^= int(r["content_xor"])
     assert acc == x
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km (right-censored Kaplan-Meier)
+# ---------------------------------------------------------------------------
+
+
+def test_km_matches_python_recompute(spark):
+    import duckdb
+
+    got = _run(spark, "events_survival_km")
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   epoch_us(min(ts)) // 1000000 AS s0,
+                   epoch_us(max(ts)) // 1000000 AS s1
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    h = max(s1 for _, _, s1 in rows)
+    users = [((s1 - s0) // 3600, (h - s1) // 3600 < 12) for _, s0, s1 in rows]
+    times = sorted({t for t, cens in users if not cens})
+    km, out = 1.0, {}
+    for t in times:
+        n_at_risk = sum(1 for s, _ in users if s >= t)
+        d = sum(1 for s, cens in users if s == t and not cens)
+        c = sum(1 for s, cens in users if s == t and cens)
+        km *= 1.0 - d / n_at_risk
+        out[t] = (d, c, n_at_risk, km)
+    assert len(got) == len(times)
+    for _, r in got.iterrows():
+        d, c, n, km_t = out[r["t"]]
+        assert (r["d"], r["c"], r["n_at_risk"]) == (d, c, n)
+        assert math.isclose(r["km_survival"], km_t, abs_tol=2e-6)
+
+
+def test_km_is_monotone_and_above_uncensored_tail(spark):
+    """KM survival is non-increasing; and with censored users removed from
+    the death count, the curve can never drop below the naive all-users
+    estimate evaluated at the same spans' tail."""
+    got = _run(spark, "events_survival_km").sort_values("t")
+    km = got["km_survival"].tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(km, km[1:]))
+    assert (got["km_survival"] > 0).all() and (got["km_survival"] <= 1).all()
+    assert got["c"].sum() > 0 and got["d"].sum() > 0  # both branches exercised

@@ -187,7 +187,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "eval_confusion_multiclass", "embedding_silhouette", "layout_skipping_audit",
         "source_python_custom", "multimodal_patch_features", "agg_mann_kendall",
         "pipeline_truncation_loss", "udf_udtf_analyze", "scalar_variant", "graph_modularity",
-        "pipeline_dataset_hash",
+        "pipeline_dataset_hash", "events_survival_km",
     }
 )
 

@@ -3757,3 +3757,118 @@ FROM m
 QUERIES["agg_mann_kendall"] = QuerySpec(
     agg_mann_kendall, _mann_kendall_sql(), "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Censored Kaplan-Meier (the statistically honest survival curve)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_WINDOW_HOURS = 12  # last seen within 12h of the horizon => censored
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-CENSORED Kaplan-Meier user-lifetime survival (hour grid):
+    users still active within 12 hours of the observation horizon have not
+    churned — their lifetime is only known to be AT LEAST the observed
+    span, so they leave the risk set without counting as deaths.
+    `events_survival_curve` treats every user as fully observed (fine for
+    a closed cohort, biased low for a live product); this is the estimator
+    a retention analysis actually needs: S(t) = prod over event times
+    u <= t of (1 - d_u/n_u).
+
+    Exactness: spans and horizon gaps are integer ELAPSED hours from
+    floored epoch seconds ((s2 - s1) div 3600 — engine date_diff('hour')
+    counts boundary crossings and Spark has no hour datediff, so epoch
+    arithmetic is the only shared-text form); death/censor counts and risk
+    sets are integers (risk set = one suffix window sum over the span
+    histogram); each factor is one fixed-text double division, and the
+    cumulative product folds an ORDERED array identically in both engines
+    (Spark aggregate() seeded with CAST(1 AS DOUBLE) — 1.0*x is exact —
+    vs DuckDB list_reduce seeding with the first element: same op
+    sequence).
+
+    Scale: one groupBy(user) reduces the stream; everything after runs on
+    the span histogram (observation-window-bounded, ~hundreds of rows at
+    ANY corpus size) — the O(T^2) per-row array fold is quadratic only in
+    distinct EVENT TIMES, bounded by the window, never by users."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST((unix_timestamp(max(ts)) - unix_timestamp(min(ts))) div 3600"
+            " AS BIGINT)"
+        ).alias("span_h"),
+        F.expr("unix_timestamp(max(ts))").alias("last_s"),
+    )
+    horizon = e.agg(F.expr("unix_timestamp(max(ts))").alias("h_s"))
+    tagged = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "span_h",
+        f"CAST((h_s - last_s) div 3600 < {KM_CENSOR_WINDOW_HOURS} AS INT)"
+        " AS censored",
+    )
+    hist = tagged.groupBy("span_h").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.expr("1 - censored")).cast("bigint").alias("d"),
+        F.sum("censored").cast("bigint").alias("c"),
+    )
+    w_risk = Window.orderBy(F.col("span_h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = hist.withColumn("n_at_risk", F.sum("n_total").over(w_risk))
+    steps = at_risk.filter(F.col("d") > 0).selectExpr(
+        "span_h AS t", "d", "c", "n_at_risk",
+        "CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_at_risk AS factor",
+    )
+    w_km = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        steps.withColumn("factors", F.collect_list("factor").over(w_km))
+        .selectExpr(
+            "t", "d", "c", "CAST(n_at_risk AS BIGINT) AS n_at_risk",
+            mround("factor", 6) + " AS step_factor",
+            mround(
+                "aggregate(factors, CAST(1 AS DOUBLE), (acc, x) -> acc * x)", 6
+            ) + " AS km_survival",
+        )
+    )
+
+
+EVENTS_SURVIVAL_KM_SQL = f"""
+WITH spans AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000) // 3600
+           AS span_h,
+         epoch_us(max(ts)) // 1000000 AS last_s
+  FROM events GROUP BY user_id),
+horizon AS (SELECT epoch_us(max(ts)) // 1000000 AS h_s FROM events),
+tagged AS (
+  SELECT span_h,
+         CAST((h_s - last_s) // 3600 < {KM_CENSOR_WINDOW_HOURS} AS INT)
+           AS censored
+  FROM spans CROSS JOIN horizon),
+hist AS (
+  SELECT span_h, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM tagged GROUP BY span_h),
+at_risk AS (
+  SELECT *, sum(n_total) OVER (ORDER BY span_h DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM hist),
+steps AS (
+  SELECT span_h AS t, d, c, n_at_risk,
+         CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_at_risk AS factor
+  FROM at_risk WHERE d > 0),
+folded AS (
+  SELECT t, d, c, n_at_risk, factor,
+         list(factor) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS factors
+  FROM steps)
+SELECT t, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       {mround('factor', 6)} AS step_factor,
+       {mround('list_reduce(factors, (acc, x) -> acc * x)', 6)} AS km_survival
+FROM folded
+"""
+
+
+QUERIES["events_survival_km"] = QuerySpec(
+    events_survival_km, EVENTS_SURVIVAL_KM_SQL, "events"
+)
