@@ -680,14 +680,30 @@ def test_streak_longest_single_shuffle_key_no_join(spark):
             assert "user_id" in line, line
 
 
-def test_weighted_median_window_and_groupby_share_partitioning(spark):
-    """The running-weight window and the final groupBy both key on
-    l_returnflag — exactly one hashpartitioning exchange may appear."""
+def test_weighted_median_two_level_sweep_shape(spark):
+    """r06 verdict #6: the running-weight cumsum is TWO-LEVEL — the
+    fact-sized window partitions on (l_returnflag, pb) so the skewed
+    3-key single-flag window never appears over the facts; bucket offsets
+    come back via a broadcast join. Pin: (a) a window spec keyed on both
+    flag AND the price bucket, (b) a BroadcastHashJoin, (c) no fact-side
+    window partitioned on l_returnflag alone (only the tiny offsets table
+    may window on the bare flag, and it sits under the broadcast)."""
     from tmapreduce_spark.operators.relational import agg_weighted_median
 
     df = agg_weighted_median(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact-side running sum windows on BOTH keys
+    assert any(
+        "windowspecdefinition(l_returnflag" in ln and ", pb#" in ln
+        for ln in plan.splitlines()
+        if "Window" in ln
+    ), plan
+    # exactly one exchange hashes the composite fact key
+    assert any(
+        "Exchange hashpartitioning(l_returnflag" in ln and "pb#" in ln
+        for ln in plan.splitlines()
+    ), plan
 
 
 def test_ewma_single_shuffle_no_join(spark):
@@ -1134,3 +1150,38 @@ def test_growth_accounting_windows_are_user_partitioned(spark):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
     assert specs and all("user_id" in s for s in specs), specs
+
+
+def test_abc_classification_two_level_sweep_shape(spark):
+    """r06 verdict #6: the Pareto cumsum over the per-part aggregate is
+    two-level — the per-bucket window partitions on the log2 range key rb
+    (never an unpartitioned window over the whole dimension), and the
+    <=64-row bucket offsets come back via a broadcast join."""
+    from tmapreduce_spark.operators.analytics import agg_abc_classification
+
+    df = agg_abc_classification(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert any(
+        "windowspecdefinition(rb#" in ln
+        for ln in plan.splitlines()
+        if "Window" in ln
+    ), plan
+
+
+def test_scalar_variant_scan_prunes_to_three_columns(spark):
+    """r06 verdict #4: the variant construct reads ONLY its three source
+    columns — projection pruning must reach the parquet scan."""
+    import re
+
+    from tmapreduce_spark.operators.relational import scalar_variant
+
+    df = scalar_variant(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    for ln in scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)", ln)
+        assert m, ln
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+        assert cols <= {"props", "user_id", "event_type"}, cols

@@ -157,6 +157,30 @@ _COVERED_R5: frozenset[str] = frozenset(
     }
 )
 
+# round 6 (CORRECTNESS_r06.json: 50 green — the full round-5 backlog sample)
+_COVERED_R6: frozenset[str] = frozenset(
+    {
+        "agg_abc_classification", "agg_equidepth_histogram", "agg_mann_whitney",
+        "agg_ols_two_feature", "dedup_audit_sample", "dedup_cluster_keep_best",
+        "dedup_ngram_containment", "dedup_semdedup", "dedup_winnowing_fingerprint",
+        "dedup_winnowing_pairs", "diag_ks_drift", "diag_pk_uniqueness",
+        "diag_psi_drift", "diag_referential_orphans", "embedding_cluster_balance",
+        "embedding_outlier_zscore", "embedding_pq_distortion", "eval_ndcg_ivf",
+        "events_active_users_rolling", "events_bot_score", "events_change_point",
+        "events_feature_rollup", "events_funnel_ttc", "events_growth_accounting",
+        "events_hourweek_profile", "events_rate_spike", "events_snapshot_asof",
+        "events_type_diversity", "graph_component_sizes", "graph_reachability_bfs",
+        "graph_triangle_count", "lineitem_open_daily", "mr_join", "mr_sort",
+        "multimodal_wav_energy", "multimodal_wav_resample",
+        "orders_cohort_repeat_rate", "pipeline_dedup_rate_curve",
+        "pipeline_mix_temperature", "sketch_countmin_exact",
+        "text_lexical_diversity", "text_zipf_fit", "tokenizer_apply_fertility",
+        "tokenizer_bpe_merges", "window_cusum_detect", "window_ewma",
+        "window_forecast_backtest", "window_holt_forecast", "window_mean_gap",
+        "window_zscore_rolling",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -164,32 +188,12 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
     {"approx_distinct_sketch", "approx_quantiles_sketch", "sketch_hll_partition_merge"}
 )
 
-# Entries added AFTER this round's backlog ordering was frozen: they enumerate
-# behind the earlier never-sampled backlog (which was sized/sequenced to the
-# driver's ~50-row window) so a late addition can never push an older unproven
-# entry out of the verification window. Fold into the normal backlog next
-# round when _COVERED_R6 lands.
-_BACKLOG_DEFER: frozenset[str] = frozenset(
-    {
-        "text_bm25_topk", "text_bm25_search", "eval_calibration_bins",
-        "eval_threshold_sweep", "pipeline_compaction_plan", "agg_winsorized_stats",
-        "pipeline_kanonymity_audit", "agg_spearman_corr", "events_autocorrelation",
-        "events_xcorr_leadlag", "events_spectral_energy", "eval_isotonic_calibration",
-        "retrieval_rrf_hybrid", "graph_kcore",
-        "agg_cramers_v", "pipeline_cv_folds", "pipeline_dp_counts",
-        "eval_rank_kendall", "graph_label_propagation",
-        "multimodal_wav_tone_probe",
-        "orders_assoc_rules", "events_srm_check", "agg_mutual_information",
-        "window_bollinger_bands",
-        "join_jaro_winkler", "graph_link_prediction", "agg_theil_sen_trend",
-        "text_readability",
-        "join_geo_grid_knn", "join_ip_cidr_lpm", "agg_skew_kurtosis",
-        "eval_confusion_multiclass", "embedding_silhouette", "layout_skipping_audit",
-        "source_python_custom", "multimodal_patch_features", "agg_mann_kendall",
-        "pipeline_truncation_loss", "udf_udtf_analyze", "scalar_variant", "graph_modularity",
-        "pipeline_dataset_hash", "events_survival_km",
-    }
-)
+# Entries added AFTER the current round's backlog ordering was frozen: they
+# enumerate behind the earlier never-sampled backlog (which is sized/sequenced
+# to the driver's ~50-row window) so a late addition can never push an older
+# unproven entry out of the verification window. The round-6 defer list folded
+# into the normal backlog when _COVERED_R6 landed; round-7 additions go here.
+_BACKLOG_DEFER: frozenset[str] = frozenset()
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}
@@ -199,6 +203,7 @@ for _rnd, _names in (
     (3, _COVERED_R3),
     (4, _COVERED_R4),
     (5, _COVERED_R5),
+    (6, _COVERED_R6),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd

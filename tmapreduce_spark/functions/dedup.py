@@ -615,6 +615,29 @@ GROUP BY vec_b
 CLUSTER_JACCARD_MIN = 0.5
 
 
+def _edges_neardup(
+    spark: SparkSession, sf_dir: str, jaccard_min: float | None = None
+) -> DataFrame:
+    """Shared graph-family substrate: the undirected near-dup edge list
+    ``(src, dst)`` — MinHash-verified pairs plus their swaps — eager
+    localCheckpointed ONCE per call-site. Every iterative consumer (CC,
+    k-core, label propagation, BFS) reads the materialized edges instead of
+    re-running the signature/band/verify lineage under each of its join
+    arms; before this was factored each consumer rebuilt the identical
+    union+checkpoint inline (r06 verdict #3). Pairs from
+    ``dedup_minhash_pairs`` are already distinct with doc_a < doc_b, so the
+    swap union introduces no duplicates and needs no distinct shuffle."""
+    e = dedup_minhash_pairs(spark, sf_dir)
+    if jaccard_min is not None:
+        e = e.filter(F.col("jaccard") >= jaccard_min)
+    e = e.select("doc_a", "doc_b")
+    return (
+        e.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+
+
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
     """Connected components over MinHash near-dup pairs (jaccard >=
     CLUSTER_JACCARD_MIN) by min-label propagation, then canonical-keeper
@@ -630,17 +653,10 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
     only a per-round changed-count — the data never leaves executors. This is
     the standard alternating-min-label CC (cf. large-star/small-star); at
     petabyte graph scale swap in that two-phase variant, same join shapes."""
-    pairs = (
-        dedup_minhash_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint()  # pair pipeline runs once, not once per iteration
+    # shared checkpointed substrate (pairs are distinct with doc_a < doc_b,
+    # so the swapped union needs no distinct shuffle)
+    edges = _edges_neardup(spark, sf_dir, jaccard_min=CLUSTER_JACCARD_MIN).selectExpr(
+        "src AS doc_a", "dst AS doc_b"
     )
     # Seed with min(self, neighbors) directly off the edge list — exactly
     # the fixed point of propagation round 1, for the cost of one groupBy
@@ -824,16 +840,13 @@ def dedup_cc_twophase(spark: SparkSession, sf_dir: str, max_iters: int = 15) -> 
     so this converges in 2-3 rounds here; its value is the worst-case bound
     at petabyte graph scale. Shares ``dedup_cluster_resolve``'s oracle —
     both algorithms must produce identical clusters."""
-    pairs = (
+    # pairs are distinct with doc_a < doc_b, so (doc_a, doc_b) IS the
+    # canonical (u, v) form — the r02 least/greatest+distinct was a no-op
+    # reshuffle of an already-canonical edge set
+    edges = (
         dedup_minhash_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.select(
-            F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
-        )
-        .distinct()
+        .selectExpr("doc_a AS u", "doc_b AS v")
         .localCheckpoint()
     )
 
@@ -937,17 +950,8 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: PR_ITERS fixed rounds of (edge join + partial-agg sum) over a
     localCheckpoint'd edge list — the classic Pregel shape; each round is
     one shuffle keyed on doc_id, lineage depth is linear in rounds."""
-    pairs = (
-        dedup_minhash_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint()  # pair pipeline runs once, not once per iteration
+    edges = _edges_neardup(spark, sf_dir, jaccard_min=CLUSTER_JACCARD_MIN).selectExpr(
+        "src AS doc_a", "dst AS doc_b"
     )
     deg = (
         edges.groupBy("doc_a").agg(F.count("*").alias("deg"))
@@ -1609,12 +1613,7 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is localCheckpointed ONCE up front (the `dedup_cluster_resolve`
     pattern): the MinHash signature/band/verify lineage would otherwise
     re-execute under every one of the ~8 downstream join arms."""
-    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = (
-        e.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()
-    )
+    und = _edges_neardup(spark, sf_dir)
     ends = und.select(F.col("src").alias("doc_id")).distinct()
     seeds = ends.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
     visited = seeds.withColumn("hop", F.lit(0))
@@ -2251,18 +2250,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chains longer than the bound would read as conservative
     over-membership) and the exact-coreness swap is the h-index
     propagation loop on the same checkpointed substrate."""
-    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = (
-        e.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()
-    )
+    und = _edges_neardup(spark, sf_dir)
     nodes = und.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").alias("degree")
     )
     out = nodes
     for k in _KCORE_KS:
         alive = nodes.select("doc_id")
+        prev_n = alive.count()
         for _ in range(_KCORE_ROUNDS):
             alive = (
                 und.join(alive.withColumnRenamed("doc_id", "src"), "src")
@@ -2273,6 +2268,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("src").alias("doc_id"))
                 .localCheckpoint()
             )
+            # exact early exit: peeling is monotone (alive_r ⊆ alive_{r-1}),
+            # so an equal COUNT proves an equal SET — once the fixpoint is
+            # hit every remaining round is a no-op by the same monotonicity
+            # the fixed-unroll contract already relies on; skipping them
+            # cannot change the answer, only the wall clock. The count reads
+            # the just-materialized checkpoint, not a recompute.
+            n = alive.count()
+            if n == prev_n:
+                break
+            prev_n = n
         out = out.join(
             alive.withColumn(f"in_{k}core", F.lit(1)), "doc_id", "left"
         )
@@ -2351,12 +2356,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding-bounded edge set + one (node, label) partial-agg groupBy +
     one WindowGroupLimit-shaped majority pick — linear in edges, and the
     label table is one row per node. Rounds is the usual iterative knob."""
-    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = (
-        e.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(e.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()
-    )
+    und = _edges_neardup(spark, sf_dir)
     nodes = und.select(F.col("src").alias("doc_id")).distinct()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     seeds = (

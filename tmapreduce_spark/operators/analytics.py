@@ -477,30 +477,52 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10*cum_prev < 8*total etc.), so boundary parts classify identically in
     both engines; ranking uses the total order (revenue DESC, partkey).
 
-    Scale: the windowed cumsum runs over the per-PART aggregate — orders of
-    magnitude smaller than the lineitem facts (one partial-agg shuffle
-    collapses them). The unpartitioned window is over that reduced dimension
-    table; for dimension tables that are themselves huge, two-level it like
-    `skyline_pareto_orders` (range-bucket the revenue, per-bucket windows +
-    broadcast bucket prefix sums)."""
+    Scale — TWO-LEVEL sweep (r06 verdict #6): the windowed cumsum runs over
+    the per-PART aggregate (one partial-agg shuffle collapses the facts),
+    but a single UNPARTITIONED window over a huge dimension would serialize
+    on one task at 100x. So the cumsum is bucketed: parts are range-keyed
+    by -floor(log2(rev_c)) — monotone non-increasing in revenue, so bucket
+    order IS the (rev_c DESC, partkey) global order and equal revenues
+    never straddle buckets — the per-bucket windows run in parallel, and
+    exclusive bucket prefix offsets (a <=64-row aggregate, one per power of
+    two) are broadcast back. cum_prev = offset + within-bucket cumsum,
+    bit-identical to the one-window form (the oracle keeps the textbook
+    single window)."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.expr(f"sum({cents('l_extendedprice', 100)})").alias("rev_c")
     )
-    w = (
-        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+    # log2 range bucket: rev_c >= 1 cent always (prices are positive), and
+    # higher revenue => smaller rb, so (rb ASC, rev_c DESC, l_partkey ASC)
+    # is exactly the global (rev_c DESC, l_partkey ASC) order
+    bucketed = per_part.withColumn("rb", -F.floor(F.log2("rev_c")))
+    wb = (
+        Window.partitionBy("rb")
+        .orderBy(F.desc("rev_c"), F.asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    wo = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # per-bucket totals: <=64 rows (one per rev_c power of two) — the
+    # offsets window runs over THAT, never the dimension
+    offsets = (
+        bucketed.groupBy("rb")
+        .agg(F.sum("rev_c").alias("bucket_rev"))
+        .select(
+            "rb",
+            F.coalesce(F.sum("bucket_rev").over(wo), F.lit(0)).alias("off_rev"),
+            F.sum("bucket_rev").over(wt).alias("total"),
+        )
     )
     classed = (
-        per_part.withColumn("cum_prev", F.coalesce(F.sum("rev_c").over(w), F.lit(0)))
-        .withColumn("total", F.sum("rev_c").over(wt))
+        bucketed.withColumn(
+            "in_prev", F.coalesce(F.sum("rev_c").over(wb), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "rb")
         .selectExpr(
             "rev_c",
-            "CASE WHEN 10 * cum_prev < 8 * total THEN 'A' "
-            "WHEN 20 * cum_prev < 19 * total THEN 'B' "
+            "CASE WHEN 10 * (off_rev + in_prev) < 8 * total THEN 'A' "
+            "WHEN 20 * (off_rev + in_prev) < 19 * total THEN 'B' "
             "ELSE 'C' END AS abc_class",
         )
     )
@@ -2893,21 +2915,28 @@ def _dense_hourly(spark: SparkSession, sf_dir: str, event_type: str | None = Non
     )
 
 
-def _dense_hourly_sql(event_type: str | None = None) -> str:
+def _dense_hourly_sql(event_type: str | None = None, prefix: str = "") -> str:
+    """Zero-filled dense hourly series CTE set (``counted``/``rng``/``dense``).
+
+    ``prefix`` suffixes every CTE name (r06 advice: callers that need two
+    filtered copies — e.g. the lead/lag cross-correlation — pass distinct
+    prefixes instead of post-hoc string .replace over this function's
+    output, which would silently corrupt the SQL if an edit here ever
+    introduced those substrings in another context)."""
     where = f"WHERE event_type = '{event_type}'" if event_type else ""
     return f"""
-counted AS (
+counted{prefix} AS (
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hidx,
          count(*) AS n
   FROM events {where} GROUP BY 1),
-rng AS (
+rng{prefix} AS (
   SELECT min(hidx) AS lo, max(hidx) AS hi
   FROM (SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
           AS hidx FROM events) t),
-dense AS (
+dense{prefix} AS (
   SELECT s.hidx, CAST(coalesce(c.n, 0) AS BIGINT) AS n
-  FROM (SELECT unnest(generate_series(lo, hi)) AS hidx FROM rng) s
-  LEFT JOIN counted c USING (hidx))
+  FROM (SELECT unnest(generate_series(lo, hi)) AS hidx FROM rng{prefix}) s
+  LEFT JOIN counted{prefix} c USING (hidx))
 """
 
 
@@ -3023,12 +3052,8 @@ def events_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _xcorr_sql() -> str:
     from tmapreduce_spark.parity import pearson_txt
 
-    va = _dense_hourly_sql("view").replace("counted", "counted_v").replace(
-        "dense", "dense_v"
-    ).replace("rng", "rng_v")
-    pb = _dense_hourly_sql("purchase").replace("counted", "counted_p").replace(
-        "dense", "dense_p"
-    ).replace("rng", "rng_p")
+    va = _dense_hourly_sql("view", prefix="_v")
+    pb = _dense_hourly_sql("purchase", prefix="_p")
     return f"""
 WITH {va},
 {pb.lstrip()},

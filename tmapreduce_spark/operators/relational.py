@@ -1840,23 +1840,61 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (price, orderkey, linenumber), so ties can't reorder
     between engines; values are surfaced verbatim (no float arithmetic).
 
-    Scale: one window + one groupBy sharing the SAME hashpartitioning on
-    the group key — a single shuffle; the window is a running sum (O(1)
-    state per row). At petabyte scale swap in a two-pass histogram
-    (bucket-count, then refine the half-weight bucket) — same answer,
-    bounded memory; this exact form is the oracle-checkable contract."""
+    Scale — TWO-LEVEL sweep (r06 verdict #6, the shape that survives 100x):
+    a single PARTITION BY l_returnflag window would drag the whole fact
+    through 3 partitions (one per flag — maximal skew at 100 TB). Instead
+    the cumsum is split: (1) bucket each row by a price range key that is
+    monotone in the sort order (same price => same bucket, so tie order
+    never crosses buckets), (2) run the windowed cumsum PARTITIONED BY
+    (flag, bucket) — thousands of balanced partitions instead of 3, (3)
+    compute per-bucket totals (a partial-agg groupBy), prefix-sum them over
+    the tiny (flags x ~30 buckets) aggregate, and broadcast the offsets
+    back. cum_w = bucket offset + within-bucket cumsum, bit-identical to
+    the one-window form (the oracle keeps the textbook single window)."""
     l = load_table(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_returnflag")
+    # price-range bucket, monotone in l_extendedprice (cents DIV 2^18 ~= 40
+    # buckets over TPC-H's 900..105000 price range); equal prices share a
+    # bucket so the (price, orderkey, linenumber) tie order is bucket-local
+    rows = l.selectExpr(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(l_quantity AS BIGINT) AS w",
+        f"{cents('l_extendedprice', 100)} DIV 262144 AS pb",
+    )
+    wb = (
+        Window.partitionBy("l_returnflag", "pb")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("l_returnflag")
-    marked = l.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).over(w).alias("cum_w"),
-        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).over(wt).alias("tot_w"),
+    # per-bucket totals -> exclusive prefix offsets + per-flag grand totals
+    # over the bounded-key aggregate (flags x buckets rows), then broadcast
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = Window.partitionBy("l_returnflag")
+    offsets = (
+        rows.groupBy("l_returnflag", "pb")
+        .agg(F.sum("w").alias("bucket_w"))
+        .select(
+            "l_returnflag",
+            "pb",
+            F.coalesce(F.sum("bucket_w").over(wo), F.lit(0)).alias("off_w"),
+            F.sum("bucket_w").over(wf).alias("tot_w"),
+        )
+    )
+    marked = (
+        rows.withColumn("in_w", F.sum("w").over(wb))
+        .join(F.broadcast(offsets), ["l_returnflag", "pb"])
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.col("off_w") + F.col("in_w")).alias("cum_w"),
+            "tot_w",
+        )
     )
     return (
         marked.filter(F.expr("2 * cum_w >= tot_w"))
@@ -2952,7 +2990,10 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-value tag; schema introspection runs on ONE row (it is a
     dataset-level fact under the coalesced construction) and broadcasts —
     never a per-row schema string through the aggregate."""
-    e = load_table(spark, sf_dir, "events")
+    # prune BEFORE construct: only the three source columns the variant
+    # needs reach the json round-trip (and the scan — plan-test-asserted),
+    # so the per-row construct cost is paid on the narrowest possible rows
+    e = load_table(spark, sf_dir, "events").select("props", "user_id", "event_type")
     v = e.selectExpr(
         "parse_json(to_json(named_struct("
         " 'k', coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), -1),"
@@ -2990,6 +3031,13 @@ SELECT event_type AS tag,
             AS BIGINT) AS sum_k,
        CAST(sum(user_id % 11) AS BIGINT) AS sum_id1,
        CAST(count(*) AS BIGINT) AS n_bad_casts,
+       -- Spark-version pin (r06 advice): this literal is Spark 4.1's
+       -- schema_of_variant rendering for the constant variant shape built
+       -- above. tests/test_round6f_ops.py::test_variant_roundtrip_and_
+       -- introspection asserts Spark's LIVE schema_of_variant output equals
+       -- this same string, so a Spark upgrade that changes the rendering
+       -- fails that test loudly (engine fine, literal stale) instead of
+       -- silently hash-mismatching the driver parity gate.
        'OBJECT<ids: ARRAY<BIGINT>, k: BIGINT, tag: STRING>' AS variant_schema
 FROM events
 GROUP BY event_type
