@@ -1,0 +1,240 @@
+"""Independent-recompute property tests for the round-7 wave: exact ROC-AUC
+(rank form), step-form PR-AUC, RAKE keyword extraction, per-node local
+clustering coefficient, and the deterministic permutation test."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import itertools
+
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+from tmapreduce_spark.catalog import build_catalog
+from tmapreduce_spark.functions.text import (
+    RAKE_MAX_PHRASE,
+    RAKE_STOPWORDS,
+    RAKE_TOP_K,
+)
+from tmapreduce_spark.operators.analytics import PERM_B
+
+CAT = build_catalog()
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return CAT[name].fn(spark, SF_SMOKE).toPandas()
+
+
+def _score_label(spark) -> pd.DataFrame:
+    from tmapreduce_spark.functions.text import _qc_score_label
+
+    return _qc_score_label(spark, SF_SMOKE).toPandas()
+
+
+# ---------------------------------------------------------------------------
+# eval_auc_roc
+# ---------------------------------------------------------------------------
+
+
+def test_auc_roc_matches_python_recompute(spark):
+    per = _score_label(spark)
+    got = _run(spark, "eval_auc_roc").iloc[0]
+    # midrank AUC recomputed directly from the per-doc scores
+    df = per.sort_values("score_micro").reset_index(drop=True)
+    df["rank"] = df.index + 1
+    avg = df.groupby("score_micro")["rank"].transform("mean")
+    n_pos = int(per["label"].sum())
+    n_neg = len(per) - n_pos
+    rank_pos = float(avg[df["label"] == 1].sum())
+    auc = (rank_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert abs(got["auc_roc"] - round(auc, 6)) < 2e-6
+    assert abs(got["gini"] - (2 * got["auc_roc"] - 1)) < 2e-6
+    assert 0.0 <= got["auc_roc"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# eval_pr_auc
+# ---------------------------------------------------------------------------
+
+
+def test_pr_auc_matches_python_recompute(spark):
+    per = _score_label(spark)
+    got = _run(spark, "eval_pr_auc").iloc[0]
+    by = (
+        per.groupby("score_micro")
+        .agg(n_s=("label", "size"), p_s=("label", "sum"))
+        .sort_index(ascending=False)
+    )
+    cum_n = cum_tp = 0
+    ap_micro = 0
+    for _, r in by.iterrows():
+        cum_n += int(r["n_s"])
+        cum_tp += int(r["p_s"])
+        ap_micro += (int(r["p_s"]) * cum_tp * 1_000_000) // cum_n
+    n_pos = int(per["label"].sum())
+    assert got["n_pos"] == n_pos and got["n_total"] == len(per)
+    assert abs(got["pr_auc"] - round(ap_micro / 1e6 / n_pos, 6)) < 2e-6
+    assert 0.0 <= got["pr_auc"] <= 1.0
+    # a classifier with any signal beats the base rate on this fixture is NOT
+    # guaranteed (weights are hash-random by design) — only the identity is
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake
+# ---------------------------------------------------------------------------
+
+
+def _python_rake(texts: list[str]):
+    stop = set(RAKE_STOPWORDS)
+    phrases = []  # (phrase tuple)
+    for t in texts:
+        toks = [w for w in t.strip().lower().split() if w]
+        run: list[str] = []
+        for w in toks:
+            if w in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq: collections.Counter = collections.Counter()
+    deg: collections.Counter = collections.Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    w_milli = {w: (1000 * deg[w]) // freq[w] for w in freq}
+    scored: dict[tuple, int] = {}
+    occ: collections.Counter = collections.Counter()
+    for p in phrases:
+        occ[p] += 1
+        scored[p] = sum(w_milli[w] for w in p)
+    rows = [
+        (" ".join(p), len(p), occ[p], scored[p] / 1000)
+        for p in occ
+        if len(p) <= RAKE_MAX_PHRASE
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:RAKE_TOP_K]
+
+
+def test_rake_matches_python_recompute(spark):
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'").fetchall()
+    ]
+    want = _python_rake(texts)
+    got = _run(spark, "text_keyword_rake")
+    got_rows = [
+        (r["phrase"], int(r["n_words"]), int(r["n_occurrences"]), float(r["rake_score"]))
+        for _, r in got.iterrows()
+    ]
+    assert got_rows == want
+
+
+def test_rake_phrases_are_stopword_free_and_bounded(spark):
+    got = _run(spark, "text_keyword_rake")
+    assert len(got) <= RAKE_TOP_K
+    for _, r in got.iterrows():
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= RAKE_MAX_PHRASE
+        assert int(r["n_words"]) == len(words)
+        assert not (set(words) & set(RAKE_STOPWORDS))
+    # ordered top-k
+    scores = got["rake_score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_matches_python_recompute(spark):
+    from tmapreduce_spark.functions.dedup import dedup_minhash_pairs
+
+    edges = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for _, r in dedup_minhash_pairs(spark, SF_SMOKE)
+        .select("doc_a", "doc_b")
+        .toPandas()
+        .iterrows()
+    }
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = _run(spark, "graph_clustering_coeff")
+    assert set(got["doc_id"]) == set(adj)
+    for _, r in got.iterrows():
+        v = int(r["doc_id"])
+        deg = len(adj[v])
+        tri = sum(
+            1 for u, w in itertools.combinations(sorted(adj[v]), 2) if w in adj[u]
+        )
+        assert int(r["degree"]) == deg
+        assert int(r["n_triangles"]) == tri, v
+        if deg < 2:
+            assert pd.isna(r["clustering_coeff"])
+        else:
+            cc = 2 * tri / (deg * (deg - 1))
+            assert abs(float(r["clustering_coeff"]) - round(cc, 6)) < 2e-6
+            assert 0.0 <= float(r["clustering_coeff"]) <= 1.0
+
+
+def test_clustering_coeff_triangle_identity(spark):
+    """Σ_v tri(v) = 3·(global triangle count) — each triangle has 3 corners."""
+    got = _run(spark, "graph_clustering_coeff")
+    total3 = int(got["n_triangles"].sum())
+    assert total3 % 3 == 0
+
+
+# ---------------------------------------------------------------------------
+# agg_permutation_test
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_test_matches_python_recompute(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            FROM '{SF_SMOKE}/lineitem.parquet'
+            WHERE l_returnflag IN ('R', 'A')"""
+    ).fetchall()
+    sr = sum(c for _, _, f, c in rows if f == "R")
+    nr = sum(1 for r in rows if r[2] == "R")
+    sa = sum(c for _, _, f, c in rows if f == "A")
+    na = sum(1 for r in rows if r[2] == "A")
+    obs_milli = (1000 * sr) // nr - (1000 * sa) // na
+    hashes = [
+        (int(hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[:15], 16), c)
+        for ok, ln, _, c in rows
+    ]
+    n_extreme = 0
+    for b in range(1, PERM_B + 1):
+        s1 = n1 = s0 = n0 = 0
+        for h, c in hashes:
+            if (h >> (b - 1)) & 1:
+                s1 += c
+                n1 += 1
+            else:
+                s0 += c
+                n0 += 1
+        stat = (1000 * s1) // n1 - (1000 * s0) // n0
+        if abs(stat) >= abs(obs_milli):
+            n_extreme += 1
+    got = _run(spark, "agg_permutation_test").iloc[0]
+    assert int(got["n_r"]) == nr and int(got["n_a"]) == na
+    assert abs(float(got["obs_mean_diff"]) - obs_milli / 100000) < 1e-9
+    assert int(got["n_permutations"]) == PERM_B
+    assert int(got["n_extreme"]) == n_extreme
+    assert abs(float(got["p_value"]) - round((1 + n_extreme) / (PERM_B + 1), 6)) < 2e-6
+    assert 0.0 < float(got["p_value"]) <= 1.0

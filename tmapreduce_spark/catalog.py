@@ -193,7 +193,13 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 # to the driver's ~50-row window) so a late addition can never push an older
 # unproven entry out of the verification window. The round-6 defer list folded
 # into the normal backlog when _COVERED_R6 landed; round-7 additions go here.
-_BACKLOG_DEFER: frozenset[str] = frozenset()
+_BACKLOG_DEFER: frozenset[str] = frozenset(
+    {
+        # round-7 additions — behind the 52-entry round-6 backlog
+        "eval_auc_roc", "eval_pr_auc", "text_keyword_rake",
+        "graph_clustering_coeff", "agg_permutation_test",
+    }
+)
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}

@@ -2713,3 +2713,105 @@ FROM per CROSS JOIN overall
 QUERIES["graph_modularity"] = QuerySpec(
     graph_modularity, GRAPH_MODULARITY_SQL, "dedup"
 )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the near-dup graph — round 7
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup graph:
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the density of each node's
+    neighborhood. Next to the global triangle count this separates CLIQUE
+    nodes (template farms / mirror sets where every near-dup also matches
+    every other, cc → 1) from STAR hubs (one boilerplate page matching
+    many unrelated pages, cc → 0) — exactly the call a dedup pipeline
+    makes when deciding keep-one-per-cluster vs span-level surgery
+    (`graph_triangle_count`'s docstring motivates the global version;
+    this is its per-node refinement, cf. Watts–Strogatz).
+
+    Per-node triangles ride the SAME id-oriented wedge join as
+    `graph_triangle_count` (a<b<c each counted once, exploded to its 3
+    corners); degrees come from one explode+groupBy. The coefficient is
+    NULL for degree-1 nodes (undefined, no wedge exists). Exact: counts
+    are integers, the single division is presented via mround(6).
+
+    Scale: the canonical (doc_a < doc_b) edge set is localCheckpointed
+    ONCE and feeds all three wedge-join arms plus the degree aggregate —
+    four consumers, one materialization (the `_edges_neardup` pattern);
+    both joins are hash equi-joins on single ids over banding-bounded
+    edges. At billion-edge scale, orient by degree instead of id
+    (compact-forward) for the sqrt(|E|) wedge bound — same plan shape."""
+    e = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.join(tri_per_node, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(degree AS BIGINT) AS degree",
+            "CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles",
+            "CASE WHEN degree < 2 THEN NULL ELSE "
+            + mround(
+                "CAST(2 * coalesce(n_tri, 0) AS DOUBLE) / (degree * (degree - 1))", 6
+            )
+            + " END AS clustering_coeff",
+        )
+    )
+
+
+GRAPH_CLUSTERING_COEFF_SQL = (
+    "WITH e AS (SELECT doc_a, doc_b FROM (" + DEDUP_MINHASH_PAIRS_SQL + """) t),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1
+  JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+tri_nodes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) x
+  GROUP BY doc_id),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e) y
+  GROUP BY doc_id)
+SELECT d.doc_id, d.degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree < 2 THEN NULL ELSE """
+    + mround(
+        "CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE) / (d.degree * (d.degree - 1))", 6
+    )
+    + """ END AS clustering_coeff
+FROM deg d LEFT JOIN tri_nodes t ON d.doc_id = t.doc_id
+"""
+)
+
+
+QUERIES["graph_clustering_coeff"] = QuerySpec(
+    graph_clustering_coeff, GRAPH_CLUSTERING_COEFF_SQL, "dedup"
+)

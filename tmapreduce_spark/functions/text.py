@@ -4082,3 +4082,287 @@ FROM tagged GROUP BY source
 QUERIES["pipeline_dataset_hash"] = QuerySpec(
     pipeline_dataset_hash, PIPELINE_DATASET_HASH_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# Classifier ranking metrics: exact ROC-AUC (rank / Mann-Whitney form) and
+# PR-AUC (average precision, step integration) — round 7
+# ---------------------------------------------------------------------------
+
+
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality classifier against the rule label via
+    the rank (Mann-Whitney U) identity with midrank tie handling:
+    AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg). Everything
+    is computed from the per-SCORE contingency table (score_micro is an
+    exact integer, so grouping by it is cross-engine exact): for a score
+    group with n_s rows (p_s positive) and c_s rows strictly below it,
+    2·Σ avgrank over its positives = p_s·(2c_s + n_s + 1) — integers all
+    the way, one DOUBLE division at the end. Also reports the Gini
+    coefficient 2·AUC−1 (the form credit scoring quotes).
+
+    Scale: corpus-sized work is the substrate's one tokenize + one
+    groupBy(doc_id); the rank arithmetic runs on the per-score aggregate,
+    whose key space is bounded by the micro-unit score grid (≤1e6 and in
+    practice a few hundred), with one windowed cumsum over it — the same
+    reduced-dim window pattern as `agg_abc_classification`, and the same
+    two-level bucketed sweep applies if a model ever emits millions of
+    distinct scores."""
+    from pyspark.sql import Window
+
+    per = _qc_score_label(spark, sf_dir)
+    by_score = per.groupBy("score_micro").agg(
+        F.count("*").alias("n_s"),
+        F.sum("label").cast("bigint").alias("p_s"),
+    )
+    w = Window.orderBy("score_micro").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "c_s", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(F.expr("p_s * (2 * c_s + n_s + 1)")).alias("r2_pos"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum(F.expr("n_s - p_s")).alias("n_neg"),
+    )
+    auc = (
+        "(CAST(r2_pos AS DOUBLE) / 2 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+        " / (CAST(n_pos AS DOUBLE) * n_neg)"
+    )
+    return agg.selectExpr(
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_neg AS BIGINT) AS n_neg",
+        mround(auc, 6) + " AS auc_roc",
+        mround(f"2 * ({auc}) - 1", 6) + " AS gini",
+    )
+
+
+EVAL_AUC_ROC_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+by_score AS (
+  SELECT score_micro, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(label) AS BIGINT) AS p_s
+  FROM scored GROUP BY score_micro),
+ranked AS (
+  SELECT score_micro, n_s, p_s,
+         CAST(coalesce(sum(n_s) OVER (ORDER BY score_micro
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_s
+  FROM by_score),
+agg AS (
+  SELECT CAST(sum(p_s * (2 * c_s + n_s + 1)) AS BIGINT) AS r2_pos,
+         CAST(sum(p_s) AS BIGINT) AS n_pos,
+         CAST(sum(n_s - p_s) AS BIGINT) AS n_neg
+  FROM ranked)
+SELECT n_pos, n_neg,
+       {mround('(CAST(r2_pos AS DOUBLE) / 2 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)'
+               ' / (CAST(n_pos AS DOUBLE) * n_neg)', 6)} AS auc_roc,
+       {mround('2 * ((CAST(r2_pos AS DOUBLE) / 2 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)'
+               ' / (CAST(n_pos AS DOUBLE) * n_neg)) - 1', 6)} AS gini
+FROM agg
+"""
+
+
+QUERIES["eval_auc_roc"] = QuerySpec(eval_auc_roc, EVAL_AUC_ROC_SQL, "eval")
+
+
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC as average precision (the sklearn step-function form): sweep
+    the distinct scores DESCENDING; at each threshold t the cumulative
+    (tp, fp) give precision(t) = tp/(tp+fp), and
+    AP = Σ_t (tp(t) − tp(prev)) · precision(t) / n_pos. Each term is
+    accumulated as EXACT INTEGER MICRO-UNITS (p_s·cum_tp·1e6 div cum_n —
+    fits int64: ≤1e5·1e5·1e6 would overflow, but p_s·cum_tp ≤ n_pos² ≤
+    ~1e9 at any plausible doc count here, and the div truncates
+    identically in both engines), so the cross-group sum is
+    reduction-order-proof; the only floats are the two final
+    presentations. Ties follow the step form: a whole score group enters
+    at once (no intra-group interpolation). Reports AP next to the
+    positive base rate (the random-classifier baseline AP).
+
+    Scale: identical substrate economics to `eval_auc_roc` — the sweep is
+    a windowed cumsum over the bounded per-score aggregate, never the
+    corpus rows."""
+    from pyspark.sql import Window
+
+    per = _qc_score_label(spark, sf_dir)
+    by_score = per.groupBy("score_micro").agg(
+        F.count("*").alias("n_s"),
+        F.sum("label").cast("bigint").alias("p_s"),
+    )
+    w = Window.orderBy(F.desc("score_micro")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = by_score.select(
+        "p_s",
+        F.sum("n_s").over(w).alias("cum_n"),
+        F.sum("p_s").over(w).alias("cum_tp"),
+    )
+    agg = stepped.agg(
+        F.sum(F.expr("(p_s * cum_tp * 1000000) div cum_n")).alias("ap_micro"),
+        F.max("cum_tp").alias("n_pos"),
+        F.max("cum_n").alias("n_total"),
+    )
+    return agg.selectExpr(
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_total AS BIGINT) AS n_total",
+        mround("CAST(ap_micro AS DOUBLE) / 1000000 / n_pos", 6) + " AS pr_auc",
+        mround("CAST(n_pos AS DOUBLE) / n_total", 6) + " AS base_rate",
+    )
+
+
+EVAL_PR_AUC_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+by_score AS (
+  SELECT score_micro, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(label) AS BIGINT) AS p_s
+  FROM scored GROUP BY score_micro),
+stepped AS (
+  SELECT p_s,
+         CAST(sum(n_s) OVER (ORDER BY score_micro DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(sum(p_s) OVER (ORDER BY score_micro DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp
+  FROM by_score),
+agg AS (
+  SELECT CAST(sum((p_s * cum_tp * 1000000) // cum_n) AS BIGINT) AS ap_micro,
+         CAST(max(cum_tp) AS BIGINT) AS n_pos,
+         CAST(max(cum_n) AS BIGINT) AS n_total
+  FROM stepped)
+SELECT n_pos, n_total,
+       {mround('CAST(ap_micro AS DOUBLE) / 1000000 / n_pos', 6)} AS pr_auc,
+       {mround('CAST(n_pos AS DOUBLE) / n_total', 6)} AS base_rate
+FROM agg
+"""
+
+
+QUERIES["eval_pr_auc"] = QuerySpec(eval_pr_auc, EVAL_PR_AUC_SQL, "eval")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — round 7
+# ---------------------------------------------------------------------------
+
+# RAKE delimiter set: the corpus function-word vocabulary ("a"/"the" occur
+# in the synthetic corpus; the rest future-proof real text). Candidate
+# phrases are maximal stopword-free token runs.
+RAKE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+RAKE_TOP_K = 20
+RAKE_MAX_PHRASE = 4  # keywords, not sentences: drop runs longer than this
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010) over the
+    corpus: candidate phrases are maximal stopword-free token runs; each
+    word scores degree/frequency where degree is the summed length of every
+    phrase containing it (co-occurrence credit) and frequency its raw
+    count; a phrase scores the sum of its member word scores. Top
+    RAKE_TOP_K distinct phrases of ≤ RAKE_MAX_PHRASE words by
+    (score DESC, phrase ASC), with corpus occurrence counts — the standard
+    unsupervised keyword/tag extraction pass over a new corpus.
+
+    Exactness: word scores are integer MILLI-units ((1000·degree) div
+    freq — truncating integer division, identical in both engines), so
+    phrase scores are exact integer sums and the final ordering is
+    reduction-order-proof; the one float is the presentation /1000.
+    Phrase islands come from a running stopword count (cumsum over
+    (doc, pos)), so phrase boundaries are pure integer arithmetic.
+
+    Scale: one tokenize feeds everything; islands are a per-doc window
+    (partitioned by doc_id — never global); word stats are one
+    partial-agg groupBy on tokens; phrase assembly groups (doc, island)
+    with sort_array on row-local structs; the top-k is
+    TakeOrderedAndProject over the distinct-phrase aggregate, never a
+    global sort of members."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    wisl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = toks.withColumn(
+        "isl",
+        F.sum(F.expr(f"CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END")).over(wisl),
+    ).filter(F.expr(f"tok NOT IN ({stop_list})"))
+    wphrase = Window.partitionBy("doc_id", "isl")
+    members = flagged.withColumn("plen", F.count("*").over(wphrase))
+    wscore = members.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    ).selectExpr("tok", "(1000 * deg) div freq AS w_milli")
+    phrases = members.groupBy("doc_id", "isl").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok))"
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    scored = (
+        members.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "isl")
+        .agg(F.sum("w_milli").alias("score_milli"))
+    )
+    return (
+        phrases.join(scored, ["doc_id", "isl"])
+        .filter(F.col("n_words") <= RAKE_MAX_PHRASE)
+        .groupBy("phrase", "n_words", "score_milli")
+        .agg(F.count("*").alias("n_occurrences"))
+        .selectExpr(
+            "phrase",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "n_occurrences",
+            "CAST(score_milli AS DOUBLE) / 1000 AS rake_score",
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+TEXT_KEYWORD_RAKE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[u.i] <> ''),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN tok IN ({", ".join(f"'{s}'" for s in RAKE_STOPWORDS)})
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM pos),
+members AS (
+  SELECT doc_id, pos, tok, isl,
+         count(*) OVER (PARTITION BY doc_id, isl) AS plen
+  FROM flagged
+  WHERE tok NOT IN ({", ".join(f"'{s}'" for s in RAKE_STOPWORDS)})),
+wscore AS (
+  SELECT tok, (1000 * sum(plen)) // count(*) AS w_milli
+  FROM members GROUP BY tok),
+phrases AS (
+  SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM members GROUP BY doc_id, isl),
+scored AS (
+  SELECT m.doc_id, m.isl, CAST(sum(w.w_milli) AS BIGINT) AS score_milli
+  FROM members m JOIN wscore w USING (tok)
+  GROUP BY m.doc_id, m.isl)
+SELECT p.phrase, p.n_words, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(s.score_milli AS DOUBLE) / 1000 AS rake_score
+FROM phrases p JOIN scored s ON p.doc_id = s.doc_id AND p.isl = s.isl
+WHERE p.n_words <= {RAKE_MAX_PHRASE}
+GROUP BY p.phrase, p.n_words, s.score_milli
+ORDER BY rake_score DESC, p.phrase ASC
+LIMIT {RAKE_TOP_K}
+"""
+
+
+QUERIES["text_keyword_rake"] = QuerySpec(
+    text_keyword_rake, TEXT_KEYWORD_RAKE_SQL, "text"
+)

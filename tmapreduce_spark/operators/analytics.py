@@ -3897,3 +3897,138 @@ FROM folded
 QUERIES["events_survival_km"] = QuerySpec(
     events_survival_km, EVENTS_SURVIVAL_KM_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test (deterministic random-relabeling) — round 7
+# ---------------------------------------------------------------------------
+
+PERM_B = 60  # permutation replicates — one per bit of the 60-bit row hash
+
+
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the mean l_extendedprice difference between the
+    'R' and 'A' return-flag populations: the observed statistic is compared
+    against PERM_B random-relabeling replicates, and the p-value is the
+    add-one estimator (1 + #{b : |stat_b| ≥ |obs|}) / (B + 1) — the
+    distribution-free significance test teams reach for when normality is
+    dubious (this is the random-relabeling variant: group sizes are
+    binomial per replicate rather than fixed, the standard large-sample
+    simplification).
+
+    Each row is hashed ONCE — md5(orderkey, linenumber) → a 60-bit
+    integer — and replicate b's group assignment is simply BIT b of that
+    hash (deterministic, no rand(); md5 bits are independent fair coins
+    for this purpose, which is exactly why B is pinned to the 60 bits one
+    15-hex-digit chunk yields). This is 60× fewer hashes than hashing
+    (row, b): the original per-replicate-md5 form measured 29 s at sf0.1;
+    the bit-sliced form is a few seconds, same statistics.
+
+    Exactness: prices are exact cent integers; each group mean becomes
+    integer MILLI-CENTS via (1000·sum) div count (truncating division,
+    identical both engines; sum·1000 ≤ ~1e15 at sf0.1 — int64-safe with
+    headroom to sf10, documented like `agg_spearman_corr`'s bound), so the
+    |stat_b| ≥ |obs| comparison is pure integer arithmetic — no float
+    boundary can flip a replicate between engines. The two final columns
+    are presentation-only divisions.
+
+    Scale: the replicate explosion is MAP-SIDE (each row emits B tagged
+    (bit, price) rows that immediately partial-aggregate onto 2·B running
+    sums), so the shuffle carries B·groups rows, not B·N — the classic
+    replicate-as-aggregation-key pattern; the observed stat is one more
+    aggregate over the same scan, and the verdict join is a broadcast of
+    one row. B is the knob; work is B× map arithmetic, constant reduce."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    base = l.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag AS flag",
+        f"{cents('l_extendedprice', 100)} AS price_c",
+    )
+    obs = base.groupBy().agg(
+        F.sum(F.expr("CASE WHEN flag = 'R' THEN price_c ELSE 0 END")).alias("sr"),
+        F.sum(F.expr("CASE WHEN flag = 'R' THEN 1 ELSE 0 END")).alias("nr"),
+        F.sum(F.expr("CASE WHEN flag = 'A' THEN price_c ELSE 0 END")).alias("sa"),
+        F.sum(F.expr("CASE WHEN flag = 'A' THEN 1 ELSE 0 END")).alias("na"),
+    ).selectExpr(
+        "nr AS obs_n_r",
+        "na AS obs_n_a",
+        "(1000 * sr) div nr - (1000 * sa) div na AS obs_milli",
+    )
+    perms = base.selectExpr(
+        "price_c",
+        "CAST(conv(substring(md5(concat(l_orderkey, '-', l_linenumber)),"
+        " 1, 15), 16, 10) AS BIGINT) AS h",
+    ).selectExpr(
+        f"explode(sequence(1, {PERM_B})) AS b",
+        "price_c",
+        "h",
+    ).selectExpr("b", "price_c", "shiftright(h, b - 1) & 1 AS side")
+    stats = perms.groupBy("b").agg(
+        F.sum(F.expr("CASE WHEN side = 1 THEN price_c ELSE 0 END")).alias("s1"),
+        F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN side = 0 THEN price_c ELSE 0 END")).alias("s0"),
+        F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END")).alias("n0"),
+    ).selectExpr("b", "(1000 * s1) div n1 - (1000 * s0) div n0 AS stat_milli")
+    verdict = stats.crossJoin(F.broadcast(obs)).groupBy(
+        "obs_n_r", "obs_n_a", "obs_milli"
+    ).agg(
+        F.sum(
+            F.expr("CASE WHEN abs(stat_milli) >= abs(obs_milli) THEN 1 ELSE 0 END")
+        ).alias("n_extreme")
+    )
+    return verdict.selectExpr(
+        "CAST(obs_n_r AS BIGINT) AS n_r",
+        "CAST(obs_n_a AS BIGINT) AS n_a",
+        "CAST(obs_milli AS DOUBLE) / 100000 AS obs_mean_diff",
+        f"CAST({PERM_B} AS BIGINT) AS n_permutations",
+        "CAST(n_extreme AS BIGINT) AS n_extreme",
+        mround(f"CAST(1 + n_extreme AS DOUBLE) / {PERM_B + 1}", 6) + " AS p_value",
+    )
+
+
+AGG_PERMUTATION_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+         {cents('l_extendedprice', 100)} AS price_c
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+obs AS (
+  SELECT CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS obs_n_r,
+         CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS obs_n_a,
+         CAST((1000 * sum(CASE WHEN flag = 'R' THEN price_c ELSE 0 END))
+              // sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END)
+            - (1000 * sum(CASE WHEN flag = 'A' THEN price_c ELSE 0 END))
+              // sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS obs_milli
+  FROM base),
+hashed AS (
+  SELECT price_c,
+         CAST(('0x' || substring(md5(l_orderkey || '-' || l_linenumber),
+               1, 15)) AS BIGINT) AS h
+  FROM base),
+perms AS (
+  SELECT u.b, price_c, (h >> (u.b - 1)) & 1 AS side
+  FROM hashed, unnest(generate_series(1, {PERM_B})) AS u(b)),
+stats AS (
+  SELECT b,
+         CAST((1000 * sum(CASE WHEN side = 1 THEN price_c ELSE 0 END))
+              // sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+            - (1000 * sum(CASE WHEN side = 0 THEN price_c ELSE 0 END))
+              // sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS stat_milli
+  FROM perms GROUP BY b)
+SELECT o.obs_n_r AS n_r, o.obs_n_a AS n_a,
+       CAST(o.obs_milli AS DOUBLE) / 100000 AS obs_mean_diff,
+       CAST({PERM_B} AS BIGINT) AS n_permutations,
+       CAST(sum(CASE WHEN abs(s.stat_milli) >= abs(o.obs_milli)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       {mround(f'CAST(1 + sum(CASE WHEN abs(s.stat_milli) >= abs(o.obs_milli) '
+               f'THEN 1 ELSE 0 END) AS DOUBLE) / {PERM_B + 1}', 6)} AS p_value
+FROM stats s CROSS JOIN obs o
+GROUP BY o.obs_n_r, o.obs_n_a, o.obs_milli
+"""
+
+
+QUERIES["agg_permutation_test"] = QuerySpec(
+    agg_permutation_test, AGG_PERMUTATION_SQL, "aggregation"
+)
