@@ -1185,3 +1185,17 @@ def test_scalar_variant_scan_prunes_to_three_columns(spark):
         assert m, ln
         cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
         assert cols <= {"props", "user_id", "event_type"}, cols
+
+
+def test_percentiles_price_is_distributed_not_value_collecting(spark):
+    """r07: exact interpolated percentiles via the two-level CDF — the plan
+    must NOT contain the value-collecting ObjectHashAggregate the builtin
+    percentile() aggregate compiles to (one task holds a whole group's
+    values), and the rank lookup must be a broadcast join."""
+    from tmapreduce_spark.operators.advanced import percentiles_price
+
+    df = percentiles_price(spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "percentile(" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
-from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
+from tmapreduce_spark.parity import DUCK, SPARK, cents, mavg, mround, msum2
 from tmapreduce_spark.sources.catalog import load_table
 
 
@@ -128,11 +128,102 @@ GROUP BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of l_extendedprice per return flag —
+    DISTRIBUTED: Spark's builtin `percentile()` aggregate collects every
+    group's values into one task's memory (an ObjectHashAggregate that was
+    both this catalog's slowest entry at sf0.1 AND the shape that OOMs a
+    3-group/100TB rollup). Instead the order statistics come from a
+    two-level CDF (the `agg_weighted_median` sweep): per-(flag, price)
+    counts, price-range-bucketed cumulative ranks with broadcast bucket
+    offsets, then each target rank k = floor(p·(n−1)) and k+1 is located by
+    an integer rank-interval predicate and linearly interpolated with the
+    SAME textbook IEEE expression the builtin uses (lo + (hi−lo)·frac), so
+    results match `percentile()` bit-for-bit on the money grid and the
+    DuckDB quantile_cont oracle at mround(4) exactly as before.
+
+    Scale: one partial-agg groupBy onto (flag, price) — collapses the fact
+    table to its distinct-price CDF — one bucketed window over that
+    aggregate, a 9-row broadcast rank table, and a 3-fanout broadcast hash
+    join; no task ever materializes a group's raw values."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr(mround("percentile(l_extendedprice, 0.5)", 4)).alias("p50"),
-        F.expr(mround("percentile(l_extendedprice, 0.9)", 4)).alias("p90"),
-        F.expr(mround("percentile(l_extendedprice, 0.99)", 4)).alias("p99"),
+    rows = l.selectExpr(
+        "l_returnflag",
+        "l_extendedprice",
+        f"{cents('l_extendedprice', 100)} DIV 262144 AS pb",
+    )
+    cnts = rows.groupBy("l_returnflag", "pb", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
+    )
+    wb = (
+        Window.partitionBy("l_returnflag", "pb")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        cnts.groupBy("l_returnflag", "pb")
+        .agg(F.sum("cnt").alias("bucket_n"))
+        .select(
+            "l_returnflag",
+            "pb",
+            F.coalesce(F.sum("bucket_n").over(wo), F.lit(0)).alias("off_n"),
+        )
+    )
+    cdf = (
+        cnts.withColumn("in_end", F.sum("cnt").over(wb))
+        .join(F.broadcast(offsets), ["l_returnflag", "pb"])
+        .selectExpr(
+            "l_returnflag",
+            "l_extendedprice AS v",
+            "off_n + in_end - cnt AS lo_rank",  # 0-based ranks [lo_rank, hi_rank)
+            "off_n + in_end AS hi_rank",
+        )
+    )
+    # 9-row rank table: per (flag, p) the straddling indices + the builtin's
+    # own interpolation fraction (h = p*(n-1) in DOUBLE, frac = h - floor(h)).
+    # n comes from a direct partial-agg count over the base rows — NOT from
+    # the cdf — so building the broadcast never executes the window pipeline
+    ranks = (
+        rows.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .selectExpr("l_returnflag AS rf", "n", "explode(array(0.5D, 0.9D, 0.99D)) AS p")
+        .selectExpr(
+            "rf",
+            "p",
+            "p * CAST(n - 1 AS DOUBLE) AS h",
+            "CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS k_lo",
+            "least(CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1, n - 1) AS k_hi",
+        )
+        .selectExpr("rf", "p", "k_lo", "k_hi", "h - CAST(k_lo AS DOUBLE) AS frac")
+    )
+    hit = cdf.join(
+        F.broadcast(ranks),
+        (F.col("l_returnflag") == F.col("rf"))
+        & (
+            ((F.col("k_lo") >= F.col("lo_rank")) & (F.col("k_lo") < F.col("hi_rank")))
+            | ((F.col("k_hi") >= F.col("lo_rank")) & (F.col("k_hi") < F.col("hi_rank")))
+        ),
+    )
+    interp = (
+        hit.groupBy("l_returnflag", "p", "frac")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN k_lo >= lo_rank AND k_lo < hi_rank THEN v END")
+            ).alias("v_lo"),
+            F.max(
+                F.expr("CASE WHEN k_hi >= lo_rank AND k_hi < hi_rank THEN v END")
+            ).alias("v_hi"),
+        )
+        .selectExpr("l_returnflag", "p", "v_lo + (v_hi - v_lo) * frac AS q")
+    )
+    return interp.groupBy("l_returnflag").agg(
+        F.expr(mround("max(CASE WHEN p = 0.5D THEN q END)", 4)).alias("p50"),
+        F.expr(mround("max(CASE WHEN p = 0.9D THEN q END)", 4)).alias("p90"),
+        F.expr(mround("max(CASE WHEN p = 0.99D THEN q END)", 4)).alias("p99"),
     )
 
 
