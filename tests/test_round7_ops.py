@@ -238,3 +238,120 @@ def test_permutation_test_matches_python_recompute(spark):
     assert int(got["n_extreme"]) == n_extreme
     assert abs(float(got["p_value"]) - round((1 + n_extreme) / (PERM_B + 1), 6)) < 2e-6
     assert 0.0 < float(got["p_value"]) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# eval_brier_decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_brier_decomposition_matches_python_recompute(spark):
+    per = _score_label(spark)
+    got = _run(spark, "eval_brier_decomposition").iloc[0]
+    n = len(per)
+    brier = float(
+        ((per["score_micro"] - 1_000_000 * per["label"]) ** 2).sum()
+    ) / 1e12 / n
+    ybar = per["label"].sum() / n
+    bins = per.assign(bin=per["score_micro"] // 20000).groupby("bin")
+    rel9 = res9 = 0
+    for _, g in bins:
+        nk = len(g)
+        sbar = g["score_micro"].sum() / 1e6 / nk
+        yk = g["label"].sum() / nk
+        rel9 += int((nk * (sbar - yk) ** 2) * 1e9 + 0.5)
+        res9 += int((nk * (yk - ybar) ** 2) * 1e9 + 0.5)
+    assert int(got["n_docs"]) == n
+    assert abs(got["brier"] - round(brier, 6)) < 2e-6
+    assert abs(got["reliability"] - round(rel9 / 1e9 / n, 6)) < 2e-6
+    assert abs(got["resolution"] - round(res9 / 1e9 / n, 6)) < 2e-6
+    assert abs(got["uncertainty"] - round(ybar * (1 - ybar), 6)) < 2e-6
+    # the Murphy identity holds up to within-bin forecast variance
+    assert abs(got["brier_binned"] - got["brier"]) < 0.02
+    assert got["reliability"] >= 0 and got["resolution"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_scurve
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_scurve_theory_and_empirical(spark):
+    from tmapreduce_spark.functions.dedup import BAND_R, NUM_PERMS, dedup_minhash_pairs
+
+    got = _run(spark, "dedup_lsh_scurve").sort_values("jaccard_lo")
+    assert len(got) == 19
+    b = NUM_PERMS // BAND_R
+    for _, r in got.iterrows():
+        s = r["jaccard_lo"]
+        want = 1.0 - (1.0 - s**BAND_R) ** b
+        assert abs(r["detect_prob"] - round(want, 6)) < 2e-6
+    # S-curve is monotone increasing
+    probs = got["detect_prob"].tolist()
+    assert probs == sorted(probs)
+    # empirical bucket counts sum to the verified pair count
+    n_pairs = dedup_minhash_pairs(spark, SF_SMOKE).count()
+    assert int(got["n_pairs"].sum()) == n_pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding_mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    import numpy as np
+
+    from tmapreduce_spark.functions.similarity import (
+        MMR_CANDIDATES,
+        MMR_PICKS,
+        QUANT,
+    )
+
+    got = _run(spark, "embedding_mmr_rerank").sort_values("pick_order")
+    assert len(got) == MMR_PICKS
+    assert got["pick_order"].tolist() == list(range(1, MMR_PICKS + 1))
+    assert got["vec_id"].nunique() == MMR_PICKS
+    # pick 1 is pure relevance: its mmr is 0.7 * its relevance
+    p1 = got.iloc[0]
+    assert abs(p1["mmr_score"] - 0.7 * p1["relevance"]) < 1e-9
+    # pick 1 has the max relevance of all picks
+    assert p1["relevance"] == got["relevance"].max()
+    # full python recompute of the greedy sequence from raw embeddings
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) * QUANT + 0.5
+    ).astype(np.int64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", E, E).astype(np.float64))
+    qi = int(np.where(ids == 0)[0][0])
+    dots = (E @ E[qi]).astype(np.float64)
+    rel_u = np.floor(dots / (nrm * nrm[qi]) * 1e6 + 0.5).astype(np.int64)
+    order = sorted(
+        [(int(-rel_u[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != 0]
+    )[:MMR_CANDIDATES]
+    cand = [v for _, v in order]
+    relm = {v: -r for r, v in order}
+    pos = {int(v): i for i, v in enumerate(ids)}
+    picked = []
+    remaining = sorted(cand)
+    for _ in range(MMR_PICKS):
+        best = None
+        for d in remaining:
+            # max over picked sims, UNclamped — a negative max is a diversity
+            # bonus for anti-similar docs (matches the engine and the oracle)
+            sus = []
+            for p in picked:
+                g = float(E[pos[d]] @ E[pos[p]])
+                sus.append(int(np.floor(g / (nrm[pos[d]] * nrm[pos[p]]) * 1e6 + 0.5)))
+            ms = max(sus) if sus else 0
+            m10 = 7 * relm[d] - 3 * ms
+            if best is None or (-m10, d) < best[0]:
+                best = ((-m10, d), d)
+        picked.append(best[1])
+        remaining.remove(best[1])
+    assert got["vec_id"].tolist() == picked

@@ -198,6 +198,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         # round-7 additions — behind the 52-entry round-6 backlog
         "eval_auc_roc", "eval_pr_auc", "text_keyword_rake",
         "graph_clustering_coeff", "agg_permutation_test",
+        "eval_brier_decomposition", "dedup_lsh_scurve", "embedding_mmr_rerank",
     }
 )
 

@@ -2815,3 +2815,79 @@ FROM deg d LEFT JOIN tri_nodes t ON d.doc_id = t.doc_id
 QUERIES["graph_clustering_coeff"] = QuerySpec(
     graph_clustering_coeff, GRAPH_CLUSTERING_COEFF_SQL, "dedup"
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration audit — round 7
+# ---------------------------------------------------------------------------
+
+# Theoretical band-collision probability p(s) = 1 - (1 - s^r)^b for the
+# catalog's MinHash geometry (b = NUM_PERMS/BAND_R bands of r = BAND_R rows),
+# precomputed in Python at import and embedded as LITERALS in both engines —
+# the Benford pattern: no runtime pow() whose last-bit behavior could differ.
+_SCURVE_GRID = [
+    (s20, round(1.0 - (1.0 - (s20 / 20.0) ** BAND_R) ** (NUM_PERMS // BAND_R), 6))
+    for s20 in range(1, 20)
+]
+
+
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration audit: the theoretical detection probability
+    of the catalog's MinHash geometry (b=4 bands × r=4 rows: p(s) =
+    1−(1−s⁴)⁴, 50% capture at s≈0.64) on a 0.05 Jaccard grid, next to the
+    EMPIRICAL verified-pair counts per Jaccard bucket. This is the table
+    that answers "is NUM_PERMS/BAND_R right for this corpus?" before anyone
+    re-tunes: mass piled just below the S-curve knee means the geometry is
+    dropping real near-dups (add bands); mass far above it means wasted
+    verification (add rows). Complements `dedup_minhash_est_vs_exact`
+    (estimator accuracy) with the RECALL side of the calibration story.
+
+    Exactness: theory values are import-time Python constants embedded as
+    literals in BOTH engines (the Benford precedent — no runtime pow());
+    empirical buckets are least(floor(jaccard·20), 19) on the already
+    mround(6)-pinned pair Jaccard — the identical double expression in both
+    engines on identical inputs.
+
+    Scale: a 19-row constant dim left-joined with one partial-agg groupBy
+    over the banding-bounded verified pair set — audit cost rides entirely
+    on the detector's own pipeline."""
+    grid = spark.createDataFrame(_SCURVE_GRID, "s20 INT, detect_prob DOUBLE")
+    emp = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .selectExpr("least(CAST(floor(jaccard * 20) AS INT), 19) AS s20")
+        .groupBy("s20")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return (
+        grid.join(emp, "s20", "left")
+        .selectExpr(
+            mround("CAST(s20 AS DOUBLE) / 20", 2) + " AS jaccard_lo",
+            "detect_prob",
+            "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
+        )
+    )
+
+
+DEDUP_LSH_SCURVE_SQL = (
+    "WITH grid(s20, detect_prob) AS (VALUES "
+    + ", ".join(f"({s20}, {p})" for s20, p in _SCURVE_GRID)
+    + "),\npairs AS (SELECT jaccard FROM ("
+    + DEDUP_MINHASH_PAIRS_SQL
+    + """) t),
+emp AS (
+  SELECT least(CAST(floor(jaccard * 20) AS INT), 19) AS s20,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1)
+SELECT """
+    + mround("CAST(g.s20 AS DOUBLE) / 20", 2)
+    + """ AS jaccard_lo,
+       CAST(g.detect_prob AS DOUBLE) AS detect_prob,
+       CAST(coalesce(e.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM grid g LEFT JOIN emp e ON g.s20 = e.s20
+"""
+)
+
+
+QUERIES["dedup_lsh_scurve"] = QuerySpec(
+    dedup_lsh_scurve, DEDUP_LSH_SCURVE_SQL, "dedup"
+)

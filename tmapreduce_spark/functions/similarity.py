@@ -1096,3 +1096,167 @@ FROM scored GROUP BY label
 QUERIES["embedding_silhouette"] = QuerySpec(
     embedding_silhouette, EMBEDDING_SILHOUETTE_SQL, "similarity"
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank — round 7
+# ---------------------------------------------------------------------------
+
+MMR_CANDIDATES = 12  # rerank pool: top-C by relevance to the query
+MMR_PICKS = 3  # greedy picks (unrolled identically in the oracle)
+# λ = 0.7 carried as the integer pair (7, 3) over micro-unit cosines so every
+# argmax is pure int64 — mmr_micro10 = 7·rel_u − 3·max_sim_u, no float compare
+
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) of the
+    query's top-MMR_CANDIDATES cosine candidates: greedily pick MMR_PICKS
+    results maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) — the
+    standard diversity pass between ANN retrieval and a context window
+    (near-duplicate passages waste prompt tokens; MMR keeps the relevant
+    NON-redundant ones). First pick is pure relevance (empty picked set).
+
+    Exactness: relevance and pairwise similarities are the ann family's
+    1e-6-quantized cosines RE-READ AS INTEGERS (rel_u, sim_u micro-units),
+    and λ=0.7 is carried as the integer pair (7, 3): every greedy argmax
+    compares mmr_micro10 = 7·rel_u − 3·max_sim_u in pure int64 with a
+    vec_id tiebreak — NO float comparison anywhere, so the pick sequence
+    is cross-engine exact by construction. The DuckDB oracle unrolls the
+    identical greedy rounds as CTEs.
+
+    Scale: the corpus-sized work is the one Arrow-batched relevance scan
+    (the `ann_topk_cosine` shape — linear, shuffle-free); the candidate
+    pool is MODEL state (C=12 rows — the kmeans-centroid/BPE-merge
+    precedent), so the C×C similarity matrix and the K greedy rounds are
+    driver arithmetic on ≤ C² integers, independent of corpus size. In a
+    multi-query production pass the same greedy runs inside one
+    applyInPandas per query group; the single-query form is the
+    oracle-checkable contract."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_ids, Qm, q_nrm = collect_query_model(e, n_queries=1)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            dots = (C @ Qm.T).astype(np.float64).ravel()
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            rel_u = np.floor(dots / (c_nrm * q_nrm[0]) * 1e6 + 0.5).astype(np.int64)
+            m = ids != q_ids[0]
+            yield pd.DataFrame({"vec_id": ids[m], "rel_u": rel_u[m]})
+
+    scored = e.mapInPandas(score, "vec_id bigint, rel_u bigint")
+    cands = (
+        scored.orderBy(F.desc("rel_u"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )  # model-side: C rows
+    cand_ids = [int(r["vec_id"]) for r in cands]
+    rel = {int(r["vec_id"]): int(r["rel_u"]) for r in cands}
+    # C×C similarity matrix from the candidates' own vectors (model-side)
+    crows = (
+        e.filter(F.col("vec_id").isin(cand_ids)).orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    M = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in crows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+    G = (M @ M.T).astype(np.float64)
+    sim_u = np.floor(G / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5).astype(np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    # greedy rounds — identical unroll to the oracle
+    picked: list[tuple[int, int, int, int]] = []  # (order, id, rel_u, mmr10)
+    remaining = sorted(cand_ids)
+    for order in range(1, MMR_PICKS + 1):
+        best = None
+        for d in remaining:
+            ms = max((int(sim_u[idx[d], idx[p[1]]]) for p in picked), default=0)
+            mmr10 = 7 * rel[d] - 3 * ms
+            key = (-mmr10, d)
+            if best is None or key < best[0]:
+                best = (key, d, mmr10)
+        picked.append((order, best[1], rel[best[1]], best[2]))
+        remaining.remove(best[1])
+    out = [
+        (o, d, ru / 1e6, m10 / 1e7)
+        for (o, d, ru, m10) in picked
+    ]
+    return spark.createDataFrame(
+        out, "pick_order bigint, vec_id bigint, relevance double, mmr_score double"
+    )
+
+
+def _mmr_sql() -> str:
+    qd = _qdot_duck
+    picks = []
+    prev_excl = ""
+    for k in range(1, MMR_PICKS + 1):
+        if k == 1:
+            picks.append(
+                """p1 AS (
+  SELECT vec_id, rel_u, CAST(7 * rel_u AS BIGINT) AS mmr10
+  FROM cands ORDER BY rel_u DESC, vec_id ASC LIMIT 1)"""
+            )
+            prev_excl = "SELECT vec_id FROM p1"
+        else:
+            prev_union = " UNION ALL ".join(
+                f"SELECT vec_id FROM p{j}" for j in range(1, k)
+            )
+            sim_max = " UNION ALL ".join(
+                f"SELECT s.a AS vec_id, s.sim_u FROM sims s JOIN p{j} ON s.b = p{j}.vec_id"
+                for j in range(1, k)
+            )
+            picks.append(
+                f"""m{k} AS (
+  SELECT c.vec_id, c.rel_u, max(x.sim_u) AS ms
+  FROM cands c JOIN ({sim_max}) x ON x.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN ({prev_union})
+  GROUP BY c.vec_id, c.rel_u),
+p{k} AS (
+  SELECT vec_id, rel_u, CAST(7 * rel_u - 3 * ms AS BIGINT) AS mmr10
+  FROM m{k} ORDER BY (7 * rel_u - 3 * ms) DESC, vec_id ASC LIMIT 1)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS pick_order, vec_id, "
+        "CAST(rel_u AS DOUBLE) / 1000000 AS relevance, "
+        f"CAST(mmr10 AS DOUBLE) / 10000000 AS mmr_score FROM p{k}"
+        for k in range(1, MMR_PICKS + 1)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_quant_duck('embedding')} AS qe FROM embeddings),
+q AS (SELECT qe AS q_qe, sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id = 0),
+c AS (SELECT vec_id, qe, sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS c_norm
+      FROM v WHERE vec_id <> 0),
+rel AS (
+  SELECT c.vec_id, c.qe, c.c_norm,
+         CAST(floor(CAST({qd('c.qe', 'q_qe')} AS DOUBLE) / (c_norm * q_norm)
+              * 1000000 + 0.5) AS BIGINT) AS rel_u
+  FROM c CROSS JOIN q),
+cands AS (
+  SELECT vec_id, qe, c_norm, rel_u FROM rel
+  ORDER BY rel_u DESC, vec_id ASC LIMIT {MMR_CANDIDATES}),
+sims AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(CAST({qd('a.qe', 'b.qe')} AS DOUBLE) / (a.c_norm * b.c_norm)
+              * 1000000 + 0.5) AS BIGINT) AS sim_u
+  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+{",".join(picks)}
+{sel}
+"""
+
+
+EMBEDDING_MMR_SQL = _mmr_sql()
+
+QUERIES["embedding_mmr_rerank"] = QuerySpec(
+    embedding_mmr_rerank, EMBEDDING_MMR_SQL, "similarity"
+)

@@ -4366,3 +4366,115 @@ LIMIT {RAKE_TOP_K}
 QUERIES["text_keyword_rake"] = QuerySpec(
     text_keyword_rake, TEXT_KEYWORD_RAKE_SQL, "text"
 )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition — round 7
+# ---------------------------------------------------------------------------
+
+
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the quality classifier with the Murphy (1973)
+    binned decomposition: reliability (calibration error, lower better),
+    resolution (how much the bins separate the base rate, higher better),
+    and uncertainty ȳ(1−ȳ) — the one-row scoreboard on top of
+    `eval_calibration_bins`' per-bin table, and the standard way to say
+    WHY a probability model's Brier is what it is. `brier_binned` is
+    REL − RES + UNC (the decomposition identity, exact when forecasts are
+    constant within a bin; reported next to the raw per-doc Brier so the
+    binning approximation is visible, not hidden).
+
+    Exactness: the raw Brier sum Σ(score_micro − 10⁶·label)² is pure int64
+    (≤1e12/doc); the per-bin REL/RES terms are fixed IEEE expressions of
+    exact integer bin sums, PRE-ROUNDED to a 1e-9 integer grid before the
+    cross-bin sum (the `eval_pass_at_k`/PSI pattern), so no float
+    reduction order exists anywhere.
+
+    Scale: the corpus collapses to the ~dozen-bin table in one partial-agg
+    groupBy off the shared classifier substrate; the global base-rate row
+    broadcasts; everything after is constant-size."""
+    per = _qc_score_label(spark, sf_dir)
+    bins = per.selectExpr(
+        "score_micro div 20000 AS bin", "score_micro", "label"
+    ).groupBy("bin").agg(
+        F.count("*").alias("n_k"),
+        F.sum("label").cast("bigint").alias("pos_k"),
+        F.sum("score_micro").alias("sum_micro_k"),
+    )
+    glob = per.agg(
+        F.count("*").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(
+            F.expr(
+                "(score_micro - 1000000 * label) * (score_micro - 1000000 * label)"
+            )
+        ).alias("sq"),
+    )
+    sbar = "CAST(sum_micro_k AS DOUBLE) / 1000000 / n_k"
+    ybar_k = "CAST(pos_k AS DOUBLE) / n_k"
+    ybar = "CAST(pos AS DOUBLE) / n"
+    rel_t = f"n_k * (({sbar}) - ({ybar_k})) * (({sbar}) - ({ybar_k}))"
+    res_t = f"n_k * (({ybar_k}) - ({ybar})) * (({ybar_k}) - ({ybar}))"
+    terms = bins.crossJoin(F.broadcast(glob)).selectExpr(
+        "n",
+        "pos",
+        "sq",
+        f"CAST(floor(({rel_t}) * 1000000000 + 0.5) AS BIGINT) AS rel9",
+        f"CAST(floor(({res_t}) * 1000000000 + 0.5) AS BIGINT) AS res9",
+    )
+    agg = terms.groupBy("n", "pos", "sq").agg(
+        F.sum("rel9").alias("rel9s"), F.sum("res9").alias("res9s")
+    )
+    rel = "CAST(rel9s AS DOUBLE) / 1000000000 / n"
+    res = "CAST(res9s AS DOUBLE) / 1000000000 / n"
+    unc = f"({ybar}) * (1 - ({ybar}))"
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        mround("CAST(sq AS DOUBLE) / 1e12 / n", 6) + " AS brier",
+        mround(rel, 6) + " AS reliability",
+        mround(res, 6) + " AS resolution",
+        mround(unc, 6) + " AS uncertainty",
+        mround(f"({rel}) - ({res}) + ({unc})", 6) + " AS brier_binned",
+    )
+
+
+_BRIER_SBAR = "CAST(sum_micro_k AS DOUBLE) / 1000000 / n_k"
+_BRIER_YK = "CAST(pos_k AS DOUBLE) / n_k"
+_BRIER_Y = "CAST(pos AS DOUBLE) / n"
+
+EVAL_BRIER_SQL = rf"""
+WITH {_QC_SCORE_LABEL_SQL},
+bins AS (
+  SELECT score_micro // 20000 AS bin, CAST(count(*) AS BIGINT) AS n_k,
+         CAST(sum(label) AS BIGINT) AS pos_k,
+         CAST(sum(score_micro) AS BIGINT) AS sum_micro_k
+  FROM scored GROUP BY 1),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum((score_micro - 1000000 * label)
+              * (score_micro - 1000000 * label)) AS BIGINT) AS sq
+  FROM scored),
+terms AS (
+  SELECT n, pos, sq,
+         CAST(floor((n_k * (({_BRIER_SBAR}) - ({_BRIER_YK}))
+              * (({_BRIER_SBAR}) - ({_BRIER_YK}))) * 1000000000 + 0.5) AS BIGINT) AS rel9,
+         CAST(floor((n_k * (({_BRIER_YK}) - ({_BRIER_Y}))
+              * (({_BRIER_YK}) - ({_BRIER_Y}))) * 1000000000 + 0.5) AS BIGINT) AS res9
+  FROM bins CROSS JOIN gstats),
+agg AS (
+  SELECT n, pos, sq, CAST(sum(rel9) AS BIGINT) AS rel9s,
+         CAST(sum(res9) AS BIGINT) AS res9s
+  FROM terms GROUP BY n, pos, sq)
+SELECT n AS n_docs,
+       {mround('CAST(sq AS DOUBLE) / 1e12 / n', 6)} AS brier,
+       {mround('CAST(rel9s AS DOUBLE) / 1000000000 / n', 6)} AS reliability,
+       {mround('CAST(res9s AS DOUBLE) / 1000000000 / n', 6)} AS resolution,
+       {mround(f'({_BRIER_Y}) * (1 - ({_BRIER_Y}))', 6)} AS uncertainty,
+       {mround(f'(CAST(rel9s AS DOUBLE) / 1000000000 / n) - (CAST(res9s AS DOUBLE) / 1000000000 / n) + (({_BRIER_Y}) * (1 - ({_BRIER_Y})))', 6)} AS brier_binned
+FROM agg
+"""
+
+
+QUERIES["eval_brier_decomposition"] = QuerySpec(
+    eval_brier_decomposition, EVAL_BRIER_SQL, "eval"
+)
