@@ -355,3 +355,71 @@ def test_mmr_rerank_greedy_invariants(spark):
         picked.append(best[1])
         remaining.remove(best[1])
     assert got["vec_id"].tolist() == picked
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_p90
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_p90_matches_python_recompute(spark):
+    import duckdb
+
+    from tmapreduce_spark.operators.windows import ROLL_P90_W
+
+    got = _run(spark, "window_rolling_p90")
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts), event_id
+            FROM '{SF_SMOKE}/events.parquet' ORDER BY user_id, 2, 3"""
+    ).fetchall()
+    by_user: dict[int, list[int]] = collections.defaultdict(list)
+    for u, us, _ in rows:
+        by_user[int(u)].append(int(us))
+    want = {}
+    for u, uss in by_user.items():
+        gaps = [b - a for a, b in zip(uss, uss[1:])]
+        for i, g in enumerate(gaps):
+            frame = sorted(gaps[max(0, i - ROLL_P90_W + 1) : i + 1])
+            n = len(frame)
+            want[(u, i + 1)] = (g, n, frame[(9 * n + 9) // 10 - 1])
+    for _, r in got.iterrows():
+        k = (int(r["user_id"]), int(r["seq"]))
+        assert k in want
+        g, n, p90 = want[k]
+        assert (int(r["gap_us"]), int(r["n_window"]), int(r["p90_gap_us"])) == (g, n, p90)
+    assert len(got) == len(want)
+    # p90 of a frame is always one of the frame's values and >= its median
+    assert (got["p90_gap_us"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# window_peak_detect
+# ---------------------------------------------------------------------------
+
+
+def test_peak_detect_matches_python_recompute(spark):
+    from tmapreduce_spark.operators.analytics import (
+        PEAK_MIN_HEIGHT,
+        PEAK_NEIGHBORS,
+        _dense_hourly,
+    )
+
+    series = (
+        _dense_hourly(spark, SF_SMOKE).toPandas().sort_values("hidx").reset_index(drop=True)
+    )
+    ns = series["n"].tolist()
+    hs = series["hidx"].tolist()
+    want = {}
+    k = PEAK_NEIGHBORS
+    for i in range(k, len(ns) - k):
+        left = ns[i - k : i]
+        right = ns[i + 1 : i + 1 + k]
+        if ns[i] > max(left) and ns[i] > max(right) and ns[i] >= PEAK_MIN_HEIGHT:
+            want[hs[i]] = (ns[i], ns[i] - max(min(left), min(right)))
+    got = _run(spark, "window_peak_detect")
+    got_map = {
+        int(r["hidx"]): (int(r["peak_height"]), int(r["prominence"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == want
+    assert all(h >= PEAK_MIN_HEIGHT for h, _ in got_map.values())

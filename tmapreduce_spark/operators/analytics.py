@@ -4032,3 +4032,79 @@ GROUP BY o.obs_n_r, o.obs_n_a, o.obs_milli
 QUERIES["agg_permutation_test"] = QuerySpec(
     agg_permutation_test, AGG_PERMUTATION_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection over the hourly series — round 7
+# ---------------------------------------------------------------------------
+
+PEAK_NEIGHBORS = 2  # strictly greater than this many hours on EACH side
+PEAK_MIN_HEIGHT = 3  # absolute floor: peaks below this are noise
+
+
+def window_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection over the zero-filled hourly event-rate
+    series: an hour is a peak iff its count is strictly greater than each
+    of the PEAK_NEIGHBORS hours on BOTH sides (strict > makes plateaus
+    peakless — deterministic, no tie arbitration) and meets the
+    PEAK_MIN_HEIGHT floor. Each peak reports its prominence proxy (height
+    minus the larger of the two adjacent valleys, here the min over the
+    neighbor window on each side) — the load-spike / campaign-launch
+    detector that CUSUM's mean-shift framing misses (a symmetric spike
+    leaves the mean fast, a level shift does not leave peaks).
+
+    Exactness: counts are integers, all comparisons are integer lag/lead
+    comparisons — nothing to round.
+
+    Scale: the corpus collapses to the calendar-bounded hourly table in
+    one partial-agg groupBy; the neighbor windows run over THAT series
+    (bounded by wall-clock hours), each an O(1)-state lag/lead frame."""
+    dense = _dense_hourly(spark, sf_dir)
+    w = Window.orderBy("hidx")
+    wl = Window.orderBy("hidx").rowsBetween(-PEAK_NEIGHBORS, -1)
+    wr = Window.orderBy("hidx").rowsBetween(1, PEAK_NEIGHBORS)
+    flagged = dense.select(
+        "hidx",
+        "n",
+        F.max("n").over(wl).alias("max_l"),
+        F.max("n").over(wr).alias("max_r"),
+        F.min("n").over(wl).alias("min_l"),
+        F.min("n").over(wr).alias("min_r"),
+        F.count("*").over(wl).alias("n_l"),
+        F.count("*").over(wr).alias("n_r"),
+    )
+    return flagged.filter(
+        (F.col("n_l") == PEAK_NEIGHBORS)
+        & (F.col("n_r") == PEAK_NEIGHBORS)
+        & (F.col("n") > F.col("max_l"))
+        & (F.col("n") > F.col("max_r"))
+        & (F.col("n") >= PEAK_MIN_HEIGHT)
+    ).selectExpr(
+        "hidx",
+        "n AS peak_height",
+        "n - greatest(min_l, min_r) AS prominence",
+    )
+
+
+WINDOW_PEAK_DETECT_SQL = f"""
+WITH {_dense_hourly_sql()},
+flagged AS (
+  SELECT hidx, n,
+         max(n) OVER (ORDER BY hidx ROWS BETWEEN {PEAK_NEIGHBORS} PRECEDING AND 1 PRECEDING) AS max_l,
+         max(n) OVER (ORDER BY hidx ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORS} FOLLOWING) AS max_r,
+         min(n) OVER (ORDER BY hidx ROWS BETWEEN {PEAK_NEIGHBORS} PRECEDING AND 1 PRECEDING) AS min_l,
+         min(n) OVER (ORDER BY hidx ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORS} FOLLOWING) AS min_r,
+         count(*) OVER (ORDER BY hidx ROWS BETWEEN {PEAK_NEIGHBORS} PRECEDING AND 1 PRECEDING) AS n_l,
+         count(*) OVER (ORDER BY hidx ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORS} FOLLOWING) AS n_r
+  FROM dense)
+SELECT hidx, n AS peak_height,
+       CAST(n - greatest(min_l, min_r) AS BIGINT) AS prominence
+FROM flagged
+WHERE n_l = {PEAK_NEIGHBORS} AND n_r = {PEAK_NEIGHBORS}
+  AND n > max_l AND n > max_r AND n >= {PEAK_MIN_HEIGHT}
+"""
+
+
+QUERIES["window_peak_detect"] = QuerySpec(
+    window_peak_detect, WINDOW_PEAK_DETECT_SQL, "window"
+)

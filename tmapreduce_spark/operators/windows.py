@@ -1008,3 +1008,84 @@ WINDOW_BOLLINGER_SQL = _bollinger_sql()
 QUERIES["window_bollinger_bands"] = QuerySpec(
     window_bollinger_bands, WINDOW_BOLLINGER_SQL, "window"
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling discrete percentile — round 7
+# ---------------------------------------------------------------------------
+
+ROLL_P90_W = 16  # trailing gaps per window
+
+
+def window_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lower p90 of the inter-event gap over the trailing
+    ROLL_P90_W gaps per user — the windowed tail-latency monitor (a rising
+    rolling p90 flags a user/device going quiet long before the mean
+    moves; the same shape monitors service latency SLOs). No engine has a
+    windowed exact percentile builtin, so BOTH engines run the identical
+    explicit recipe: collect the frame into a row-local array, sort it,
+    and index k = ceil(0.9·n) (1-based lower percentile_disc, computed as
+    the pure-integer (9n+9) div 10) — gap values are exact int64 µs, so
+    every output is an input value, never interpolated.
+
+    Gaps use the catalog's standard (ts, event_id) total order
+    (`window_mean_gap`). Scale: one user_id-partitioned window; the frame
+    array is BOUNDED (ROLL_P90_W values — O(W log W) per row, ~100 B of
+    state), unlike an unbounded collect_list; rows flow through one
+    exchange shared with the lag()."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .withColumn("gap_us", F.col("us") - F.col("prev_us"))
+        .withColumn("seq", F.row_number().over(w))
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(ROLL_P90_W - 1), Window.currentRow)
+    )
+    return (
+        gaps.withColumn("frame", F.collect_list("gap_us").over(wr))
+        .selectExpr(
+            "user_id",
+            "CAST(seq AS BIGINT) AS seq",
+            "gap_us",
+            "CAST(size(frame) AS BIGINT) AS n_window",
+            "element_at(array_sort(frame), CAST((9 * size(frame) + 9) div 10 AS INT))"
+            " AS p90_gap_us",
+        )
+    )
+
+
+WINDOW_ROLLING_P90_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events),
+g2 AS (
+  SELECT user_id, us, event_id, gap_us,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS seq
+  FROM gaps WHERE gap_us IS NOT NULL),
+framed AS (
+  SELECT user_id, seq, gap_us,
+         list(gap_us) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN {ROLL_P90_W - 1} PRECEDING AND CURRENT ROW) AS frame
+  FROM g2)
+SELECT user_id, seq, gap_us,
+       CAST(len(frame) AS BIGINT) AS n_window,
+       list_sort(frame)[(9 * len(frame) + 9) // 10] AS p90_gap_us
+FROM framed
+"""
+
+
+QUERIES["window_rolling_p90"] = QuerySpec(
+    window_rolling_p90, WINDOW_ROLLING_P90_SQL, "window"
+)
