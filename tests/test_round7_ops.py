@@ -423,3 +423,74 @@ def test_peak_detect_matches_python_recompute(spark):
     }
     assert got_map == want
     assert all(h >= PEAK_MIN_HEIGHT for h, _ in got_map.values())
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_markov
+# ---------------------------------------------------------------------------
+
+
+def test_markov_attribution_matches_python_recompute(spark):
+    import duckdb
+    import math
+
+    from tmapreduce_spark.operators.analytics import MARKOV_ATTR_K
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type
+            FROM '{SF_SMOKE}/events.parquet'
+            ORDER BY user_id, epoch_us(ts), event_id"""
+    ).fetchall()
+    by_user: dict[int, list[str]] = collections.defaultdict(list)
+    for u, et in rows:
+        by_user[int(u)].append(et)
+    trans: collections.Counter = collections.Counter()
+    for seq in by_user.values():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        states = ["conv" if s == "purchase" else s for s in seq]
+        trans[("start", states[0])] += 1
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] += 1
+        if states[-1] != "conv":
+            trans[(states[-1], "null")] += 1
+
+    def propagate(tr):
+        srcs = {s for s, _ in tr}
+        n_s = collections.Counter()
+        for (s, _), n in tr.items():
+            n_s[s] += n
+        states = srcs | {d for _, d in tr} | {"conv", "null"}
+        p9 = {s: (1_000_000_000 if s == "conv" else 0) for s in states}
+        for _ in range(MARKOV_ATTR_K):
+            p9 = {
+                s: 1_000_000_000
+                if s == "conv"
+                else 0
+                if s == "null" or s not in srcs
+                else sum(n * p9[d] for (x, d), n in tr.items() if x == s) // n_s[s]
+                for s in states
+            }
+        return p9.get("start", 0)
+
+    p_full = propagate(trans)
+    got = _run(spark, "events_attribution_markov").sort_values("channel")
+    channels = sorted(
+        {s for s, _ in trans} | {d for _, d in trans} - {"start", "conv", "null"}
+    )
+    channels = [c for c in channels if c not in ("start", "conv", "null")]
+    assert got["channel"].tolist() == channels
+    for _, r in got.iterrows():
+        c = r["channel"]
+        tr = collections.Counter()
+        for (s, d), n in trans.items():
+            if s != c:
+                tr[(s, "null" if d == c else d)] += n
+        p_rem = propagate(tr)
+        assert abs(r["p_conv_full"] - p_full / 1e9) < 1e-12
+        assert abs(r["p_conv_removed"] - p_rem / 1e9) < 1e-12
+        want_eff = math.floor((p_full - p_rem) / p_full * 1e6 + 0.5) / 1e6
+        assert abs(r["removal_effect"] - want_eff) < 1e-12
+        # removing a channel can only reduce (or not change) conversion
+        assert r["p_conv_removed"] <= r["p_conv_full"] + 1e-12
+        assert -1e-12 <= r["removal_effect"] <= 1.0

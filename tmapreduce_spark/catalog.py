@@ -199,7 +199,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
         "eval_auc_roc", "eval_pr_auc", "text_keyword_rake",
         "graph_clustering_coeff", "agg_permutation_test",
         "eval_brier_decomposition", "dedup_lsh_scurve", "embedding_mmr_rerank",
-        "window_rolling_p90", "window_peak_detect",
+        "window_rolling_p90", "window_peak_detect", "events_attribution_markov",
     }
 )
 

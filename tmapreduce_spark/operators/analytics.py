@@ -12,6 +12,8 @@ aliases both dialects.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
@@ -4107,4 +4109,227 @@ WHERE n_l = {PEAK_NEIGHBORS} AND n_r = {PEAK_NEIGHBORS}
 
 QUERIES["window_peak_detect"] = QuerySpec(
     window_peak_detect, WINDOW_PEAK_DETECT_SQL, "window"
+)
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — round 7
+# ---------------------------------------------------------------------------
+
+MARKOV_ATTR_K = 16  # bounded propagation horizon (steps)
+
+
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016): each user's
+    event stream, truncated at the FIRST purchase, is a journey
+    start → e₁ → … → conv (purchase) or null (no purchase); a first-order
+    transition matrix is fitted, and each channel's credit is its REMOVAL
+    EFFECT — how much the start→conv absorption probability drops when the
+    channel's node is removed (its inbound edges redirect to null, its
+    outbound rows drop). This is the model-based attribution that fixes
+    what the positional entries (`events_attribution_last_touch`/
+    `_multi_touch`) cannot: a channel that only ever appears mid-journey
+    still earns credit proportional to how much conversion actually
+    depends on it.
+
+    Both engines propagate the SAME MARKOV_ATTR_K bounded rounds, so the
+    reported probability is exactly "P(convert within K steps)" — a
+    documented bounded-horizon contract, not a convergence assumption
+    (the `graph_label_propagation` fixed-round pattern). Probabilities
+    are INTEGER 1e-9 units end-to-end: each round computes
+    p'₉(s) = (Σ_t n(s,t)·p₉(t)) div n(s) — pure int64 products, sums and
+    one truncating division per state, so no float reduction order exists
+    anywhere; the two presentation divisions happen after round K.
+
+    Scale: the corpus-sized work is one user-partitioned window pass
+    (journey truncation + lag) and one partial-agg groupBy onto the
+    ≤(|types|+2)² transition table; that matrix is MODEL state (the
+    kmeans-centroid precedent), so the K rounds × ~6 scenarios run on
+    ≤~40 integers driver-side. The oracle unrolls the same rounds as
+    MATERIALIZED CTEs over the same tiny table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).withColumn("rn", F.row_number().over(w))
+    first_p = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("cut"))
+    )
+    j = (
+        seq.join(first_p, "user_id", "left")
+        .filter(F.col("cut").isNull() | (F.col("rn") <= F.col("cut")))
+        .selectExpr(
+            "user_id",
+            "rn",
+            "cut",
+            "CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state",
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = j.select(
+        "user_id",
+        "rn",
+        "cut",
+        "state",
+        F.lag("state").over(wj).alias("prev"),
+        F.lead("state").over(wj).alias("nxt"),
+    )
+    trans = (
+        steps.selectExpr(
+            "CASE WHEN prev IS NULL THEN 'start' ELSE prev END AS src_if_first",
+            "prev",
+            "state",
+            "nxt",
+            "cut",
+        )
+        .selectExpr(
+            # start -> first state, plus every interior edge, plus the
+            # null-termination of unconverted journeys — emitted as an array
+            # of (src, dst) structs per row and exploded
+            "CASE WHEN prev IS NULL THEN named_struct('src', 'start', 'dst', state)"
+            " ELSE named_struct('src', prev, 'dst', state) END AS edge",
+            "CASE WHEN nxt IS NULL AND state <> 'conv'"
+            " THEN named_struct('src', state, 'dst', 'null') END AS term",
+        )
+        .selectExpr("explode(array(edge, term)) AS e")
+        .filter("e IS NOT NULL")
+        .groupBy(F.expr("e.src").alias("src"), F.expr("e.dst").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    rows = trans.collect()  # model-side: <= (|types|+2)^2 integers
+    full = {(r["src"], r["dst"]): int(r["n"]) for r in rows}
+    channels = sorted(
+        {s for s, _ in full} | {d for _, d in full} - {"start", "conv", "null"}
+    )
+    channels = [c for c in channels if c not in ("start", "conv", "null")]
+
+    def propagate(tr: dict) -> int:
+        srcs = {s for s, _ in tr}
+        n_s = {}
+        for (s, _), n in tr.items():
+            n_s[s] = n_s.get(s, 0) + n
+        states = srcs | {d for _, d in tr} | {"conv", "null"}
+        p9 = {s: (1_000_000_000 if s == "conv" else 0) for s in states}
+        for _ in range(MARKOV_ATTR_K):
+            new = {}
+            for s in states:
+                if s == "conv":
+                    new[s] = 1_000_000_000
+                elif s == "null" or s not in srcs:
+                    new[s] = 0
+                else:
+                    new[s] = sum(n * p9[d] for (x, d), n in tr.items() if x == s) // n_s[s]
+            p9 = new
+        return p9.get("start", 0)
+
+    p_full = propagate(full)
+    out = []
+    for c in channels:
+        tr = {}
+        for (s, d), n in full.items():
+            if s == c:
+                continue
+            key = (s, "null" if d == c else d)
+            tr[key] = tr.get(key, 0) + n
+        p_rem = propagate(tr)
+        # exactly mround(…, 6): floor(x*1e6 + 0.5)/1e6 on the same double
+        eff = (
+            None
+            if p_full == 0
+            else math.floor((p_full - p_rem) / p_full * 1e6 + 0.5) / 1e6
+        )
+        out.append((c, p_full / 1e9, p_rem / 1e9, eff))
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_full double, p_conv_removed double,"
+        " removal_effect double",
+    )
+
+
+def _markov_attr_sql() -> str:
+    rounds = []
+    prev = "p0"
+    for k in range(1, MARKOV_ATTR_K + 1):
+        rounds.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT b.scen, b.state,
+         CASE WHEN b.state = 'conv' THEN 1000000000
+              WHEN b.state = 'null' OR b.n_s IS NULL THEN 0
+              ELSE coalesce(a.num, 0) // b.n_s END AS p9
+  FROM base b LEFT JOIN (
+    SELECT t.scen, t.src AS state, CAST(sum(t.n * r.p9) AS BIGINT) AS num
+    FROM strans t JOIN {prev} r ON r.scen = t.scen AND r.state = t.dst
+    GROUP BY t.scen, t.src) a ON a.scen = b.scen AND a.state = b.state)"""
+        )
+        prev = f"p{k}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+firstp AS (
+  SELECT user_id, min(rn) AS cut FROM seq
+  WHERE event_type = 'purchase' GROUP BY user_id),
+j AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.event_type = 'purchase' THEN 'conv' ELSE s.event_type END AS state
+  FROM seq s LEFT JOIN firstp f USING (user_id)
+  WHERE f.cut IS NULL OR s.rn <= f.cut),
+steps AS (
+  SELECT user_id, rn, state,
+         lag(state) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+         lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM j),
+edges AS (
+  SELECT CASE WHEN prev IS NULL THEN 'start' ELSE prev END AS src,
+         state AS dst
+  FROM steps
+  UNION ALL
+  SELECT state AS src, 'null' AS dst
+  FROM steps WHERE nxt IS NULL AND state <> 'conv'),
+trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY src, dst),
+channels AS (
+  SELECT DISTINCT s AS channel FROM (
+    SELECT src AS s FROM trans UNION SELECT dst FROM trans) t
+  WHERE s NOT IN ('start', 'conv', 'null')),
+scens AS (SELECT 'full' AS scen UNION ALL SELECT channel FROM channels),
+strans AS (
+  SELECT sc.scen, t.src,
+         CASE WHEN t.dst = sc.scen THEN 'null' ELSE t.dst END AS dst,
+         CAST(sum(t.n) AS BIGINT) AS n
+  FROM scens sc JOIN trans t ON sc.scen = 'full' OR t.src <> sc.scen
+  GROUP BY 1, 2, 3),
+base AS (
+  SELECT s.scen, s.state, o.n_s
+  FROM (SELECT scen, src AS state FROM strans
+        UNION SELECT scen, dst FROM strans
+        UNION SELECT scen, 'conv' FROM scens
+        UNION SELECT scen, 'null' FROM scens) s
+  LEFT JOIN (SELECT scen, src, CAST(sum(n) AS BIGINT) AS n_s
+             FROM strans GROUP BY scen, src) o
+    ON o.scen = s.scen AND o.src = s.state),
+p0 AS MATERIALIZED (
+  SELECT scen, state,
+         CAST(CASE WHEN state = 'conv' THEN 1000000000 ELSE 0 END AS BIGINT) AS p9
+  FROM base),
+{",".join(rounds)}
+SELECT c.channel,
+       CAST(f.p9 AS DOUBLE) / 1000000000 AS p_conv_full,
+       CAST(r.p9 AS DOUBLE) / 1000000000 AS p_conv_removed,
+       CASE WHEN f.p9 = 0 THEN NULL
+            ELSE {mround('CAST(f.p9 - r.p9 AS DOUBLE) / f.p9', 6)} END AS removal_effect
+FROM channels c
+JOIN p{MARKOV_ATTR_K} f ON f.scen = 'full' AND f.state = 'start'
+JOIN p{MARKOV_ATTR_K} r ON r.scen = c.channel AND r.state = 'start'
+"""
+
+
+EVENTS_ATTRIBUTION_MARKOV_SQL = _markov_attr_sql()
+
+QUERIES["events_attribution_markov"] = QuerySpec(
+    events_attribution_markov, EVENTS_ATTRIBUTION_MARKOV_SQL, "events"
 )
