@@ -181,6 +181,30 @@ _COVERED_R6: frozenset[str] = frozenset(
     }
 )
 
+# round 7 (CORRECTNESS_r07.json: 50 green — the full round-6 backlog sample)
+_COVERED_R7: frozenset[str] = frozenset(
+    {
+        "agg_bootstrap_ci", "agg_cramers_v", "agg_hdr_latency_percentiles",
+        "agg_mutual_information", "agg_spearman_corr", "agg_theil_sen_trend",
+        "agg_welch_ttest", "agg_winsorized_stats", "diag_null_profile",
+        "embedding_silhouette", "eval_calibration_bins",
+        "eval_confusion_multiclass", "eval_isotonic_calibration", "eval_pass_at_k",
+        "eval_rank_kendall", "eval_threshold_sweep", "events_autocorrelation",
+        "events_cuped_adjusted_lift", "events_lag_features_asof",
+        "events_seasonal_decompose", "events_sessionized_funnel",
+        "events_spectral_energy", "events_srm_check", "events_survival_km",
+        "events_xcorr_leadlag", "graph_kcore", "graph_label_propagation",
+        "graph_link_prediction", "graph_modularity", "join_geo_grid_knn",
+        "join_ip_cidr_lpm", "join_jaro_winkler", "layout_skipping_audit",
+        "multimodal_patch_features", "multimodal_wav_tone_probe",
+        "orders_assoc_rules", "pipeline_compaction_plan", "pipeline_cv_folds",
+        "pipeline_dataset_hash", "pipeline_dp_counts", "pipeline_kanonymity_audit",
+        "pipeline_truncation_loss", "retrieval_rrf_hybrid", "scalar_variant",
+        "source_python_custom", "text_bm25_search", "text_bm25_topk",
+        "text_readability", "udf_udtf_analyze", "window_bollinger_bands",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -191,17 +215,9 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 # Entries added AFTER the current round's backlog ordering was frozen: they
 # enumerate behind the earlier never-sampled backlog (which is sized/sequenced
 # to the driver's ~50-row window) so a late addition can never push an older
-# unproven entry out of the verification window. The round-6 defer list folded
-# into the normal backlog when _COVERED_R6 landed; round-7 additions go here.
-_BACKLOG_DEFER: frozenset[str] = frozenset(
-    {
-        # round-7 additions — behind the 52-entry round-6 backlog
-        "eval_auc_roc", "eval_pr_auc", "text_keyword_rake",
-        "graph_clustering_coeff", "agg_permutation_test",
-        "eval_brier_decomposition", "dedup_lsh_scurve", "embedding_mmr_rerank",
-        "window_rolling_p90", "window_peak_detect", "events_attribution_markov",
-    }
-)
+# unproven entry out of the verification window. The round-7 defer list folded
+# into the normal backlog when _COVERED_R7 landed; round-8 additions go here.
+_BACKLOG_DEFER: frozenset[str] = frozenset()
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}
@@ -212,6 +228,7 @@ for _rnd, _names in (
     (4, _COVERED_R4),
     (5, _COVERED_R5),
     (6, _COVERED_R6),
+    (7, _COVERED_R7),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd
