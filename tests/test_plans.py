@@ -150,6 +150,24 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
 
 
+def test_rrf_hybrid_tokenizes_corpus_once(spark):
+    """retrieval_rrf_hybrid must ride ONE postings materialization: the
+    corpus tokenize+groupBy runs in the localCheckpoint job, so the final
+    query plan carries ZERO `Generate`s and every consumer (corpus stats,
+    the df/dl windows, the query-term join) scans the same checkpointed
+    RDD. The r07 shape — 3 Generates / 16 Exchanges from re-tokenizing per
+    ranker plus a vestigial full-outer fusion join — is the regression this
+    pins against. Both ranks are windows over one (query_id) exchange, so
+    no SortMergeJoin appears either."""
+    from tmapreduce_spark.functions.text import retrieval_rrf_hybrid
+
+    df = retrieval_rrf_hybrid(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Generate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Skew-join evidence: a manufactured hot key (one join partition ~100x
     the median) must trigger AQE's OptimizeSkewedJoin in Spark 4.1 —

@@ -3510,40 +3510,72 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-micro via 1000000 div (60+rank) — exact integers, so the
     fused ordering is reduction-order-proof; ties break on doc_id.
 
-    Scale: both rankers ride the one postings exchange (broadcast query
-    dim, per-(query,doc) partial-agg groupBy, WindowGroupLimit top-k); the
-    fusion is a full outer join of two ≤(queries×10)-row lists — model-
-    side-sized, independent of corpus size."""
-    bm = text_bm25_search(spark, sf_dir).selectExpr(
-        "query_id", "doc_id", "rank AS rank_bm25"
-    )
+    Scale: the corpus is tokenized EXACTLY ONCE — postings is
+    localCheckpoint-ed and every downstream consumer (corpus stats, the
+    df/dl windows, the query join) reads the materialized blocks, so the
+    final plan carries zero `Generate`s (plan-asserted in
+    tests/test_plans.py). Both rankers rank the SAME candidate set (docs
+    matching >=1 query term), so both ranks are two row_number windows
+    over the ONE (query_id)-partitioned exchange of the per-(query,doc)
+    hit aggregate — no second tokenize, no full-outer fusion join; rows
+    outside a ranker's top-10 keep a NULL rank exactly as the outer join
+    produced."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    # One tokenize for the whole query: stats, the df/dl windows, and the
+    # query-term join all read these materialized blocks (reused 3x — the
+    # same deliberate-materialization call as dedup's _edges_neardup).
+    postings = (
+        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+    )
+    enriched = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
+    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "tok",
+        "tf",
+        "CAST(floor(("
+        "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+        ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+    )
     qterms = spark.createDataFrame(
         [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
         "query_id string, tok string",
     )
-    cov = (
-        postings.join(F.broadcast(qterms), "tok")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_matched"),
-            F.sum("tf").cast("bigint").alias("total_tf"),
-        )
+    hits = scored.join(F.broadcast(qterms), "tok").groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum("bm25_micro").alias("score_micro"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
     )
-    wc = Window.partitionBy("query_id").orderBy(
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    w_cov = Window.partitionBy("query_id").orderBy(
         F.desc("n_matched"), F.desc("total_tf"), F.asc("doc_id")
     )
-    covr = (
-        cov.withColumn("rank_cov", F.row_number().over(wc).cast("bigint"))
-        .filter(F.col("rank_cov") <= BM25_SEARCH_TOP_K)
-        .select("query_id", "doc_id", "rank_cov")
+    both = (
+        hits.withColumn("r_bm", F.row_number().over(w_bm))
+        .withColumn("r_cov", F.row_number().over(w_cov))
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            f"CASE WHEN r_bm <= {BM25_SEARCH_TOP_K}"
+            " THEN CAST(r_bm AS BIGINT) END AS rank_bm25",
+            f"CASE WHEN r_cov <= {BM25_SEARCH_TOP_K}"
+            " THEN CAST(r_cov AS BIGINT) END AS rank_cov",
+        )
+        .filter("rank_bm25 IS NOT NULL OR rank_cov IS NOT NULL")
     )
-    both = bm.join(covr, ["query_id", "doc_id"], "full_outer")
     rrf = (
         f"coalesce(1000000 div ({RRF_K} + rank_bm25), 0)"
         f" + coalesce(1000000 div ({RRF_K} + rank_cov), 0)"
@@ -3562,30 +3594,50 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RETRIEVAL_RRF_SQL = rf"""
-WITH bm AS ({TEXT_BM25_SEARCH_SQL}),
-toks AS (
+WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
   FROM documents),
 postings AS (
   SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_dl
+  FROM postings),
+enriched AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+scored AS (
+  SELECT doc_id, tok, tf,
+         CAST(floor((
+           (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+           * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+         ) * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+  FROM enriched CROSS JOIN stats),
 qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
-cov AS (
-  SELECT query_id, p.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+hits AS (
+  SELECT query_id, s.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(bm25_micro) AS BIGINT) AS score_micro,
          CAST(sum(tf) AS BIGINT) AS total_tf
-  FROM postings p JOIN qterms USING (tok)
-  GROUP BY query_id, p.doc_id),
-covr AS (
+  FROM scored s JOIN qterms USING (tok)
+  GROUP BY query_id, s.doc_id),
+ranked AS (
   SELECT query_id, doc_id,
-         CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY n_matched DESC, total_tf DESC, doc_id ASC) AS BIGINT)
-           AS rank_cov
-  FROM cov QUALIFY rank_cov <= {BM25_SEARCH_TOP_K}),
+         row_number() OVER (PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id ASC) AS r_bm,
+         row_number() OVER (PARTITION BY query_id
+                ORDER BY n_matched DESC, total_tf DESC, doc_id ASC) AS r_cov
+  FROM hits),
 merged AS (
-  SELECT coalesce(b.query_id, c.query_id) AS query_id,
-         coalesce(b.doc_id, c.doc_id) AS doc_id,
-         b.rank AS rank_bm25, c.rank_cov
-  FROM bm b FULL OUTER JOIN covr c
-    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+  SELECT query_id, doc_id,
+         CASE WHEN r_bm <= {BM25_SEARCH_TOP_K} THEN CAST(r_bm AS BIGINT) END
+           AS rank_bm25,
+         CASE WHEN r_cov <= {BM25_SEARCH_TOP_K} THEN CAST(r_cov AS BIGINT) END
+           AS rank_cov
+  FROM ranked
+  WHERE r_bm <= {BM25_SEARCH_TOP_K} OR r_cov <= {BM25_SEARCH_TOP_K}),
 fused AS (
   SELECT query_id, doc_id, rank_bm25, rank_cov,
          CAST(coalesce(1000000 // ({RRF_K} + rank_bm25), 0)
