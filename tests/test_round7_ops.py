@@ -280,7 +280,8 @@ def test_lsh_scurve_theory_and_empirical(spark):
     from tmapreduce_spark.functions.dedup import BAND_R, NUM_PERMS, dedup_minhash_pairs
 
     got = _run(spark, "dedup_lsh_scurve").sort_values("jaccard_lo")
-    assert len(got) == 19
+    assert len(got) == 20  # s20 = 0..19; bucket 0 keeps jaccard < 0.05 visible
+    assert got["jaccard_lo"].iloc[0] == 0.0 and got["detect_prob"].iloc[0] == 0.0
     b = NUM_PERMS // BAND_R
     for _, r in got.iterrows():
         s = r["jaccard_lo"]
@@ -494,3 +495,82 @@ def test_markov_attribution_matches_python_recompute(spark):
         # removing a channel can only reduce (or not change) conversion
         assert r["p_conv_removed"] <= r["p_conv_full"] + 1e-12
         assert -1e-12 <= r["removal_effect"] <= 1.0
+
+
+def test_markov_sql_survives_channel_named_full():
+    """The oracle's full-scenario sentinel must not collide with an
+    event_type literally named 'full' (ADVICE r7): scenario labels are
+    'full' vs 'c:'||channel, with the removed channel carried in a
+    separate column. Checked duckdb-only against the same bounded
+    propagation in pure Python on journeys that contain a 'full' channel."""
+    import math
+
+    import duckdb
+
+    from tmapreduce_spark.operators.analytics import (
+        EVENTS_ATTRIBUTION_MARKOV_SQL,
+        MARKOV_ATTR_K,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE VIEW events AS SELECT * FROM (VALUES
+             (1, 'full',     TIMESTAMP '2024-01-01 00:00:00', 1),
+             (1, 'email',    TIMESTAMP '2024-01-01 00:01:00', 2),
+             (1, 'purchase', TIMESTAMP '2024-01-01 00:02:00', 3),
+             (2, 'email',    TIMESTAMP '2024-01-01 00:00:00', 4),
+             (2, 'full',     TIMESTAMP '2024-01-01 00:01:00', 5),
+             (3, 'full',     TIMESTAMP '2024-01-01 00:00:00', 6),
+             (3, 'purchase', TIMESTAMP '2024-01-01 00:01:00', 7),
+             (4, 'ads',      TIMESTAMP '2024-01-01 00:00:00', 8)
+           ) v(user_id, event_type, ts, event_id)"""
+    )
+    got = (
+        con.execute(EVENTS_ATTRIBUTION_MARKOV_SQL)
+        .df()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+
+    journeys = [
+        ["start", "full", "email", "conv"],
+        ["start", "email", "full", "null"],
+        ["start", "full", "conv"],
+        ["start", "ads", "null"],
+    ]
+    trans: collections.Counter = collections.Counter()
+    for j in journeys:
+        for s, d in zip(j, j[1:]):
+            trans[(s, d)] += 1
+
+    def propagate(tr):
+        srcs = {s for s, _ in tr}
+        n_s = collections.Counter()
+        for (s, _), n in tr.items():
+            n_s[s] += n
+        states = srcs | {d for _, d in tr} | {"conv", "null"}
+        p9 = {s: (10**9 if s == "conv" else 0) for s in states}
+        for _ in range(MARKOV_ATTR_K):
+            p9 = {
+                s: 10**9
+                if s == "conv"
+                else 0
+                if s == "null" or s not in srcs
+                else sum(n * p9[d] for (x, d), n in tr.items() if x == s) // n_s[s]
+                for s in states
+            }
+        return p9.get("start", 0)
+
+    p_full = propagate(trans)
+    assert got["channel"].tolist() == ["ads", "email", "full"]
+    for _, r in got.iterrows():
+        c = r["channel"]
+        tr: collections.Counter = collections.Counter()
+        for (s, d), n in trans.items():
+            if s != c:
+                tr[(s, "null" if d == c else d)] += n
+        p_rem = propagate(tr)
+        assert abs(r["p_conv_full"] - p_full / 1e9) < 1e-12
+        assert abs(r["p_conv_removed"] - p_rem / 1e9) < 1e-12
+        want = math.floor((p_full - p_rem) / p_full * 1e6 + 0.5) / 1e6
+        assert abs(r["removal_effect"] - want) < 1e-12

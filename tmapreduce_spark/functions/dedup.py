@@ -2827,7 +2827,7 @@ QUERIES["graph_clustering_coeff"] = QuerySpec(
 # the Benford pattern: no runtime pow() whose last-bit behavior could differ.
 _SCURVE_GRID = [
     (s20, round(1.0 - (1.0 - (s20 / 20.0) ** BAND_R) ** (NUM_PERMS // BAND_R), 6))
-    for s20 in range(1, 20)
+    for s20 in range(0, 20)
 ]
 
 
@@ -2848,9 +2848,11 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mround(6)-pinned pair Jaccard — the identical double expression in both
     engines on identical inputs.
 
-    Scale: a 19-row constant dim left-joined with one partial-agg groupBy
-    over the banding-bounded verified pair set — audit cost rides entirely
-    on the detector's own pipeline."""
+    Scale: a 20-row constant dim (s20 = 0..19 — bucket 0 keeps verified
+    pairs with jaccard < 0.05 visible instead of dropping them off the
+    grid) left-joined with one partial-agg groupBy over the
+    banding-bounded verified pair set — audit cost rides entirely on the
+    detector's own pipeline."""
     grid = spark.createDataFrame(_SCURVE_GRID, "s20 INT, detect_prob DOUBLE")
     emp = (
         dedup_minhash_pairs(spark, sf_dir)

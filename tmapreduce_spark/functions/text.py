@@ -4221,11 +4221,14 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct scores DESCENDING; at each threshold t the cumulative
     (tp, fp) give precision(t) = tp/(tp+fp), and
     AP = Σ_t (tp(t) − tp(prev)) · precision(t) / n_pos. Each term is
-    accumulated as EXACT INTEGER MICRO-UNITS (p_s·cum_tp·1e6 div cum_n —
-    fits int64: ≤1e5·1e5·1e6 would overflow, but p_s·cum_tp ≤ n_pos² ≤
-    ~1e9 at any plausible doc count here, and the div truncates
-    identically in both engines), so the cross-group sum is
-    reduction-order-proof; the only floats are the two final
+    accumulated as EXACT INTEGER MICRO-UNITS via the overflow-safe
+    decomposition of (p_s·cum_tp·1e6) div cum_n: with A = cum_tp·1e6,
+    the identity (p_s·A) div n = p_s·(A div n) + (p_s·(A mod n)) div n
+    holds exactly for nonnegative ints, and its largest intermediate is
+    p_s·(A mod n) < p_s·cum_n ≤ n_pos·n_total — int64-safe to ~3e9 rows
+    per side (the naive triple product wrapped at n_pos ≈ 3e6). Both
+    divisions truncate identically in both engines, so the cross-group
+    sum is reduction-order-proof; the only floats are the two final
     presentations. Ties follow the step form: a whole score group enters
     at once (no intra-group interpolation). Reports AP next to the
     positive base rate (the random-classifier baseline AP).
@@ -4249,7 +4252,12 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_s").over(w).alias("cum_tp"),
     )
     agg = stepped.agg(
-        F.sum(F.expr("(p_s * cum_tp * 1000000) div cum_n")).alias("ap_micro"),
+        F.sum(
+            F.expr(
+                "p_s * ((cum_tp * 1000000) div cum_n)"
+                " + (p_s * ((cum_tp * 1000000) % cum_n)) div cum_n"
+            )
+        ).alias("ap_micro"),
         F.max("cum_tp").alias("n_pos"),
         F.max("cum_n").alias("n_total"),
     )
@@ -4275,7 +4283,8 @@ stepped AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp
   FROM by_score),
 agg AS (
-  SELECT CAST(sum((p_s * cum_tp * 1000000) // cum_n) AS BIGINT) AS ap_micro,
+  SELECT CAST(sum(p_s * ((cum_tp * 1000000) // cum_n)
+               + (p_s * ((cum_tp * 1000000) % cum_n)) // cum_n) AS BIGINT) AS ap_micro,
          CAST(max(cum_tp) AS BIGINT) AS n_pos,
          CAST(max(cum_n) AS BIGINT) AS n_total
   FROM stepped)

@@ -4296,12 +4296,17 @@ channels AS (
   SELECT DISTINCT s AS channel FROM (
     SELECT src AS s FROM trans UNION SELECT dst FROM trans) t
   WHERE s NOT IN ('start', 'conv', 'null')),
-scens AS (SELECT 'full' AS scen UNION ALL SELECT channel FROM channels),
+scens AS (
+  -- scen is a UNIQUE label per scenario; chan carries the removed channel
+  -- (NULL for the full scenario). The 'c:' prefix keeps an event_type
+  -- literally named 'full' from colliding with the full-scenario label.
+  SELECT 'full' AS scen, CAST(NULL AS VARCHAR) AS chan
+  UNION ALL SELECT 'c:' || channel, channel FROM channels),
 strans AS (
   SELECT sc.scen, t.src,
-         CASE WHEN t.dst = sc.scen THEN 'null' ELSE t.dst END AS dst,
+         CASE WHEN t.dst = sc.chan THEN 'null' ELSE t.dst END AS dst,
          CAST(sum(t.n) AS BIGINT) AS n
-  FROM scens sc JOIN trans t ON sc.scen = 'full' OR t.src <> sc.scen
+  FROM scens sc JOIN trans t ON sc.chan IS NULL OR t.src <> sc.chan
   GROUP BY 1, 2, 3),
 base AS (
   SELECT s.scen, s.state, o.n_s
@@ -4324,7 +4329,7 @@ SELECT c.channel,
             ELSE {mround('CAST(f.p9 - r.p9 AS DOUBLE) / f.p9', 6)} END AS removal_effect
 FROM channels c
 JOIN p{MARKOV_ATTR_K} f ON f.scen = 'full' AND f.state = 'start'
-JOIN p{MARKOV_ATTR_K} r ON r.scen = c.channel AND r.state = 'start'
+JOIN p{MARKOV_ATTR_K} r ON r.scen = 'c:' || c.channel AND r.state = 'start'
 """
 
 
