@@ -217,7 +217,12 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 # to the driver's ~50-row window) so a late addition can never push an older
 # unproven entry out of the verification window. The round-7 defer list folded
 # into the normal backlog when _COVERED_R7 landed; round-8 additions go here.
-_BACKLOG_DEFER: frozenset[str] = frozenset()
+_BACKLOG_DEFER: frozenset[str] = frozenset(
+    {
+        # round-8 additions — behind the 13-entry round-7 backlog
+        "pipeline_cdc_upsert_orders", "pipeline_scd2_orders_status",
+    }
+)
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import DUCK, SPARK, mavg, mround, msum2
@@ -661,3 +661,162 @@ QUERIES: dict[str, QuerySpec] = {
     "q21_waiting_supplier": QuerySpec(q21_waiting_supplier, Q21_SQL, "join+agg"),
     "q22_sales_opportunity": QuerySpec(q22_sales_opportunity, Q22_SQL, "join+agg"),
 }
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE upsert audit + SCD2 snapshot — round 8 (VERDICT r7 item 5).
+# The reference's closest analogue is the job-result overwrite cycle
+# (/root/reference/src/master/master.cc:685-710): results replace wholesale,
+# with no keyed upsert or history — both shapes below are net-new surface.
+# ---------------------------------------------------------------------------
+
+CDC_INSERT_KEY_OFFSET = 100_000_000
+
+
+def pipeline_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE reconciliation audit: a deterministic CDC batch against the
+    `orders` fact (o_orderkey % 20 — 0: update, price·11/10 exact IEEE;
+    1: delete; 2: insert a copy under key+1e8) is applied with full MERGE
+    semantics, and the output is the per-action RECONCILIATION — row count,
+    money in, money out, net delta — the audit a warehouse merge job emits
+    for sign-off. Complements `pipeline_merge_scd` (per-row merge output on
+    documents) with the totals-reconciliation shape, and the delta column
+    is exact: every sum runs in integer micro-units (msum2).
+
+    Scale: the CDC batch derives from the same scan; MERGE is exactly one
+    co-partitioned full-outer join on the key (the post-pruning Delta/
+    Iceberg shape — full-outer cannot broadcast, so SMJ on the PK is the
+    honest 100 TB plan), then a partial-agg groupBy onto 4 action rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ch = o.filter("o_orderkey % 20 IN (0, 1, 2)").selectExpr(
+        "CASE WHEN o_orderkey % 20 = 2"
+        f" THEN o_orderkey + {CDC_INSERT_KEY_OFFSET}"
+        " ELSE o_orderkey END AS o_orderkey",
+        "CASE WHEN o_orderkey % 20 = 0 THEN 'U'"
+        " WHEN o_orderkey % 20 = 1 THEN 'D' ELSE 'I' END AS op",
+        "CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 11 / 10"
+        " WHEN o_orderkey % 20 = 2 THEN o_totalprice END AS new_price",
+    )
+    before = "coalesce(o_totalprice, CAST(0 AS DOUBLE))"
+    after = (
+        "CASE WHEN op = 'D' THEN CAST(0 AS DOUBLE)"
+        " WHEN op IS NULL THEN o_totalprice ELSE new_price END"
+    )
+    return (
+        o.join(ch, "o_orderkey", "full_outer")
+        .selectExpr(
+            "CASE WHEN op IS NULL THEN 'kept' WHEN op = 'U' THEN 'updated'"
+            " WHEN op = 'D' THEN 'deleted' ELSE 'inserted' END AS action",
+            f"{before} AS amt_before",
+            f"{after} AS amt_after",
+        )
+        .groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr(msum2("amt_before", SPARK)).alias("amount_before"),
+            F.expr(msum2("amt_after", SPARK)).alias("amount_after"),
+            F.expr(msum2("amt_after - amt_before", SPARK)).alias("amount_delta"),
+        )
+    )
+
+
+PIPELINE_CDC_UPSERT_SQL = f"""
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+ch AS (
+  SELECT CASE WHEN o_orderkey % 20 = 2
+              THEN o_orderkey + {CDC_INSERT_KEY_OFFSET}
+              ELSE o_orderkey END AS o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'U'
+              WHEN o_orderkey % 20 = 1 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 11 / 10
+              WHEN o_orderkey % 20 = 2 THEN o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+merged AS (
+  SELECT CASE WHEN c.op IS NULL THEN 'kept' WHEN c.op = 'U' THEN 'updated'
+              WHEN c.op = 'D' THEN 'deleted' ELSE 'inserted' END AS action,
+         coalesce(b.o_totalprice, CAST(0 AS DOUBLE)) AS amt_before,
+         CASE WHEN c.op = 'D' THEN CAST(0 AS DOUBLE)
+              WHEN c.op IS NULL THEN b.o_totalprice
+              ELSE c.new_price END AS amt_after
+  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+SELECT action, CAST(count(*) AS BIGINT) AS n_orders,
+       {msum2("amt_before", DUCK)} AS amount_before,
+       {msum2("amt_after", DUCK)} AS amount_after,
+       {msum2("amt_after - amt_before", DUCK)} AS amount_delta
+FROM merged GROUP BY action
+"""
+
+
+def pipeline_scd2_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) snapshot: each customer's
+    order-status history collapses into validity intervals — one row per
+    status CHANGE with valid_from (the change date), valid_to (the next
+    change's date, exclusive; NULL while current), a per-key version
+    number, and is_current. This is the warehouse dimension-history shape
+    MERGE alone cannot produce (it keeps only the latest row —
+    `pipeline_upsert_latest`); downstream as-of joins against it are
+    `events_snapshot_asof`'s pattern.
+
+    Determinism: change detection orders by (order date, o_orderkey) — a
+    unique total order — and compares against the null-safe lag, so the
+    interval set is a pure function of the table.
+
+    Scale: one shuffle on o_custkey serves the lag window, the change
+    filter, and the lead/row_number windows (identical partitioning and
+    ordering — Catalyst plans no second exchange); state per key is one
+    row, never the history."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderstatus",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS od",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    chg = o.withColumn("prev", F.lag("o_orderstatus").over(w)).filter(
+        "prev IS NULL OR prev <> o_orderstatus"
+    )
+    return chg.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "o_orderstatus",
+        F.col("od").alias("valid_from"),
+        F.lead("od").over(w).alias("valid_to"),
+    ).selectExpr(
+        "o_custkey",
+        "version",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        "CAST(valid_to IS NULL AS INT) AS is_current",
+    )
+
+
+PIPELINE_SCD2_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d') AS od, o_orderkey
+  FROM orders),
+seq AS (
+  SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+              ORDER BY od, o_orderkey) AS prev
+  FROM base),
+chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderstatus)
+SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       o_orderstatus,
+       od AS valid_from,
+       lead(od) OVER w AS valid_to,
+       CAST(lead(od) OVER w IS NULL AS INT) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+"""
+
+
+QUERIES["pipeline_cdc_upsert_orders"] = QuerySpec(
+    pipeline_cdc_upsert_orders, PIPELINE_CDC_UPSERT_SQL, "pipeline"
+)
+QUERIES["pipeline_scd2_orders_status"] = QuerySpec(
+    pipeline_scd2_orders_status, PIPELINE_SCD2_SQL, "pipeline"
+)
