@@ -632,3 +632,51 @@ def test_streaming_hdr_partials_merge_to_batch_percentiles(spark):
     for g in [0, 1, 7, 8, 9, 15, 16, 17, 127, 128, 1023, 1024, 123456789]:
         lo = hdr_bin_lo(g)
         assert lo <= g < (lo + max(1, lo // 8) if g >= 8 else lo + 1), (g, lo)
+
+
+def test_streaming_rolling_p90_converges_to_batch_last_row(spark):
+    """The streaming rolling-p90 twin's final emission per user must equal
+    the batch `window_rolling_p90` row at that user's max seq — same gap,
+    same window size, same exact lower-percentile pick."""
+    from tmapreduce_spark.operators.windows import window_rolling_p90
+    from tmapreduce_spark.streaming.stateful import streaming_rolling_p90
+
+    s = streaming_rolling_p90(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_rollp90", output_mode="update")
+    final = {}
+    for r in mem.collect():
+        best = final.get(r["user_id"])
+        if best is None or r["seq"] > best["seq"]:
+            final[r["user_id"]] = r
+
+    batch = window_rolling_p90(spark, SF_SMOKE).toPandas()
+    last = batch.loc[batch.groupby("user_id")["seq"].idxmax()].set_index("user_id")
+    assert set(final) == set(last.index)
+    for uid, r in final.items():
+        b = last.loc[uid]
+        assert r["seq"] == b["seq"], uid
+        assert r["gap_us"] == b["gap_us"], uid
+        assert r["n_window"] == b["n_window"], uid
+        assert r["p90_gap_us"] == b["p90_gap_us"], uid
+
+
+def test_streaming_peak_detect_converges_to_batch_peaks(spark):
+    """The streaming peak twin's final emission (the one covering the most
+    hours) must list exactly the batch `window_peak_detect` rows. Counts
+    are commutative increments, so this holds under any arrival order."""
+    from tmapreduce_spark.operators.analytics import window_peak_detect
+    from tmapreduce_spark.streaming.stateful import streaming_peak_detect
+
+    s = streaming_peak_detect(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_peaks", output_mode="update")
+    rows = mem.collect()
+    assert rows
+    final = max(rows, key=lambda r: r["n_hours"])
+    got = sorted(
+        zip(final["peak_hidx"], final["peak_height"], final["prominence"])
+    )
+    batch = sorted(
+        (r["hidx"], r["peak_height"], r["prominence"])
+        for r in window_peak_detect(spark, SF_SMOKE).collect()
+    )
+    assert got == batch

@@ -629,3 +629,162 @@ def streaming_hdr_gaps(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming rolling-p90 gap monitor ---------------------------------------
+#
+# Streaming twin of the batch `window_rolling_p90` catalog entry: per-user
+# state is the previous event time plus the trailing ROLL_P90_W gap values
+# (a bounded int64 ring — ~130 B/user, O(distinct users) total). Each
+# micro-batch emits the user's LATEST rolling-p90 row; with in-order delivery
+# the final emission per user equals the batch operator's max-seq row exactly
+# (asserted in tests/test_streaming.py) — the live tail-latency SLO shape.
+
+ROLLP90_OUTPUT_SCHEMA = (
+    "user_id bigint, seq bigint, gap_us bigint, n_window bigint, p90_gap_us bigint"
+)
+ROLLP90_STATE_SCHEMA = "prev_us bigint, started boolean, seq bigint, gaps array<bigint>"
+
+
+def _update_rollp90_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from tmapreduce_spark.operators.windows import ROLL_P90_W
+
+    (user_id,) = key
+    prev_us, started, seq, gaps = (
+        state.get if state.exists else (0, False, 0, [])
+    )
+    gaps = list(gaps)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+    last_gap = None
+    for us in rows["ts_us"]:
+        us = int(us)
+        if started:
+            if us < prev_us:
+                continue  # late arrival past emitted state: watermark-discard
+            last_gap = us - prev_us
+            seq += 1
+            gaps.append(last_gap)
+            if len(gaps) > ROLL_P90_W:
+                gaps = gaps[-ROLL_P90_W:]
+        prev_us, started = us, True
+    state.update((prev_us, started, seq, gaps))
+    if seq == 0:
+        return  # no gap yet — nothing to monitor (matches the batch filter)
+    frame = sorted(gaps)
+    # identical 1-based lower-percentile index to the batch recipe
+    p90 = frame[(9 * len(frame) + 9) // 10 - 1]
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "seq": [seq],
+            "gap_us": [gaps[-1] if last_gap is None else last_gap],
+            "n_window": [len(gaps)],
+            "p90_gap_us": [p90],
+        }
+    )
+
+
+def streaming_rolling_p90(events: DataFrame) -> DataFrame:
+    """Streaming per-user rolling p90 of the inter-event gap (bounded
+    trailing-window state)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_rollp90_state,
+            outputStructType=ROLLP90_OUTPUT_SCHEMA,
+            stateStructType=ROLLP90_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- streaming hourly peak detection -----------------------------------------
+#
+# Streaming twin of the batch `window_peak_detect` catalog entry. State is
+# the zero-filled hourly count array from the first seen hour — bounded by
+# WALL-CLOCK hours, the same argument the batch operator makes for its dense
+# series, so it stays tiny no matter the event volume. Counts are pure
+# commutative increments, so unlike the gap-based twins this one converges
+# to the batch answer under ANY arrival order, not just in-order replay.
+# Each micro-batch re-evaluates the strict local-maximum rule over the
+# current series and emits the full confirmed-peak list as one array row;
+# the final emission equals the batch rows exactly. At production scale the
+# stream would be pre-aggregated to (hour, n) upstream, so the single-group
+# reduce sees calendar-sized input, not the raw firehose.
+
+PEAKS_OUTPUT_SCHEMA = (
+    "n_hours bigint, peak_hidx array<bigint>, peak_height array<bigint>, "
+    "prominence array<bigint>"
+)
+PEAKS_STATE_SCHEMA = "lo_hidx bigint, started boolean, counts array<bigint>"
+
+
+def _update_peaks_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from tmapreduce_spark.operators.analytics import PEAK_MIN_HEIGHT, PEAK_NEIGHBORS
+
+    lo, started, counts = state.get if state.exists else (0, False, [])
+    counts = list(counts)
+    for pdf in pdfs:
+        for h in pdf["hidx"]:
+            h = int(h)
+            if not started:
+                lo, started, counts = h, True, [0]
+            if h < lo:  # extend the series downward (out-of-order is fine)
+                counts = [0] * (lo - h) + counts
+                lo = h
+            elif h - lo >= len(counts):
+                counts.extend([0] * (h - lo - len(counts) + 1))
+            counts[h - lo] += 1
+    state.update((lo, started, counts))
+    k = PEAK_NEIGHBORS
+    hidxs, heights, proms = [], [], []
+    for i in range(k, len(counts) - k):
+        n = counts[i]
+        left, right = counts[i - k : i], counts[i + 1 : i + 1 + k]
+        if n >= PEAK_MIN_HEIGHT and n > max(left) and n > max(right):
+            hidxs.append(lo + i)
+            heights.append(n)
+            proms.append(n - max(min(left), min(right)))
+    yield pd.DataFrame(
+        {
+            "n_hours": [len(counts)],
+            "peak_hidx": [hidxs],
+            "peak_height": [heights],
+            "prominence": [proms],
+        }
+    )
+
+
+def streaming_peak_detect(events: DataFrame) -> DataFrame:
+    """Streaming hourly peak detector over the zero-filled event-rate
+    series (order-insensitive commutative counts; calendar-bounded state)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.selectExpr(
+            "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+            " AS hidx",
+            "CAST(0 AS INT) AS g",
+        )
+        .groupBy("g")
+        .applyInPandasWithState(
+            _update_peaks_state,
+            outputStructType=PEAKS_OUTPUT_SCHEMA,
+            stateStructType=PEAKS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
