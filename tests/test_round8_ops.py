@@ -106,3 +106,27 @@ def test_cdc_merge_plan_copartitioned_join(spark):
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_cuts_recursion_matches_flat_and_bruteforce(spark):
+    """The r08 recursive grid narrowing in _exact_quantile_disc_cuts
+    (oversized candidate buckets recurse instead of over-fetching) must
+    produce the same exact percentile_disc values as the one-level walk
+    and as a brute-force sort."""
+    import tmapreduce_spark.operators.analytics as A
+    from tmapreduce_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    fr = [(k, 10) for k in range(1, 10)]
+    flat = A._exact_quantile_disc_cuts(o, "o_totalprice", fr, buckets=65536)
+    saved = A._QCUT_FETCH_LIMIT
+    try:
+        A._QCUT_FETCH_LIMIT = 10  # force multi-level recursion at any size
+        rec = A._exact_quantile_disc_cuts(o, "o_totalprice", fr, buckets=8)
+    finally:
+        A._QCUT_FETCH_LIMIT = saved
+    assert rec == flat
+    vals = sorted(v[0] for v in o.select("o_totalprice").collect())
+    n = len(vals)
+    brute = [vals[max(1, -((-k * n) // 10)) - 1] for k in range(1, 10)]
+    assert flat == brute

@@ -78,3 +78,44 @@ def test_bench_headline_is_catalog_subset():
     missing = [n for n in bench.HEADLINE if n not in catalog]
     assert not missing, missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate HEADLINE names"
+
+
+def test_survey_7_bench_quotes_match_committed_record():
+    """SURVEY §7's quoted per-query times must be byte-sourced from the
+    committed folded bench record (r07 verdict #3: prose contradicted the
+    record two rounds running). §7 carries a machine-readable quote table
+    between BENCH-QUOTES markers; every row must equal the record."""
+    import json
+
+    text = SURVEY.read_text()
+    start = text.index("<!-- BENCH-QUOTES")
+    end = text.index("<!-- /BENCH-QUOTES -->")
+    block = text[start:end]
+    rec = json.loads((SURVEY.parent / ".benchmarks" / "bench_sf0.1.json").read_text())
+    rows = 0
+    for line in block.splitlines():
+        if not line.startswith("|") or line.startswith("|---") or "| query |" in line:
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        q, cold, warm = cells[1].strip("`"), cells[2], cells[3]
+        assert q in rec["queries"], q
+        assert float(cold) == rec["queries"][q], (q, cold, rec["queries"][q])
+        assert float(warm) == rec["queries_warm"][q], (q, warm, rec["queries_warm"][q])
+        rows += 1
+    assert rows >= 4, "quote table unexpectedly empty"
+
+
+def test_committed_bench_record_warm_never_exceeds_cold():
+    """The fold rule (BASELINE.md, adopted r08): warm pools cold, so the
+    committed record can never contain a warm>cold entry — the
+    warm>1.3x-cold anomalies the r06/r07 verdicts chased are structurally
+    impossible in the durable record."""
+    import json
+
+    rec = json.loads((SURVEY.parent / ".benchmarks" / "bench_sf0.1.json").read_text())
+    bad = {
+        q: (rec["queries"][q], w)
+        for q, w in rec["queries_warm"].items()
+        if w > rec["queries"][q]
+    }
+    assert not bad, bad

@@ -668,18 +668,29 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 
-def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 65536):
+# A candidate bucket is fetched whole only when its row count is at most
+# this; bigger buckets recurse the grid narrowing inside the bucket instead
+# (one extra round per factor-of-`buckets` of data — depth 2 already covers
+# ~4e11 rows, depth 3 ~3e15).
+_QCUT_FETCH_LIMIT = 65536
+_QCUT_MAX_DEPTH = 4
+
+
+def _exact_quantile_disc_cuts(
+    df: DataFrame, col: str, fracs, buckets: int = 8192, _ranks=None, _depth: int = 0
+):
     """EXACT distributed percentile_disc (rank = ceil(q*n), 1-based inverse
     CDF — the definition quantile_disc implements) WITHOUT ever buffering
     the column in one task: (1) one linear pass for count/min/max, (2) one
     linear pass of fixed-grid bucket counts (<= `buckets` rows collected)
-    that narrows every target rank to its bucket, (3) one PRUNED fetch of
-    only the needed buckets, duplicate-collapsed to (value, count) pairs so
-    heavy-duplicate columns cost distinct-values, not rows. Driver memory
-    is O(buckets + distinct values inside <=|fracs| buckets) ~ n/buckets
-    per bucket; at petabyte scale recurse the narrowing once more inside
-    the candidate buckets (same helper, range-filtered) or swap in the
-    GK/t-digest sketch (`approx_quantiles_sketch`). `fracs` are EXACT
+    that narrows every target rank to its bucket, (3) for each needed
+    bucket, either one PRUNED fetch duplicate-collapsed to (value, count)
+    pairs (bucket rows <= _QCUT_FETCH_LIMIT) or a RECURSIVE narrowing
+    inside that bucket — so driver memory stays O(buckets +
+    _QCUT_FETCH_LIMIT) at ANY scale (r08: the former "recurse at petabyte
+    scale" note is now implemented, which is what lets the default grid be
+    8192 instead of 65536 — the narrowing collect is 8x cheaper and big
+    buckets recurse instead of over-fetching). `fracs` are EXACT
     (num, den) pairs and the rank is the exact integer ceil(num*n/den) —
     SQL `0.1` literals are DECIMAL, so both engines compute the rank in
     exact arithmetic, and a float 0.1 here would be off-by-one at n
@@ -692,11 +703,17 @@ def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 655
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
     ).collect()[0]
     n = row["n"]
+    n_out = len(fracs) if _ranks is None else len(_ranks)
     if n == 0:
-        return [None] * len(fracs)
+        return [None] * n_out
     lo, hi = float(row["lo"]), float(row["hi"])
     if hi == lo:
-        return [lo] * len(fracs)
+        return [lo] * n_out
+    ranks = (
+        [max(1, -((-num * n) // den)) for num, den in fracs]
+        if _ranks is None
+        else list(_ranks)
+    )
     bexpr = (
         f"least({buckets - 1}, greatest(0, CAST(floor((CAST({col} AS DOUBLE)"
         f" - {lo!r}) / ({hi!r} - {lo!r}) * {buckets}) AS INT)))"
@@ -708,7 +725,6 @@ def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 655
         .agg(F.count("*").alias("c"))
         .collect()
     }
-    ranks = [max(1, -((-num * n) // den)) for num, den in fracs]
     cum, cum_before = 0, {}
     for b in sorted(counts):
         cum_before[b] = cum
@@ -719,28 +735,60 @@ def _exact_quantile_disc_cuts(df: DataFrame, col: str, fracs, buckets: int = 655
             if cum_before[b] + counts[b] >= r:
                 rank_bucket[r] = b
                 break
-    need = sorted(set(rank_bucket.values()))
-    pairs = (
-        df.selectExpr(f"{bexpr} AS b", f"{col} AS v")
-        .filter(F.col("b").isin(need))
-        .groupBy("b", "v")
-        .agg(F.count("*").alias("c"))
-        .collect()
-    )
-    by_bucket = {}
-    for r in pairs:
-        by_bucket.setdefault(r["b"], []).append((r["v"], r["c"]))
-    cuts = []
-    for r in ranks:
-        b = rank_bucket[r]
-        local = r - cum_before[b]
-        acc = 0
-        for v, c in sorted(by_bucket[b]):
-            acc += c
-            if acc >= local:
-                cuts.append(v)
-                break
-    return cuts
+    needed = sorted(set(rank_bucket.values()))
+    fetchable = [
+        b
+        for b in needed
+        if counts[b] <= _QCUT_FETCH_LIMIT or _depth >= _QCUT_MAX_DEPTH
+    ]
+    by_rank: dict[int, float] = {}
+    if fetchable:
+        pairs = (
+            df.selectExpr(f"{bexpr} AS b", f"{col} AS v")
+            .filter(F.col("b").isin(fetchable))
+            .groupBy("b", "v")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        by_bucket: dict[int, list] = {}
+        for r in pairs:
+            by_bucket.setdefault(r["b"], []).append((r["v"], r["c"]))
+        for r in ranks:
+            b = rank_bucket[r]
+            if b not in by_bucket:
+                continue
+            local = r - cum_before[b]
+            acc = 0
+            for v, c in sorted(by_bucket[b]):
+                acc += c
+                if acc >= local:
+                    by_rank[r] = v
+                    break
+    for b in needed:
+        if b in fetchable:
+            continue
+        # oversized bucket: narrow again inside it — same grid walk on the
+        # bucket's rows only, entered by LOCAL rank (not fraction)
+        sub_ranks = sorted({r - cum_before[b] for r in ranks if rank_bucket[r] == b})
+        sub_cuts = _exact_quantile_disc_cuts(
+            df.filter(f"({bexpr}) = {b}"),
+            col,
+            None,
+            buckets,
+            _ranks=sub_ranks,
+            _depth=_depth + 1,
+        )
+        sub_map = dict(zip(sub_ranks, sub_cuts))
+        for r in ranks:
+            if rank_bucket[r] == b:
+                by_rank[r] = sub_map[r - cum_before[b]]
+    return [by_rank[r] for r in ranks]
+
+
+def _dlit(v) -> str:
+    """Exact DOUBLE literal for a driver-side float (repr round-trips;
+    NULL-safe for the empty-input degenerate case)."""
+    return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({v!r} AS DOUBLE)"
 
 
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,15 +812,15 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = _exact_quantile_disc_cuts(
         o, "o_totalprice", [(k, 10) for k in range(1, 10)]
     )
-    cuts = spark.createDataFrame(
-        [tuple(vals)], ", ".join(f"c{k} double" for k in range(1, 10))
-    )
+    # the 9 cuts are driver-side model state (the kmeans-centroid
+    # precedent) — bake them into the plan as double literals (repr
+    # round-trips exactly) instead of a crossJoin(broadcast(1-row df)):
+    # one fewer exchange and no createDataFrame round-trip
     bin_expr = "1 + " + " + ".join(
-        f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+        f"(CASE WHEN o_totalprice > {_dlit(v)} THEN 1 ELSE 0 END)" for v in vals
     )
     return (
-        o.crossJoin(F.broadcast(cuts))
-        .selectExpr(f"{bin_expr} AS bin", "o_totalprice")
+        o.selectExpr(f"{bin_expr} AS bin", "o_totalprice")
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_rows"),
@@ -1982,13 +2030,11 @@ def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         [(k, 10) for k in range(1, 10)],
     )
-    cuts = spark.createDataFrame(
-        [tuple(vals)], ", ".join(f"c{k} double" for k in range(1, 10))
-    )
+    # cuts as exact double literals (see agg_equidepth_histogram)
     bin_expr = "1 + " + " + ".join(
-        f"(CASE WHEN o_totalprice > c{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+        f"(CASE WHEN o_totalprice > {_dlit(v)} THEN 1 ELSE 0 END)" for v in vals
     )
-    binned = o.crossJoin(F.broadcast(cuts)).selectExpr(
+    binned = o.selectExpr(
         "CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_ref",
         f"{bin_expr} AS bin",
     )
