@@ -1043,15 +1043,17 @@ def test_referential_audit_broadcasts_parents(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_equidepth_broadcasts_cuts_no_sort(spark):
-    """The 9-cut row joins back via broadcast nested-or-hash (1-row side);
-    no SortMergeJoin and no global Sort over the scan."""
+def test_equidepth_cuts_are_plan_literals_no_join(spark):
+    """r08: the 9 resolved cuts are baked into the bin expression as exact
+    double literals — the binning pass has NO join of any kind (the former
+    crossJoin(broadcast(1-row cuts df)) shape is the regression this pins
+    against) and no global Sort over the scan."""
     from tmapreduce_spark.operators.analytics import agg_equidepth_histogram
 
     df = agg_equidepth_histogram(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
-    assert "SortMergeJoin" not in plan
-    assert "Broadcast" in plan
+    assert "Join" not in plan, plan
+    assert "Sort" not in plan, plan
 
 
 def test_open_daily_windows_over_reduced_delta_table(spark):
