@@ -130,3 +130,40 @@ def test_quantile_cuts_recursion_matches_flat_and_bruteforce(spark):
     n = len(vals)
     brute = [vals[max(1, -((-k * n) // 10)) - 1] for k in range(1, 10)]
     assert flat == brute
+
+
+def test_hard_negatives_match_numpy_bruteforce(spark):
+    """retrieval_hard_negatives must equal a numpy brute-force recompute:
+    per anchor, the top-10 cosine neighbors among DIFFERENT-label vectors
+    on the same quantized-int64 grid with the same (cosine desc, id asc)
+    tiebreak."""
+    import numpy as np
+
+    from tmapreduce_spark.functions.similarity import HN_TOP_K, N_QUERIES, QUANT
+    from tmapreduce_spark.sources.catalog import load_table
+
+    got = _run(spark, "retrieval_hard_negatives")
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = np.array([r["label"] for r in rows])
+    M = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+    for qi in np.where(ids < N_QUERIES)[0]:
+        cos = (M @ M[qi]).astype(np.float64) / (nrm * nrm[qi])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        cand = [
+            (-cos[j], ids[j]) for j in range(len(ids)) if labs[j] != labs[qi]
+        ]
+        want = sorted(cand)[:HN_TOP_K]
+        mine = got[got["query_id"] == ids[qi]].sort_values("rank")
+        assert len(mine) == len(want)
+        assert mine["neighbor_id"].tolist() == [v for _, v in want]
+        assert all(mine["query_label"] != mine["neighbor_label"])
+        assert np.allclose(mine["cosine"].to_numpy(), [-c for c, _ in want])

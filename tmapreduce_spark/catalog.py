@@ -221,6 +221,7 @@ _BACKLOG_DEFER: frozenset[str] = frozenset(
     {
         # round-8 additions — behind the 13-entry round-7 backlog
         "pipeline_cdc_upsert_orders", "pipeline_scd2_orders_status",
+        "retrieval_hard_negatives",
     }
 )
 

@@ -1260,3 +1260,118 @@ EMBEDDING_MMR_SQL = _mmr_sql()
 QUERIES["embedding_mmr_rerank"] = QuerySpec(
     embedding_mmr_rerank, EMBEDDING_MMR_SQL, "similarity"
 )
+
+
+# --- hard-negative mining for contrastive training ---------------------------
+
+HN_TOP_K = 10
+
+
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op (DPR /
+    sentence-transformers style): for each anchor vector (the vec_id <
+    N_QUERIES query set) return the TOP-K most cosine-similar vectors with
+    a DIFFERENT label. Those confusables are exactly the negatives that
+    make an embedding model learn boundaries; random in-batch negatives
+    are too easy and same-label neighbors would be false negatives — hence
+    the label-exclusion join, the shape `ann_topk_cosine` (self-exclusion
+    only) does not cover.
+
+    Exactness: the identical quantized-int64 Gram path as ann_topk_cosine
+    (floor(x*1e6+0.5) per component, int64 matmul, one mround(6) on the
+    final cosine) — numpy BLAS and DuckDB's ordered list fold agree
+    bit-for-bit because every sum is integer.
+
+    Scale: one Arrow-batched linear scan of the corpus against the
+    broadcast anchor matrix (model-side collect: N_QUERIES rows), the
+    label filter applied inside the batch BEFORE anything shuffles; only
+    (anchors x survivors) candidate rows reach the WindowGroupLimit
+    top-k. At production scale anchors batch by the thousands per pass —
+    same plan, bigger Q matrix."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_lab = np.array([r["label"] for r in qrows], dtype=np.int64)
+    Qm = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+        * QUANT + 0.5
+    ).astype(np.int64)
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", Qm, Qm).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            labs = pdf["label"].to_numpy().astype(np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT + 0.5
+            ).astype(np.int64)
+            dots = C @ Qm.T
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            cos = dots.astype(np.float64) / (c_nrm[:, None] * q_nrm[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            n, k = cos.shape
+            out_q = np.tile(q_ids, n)
+            out_ql = np.tile(q_lab, n)
+            out_n = np.repeat(ids, k)
+            out_nl = np.repeat(labs, k)
+            m = out_nl != out_ql  # hard negatives only: different label
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[m],
+                    "query_label": out_ql[m],
+                    "neighbor_id": out_n[m],
+                    "neighbor_label": out_nl[m],
+                    "cosine": cos.ravel()[m],
+                }
+            )
+
+    scored = e.mapInPandas(
+        score,
+        "query_id bigint, query_label bigint, neighbor_id bigint,"
+        " neighbor_label bigint, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HN_TOP_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
+def _hard_negatives_sql() -> str:
+    qd = _qdot_duck
+    return f"""
+WITH v AS (SELECT vec_id, label, {_quant_duck('embedding')} AS qe FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS query_label, qe AS q_qe,
+             sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS q_norm
+      FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+             qe AS c_qe, sqrt(CAST({qd('qe', 'qe')} AS DOUBLE)) AS c_norm
+      FROM v),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         floor((CAST({qd('q_qe', 'c_qe')} AS DOUBLE) / (q_norm * c_norm))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_label <> query_label),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= {HN_TOP_K}
+"""
+
+
+QUERIES["retrieval_hard_negatives"] = QuerySpec(
+    retrieval_hard_negatives, _hard_negatives_sql(), "similarity"
+)
