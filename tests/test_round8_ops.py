@@ -167,3 +167,94 @@ def test_hard_negatives_match_numpy_bruteforce(spark):
         assert mine["neighbor_id"].tolist() == [v for _, v in want]
         assert all(mine["query_label"] != mine["neighbor_label"])
         assert np.allclose(mine["cosine"].to_numpy(), [-c for c, _ in want])
+
+
+def test_scd2_property_random_tables(spark, tmp_path):
+    """3-way SCD2 property check on adversarial random orders tables
+    (same-date ties broken by orderkey, single-order customers, constant
+    statuses): the Spark operator, the DuckDB oracle, and an independent
+    Python run-length reference must agree exactly."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(8)
+    for case in range(6):
+        n = rng.randint(1, 40)
+        rows = []
+        for k in range(n):
+            rows.append(
+                {
+                    "o_orderkey": k,
+                    "o_custkey": rng.randint(1, 4),
+                    "o_orderstatus": rng.choice(["O", "F", "P"]),
+                    "o_totalprice": round(rng.uniform(10, 100), 2),
+                    "o_orderdate": pd.Timestamp(
+                        2024, 1, rng.randint(1, 3)  # heavy date ties
+                    ),
+                    "o_orderpriority": "1-URGENT",
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        # write timestamp[us] like the fixtures — a NANOS footer would read
+        # as BIGINT under the session's nanosAsLong footer defense
+        pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+        d = tmp_path / f"case{case}"
+        d.mkdir()
+        pdf.to_parquet(d / "orders.parquet")
+
+        got = (
+            CAT["pipeline_scd2_orders_status"]
+            .fn(spark, str(d))
+            .toPandas()
+            .sort_values(["o_custkey", "version"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+        )
+        ora = (
+            con.execute(CAT["pipeline_scd2_orders_status"].oracle)
+            .df()
+            .sort_values(["o_custkey", "version"])
+            .reset_index(drop=True)
+        )
+        assert got.astype(str).equals(ora.astype(str)), f"case {case}"
+
+        # independent run-length reference
+        want = []
+        srt = pdf.assign(od=pdf["o_orderdate"].dt.strftime("%Y-%m-%d")).sort_values(
+            ["o_custkey", "od", "o_orderkey"]
+        )
+        for cust, g in srt.groupby("o_custkey"):
+            runs = []
+            prev = None
+            for _, r in g.iterrows():
+                if prev is None or r["o_orderstatus"] != prev:
+                    runs.append([r["o_orderstatus"], r["od"]])
+                prev = r["o_orderstatus"]
+            for i, (st, vf) in enumerate(runs):
+                want.append(
+                    (
+                        cust,
+                        i + 1,
+                        st,
+                        vf,
+                        runs[i + 1][1] if i + 1 < len(runs) else None,
+                        1 if i + 1 == len(runs) else 0,
+                    )
+                )
+        ref = pd.DataFrame(
+            want,
+            columns=[
+                "o_custkey", "version", "o_orderstatus",
+                "valid_from", "valid_to", "is_current",
+            ],
+        ).sort_values(["o_custkey", "version"]).reset_index(drop=True)
+        assert len(got) == len(ref), f"case {case}"
+        for col in ref.columns:
+            a = got[col].astype(str).where(~got[col].isna(), "None")
+            b = ref[col].astype(str).where(~ref[col].isna(), "None")
+            assert a.tolist() == b.tolist(), f"case {case} col {col}"
