@@ -416,3 +416,20 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders parquet (the CDC-feed stand-in for
+    the SCD2 streaming twin). The footer is timestamp[us] without UTC
+    adjustment at every shipped SF, so Spark 4 infers TIMESTAMP_NTZ —
+    declared explicitly here because a streaming source cannot infer."""
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )

@@ -788,3 +788,80 @@ def streaming_peak_detect(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming SCD2 dimension maintenance ------------------------------------
+#
+# Streaming twin of the batch `pipeline_scd2_orders_status` catalog entry —
+# live type-2 dimension maintenance: per customer the state is the run-length
+# encoded status history (one (status, valid_from) pair per CHANGE, bounded
+# by the number of changes, i.e. exactly the SCD2 table the batch operator
+# emits — the history IS the product here, so state size equals output size
+# by construction) plus the last-seen (date, orderkey) cursor for the
+# in-order contract. Each micro-batch emits the full current history as one
+# array row; with in-order delivery the final emission per key equals the
+# batch operator's rows exactly (asserted in tests/test_streaming.py).
+
+SCD2_OUTPUT_SCHEMA = (
+    "o_custkey bigint, n_seen bigint, statuses array<string>,"
+    " valid_froms array<string>"
+)
+SCD2_STATE_SCHEMA = (
+    "last_od string, last_okey bigint, n_seen bigint,"
+    " statuses array<string>, vfroms array<string>, started boolean"
+)
+
+
+def _update_scd2_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (custkey,) = key
+    last_od, last_okey, n_seen, statuses, vfroms, started = (
+        state.get if state.exists else ("", 0, 0, [], [], False)
+    )
+    statuses, vfroms = list(statuses), list(vfroms)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["od", "o_orderkey"], kind="stable")
+    for od, okey, status in zip(rows["od"], rows["o_orderkey"], rows["o_orderstatus"]):
+        okey = int(okey)
+        if started and (od, okey) < (last_od, last_okey):
+            continue  # late past emitted state: watermark-discard policy
+        if not statuses or status != statuses[-1]:
+            statuses.append(status)
+            vfroms.append(od)
+        last_od, last_okey, started = od, okey, True
+        n_seen += 1
+    state.update((last_od, last_okey, n_seen, statuses, vfroms, started))
+    yield pd.DataFrame(
+        {
+            "o_custkey": [custkey],
+            "n_seen": [n_seen],
+            "statuses": [statuses],
+            "valid_froms": [vfroms],
+        }
+    )
+
+
+def streaming_scd2(orders: DataFrame) -> DataFrame:
+    """Streaming SCD2 maintenance over an orders change stream (state =
+    the run-length status history per key, i.e. the SCD2 table itself)."""
+    from pyspark.sql import functions as F
+
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        )
+        .groupBy("o_custkey")
+        .applyInPandasWithState(
+            _update_scd2_state,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
