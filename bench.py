@@ -354,8 +354,9 @@ def main() -> None:
         retimed = run_pass("re-measure", repeats=3)
         bench_set = saved_set
         for n, t in retimed.items():
+            # warm column only: a post-sweep re-time is not a cold
+            # measurement, and the fold pools cold+warm downstream anyway
             times_warm[n] = min(times_warm[n], t)
-            times[n] = min(times[n], t)
     load_end = os.getloadavg()
 
     headline_names = [n for n in HEADLINE if n in times]
