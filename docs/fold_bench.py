@@ -42,7 +42,9 @@ def fold(new: dict, hist: list[dict]) -> dict:
             warm[q] = t
     n_sources = 1
     for old in hist:
-        n_sources += 1
+        # a history file that is itself a fold carries the provenance of
+        # every record it already pooled — propagate the cumulative count
+        n_sources += (old.get("fold") or {}).get("n_source_records", 1)
         oc = old.get("queries") or {}
         ow = old.get("queries_warm") or {}
         for q in cold:

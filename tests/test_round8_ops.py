@@ -57,6 +57,18 @@ def test_cdc_upsert_reconciliation_identities(spark):
         assert abs((r["amount_after"] - r["amount_before"]) - r["amount_delta"]) <= 0.02
 
 
+def test_cdc_insert_offset_clears_max_key():
+    """CDC_INSERT_KEY_OFFSET must exceed max(o_orderkey) or inserted keys
+    collide with live base rows (r8 ADVICE): the reconciliation identities
+    above silently weaken before they fail, so pin the bound directly."""
+    from tmapreduce_spark.operators.tpch_extra import CDC_INSERT_KEY_OFFSET
+
+    mx = duckdb.sql(
+        f"SELECT max(o_orderkey) FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    assert mx < CDC_INSERT_KEY_OFFSET
+
+
 def test_scd2_snapshot_invariants(spark):
     got = _run(spark, "pipeline_scd2_orders_status")
     o = _orders().sort_values(["o_custkey", "od", "o_orderkey"])

@@ -682,6 +682,50 @@ def test_streaming_peak_detect_converges_to_batch_peaks(spark):
     assert got == batch
 
 
+def test_streaming_scd2_duplicate_redelivery_is_idempotent():
+    """At-least-once redelivery of the LAST processed row must be a no-op
+    (r8 ADVICE): the cursor guard skips on <=, not <, since o_orderkey is
+    unique — an equal (od, okey) cursor is always a duplicate. Without the
+    equality n_seen drifts from rows-seen while the run-length history
+    stays correct, so pin n_seen directly."""
+    import pandas as pd
+
+    from tmapreduce_spark.streaming.stateful import _update_scd2_state
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def feed(state, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["o_custkey", "o_orderkey", "o_orderstatus", "od"]
+        )
+        return list(_update_scd2_state((7,), iter([pdf]), state))[0]
+
+    st = FakeState()
+    out1 = feed(st, [(7, 1, "O", "2024-01-01"), (7, 2, "F", "2024-01-02")])
+    assert out1["n_seen"].iloc[0] == 2
+    assert list(out1["statuses"].iloc[0]) == ["O", "F"]
+    # redeliver the exact last row (equal cursor) plus one stale earlier row
+    out2 = feed(st, [(7, 2, "F", "2024-01-02"), (7, 1, "O", "2024-01-01")])
+    assert out2["n_seen"].iloc[0] == 2, "duplicate delivery must not drift n_seen"
+    assert list(out2["statuses"].iloc[0]) == ["O", "F"]
+    assert list(out2["valid_froms"].iloc[0]) == ["2024-01-01", "2024-01-02"]
+    # genuinely new rows still advance
+    out3 = feed(st, [(7, 3, "O", "2024-01-03")])
+    assert out3["n_seen"].iloc[0] == 3
+    assert list(out3["statuses"].iloc[0]) == ["O", "F", "O"]
+
+
 def test_streaming_scd2_converges_to_batch_history(spark):
     """The streaming SCD2 twin's final emission per customer (the run-length
     status history carried as state) must equal the batch

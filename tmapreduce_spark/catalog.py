@@ -205,6 +205,29 @@ _COVERED_R7: frozenset[str] = frozenset(
     }
 )
 
+# round 8 (CORRECTNESS_r08.json: 50 green — the 13-entry r7 backlog + the
+# 3 r8 defer entries + 34 stalest round-1 greens)
+_COVERED_R8: frozenset[str] = frozenset(
+    {
+        "agg_skew_kurtosis", "window_peak_detect", "events_attribution_markov",
+        "eval_auc_roc", "text_keyword_rake", "graph_clustering_coeff",
+        "embedding_mmr_rerank", "agg_mann_kendall", "window_rolling_p90",
+        "eval_pr_auc", "dedup_lsh_scurve", "agg_permutation_test",
+        "eval_brier_decomposition", "pipeline_cdc_upsert_orders",
+        "pipeline_scd2_orders_status", "retrieval_hard_negatives",
+        "filter_project", "join_broadcast_dim", "join_left_outer", "join_semi",
+        "join_anti", "join_full_outer", "join_range_theta", "agg_distinct",
+        "agg_rollup", "agg_cube", "agg_conditional", "agg_stats", "topk_orders",
+        "scalar_string", "scalar_date", "scalar_math", "scalar_json",
+        "events_tumbling_10min", "agg_grouping_sets", "scalar_array_map",
+        "agg_decimal_exact", "scalar_date_trunc", "scalar_null_semantics",
+        "events_sliding_10x5", "events_sessions", "q2_min_cost_supplier",
+        "q11_important_stock", "q20_part_promotion", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q12_ship_delay", "q13_customer_distribution",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -215,15 +238,10 @@ _NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
 # Entries added AFTER the current round's backlog ordering was frozen: they
 # enumerate behind the earlier never-sampled backlog (which is sized/sequenced
 # to the driver's ~50-row window) so a late addition can never push an older
-# unproven entry out of the verification window. The round-7 defer list folded
-# into the normal backlog when _COVERED_R7 landed; round-8 additions go here.
-_BACKLOG_DEFER: frozenset[str] = frozenset(
-    {
-        # round-8 additions — behind the 13-entry round-7 backlog
-        "pipeline_cdc_upsert_orders", "pipeline_scd2_orders_status",
-        "retrieval_hard_negatives",
-    }
-)
+# unproven entry out of the verification window. The round-8 defer list folded
+# into the normal backlog when _COVERED_R8 landed (all 3 got green r08 rows);
+# round-9 additions go here.
+_BACKLOG_DEFER: frozenset[str] = frozenset()
 
 # name -> last round with a green driver row (later rounds win).
 _COVERED_ROUND: dict[str, int] = {}
@@ -235,6 +253,7 @@ for _rnd, _names in (
     (5, _COVERED_R5),
     (6, _COVERED_R6),
     (7, _COVERED_R7),
+    (8, _COVERED_R8),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd

@@ -670,6 +670,16 @@ QUERIES: dict[str, QuerySpec] = {
 # with no keyed upsert or history — both shapes below are net-new surface.
 # ---------------------------------------------------------------------------
 
+# Inserted CDC rows get key + this offset. VALIDITY BOUND: the offset must
+# exceed max(o_orderkey) or "inserted" keys collide with live base rows and
+# the reconciliation invariants (inserted.amount_before == 0, row-count
+# identities) break — engine parity would still hold, since both twins share
+# the constant, but the audit semantics would not. TPC-H dense synthetic keys
+# reach 1e8 around sf≈67; at the shipped sf0.001–0.1 max(o_orderkey) ≤ 6e5.
+# At warehouse scale derive the offset as the next power of 10 above
+# max(o_orderkey) in BOTH twins (it is a literal in the oracle SQL, so bake
+# the derived value into both at plan-build time). A fixture guard pins the
+# bound: tests/test_round8_ops.py::test_cdc_insert_offset_clears_max_key.
 CDC_INSERT_KEY_OFFSET = 100_000_000
 
 

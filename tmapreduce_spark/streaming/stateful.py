@@ -826,8 +826,13 @@ def _update_scd2_state(
     rows = rows.sort_values(["od", "o_orderkey"], kind="stable")
     for od, okey, status in zip(rows["od"], rows["o_orderkey"], rows["o_orderstatus"]):
         okey = int(okey)
-        if started and (od, okey) < (last_od, last_okey):
-            continue  # late past emitted state: watermark-discard policy
+        if started and (od, okey) <= (last_od, last_okey):
+            # Late past emitted state: watermark-discard policy. <= not <:
+            # o_orderkey is unique, so an EQUAL cursor is always an
+            # at-least-once redelivery of the last processed row — without
+            # the equality n_seen drifts from rows-seen under duplicate
+            # delivery (status run-length is unaffected either way).
+            continue
         if not statuses or status != statuses[-1]:
             statuses.append(status)
             vfroms.append(od)
