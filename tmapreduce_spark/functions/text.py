@@ -4539,3 +4539,87 @@ FROM agg
 QUERIES["eval_brier_decomposition"] = QuerySpec(
     eval_brier_decomposition, EVAL_BRIER_SQL, "eval"
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected rater agreement (round 9)
+# ---------------------------------------------------------------------------
+
+# Fixed operating point for the classifier rater: the score grid's midrange
+# (the per-SF median sits at ~590k micro at every shipped SF, and a FIXED
+# threshold keeps the rater data-independent — a quantile cut would make
+# rater B a function of the corpus it is judging).
+_KAPPA_CUT_MICRO = 590_000
+
+_KAPPA_PO = "CAST(diag AS DOUBLE) / n"
+_KAPPA_PE = (
+    "(CAST(ra AS DOUBLE) * ca + CAST(n - ra AS DOUBLE) * (n - ca))"
+    " / (CAST(n AS DOUBLE) * n)"
+)
+# fraction-cleared exact-integer form:
+# kappa = (n*diag - rc) / (n*n - rc),  rc = ra*ca + (n-ra)*(n-ca)
+_KAPPA_RC = "(ra * ca + (n - ra) * (n - ca))"
+_KAPPA = f"CAST(n * diag - {_KAPPA_RC} AS DOUBLE) / (n * n - {_KAPPA_RC})"
+
+
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters — the
+    lexical rule label and the hashed-feature classifier thresholded at the
+    fixed score midpoint (:data:`_KAPPA_CUT_MICRO`) — the chance-corrected
+    agreement coefficient that separates "the raters agree" from "the
+    majority class makes anyone agree": the acceptance gate a weak-label /
+    LLM-as-judge pipeline runs before trusting a cheap rater. Reports
+    observed agreement p_o, chance agreement p_e from the marginal
+    products, and kappa in the fraction-cleared exact-integer form
+    kappa = (n*diag - rc) / (n^2 - rc), rc = ra*ca + (n-ra)*(n-ca) —
+    one DOUBLE division per statistic, no compound float chain.
+
+    Determinism: n, the two positive-marginals ra/ca, and the agreement
+    diagonal are exact int64 counts folded in ONE aggregate over the shared
+    per-doc substrate (:func:`_qc_score_label`); rc <= n^2 keeps the
+    products in int64 through ~3e9 documents (DECIMAL(38,0) swap beyond).
+
+    Scale: the corpus-sized work is the substrate's one tokenize + one
+    groupBy(doc_id); the kappa arithmetic is a 4-column single-row fold of
+    that per-doc table — no second corpus pass, no window, no join."""
+    per = _qc_score_label(spark, sf_dir).selectExpr(
+        "CAST(label AS BIGINT) AS a",
+        f"CASE WHEN score_micro >= {_KAPPA_CUT_MICRO} THEN 1 ELSE 0 END AS b",
+    )
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("ra"),
+        F.sum("b").cast("bigint").alias("ca"),
+        F.sum(F.expr("CASE WHEN a = b THEN 1 ELSE 0 END")).cast("bigint").alias("diag"),
+    )
+    return agg.selectExpr(
+        "n AS n_items",
+        "diag AS agree_n",
+        mround(_KAPPA_PO, 6) + " AS observed_agreement",
+        mround(_KAPPA_PE, 6) + " AS expected_agreement",
+        mround(_KAPPA, 6) + " AS kappa",
+    )
+
+
+EVAL_COHENS_KAPPA_SQL = f"""
+WITH {_QC_SCORE_LABEL_SQL},
+raters AS (
+  SELECT CAST(label AS BIGINT) AS a,
+         CASE WHEN score_micro >= {_KAPPA_CUT_MICRO} THEN 1 ELSE 0 END AS b
+  FROM scored),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS ra,
+         CAST(sum(b) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS diag
+  FROM raters)
+SELECT n AS n_items, diag AS agree_n,
+       {mround(_KAPPA_PO, 6)} AS observed_agreement,
+       {mround(_KAPPA_PE, 6)} AS expected_agreement,
+       {mround(_KAPPA, 6)} AS kappa
+FROM agg
+"""
+
+QUERIES["eval_cohens_kappa"] = QuerySpec(
+    eval_cohens_kappa, EVAL_COHENS_KAPPA_SQL, "eval"
+)

@@ -4384,3 +4384,240 @@ EVENTS_ATTRIBUTION_MARKOV_SQL = _markov_attr_sql()
 QUERIES["events_attribution_markov"] = QuerySpec(
     events_attribution_markov, EVENTS_ATTRIBUTION_MARKOV_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA over order priorities — round 9
+# ---------------------------------------------------------------------------
+#
+# The reference could only express this as a bespoke reduce .so computing
+# group moments (ref scope: src/tmapreduce/master/job.cc:45-77 — merge gives
+# it per-key grouping, nothing more); here it is one conditional aggregate.
+
+_ANOVA_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+# vq = exact cents <= ~5.6e7, so vq^2 <= ~3.2e15 fits int64 PER ROW but the
+# SUM overflows past ~2.9e3 rows of max value — lane-split the sum instead:
+# sum(vq^2 div 2^20) + sum(vq^2 % 2^20) stays exact to ~3e9 rows (the
+# eval_pr_auc bit-slicing pattern); recombine in DOUBLE (one fixed IEEE
+# expression over exact integer operands — deterministic on both engines).
+_ANOVA_LANE = 1_048_576  # 2^20
+
+
+def _anova_exprs(dialect: str) -> tuple[list[str], list[str]]:
+    """Per-priority FILTER aggregates + the one-row derived expressions,
+    shared text except integer division."""
+    d = "div" if dialect == "spark" else "//"
+    aggs = []
+    for i, p in enumerate(_ANOVA_PRIORITIES):
+        f = f"FILTER (WHERE o_orderpriority = '{p}')"
+        aggs.append(f"CAST(count(*) {f} AS BIGINT) AS n{i}")
+        aggs.append(f"CAST(coalesce(sum(vq) {f}, 0) AS BIGINT) AS s{i}")
+        aggs.append(
+            f"CAST(coalesce(sum((vq * vq) {d} {_ANOVA_LANE}) {f}, 0) AS BIGINT)"
+            f" AS hi{i}"
+        )
+        aggs.append(
+            f"CAST(coalesce(sum((vq * vq) % {_ANOVA_LANE}) {f}, 0) AS BIGINT)"
+            f" AS lo{i}"
+        )
+    idx = range(len(_ANOVA_PRIORITIES))
+    n_tot = " + ".join(f"n{i}" for i in idx)
+    s_tot = " + ".join(f"s{i}" for i in idx)
+    # fixed written order => deterministic IEEE sums on both engines
+    sumsq = " + ".join(
+        f"(CAST(hi{i} AS DOUBLE) * {_ANOVA_LANE} + CAST(lo{i} AS DOUBLE))"
+        for i in idx
+    )
+    ssb_terms = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) * s{i} / n{i}"
+        f" ELSE CAST(0 AS DOUBLE) END)"
+        for i in idx
+    )
+    k = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in idx)
+    derived = [
+        f"CAST({n_tot} AS BIGINT) AS n_total",
+        f"CAST({k} AS BIGINT) AS k_groups",
+        f"({sumsq}) AS sumsq",
+        f"({ssb_terms}) AS ssb_grp",
+        f"CAST({s_tot} AS BIGINT) AS s_tot",
+    ]
+    return aggs, derived
+
+
+# one-row algebra over the derived columns (cents^2 -> dollars^2 via / 1e4)
+_ANOVA_SSB = "(ssb_grp - CAST(s_tot AS DOUBLE) * s_tot / n_total) / 10000"
+_ANOVA_SST = "(sumsq - CAST(s_tot AS DOUBLE) * s_tot / n_total) / 10000"
+_ANOVA_SSW = f"(({_ANOVA_SST}) - ({_ANOVA_SSB}))"
+_ANOVA_F = (
+    f"(({_ANOVA_SSB}) / (k_groups - 1)) / (({_ANOVA_SSW}) / (n_total - k_groups))"
+)
+
+
+def _anova_out_exprs() -> list[str]:
+    return [
+        "n_total",
+        "k_groups",
+        mround(_ANOVA_SSB, 2) + " AS ss_between",
+        mround(_ANOVA_SSW, 2) + " AS ss_within",
+        mround(f"({_ANOVA_SSB}) / ({_ANOVA_SST})", 6) + " AS eta_squared",
+        mround(_ANOVA_F, 6) + " AS f_stat",
+    ]
+
+
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of o_totalprice across the five order
+    priorities — "does priority shift mean order value?", the k-group
+    generalization of `agg_welch_ttest`'s two-sample read-out. Reports
+    between/within sums of squares (dollars^2), eta^2 effect size, and F.
+
+    Determinism: the only aggregates are integer — per-group n, sum(cents),
+    and the LANE-SPLIT sum of squared cents (hi/lo int64 lanes, exact to
+    ~3e9 rows; beyond that widen the lanes to DECIMAL(38,0)) — so reduction
+    order is irrelevant; SSB/SSW/F are ONE fixed IEEE expression over those
+    exact integers with the group terms summed in declared priority order.
+
+    Scale: one partial-aggregated pass (FILTER conditional aggregation — no
+    5-way shuffle, no per-group scan) onto a single row; the F algebra runs
+    on that row."""
+    aggs, derived = _anova_exprs("spark")
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 100)} AS vq"
+    )
+    row = o.agg(*[F.expr(a) for a in aggs]).selectExpr(*derived)
+    return row.selectExpr(*_anova_out_exprs())
+
+
+def _anova_sql() -> str:
+    aggs, derived = _anova_exprs("duck")
+    return f"""
+WITH cells AS (
+  SELECT {", ".join(aggs)}
+  FROM (SELECT o_orderpriority, {cents('o_totalprice', 100)} AS vq FROM orders) t),
+row1 AS (SELECT {", ".join(derived)} FROM cells)
+SELECT {", ".join(_anova_out_exprs())} FROM row1
+"""
+
+
+AGG_ANOVA_ONEWAY_SQL = _anova_sql()
+
+QUERIES["agg_anova_oneway"] = QuerySpec(
+    agg_anova_oneway, AGG_ANOVA_ONEWAY_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences lift with placebo falsification — round 9
+# ---------------------------------------------------------------------------
+#
+# Reference scope: the engine's reduce hook (src/tmapreduce/master/job.cc:45-77)
+# gives per-key grouping only; a DiD is a bespoke two-pass .so there. Here the
+# whole design — 2 groups x 3 periods of exact cell moments — is ONE
+# conditional-aggregate pass and a fixed one-row IEEE readout.
+
+# Period cuts in epoch micros (UTC): the synthetic events span 2024-01-01 ..
+# 2024-01-30 at every SF, so the intervention lands mid-window and the
+# placebo cut splits the pre-period. Integer literals on BOTH engines — no
+# timezone or timestamp-literal semantics in the comparison path.
+_DID_MID_US = 1_704_672_000_000_000  # 2024-01-08 00:00:00 UTC (placebo cut)
+_DID_POST_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC (intervention)
+
+_DID_TAGS = (("t", 1), ("c", 0))  # treatment = even user_id, control = odd
+
+
+def _did_cell_aggs() -> list[str]:
+    """The 12 FILTER cell aggregates — identical text in both dialects.
+    per: 0 = early pre, 1 = late pre (placebo 'post'), 2 = post."""
+    aggs = []
+    for tag, g in _DID_TAGS:
+        for p in (0, 1, 2):
+            f = f"FILTER (WHERE treat = {g} AND per = {p})"
+            aggs.append(f"CAST(count(*) {f} AS BIGINT) AS n_{tag}{p}")
+            aggs.append(
+                f"CAST(coalesce(sum(vq) {f}, 0) AS BIGINT) AS s_{tag}{p}"
+            )
+    return aggs
+
+
+def _did_mean(tag: str, which: str) -> str:
+    """Exact-integer cell mean in dollars: one fixed IEEE expression.
+    which: 'pre' (both pre halves), 'pre1'/'pre2' (placebo halves), 'post'."""
+    if which == "pre":
+        return (
+            f"(CAST(s_{tag}0 + s_{tag}1 AS DOUBLE) / 1000000"
+            f" / (n_{tag}0 + n_{tag}1))"
+        )
+    p = {"pre1": 0, "pre2": 1, "post": 2}[which]
+    return f"(CAST(s_{tag}{p} AS DOUBLE) / 1000000 / n_{tag}{p})"
+
+
+_DID_ESTIMATE = (
+    f"(({_did_mean('t', 'post')} - {_did_mean('t', 'pre')})"
+    f" - ({_did_mean('c', 'post')} - {_did_mean('c', 'pre')}))"
+)
+_DID_PLACEBO = (
+    f"(({_did_mean('t', 'pre2')} - {_did_mean('t', 'pre1')})"
+    f" - ({_did_mean('c', 'pre2')} - {_did_mean('c', 'pre1')}))"
+)
+
+
+def _did_out_exprs() -> list[str]:
+    return [
+        "CAST(n_t0 + n_t1 AS BIGINT) AS n_treat_pre",
+        "n_t2 AS n_treat_post",
+        "CAST(n_c0 + n_c1 AS BIGINT) AS n_ctrl_pre",
+        "n_c2 AS n_ctrl_post",
+        mround(_did_mean("t", "pre"), 6) + " AS mean_treat_pre",
+        mround(_did_mean("t", "post"), 6) + " AS mean_treat_post",
+        mround(_did_mean("c", "pre"), 6) + " AS mean_ctrl_pre",
+        mround(_did_mean("c", "post"), 6) + " AS mean_ctrl_post",
+        mround(_DID_ESTIMATE, 6) + " AS did_estimate",
+        mround(_DID_PLACEBO, 6) + " AS placebo_did",
+    ]
+
+
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift of mean purchase value — treatment =
+    even ``user_id``, intervention at 2024-01-16 — with the standard placebo
+    falsification (a fake intervention at 2024-01-08 inside the pre-period;
+    a healthy design reads placebo ~ 0, and on this synthetic data both
+    estimates read as null effects, which is the correct answer).
+
+    Determinism: every cell is (count, sum of value-micros) — exact int64 —
+    taken by 12 FILTER conditional aggregates in ONE pass; the cell means,
+    the DiD contrast, and the placebo contrast are each a single fixed-text
+    IEEE expression over those integers, so both engines run identical
+    floating-point ops. Every shipped SF populates all six cells (purchase
+    events from >= 15 users across the full January window); the means
+    therefore never divide by zero.
+
+    Scale: one partial-aggregated scan of the purchase slice onto a single
+    12-column row — no shuffle wider than the 1-row aggregate, no per-group
+    pass, no window. The design matrix (2 x 3) is fixed by the analysis, not
+    the data, so the shape is identical at 100 TB."""
+    e = load_table(spark, sf_dir, "events").where("event_type = 'purchase'")
+    proj = e.selectExpr(
+        "CASE WHEN (user_id % 2) = 0 THEN 1 ELSE 0 END AS treat",
+        f"CASE WHEN unix_micros(ts) >= {_DID_POST_US} THEN 2"
+        f" WHEN unix_micros(ts) >= {_DID_MID_US} THEN 1 ELSE 0 END AS per",
+        f"{cents('value')} AS vq",
+    )
+    row = proj.agg(*[F.expr(a) for a in _did_cell_aggs()])
+    return row.selectExpr(*_did_out_exprs())
+
+
+def _did_sql() -> str:
+    return f"""
+WITH proj AS (
+  SELECT CASE WHEN (user_id % 2) = 0 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN epoch_us(ts) >= {_DID_POST_US} THEN 2
+              WHEN epoch_us(ts) >= {_DID_MID_US} THEN 1 ELSE 0 END AS per,
+         {cents('value')} AS vq
+  FROM events WHERE event_type = 'purchase'),
+cells AS (SELECT {", ".join(_did_cell_aggs())} FROM proj)
+SELECT {", ".join(_did_out_exprs())} FROM cells
+"""
+
+
+EVENTS_DID_LIFT_SQL = _did_sql()
+
+QUERIES["events_did_lift"] = QuerySpec(events_did_lift, EVENTS_DID_LIFT_SQL, "events")
