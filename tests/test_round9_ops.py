@@ -82,3 +82,79 @@ def test_cohens_kappa_identity(spark):
     # the raters are genuinely non-degenerate on the synthetic corpus:
     # observed agreement is strictly inside (0, 1)
     assert 0 < got["agree_n"] < got["n_items"]
+
+
+def test_query_likelihood_semantics(spark):
+    got = _run(spark, "retrieval_query_likelihood")
+    # 5 queries x top-10, ranks dense 1..10, log-likelihood scores negative
+    assert len(got) == 50
+    assert set(got.groupby("query_id")["rank"].apply(list).map(tuple)) == {
+        tuple(range(1, 11))
+    }
+    assert (got["score"] < 0).all()
+    # within a query, score is non-increasing in rank
+    for _, g in got.groupby("query_id"):
+        s = g.sort_values("rank")["score"].values
+        assert (s[:-1] >= s[1:] - 1e-9).all()
+    # independent recompute of one query's best score (dense full formula)
+    import math
+
+    from tmapreduce_spark.functions.text import BM25_QUERIES, QL_MU
+
+    toks = duckdb.sql(
+        f"""SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM '{SF_SMOKE}/documents.parquet'"""
+    ).df()
+    toks = toks[toks.tok != ""]
+    n_c = len(toks)
+    q = "q_hash_join"
+    terms = BM25_QUERIES[q]
+    dl = toks.groupby("doc_id").size()
+    best = got[got.query_id == q].sort_values("rank").iloc[0]
+    doc = best["doc_id"]
+    score = 0.0
+    for t in terms:
+        tf = ((toks.doc_id == doc) & (toks.tok == t)).sum()
+        ctf = (toks.tok == t).sum()
+        score += math.log((tf + QL_MU * ctf / n_c) / (dl[doc] + QL_MU))
+    assert abs(score - best["score"]) < 1e-4
+
+
+def test_prf_expansion_semantics(spark):
+    got = _run(spark, "retrieval_prf_expansion")
+    from tmapreduce_spark.functions.text import BM25_QUERIES, PRF_FB_DOCS
+
+    assert len(got) == 5 * 5
+    # expansion never re-suggests an original query term
+    for _, r in got.iterrows():
+        assert r["term"] not in BM25_QUERIES[r["query_id"]]
+    assert (got["n_fb_docs"] <= PRF_FB_DOCS).all()
+    assert (got["weight"] > 0).all()
+    # w(t) = sum tf/dl over <= 10 feedback docs, each addend <= 1
+    assert (got["weight"] <= PRF_FB_DOCS).all()
+    # within a query, weight is non-increasing in rank
+    for _, g in got.groupby("query_id"):
+        s = g.sort_values("rank")["weight"].values
+        assert (s[:-1] >= s[1:] - 1e-9).all()
+
+
+def test_source_kl_nonneg_and_recompute(spark):
+    got = _run(spark, "text_source_kl_divergence").set_index("source")
+    assert (got["kl_nats"] >= 0).all()
+    import numpy as np
+
+    toks = duckdb.sql(
+        f"""SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM '{SF_SMOKE}/documents.parquet'"""
+    ).df()
+    toks = toks[toks.tok != ""]
+    n_all = len(toks)
+    ctf = toks.groupby("tok").size()
+    for src, g in toks.groupby("source"):
+        n_s = len(g)
+        cnt = g.groupby("tok").size()
+        kl = sum(
+            (c / n_s) * np.log((c / n_s) / (ctf[t] / n_all)) for t, c in cnt.items()
+        )
+        assert abs(kl - got.loc[src, "kl_nats"]) < 1e-5
+        assert got.loc[src, "n_tokens"] == n_s

@@ -4623,3 +4623,428 @@ FROM agg
 QUERIES["eval_cohens_kappa"] = QuerySpec(
     eval_cohens_kappa, EVAL_COHENS_KAPPA_SQL, "eval"
 )
+
+
+# ---------------------------------------------------------------------------
+# Language-model retrieval: Dirichlet query likelihood (round 9)
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000  # Dirichlet prior (standard Zhai & Lafferty operating point)
+QL_TOP_K = 10
+
+# grid9: pre-round a per-term transcendental onto a 1e-9 integer grid BEFORE
+# any cross-row sum (the PSI / mutual-information / NDCG pattern) — the only
+# reductions below are int64 sums, so engine reduction order cannot move a bit.
+
+
+def _g9(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 1000000000 + 0.5) AS BIGINT)"
+
+
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2004)
+    for the fixed 5-query workload — the language-model ranker beside BM25's
+    tf-idf view: score(q,d) = sum over query terms of
+    ln((tf + mu*P(t|C)) / (dl + mu)), decomposed into the SPARSE form
+    A + B + C so only matched (term, doc) postings are ever touched:
+    A = sum over matched terms of ln(1 + tf*N / (mu*ctf)),
+    B = |q| * ln(mu / (dl + mu))  (per doc, from the doc-length table),
+    C = sum over query terms of ln(ctf / N)  (per query, rank-constant but
+    kept so the reported score IS the log-likelihood).
+
+    Determinism: each ln() runs on a fixed-text double of exact int64
+    inputs and is pre-rounded onto the 1e-9 integer grid before any sum
+    (the documented transcendental exception — PSI pattern); A/B/C combine
+    as pure int64, ties break on doc_id. Every workload term exists in the
+    corpus vocabulary (pinned by test), so C is finite.
+
+    Scale: one tokenize + one postings groupBy (shared shape with BM25);
+    ctf is aggregated ONLY for the <=13 query terms after a broadcast
+    semi-join; the dense leg is doclen x 5 queries — linear in documents,
+    never in postings; top-10 per query via row_number, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    postings = (
+        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    stats = postings.agg(F.sum("tf").cast("bigint").alias("n_c"))
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    ctf = (
+        postings.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("bigint").alias("ctf"))
+    )
+    # A: matched-term kicker, grid-int per posting row
+    a_term = _g9(
+        f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(ctf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", "doc_id", f"{a_term} AS a9")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("a9").cast("bigint").alias("a9"),
+            F.count("*").cast("bigint").alias("n_hit_terms"),
+        )
+    )
+    # C: per-query constant from the same ctf table
+    c_term = _g9("ln(CAST(ctf AS DOUBLE) / n_c)")
+    qconst = (
+        qterms.join(ctf, "tok")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", f"{c_term} AS c9")
+        .groupBy("query_id")
+        .agg(
+            F.sum("c9").cast("bigint").alias("c9"),
+            F.count("*").cast("bigint").alias("qlen"),
+        )
+    )
+    b_term = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
+    full = (
+        doclen.crossJoin(F.broadcast(qconst))
+        .selectExpr("query_id", "doc_id", f"qlen * {b_term} + c9 AS bc9")
+        .join(matched, ["query_id", "doc_id"], "left")
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "CAST(coalesce(n_hit_terms, 0) AS BIGINT) AS n_hit_terms",
+            "CAST(coalesce(a9, 0) + bc9 AS BIGINT) AS score9",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score9"), F.asc("doc_id"))
+    return (
+        full.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= QL_TOP_K)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "n_hit_terms",
+            mround("CAST(score9 AS DOUBLE) / 1000000000", 6) + " AS score",
+            "rank",
+        )
+    )
+
+
+def _ql_sql() -> str:
+    a_term = _g9(
+        f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
+    )
+    c_term = _g9("ln(CAST(ctf AS DOUBLE) / n_c)")
+    b_term = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+stats AS (SELECT CAST(sum(tf) AS BIGINT) AS n_c FROM postings),
+doclen AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+ctf AS (
+  SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf
+  FROM postings WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+  GROUP BY tok),
+matched AS (
+  SELECT query_id, doc_id,
+         CAST(sum({a_term}) AS BIGINT) AS a9,
+         CAST(count(*) AS BIGINT) AS n_hit_terms
+  FROM postings JOIN qterms USING (tok) JOIN ctf USING (tok) CROSS JOIN stats
+  GROUP BY query_id, doc_id),
+qconst AS (
+  SELECT query_id, CAST(sum({c_term}) AS BIGINT) AS c9,
+         CAST(count(*) AS BIGINT) AS qlen
+  FROM qterms JOIN ctf USING (tok) CROSS JOIN stats
+  GROUP BY query_id),
+full_frame AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(coalesce(m.n_hit_terms, 0) AS BIGINT) AS n_hit_terms,
+         CAST(coalesce(m.a9, 0) + q.qlen * {b_term} + q.c9 AS BIGINT) AS score9
+  FROM doclen d CROSS JOIN qconst q
+  LEFT JOIN matched m ON m.query_id = q.query_id AND m.doc_id = d.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, n_hit_terms,
+         {mround('CAST(score9 AS DOUBLE) / 1000000000', 6)} AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score9 DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM full_frame)
+SELECT query_id, doc_id, n_hit_terms, score, rank
+FROM ranked WHERE rank <= {QL_TOP_K}
+"""
+
+
+RETRIEVAL_QL_SQL = _ql_sql()
+
+QUERIES["retrieval_query_likelihood"] = QuerySpec(
+    retrieval_query_likelihood, RETRIEVAL_QL_SQL, "eval"
+)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback expansion (RM1-lite) — round 9
+# ---------------------------------------------------------------------------
+
+PRF_FB_DOCS = 10  # feedback depth: the BM25 top-10 per query
+PRF_TOP_TERMS = 5  # expansion terms reported per query
+
+
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-lite, the uniform-
+    weight core of RM3): run the fixed workload's BM25 top-10 as feedback
+    docs, estimate the relevance model w(t) = sum over feedback docs of
+    tf(t,d)/dl_d, drop the original query terms, and report each query's
+    top-5 expansion terms — the classic lexical-gap fix a retrieval
+    pipeline applies before a second-pass ranking.
+
+    Determinism: the seed ranking is `text_bm25_search`'s integer-micro
+    ordering (hash-exact by construction); each tf/dl contribution is
+    pre-rounded onto the 1e-9 integer grid before the cross-doc sum, so
+    w(t) is an int64 fold; term ties break lexicographically.
+
+    Scale: the corpus is tokenized once into the postings substrate; the
+    feedback join touches only the 50 (query, doc) seed pairs (broadcast),
+    so the relevance-model aggregation runs over <= 50 document term lists
+    — bounded by the workload, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    postings = (
+        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+    )
+    enriched = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
+    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "tok",
+        "dl",
+        "CAST(floor(("
+        "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+        ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    hits = scored.join(F.broadcast(qterms), "tok").groupBy("query_id", "doc_id").agg(
+        F.sum("bm25_micro").alias("score_micro")
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    feedback = (
+        hits.withColumn("r", F.row_number().over(w_bm))
+        .filter(F.col("r") <= PRF_FB_DOCS)
+        .select("query_id", "doc_id")
+    )
+    w_term = _g9("CAST(tf AS DOUBLE) / dl")
+    fb_terms = (
+        postings.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+        )
+        .join(F.broadcast(feedback), "doc_id")
+        .selectExpr("query_id", "tok", f"{w_term} AS w9")
+        .groupBy("query_id", "tok")
+        .agg(
+            F.sum("w9").cast("bigint").alias("w9"),
+            F.count("*").cast("bigint").alias("n_fb_docs"),
+        )
+        .join(F.broadcast(qterms), ["query_id", "tok"], "left_anti")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("w9"), F.asc("tok"))
+    return (
+        fb_terms.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= PRF_TOP_TERMS)
+        .selectExpr(
+            "query_id",
+            "rank",
+            "tok AS term",
+            mround("CAST(w9 AS DOUBLE) / 1000000000", 6) + " AS weight",
+            "n_fb_docs",
+        )
+    )
+
+
+def _prf_sql() -> str:
+    w_term = _g9("CAST(tf AS DOUBLE) / dl")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_dl
+  FROM postings),
+enriched AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+scored AS (
+  SELECT doc_id, tok, dl,
+         CAST(floor((
+           (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+           * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+         ) * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+  FROM enriched CROSS JOIN stats),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+hits AS (
+  SELECT query_id, s.doc_id, CAST(sum(bm25_micro) AS BIGINT) AS score_micro
+  FROM scored s JOIN qterms USING (tok)
+  GROUP BY query_id, s.doc_id),
+feedback AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id ASC) AS r
+    FROM hits) t WHERE r <= {PRF_FB_DOCS}),
+withdl AS (
+  SELECT doc_id, tok, tf,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+fb_terms AS (
+  SELECT query_id, tok,
+         CAST(sum({w_term}) AS BIGINT) AS w9,
+         CAST(count(*) AS BIGINT) AS n_fb_docs
+  FROM withdl JOIN feedback USING (doc_id)
+  GROUP BY query_id, tok),
+expanded AS (
+  SELECT f.query_id, f.tok, f.w9, f.n_fb_docs
+  FROM fb_terms f
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.query_id = f.query_id AND q.tok = f.tok)),
+ranked AS (
+  SELECT query_id, tok, w9, n_fb_docs,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY w9 DESC, tok ASC) AS BIGINT) AS rank
+  FROM expanded)
+SELECT query_id, rank, tok AS term,
+       {mround('CAST(w9 AS DOUBLE) / 1000000000', 6)} AS weight,
+       n_fb_docs
+FROM ranked WHERE rank <= {PRF_TOP_TERMS}
+"""
+
+
+RETRIEVAL_PRF_SQL = _prf_sql()
+
+QUERIES["retrieval_prf_expansion"] = QuerySpec(
+    retrieval_prf_expansion, RETRIEVAL_PRF_SQL, "eval"
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence from the corpus (round 9)
+# ---------------------------------------------------------------------------
+
+
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence D(P_source || P_corpus) of each source's unigram token
+    distribution from the whole-corpus distribution — the domain-shift
+    score a training-mix designer reads before weighting sources (a source
+    that diverges hard from the mix either carries signal or garbage; this
+    ranks which to inspect), completing the drift family with a
+    text-native member beside PSI/KS/chi-square on prices.
+
+    Only observed (source, token) cells contribute — a token absent from a
+    source has p_s = 0 and adds exactly 0 to the sum, so the sparse form is
+    the EXACT statistic, not an approximation. Each cell term
+    (cnt/n_s) * ln(cnt*N / (n_s*ctf)) is one fixed-text IEEE expression of
+    exact int64 counts, pre-rounded onto the 1e-9 integer grid before the
+    per-source sum (the documented transcendental exception — PSI pattern).
+
+    Scale: ONE partial-aggregated groupBy collapses the corpus to the
+    (source, token) cell table (bounded by |sources| x vocabulary); the
+    token marginal is a window over that reduced table, the corpus total a
+    broadcast 1-row aggregate, and the answer is a |sources|-row groupBy.
+    Nothing after the first groupBy sees a corpus row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # One tokenize: the reduced cell table is materialized so the corpus
+    # total and the marginal windows read the same blocks (rrf pattern) —
+    # without this, both consumers re-expand the explode (2 Generates).
+    cells = (
+        toks.groupBy("source", "tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
+    total = cells.agg(F.sum("cnt").cast("bigint").alias("n_all"))
+    en = cells.withColumn(
+        "ctf", F.sum("cnt").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn(
+        "n_s", F.sum("cnt").over(Window.partitionBy("source")).cast("bigint")
+    )
+    term = _g9(
+        "(CAST(cnt AS DOUBLE) / n_s)"
+        " * ln(CAST(cnt AS DOUBLE) * n_all / (CAST(n_s AS DOUBLE) * ctf))"
+    )
+    per = (
+        en.crossJoin(F.broadcast(total))
+        .selectExpr("source", "n_s", f"{term} AS t9")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("t9").cast("bigint").alias("kl9"),
+        )
+    )
+    return per.selectExpr(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        mround("CAST(kl9 AS DOUBLE) / 1000000000", 6) + " AS kl_nats",
+    )
+
+
+def _source_kl_sql() -> str:
+    term = _g9(
+        "(CAST(cnt AS DOUBLE) / n_s)"
+        " * ln(CAST(cnt AS DOUBLE) * n_all / (CAST(n_s AS DOUBLE) * ctf))"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+cells AS (
+  SELECT source, tok, count(*) AS cnt FROM toks WHERE tok <> ''
+  GROUP BY source, tok),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM cells),
+en AS (
+  SELECT source, tok, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY tok) AS BIGINT) AS ctf,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM cells)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       {mround('CAST(sum(' + term + ') AS DOUBLE) / 1000000000', 6)} AS kl_nats
+FROM en CROSS JOIN total
+GROUP BY source
+"""
+
+
+TEXT_SOURCE_KL_SQL = _source_kl_sql()
+
+QUERIES["text_source_kl_divergence"] = QuerySpec(
+    text_source_kl_divergence, TEXT_SOURCE_KL_SQL, "text"
+)
