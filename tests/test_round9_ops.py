@@ -158,3 +158,55 @@ def test_source_kl_nonneg_and_recompute(spark):
         )
         assert abs(kl - got.loc[src, "kl_nats"]) < 1e-5
         assert got.loc[src, "n_tokens"] == n_s
+
+
+def test_deletion_cascade_reconciliation(spark):
+    got = _run(spark, "pipeline_deletion_cascade").set_index("tbl")
+    assert list(got.index) == ["customer", "orders", "lineitem"]
+    # independent recompute of every level from raw parquet
+    c = duckdb.sql(f"SELECT c_custkey FROM '{SF_SMOKE}/customer.parquet'").df()
+    o = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).df()
+    li = duckdb.sql(f"SELECT l_orderkey FROM '{SF_SMOKE}/lineitem.parquet'").df()
+    del_c = (c.c_custkey % 50 == 0).sum()
+    del_o = (o.o_custkey % 50 == 0).sum()
+    doomed = set(o[o.o_custkey % 50 == 0].o_orderkey)
+    del_l = li.l_orderkey.isin(doomed).sum()
+    for tbl, total, deleted in (
+        ("customer", len(c), del_c),
+        ("orders", len(o), del_o),
+        ("lineitem", len(li), del_l),
+    ):
+        r = got.loc[tbl]
+        assert r["rows_total"] == total and r["rows_deleted"] == deleted
+        assert r["rows_after"] == total - deleted
+        assert abs(r["pct_deleted"] - deleted / total) < 1e-6
+
+
+def test_leakage_safe_split_invariants(spark):
+    got = _run(spark, "pipeline_leakage_safe_split").iloc[0]
+    # the safe assignment NEVER leaks a near-dup edge across the split
+    assert got["leaked_edges_safe"] == 0
+    # the naive doc_id hash demonstrably does (the whole point of the op)
+    assert got["leaked_edges_naive"] > 0
+    assert got["n_train_safe"] + got["n_val_safe"] == got["n_docs"]
+    assert got["n_train_naive"] + got["n_val_naive"] == got["n_docs"]
+    # ~80/20 with hash noise
+    assert 0.7 < got["n_train_safe"] / got["n_docs"] < 0.9
+    # cluster-consistency recomputed independently: components from the CC
+    # entry itself, split by md5 of the representative
+    cc = _run(spark, "dedup_cluster_resolve")
+    import hashlib
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+
+    reps = dict(zip(cc.doc_id, cc.cluster_id))
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    n_train = sum(
+        1 for d in range(n_docs) if bucket(reps.get(d, d)) < 80
+    )
+    assert n_train == got["n_train_safe"]

@@ -638,26 +638,13 @@ def _edges_neardup(
     )
 
 
-def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
-    """Connected components over MinHash near-dup pairs (jaccard >=
-    CLUSTER_JACCARD_MIN) by min-label propagation, then canonical-keeper
-    resolution: every clustered doc labeled with its component's lowest
-    doc_id, flagged canonical iff it IS that keeper, with the component size.
-
-    Scale design: each iteration is two shuffles on doc_id (neighbor-min
-    groupBy + label join) over the EDGE set (already banding-bounded — never
-    all pairs); iterations are bounded by component diameter, and near-dup
-    graphs are overwhelmingly tiny star/clique components, so 3-4 rounds
-    converge in practice (cap + convergence check here). localCheckpoint
-    truncates the growing lineage each round. The driver-side loop touches
-    only a per-round changed-count — the data never leaves executors. This is
-    the standard alternating-min-label CC (cf. large-star/small-star); at
-    petabyte graph scale swap in that two-phase variant, same join shapes."""
-    # shared checkpointed substrate (pairs are distinct with doc_a < doc_b,
-    # so the swapped union needs no distinct shuffle)
-    edges = _edges_neardup(spark, sf_dir, jaccard_min=CLUSTER_JACCARD_MIN).selectExpr(
-        "src AS doc_a", "dst AS doc_b"
-    )
+def _cc_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label connected components over a SWAPPED-UNION edge list
+    ``(doc_a, doc_b)`` — the iterative core of :func:`dedup_cluster_resolve`,
+    factored so consumers that already hold a materialized edge table (e.g.
+    the leakage-safe split's audit) reuse it instead of rebuilding the
+    signature/band/verify lineage. Returns ``(doc_id, label)`` for every
+    node on an edge; label = the component's minimum doc_id."""
     # Seed with min(self, neighbors) directly off the edge list — exactly
     # the fixed point of propagation round 1, for the cost of one groupBy
     # instead of a full join+checkpoint+count round.
@@ -693,6 +680,30 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20)
             break
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    return labels
+
+
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Connected components over MinHash near-dup pairs (jaccard >=
+    CLUSTER_JACCARD_MIN) by min-label propagation, then canonical-keeper
+    resolution: every clustered doc labeled with its component's lowest
+    doc_id, flagged canonical iff it IS that keeper, with the component size.
+
+    Scale design: each iteration is two shuffles on doc_id (neighbor-min
+    groupBy + label join) over the EDGE set (already banding-bounded — never
+    all pairs); iterations are bounded by component diameter, and near-dup
+    graphs are overwhelmingly tiny star/clique components, so 3-4 rounds
+    converge in practice (cap + convergence check here). localCheckpoint
+    truncates the growing lineage each round. The driver-side loop touches
+    only a per-round changed-count — the data never leaves executors. This is
+    the standard alternating-min-label CC (cf. large-star/small-star); at
+    petabyte graph scale swap in that two-phase variant, same join shapes."""
+    # shared checkpointed substrate (pairs are distinct with doc_a < doc_b,
+    # so the swapped union needs no distinct shuffle)
+    edges = _edges_neardup(spark, sf_dir, jaccard_min=CLUSTER_JACCARD_MIN).selectExpr(
+        "src AS doc_a", "dst AS doc_b"
+    )
+    labels = _cc_min_labels(edges, max_iters)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -2892,4 +2903,150 @@ FROM grid g LEFT JOIN emp e ON g.s20 = e.s20
 
 QUERIES["dedup_lsh_scurve"] = QuerySpec(
     dedup_lsh_scurve, DEDUP_LSH_SCURVE_SQL, "dedup"
+)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split (cluster-consistent assignment) — round 9
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80  # 80/20 content-addressed split
+
+
+def _split_bucket(key: str, dialect: str) -> str:
+    """md5-derived 0..99 bucket of an int key — the pipeline_train_val_split
+    hash, portable across engines."""
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 100"
+        )
+    return f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-consistent train/val split — the eval-contamination guard
+    every serious pretraining pipeline runs: assigning splits by
+    md5(doc_id) lets near-duplicate pairs straddle train/val (the val set
+    then "memorizes" training text and benchmarks inflate), so the SAFE
+    assignment hashes each document's near-dup CLUSTER representative
+    (min-doc_id of its connected component; singletons are their own
+    representative) — components move atomically and crossing edges are
+    structurally zero. Reports both assignments side by side: split sizes,
+    the near-dup edge count, and the leaked-edge count under each policy
+    (safe is 0 BY CONSTRUCTION — the audit column proves it; naive leaks
+    whatever the hash happens to cut).
+
+    Scale: components come from the shared banding-bounded CC
+    (:func:`dedup_cluster_resolve` — iterative min-label over the
+    localCheckpoint-ed edge substrate); the split is a pure per-row hash
+    (no shuffle), the leak audit is two broadcast-able equi-joins of the
+    EDGE list (banding-bounded, never all pairs) against the assignment,
+    and the answer is a 1-row fold."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # ONE pair build serves both the CC and the leak audit (materialized —
+    # without this the audit re-ran the whole signature/band/verify lineage
+    # and the plan carried 3 Generates).
+    pairs = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+    labels = _cc_min_labels(edges).selectExpr("doc_id", "label AS cluster_id")
+    assigned = (
+        d.join(labels, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(cluster_id, doc_id) AS rep",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN {_split_bucket('rep', 'spark')} < {SPLIT_TRAIN_PCT}"
+            " THEN 1 ELSE 0 END AS safe_train",
+            f"CASE WHEN {_split_bucket('doc_id', 'spark')} < {SPLIT_TRAIN_PCT}"
+            " THEN 1 ELSE 0 END AS naive_train",
+        )
+        .localCheckpoint()  # reused by the size fold AND both edge probes
+    )
+    a = assigned.selectExpr(
+        "doc_id AS doc_a", "safe_train AS sa", "naive_train AS na"
+    )
+    b = assigned.selectExpr(
+        "doc_id AS doc_b", "safe_train AS sb", "naive_train AS nb"
+    )
+    edge_audit = pairs.join(a, "doc_a").join(b, "doc_b").agg(
+        F.count("*").cast("bigint").alias("n_neardup_edges"),
+        F.sum(F.expr("CASE WHEN sa <> sb THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("leaked_edges_safe"),
+        F.sum(F.expr("CASE WHEN na <> nb THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("leaked_edges_naive"),
+    )
+    sizes = assigned.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("safe_train").cast("bigint").alias("n_train_safe"),
+        F.sum("naive_train").cast("bigint").alias("n_train_naive"),
+    )
+    return sizes.crossJoin(F.broadcast(edge_audit)).selectExpr(
+        "n_docs",
+        "n_train_safe",
+        "CAST(n_docs - n_train_safe AS BIGINT) AS n_val_safe",
+        "n_train_naive",
+        "CAST(n_docs - n_train_naive AS BIGINT) AS n_val_naive",
+        "n_neardup_edges",
+        "leaked_edges_safe",
+        "leaked_edges_naive",
+    )
+
+
+PIPELINE_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE pairs AS (" + DEDUP_MINHASH_PAIRS_SQL + ")"
+    + f"""
+, strong AS (
+  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {CLUSTER_JACCARD_MIN}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM strong
+  UNION
+  SELECT doc_b, doc_a FROM strong),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+comp AS (
+  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id,
+         CASE WHEN {_split_bucket("coalesce(c.cluster_id, d.doc_id)", "duck")}
+              < {SPLIT_TRAIN_PCT} THEN 1 ELSE 0 END AS safe_train,
+         CASE WHEN {_split_bucket("d.doc_id", "duck")}
+              < {SPLIT_TRAIN_PCT} THEN 1 ELSE 0 END AS naive_train
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+edge_audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_neardup_edges,
+         CAST(sum(CASE WHEN a.safe_train <> b.safe_train THEN 1 ELSE 0 END)
+           AS BIGINT) AS leaked_edges_safe,
+         CAST(sum(CASE WHEN a.naive_train <> b.naive_train THEN 1 ELSE 0 END)
+           AS BIGINT) AS leaked_edges_naive
+  FROM strong e
+  JOIN assigned a ON a.doc_id = e.doc_a
+  JOIN assigned b ON b.doc_id = e.doc_b),
+sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(safe_train) AS BIGINT) AS n_train_safe,
+         CAST(sum(naive_train) AS BIGINT) AS n_train_naive
+  FROM assigned)
+SELECT n_docs, n_train_safe,
+       CAST(n_docs - n_train_safe AS BIGINT) AS n_val_safe,
+       n_train_naive,
+       CAST(n_docs - n_train_naive AS BIGINT) AS n_val_naive,
+       n_neardup_edges, leaked_edges_safe, leaked_edges_naive
+FROM sizes CROSS JOIN edge_audit
+"""
+)
+
+QUERIES["pipeline_leakage_safe_split"] = QuerySpec(
+    pipeline_leakage_safe_split, PIPELINE_LEAKAGE_SPLIT_SQL, "pipeline"
 )

@@ -830,3 +830,106 @@ QUERIES["pipeline_cdc_upsert_orders"] = QuerySpec(
 QUERIES["pipeline_scd2_orders_status"] = QuerySpec(
     pipeline_scd2_orders_status, PIPELINE_SCD2_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# GDPR deletion-cascade audit — round 9
+# ---------------------------------------------------------------------------
+#
+# Reference scope: the engine's only "delete" is the whole-job result GC
+# (src/tmapreduce/master/master.cc:685-710); a keyed cascade across related
+# tables is net-new surface, and the shape every right-to-be-forgotten
+# pipeline needs: given a purge predicate on the ROOT entity, count the blast
+# radius down the FK chain BEFORE executing the delete.
+
+# Deterministic purge set: every 50th customer (2%). A predicate, not a
+# materialized key list — the cascade levels derive membership where the FK
+# carries it (orders) and semi-join only where it does not (lineitem).
+PURGE_CUST_MOD = 50
+
+
+def pipeline_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast-radius audit: for the purge set
+    "customers with c_custkey % 50 = 0", report per cascade level
+    (customer -> orders -> lineitem) the total rows, rows to delete, rows
+    surviving, and the deleted fraction — the pre-flight a GDPR deletion
+    job emits for sign-off before mutating anything.
+
+    Scale: customer and orders levels are pure predicate counts (the FK
+    carries the purge condition, so NO join runs — one conditional
+    partial-agg scan each); lineitem is the one genuine cascade hop, a
+    LEFT SEMI join against the 2% order slice on the equi key (AQE picks
+    broadcast vs SMJ by the slice's actual size) folded into the same
+    conditional count. Output is 3 rows regardless of data size."""
+    purge = f"% {PURGE_CUST_MOD} = 0"
+
+    def level(df: DataFrame, name: str, del_flag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("rows_total"),
+            F.sum(F.expr(f"CASE WHEN {del_flag} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("rows_deleted"),
+        ).selectExpr(
+            f"'{name}' AS tbl",
+            "rows_total",
+            "rows_deleted",
+            "CAST(rows_total - rows_deleted AS BIGINT) AS rows_after",
+            mround("CAST(rows_deleted AS DOUBLE) / rows_total", 6)
+            + " AS pct_deleted",
+        )
+
+    c = level(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "customer",
+        f"c_custkey {purge}",
+    )
+    o = level(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        "orders",
+        f"o_custkey {purge}",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    doomed_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(f"o_custkey {purge}")
+        .select("o_orderkey")
+    )
+    flagged = li.join(
+        doomed_orders.withColumn("doomed", F.lit(True)),
+        li.l_orderkey == doomed_orders.o_orderkey,
+        "left",
+    )
+    l = level(flagged, "lineitem", "doomed IS NOT NULL")
+    return c.unionAll(o).unionAll(l)
+
+
+PIPELINE_DELETION_CASCADE_SQL = f"""
+WITH lvl_c AS (
+  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN c_custkey % {PURGE_CUST_MOD} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_deleted
+  FROM customer),
+lvl_o AS (
+  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN o_custkey % {PURGE_CUST_MOD} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_deleted
+  FROM orders),
+lvl_l AS (
+  SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_deleted
+  FROM lineitem li
+  LEFT JOIN (SELECT o_orderkey FROM orders
+             WHERE o_custkey % {PURGE_CUST_MOD} = 0) o
+    ON li.l_orderkey = o.o_orderkey),
+unioned AS (
+  SELECT * FROM lvl_c UNION ALL SELECT * FROM lvl_o UNION ALL SELECT * FROM lvl_l)
+SELECT tbl, rows_total, rows_deleted,
+       CAST(rows_total - rows_deleted AS BIGINT) AS rows_after,
+       {mround('CAST(rows_deleted AS DOUBLE) / rows_total', 6)} AS pct_deleted
+FROM unioned
+"""
+
+QUERIES["pipeline_deletion_cascade"] = QuerySpec(
+    pipeline_deletion_cascade, PIPELINE_DELETION_CASCADE_SQL, "pipeline"
+)
