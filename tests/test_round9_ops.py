@@ -210,3 +210,51 @@ def test_leakage_safe_split_invariants(spark):
         1 for d in range(n_docs) if bucket(reps.get(d, d)) < 80
     )
     assert n_train == got["n_train_safe"]
+
+
+def test_tukey_hsd_identities(spark):
+    got = _run(spark, "agg_tukey_hsd")
+    assert len(got) == 10  # C(5,2) priority pairs
+    o = duckdb.sql(
+        f"SELECT o_orderpriority, o_totalprice FROM '{SF_SMOKE}/orders.parquet'"
+    ).df()
+    groups = {p: g["o_totalprice"] for p, g in o.groupby("o_orderpriority")}
+    grand = o["o_totalprice"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups.values())
+    sst = ((o["o_totalprice"] - grand) ** 2).sum()
+    msw = (sst - ssb) / (len(o) - len(groups))
+    for _, r in got.iterrows():
+        a, b = groups[r["prio_a"]], groups[r["prio_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        diff = a.mean() - b.mean()
+        assert abs(r["mean_diff"] - diff) < 5e-3
+        q = abs(diff) / ((msw / 2 * (1 / len(a) + 1 / len(b))) ** 0.5)
+        assert abs(r["q_stat"] - q) < 1e-4
+
+
+def test_cuped_identities(spark):
+    got = _run(spark, "events_cuped_lift").iloc[0]
+    e = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts) >= 1705363200000000 AS post, value
+            FROM '{SF_SMOKE}/events.parquet' WHERE event_type = 'purchase'"""
+    ).df()
+    per = e.pivot_table(
+        index="user_id", columns="post", values="value", aggfunc="sum", fill_value=0
+    ).rename(columns={False: "x", True: "y"})
+    for c in ("x", "y"):
+        if c not in per:
+            per[c] = 0.0
+    import numpy as np
+
+    x, y = per["x"].values, per["y"].values
+    treat = per.index.values % 2 == 0
+    assert got["n_users"] == len(per)
+    assert got["n_treat"] == treat.sum()
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    assert abs(got["theta"] - theta) < 1e-3
+    lift_raw = y[treat].mean() - y[~treat].mean()
+    lift_adj = lift_raw - theta * (x[treat].mean() - x[~treat].mean())
+    assert abs(got["lift_raw"] - lift_raw) < 1e-2
+    assert abs(got["lift_adjusted"] - lift_adj) < 1e-2
+    rho = np.corrcoef(x, y)[0, 1]
+    assert abs(got["var_ratio"] - (1 - rho * rho)) < 1e-3

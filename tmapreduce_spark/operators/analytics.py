@@ -4621,3 +4621,208 @@ SELECT {", ".join(_did_out_exprs())} FROM cells
 EVENTS_DID_LIFT_SQL = _did_sql()
 
 QUERIES["events_did_lift"] = QuerySpec(events_did_lift, EVENTS_DID_LIFT_SQL, "events")
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc contrasts — round 9 (rides the ANOVA cell moments)
+# ---------------------------------------------------------------------------
+
+_TUKEY_PAIRS = [
+    (i, j)
+    for i in range(len(_ANOVA_PRIORITIES))
+    for j in range(len(_ANOVA_PRIORITIES))
+    if i < j
+]
+
+
+def _tukey_cols(i: int, j: int) -> list[str]:
+    """One pair's fixed-text readout columns over the ANOVA derived row
+    (all-dialect shared). MSW is in dollars^2; mean diff in dollars; q is
+    the studentized range statistic abs(diff) / sqrt(MSW/2 * (1/ni+1/nj))."""
+    msw = f"(({_ANOVA_SSW}) / (n_total - k_groups))"
+
+    def mean(k: int) -> str:
+        return f"(CAST(s{k} AS DOUBLE) / n{k} / 100)"
+
+    diff = f"({mean(i)} - {mean(j)})"
+    se = (
+        f"sqrt(({msw}) / 2 * (CAST(1 AS DOUBLE) / n{i}"
+        f" + CAST(1 AS DOUBLE) / n{j}))"
+    )
+    return [
+        f"'{_ANOVA_PRIORITIES[i]}' AS prio_a",
+        f"'{_ANOVA_PRIORITIES[j]}' AS prio_b",
+        f"CAST(n{i} AS BIGINT) AS n_a",
+        f"CAST(n{j} AS BIGINT) AS n_b",
+        mround(diff, 4) + " AS mean_diff",
+        mround(f"abs({diff}) / ({se})", 6) + " AS q_stat",
+    ]
+
+
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise contrasts after :func:`agg_anova_oneway`:
+    for each of the 10 priority pairs, the mean order-value difference and
+    the studentized-range statistic q = abs(diff) / sqrt(MSW/2*(1/ni+1/nj))
+    — the "WHICH groups differ" readout the omnibus F cannot give.
+
+    Rides the IDENTICAL exact-integer cell moments as the ANOVA (same
+    `_anova_exprs`, same lane-split sum of squares), so one conditional
+    partial-agg pass over orders feeds a 10-row pure-expression fan-out of
+    the single derived row — the pair 'join' is literal text, not a plan
+    operator, because the design (5 groups) is fixed by the analysis."""
+    from functools import reduce
+
+    aggs, derived = _anova_exprs("spark")
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 100)} AS vq"
+    )
+    # keep the raw cells alongside the derived SS columns: the pair
+    # readouts need n{i}/s{i} AND ssw/k_groups. The 1-row fold is
+    # materialized so the 10-branch union reads it, not 10 re-scans of
+    # orders (caught at 10 Exchanges / 20 HashAggregates pre-commit).
+    row1 = (
+        o.agg(*[F.expr(a) for a in aggs]).selectExpr("*", *derived).localCheckpoint()
+    )
+    return reduce(
+        DataFrame.unionAll,
+        [row1.selectExpr(*_tukey_cols(i, j)) for i, j in _TUKEY_PAIRS],
+    )
+
+
+def _tukey_sql() -> str:
+    aggs, derived = _anova_exprs("duck")
+    body = " UNION ALL ".join(
+        "SELECT " + ", ".join(_tukey_cols(i, j)) + " FROM row1"
+        for i, j in _TUKEY_PAIRS
+    )
+    return f"""
+WITH cells AS (
+  SELECT {", ".join(aggs)}
+  FROM (SELECT o_orderpriority, {cents('o_totalprice', 100)} AS vq FROM orders) t),
+row1 AS (SELECT *, {", ".join(derived)} FROM cells)
+{body}
+"""
+
+
+AGG_TUKEY_HSD_SQL = _tukey_sql()
+
+QUERIES["agg_tukey_hsd"] = QuerySpec(agg_tukey_hsd, AGG_TUKEY_HSD_SQL, "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment lift — round 9
+# ---------------------------------------------------------------------------
+#
+# Pre-period purchase value as the covariate (Deng, Xu, Kohavi & Walker 2013):
+# theta = cov(X, Y) / var(X) pooled, lift_adj = lift_raw - theta*(Xbar_t -
+# Xbar_c), achieved variance ratio var(Y_adj)/var(Y) = 1 - rho^2.
+
+# milli-dollar quantization: per-user period sums stay ~1e6 milli at the
+# shipped SFs, so sum(x*x) <= ~1e15 over 1e3 users — int64-safe to ~8e6
+# users at this magnitude; lane-split the squares (the agg_anova_oneway
+# hi/lo pattern) or widen to DECIMAL(38,0) beyond.
+_CUPED_UNIT = 1000
+
+
+def events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment lift of post-period purchase value
+    (treatment = even user_id, the same assignment and 2024-01-16 cut as
+    :func:`events_did_lift`): the industry-standard variance-reduction
+    trick — regress out each user's PRE-period value (unaffected by
+    treatment by construction) before comparing arms. Reports pooled theta,
+    the covariate correlation rho, raw and adjusted lift, and the achieved
+    variance ratio 1 - rho^2.
+
+    Determinism: the unit table is per-user exact int64 (pre, post)
+    milli-dollar sums over ONE corpus pass; every statistic is a fixed-text
+    IEEE expression over the 1-row exact-integer moment fold (n, sums,
+    squares, cross products via FILTER-less plain aggregates), so both
+    engines run identical floating-point ops.
+
+    Scale: groupBy(user_id) is the only corpus shuffle; the moment fold is
+    a 1-row partial aggregate; the lift algebra runs on that row. Note
+    lift_adj needs NO per-user adjusted values: mean(Y_adj | arm) folds to
+    mean(Y|arm) - theta*(mean(X|arm) - anything-common), so arm means of
+    exact integer sums suffice."""
+    e = load_table(spark, sf_dir, "events").where("event_type = 'purchase'")
+    per_user = (
+        e.selectExpr(
+            "user_id",
+            f"CASE WHEN unix_micros(ts) >= {_DID_POST_US} THEN 0"
+            f" ELSE {cents('value', _CUPED_UNIT)} END AS xq",
+            f"CASE WHEN unix_micros(ts) >= {_DID_POST_US}"
+            f" THEN {cents('value', _CUPED_UNIT)} ELSE 0 END AS yq",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xq").alias("x"), F.sum("yq").alias("y"))
+        .selectExpr(
+            "CASE WHEN (user_id % 2) = 0 THEN 1 ELSE 0 END AS treat", "x", "y"
+        )
+    )
+    mom = per_user.agg(*[F.expr(a) for a in _cuped_aggs()])
+    return mom.selectExpr(*_cuped_out_exprs())
+
+
+def _cuped_aggs() -> list[str]:
+    aggs = [
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(x) AS BIGINT) AS sx",
+        "CAST(sum(y) AS BIGINT) AS sy",
+        "CAST(sum(x * x) AS BIGINT) AS sxx",
+        "CAST(sum(y * y) AS BIGINT) AS syy",
+        "CAST(sum(x * y) AS BIGINT) AS sxy",
+    ]
+    for tag, g in (("t", 1), ("c", 0)):
+        f = f"FILTER (WHERE treat = {g})"
+        aggs.append(f"CAST(count(*) {f} AS BIGINT) AS n_{tag}")
+        aggs.append(f"CAST(coalesce(sum(x) {f}, 0) AS BIGINT) AS sx_{tag}")
+        aggs.append(f"CAST(coalesce(sum(y) {f}, 0) AS BIGINT) AS sy_{tag}")
+    return aggs
+
+
+# centered second moments (milli^2) and the derived statistics, fixed text
+_CUPED_CXX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+_CUPED_CYY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+_CUPED_CXY = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+_CUPED_THETA = f"({_CUPED_CXY} / {_CUPED_CXX})"
+_CUPED_RHO = f"({_CUPED_CXY} / sqrt({_CUPED_CXX} * {_CUPED_CYY}))"
+_CUPED_LIFT_RAW = (
+    "((CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c) / 1000)"
+)
+_CUPED_LIFT_ADJ = (
+    f"({_CUPED_LIFT_RAW} - {_CUPED_THETA}"
+    " * ((CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c) / 1000))"
+)
+
+
+def _cuped_out_exprs() -> list[str]:
+    return [
+        "n AS n_users",
+        "n_t AS n_treat",
+        "n_c AS n_ctrl",
+        mround(_CUPED_THETA, 6) + " AS theta",
+        mround(_CUPED_RHO, 6) + " AS rho_pre_post",
+        mround(_CUPED_LIFT_RAW, 6) + " AS lift_raw",
+        mround(_CUPED_LIFT_ADJ, 6) + " AS lift_adjusted",
+        mround(f"1 - ({_CUPED_RHO}) * ({_CUPED_RHO})", 6) + " AS var_ratio",
+    ]
+
+
+def _cuped_sql() -> str:
+    return f"""
+WITH per_user AS (
+  SELECT CASE WHEN (user_id % 2) = 0 THEN 1 ELSE 0 END AS treat,
+         CAST(sum(CASE WHEN epoch_us(ts) >= {_DID_POST_US} THEN 0
+                       ELSE {cents('value', _CUPED_UNIT)} END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) >= {_DID_POST_US}
+                       THEN {cents('value', _CUPED_UNIT)} ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id),
+mom AS (SELECT {", ".join(_cuped_aggs())} FROM per_user)
+SELECT {", ".join(_cuped_out_exprs())} FROM mom
+"""
+
+
+EVENTS_CUPED_SQL = _cuped_sql()
+
+QUERIES["events_cuped_lift"] = QuerySpec(events_cuped_lift, EVENTS_CUPED_SQL, "events")
