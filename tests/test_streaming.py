@@ -759,3 +759,56 @@ def test_streaming_scd2_converges_to_batch_history(spark):
         vt = g["valid_to"].tolist()
         assert vt[:-1] == list(r["valid_froms"])[1:], cust
         assert g["is_current"].tolist()[-1] == 1, cust
+
+
+def test_streaming_cuped_partials_merge_to_batch_lift(spark):
+    """The mergeability claim of `events_cuped_lift`, executed: per-user
+    streaming (x, y) int64 partials — commutative sums, so order-proof —
+    merged through the identical CUPED algebra must reproduce the batch
+    row exactly (all six reported statistics, to the same 1e-6 rounding)."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.stateful import streaming_cuped_moments
+
+    s = streaming_cuped_moments(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_cuped", output_mode="update")
+    # final state per user = the emission with the most purchases recorded
+    per_user = {}
+    for r in mem.collect():
+        best = per_user.get(r["user_id"])
+        if best is None or r["n_purchases"] > best["n_purchases"]:
+            per_user[r["user_id"]] = r
+    n = len(per_user)
+    sx = sum(r["x_milli"] for r in per_user.values())
+    sy = sum(r["y_milli"] for r in per_user.values())
+    sxx = sum(r["x_milli"] ** 2 for r in per_user.values())
+    syy = sum(r["y_milli"] ** 2 for r in per_user.values())
+    sxy = sum(r["x_milli"] * r["y_milli"] for r in per_user.values())
+    arms = {1: [0, 0, 0], 0: [0, 0, 0]}  # n, sx, sy
+    for r in per_user.values():
+        a = arms[r["treat"]]
+        a[0] += 1
+        a[1] += r["x_milli"]
+        a[2] += r["y_milli"]
+
+    def mr6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    theta = cxy / cxx
+    rho = cxy / math.sqrt(cxx * cyy)
+    lift_raw = (arms[1][2] / arms[1][0] - arms[0][2] / arms[0][0]) / 1000
+    lift_adj = lift_raw - theta * (
+        (arms[1][1] / arms[1][0] - arms[0][1] / arms[0][0]) / 1000
+    )
+    batch = build_catalog()["events_cuped_lift"].fn(spark, SF_SMOKE).collect()[0]
+    assert batch["n_users"] == n
+    assert batch["n_treat"] == arms[1][0] and batch["n_ctrl"] == arms[0][0]
+    assert batch["theta"] == mr6(theta)
+    assert batch["rho_pre_post"] == mr6(rho)
+    assert batch["lift_raw"] == mr6(lift_raw)
+    assert batch["lift_adjusted"] == mr6(lift_adj)
+    assert batch["var_ratio"] == mr6(1 - rho * rho)

@@ -870,3 +870,70 @@ def streaming_scd2(orders: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming CUPED moment partials -----------------------------------------
+#
+# Streaming twin of the batch `events_cuped_lift` catalog entry: per-user
+# state is the pair of exact int64 milli-dollar sums (pre-period covariate x,
+# post-period outcome y) plus a row counter. Addition COMMUTES, so the final
+# state per user is identical under ANY arrival order — no late-arrival
+# policy needed, the strongest batch-stream equality class (same as the HDR
+# histogram). Merging the final per-user partials through the identical
+# CUPED algebra reproduces the batch row exactly (asserted in
+# tests/test_streaming.py) — the live always-on experiment readout.
+
+CUPED_OUTPUT_SCHEMA = (
+    "user_id bigint, n_purchases bigint, treat int, x_milli bigint, y_milli bigint"
+)
+CUPED_STATE_SCHEMA = "n bigint, x bigint, y bigint"
+
+
+def _update_cuped_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from tmapreduce_spark.operators.analytics import _CUPED_UNIT, _DID_POST_US
+
+    (user_id,) = key
+    n, x, y = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # identical per-row quantization to the batch twin's cents('value', 1000)
+    q = np.floor(rows["value"].to_numpy() * _CUPED_UNIT + 0.5).astype("int64")
+    post = rows["ts_us"].to_numpy() >= _DID_POST_US
+    n += len(rows)
+    x += int(q[~post].sum())
+    y += int(q[post].sum())
+    state.update((n, x, y))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_purchases": [n],
+            "treat": [1 if user_id % 2 == 0 else 0],
+            "x_milli": [x],
+            "y_milli": [y],
+        }
+    )
+
+
+def streaming_cuped_moments(events: DataFrame) -> DataFrame:
+    """Streaming per-user CUPED moment partials — commutative int64 sums
+    whose final values merged through the batch algebra reproduce
+    `events_cuped_lift` exactly."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cuped_state,
+            outputStructType=CUPED_OUTPUT_SCHEMA,
+            stateStructType=CUPED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
