@@ -5048,3 +5048,241 @@ TEXT_SOURCE_KL_SQL = _source_kl_sql()
 QUERIES["text_source_kl_divergence"] = QuerySpec(
     text_source_kl_divergence, TEXT_SOURCE_KL_SQL, "text"
 )
+
+
+# ---------------------------------------------------------------------------
+# Dual-ranker MRR eval (BM25 vs query likelihood) — round 9
+# ---------------------------------------------------------------------------
+
+MRR_K = 10  # judge each ranker's top-10
+
+
+def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the two lexical rankers — BM25 (`text_bm25_search`) and
+    Dirichlet query likelihood (`retrieval_query_likelihood`) — against
+    derived strict-AND qrels (a document is relevant to a query iff it
+    contains EVERY query term): the side-by-side retrieval-quality readout
+    an offline eval harness emits before swapping rankers in production.
+    Reports per ranker the query count, queries with a relevant doc in the
+    top-10, and MRR as exact integer micro (1e6 div rank, summed as int64,
+    divided by n_queries once).
+
+    Determinism: both rankers' orderings are already integer-exact (micro
+    BM25 weights; 1e-9-grid QL log-likelihoods) with doc_id tie-breaks;
+    reciprocal ranks are integer micro via truncating division, so the MRR
+    fold is pure int64.
+
+    Scale: ONE tokenize feeds one localCheckpoint-ed postings table; both
+    rankers and the qrels read the materialized blocks (no second corpus
+    pass); qrels need only the postings rows matching the <=13 broadcast
+    query terms; each ranker's candidate set is per-query top-k via
+    row_number — no global sort, no dense score matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    postings = (
+        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    q_hits = postings.join(F.broadcast(qterms), "tok").localCheckpoint()
+
+    # strict-AND qrels: doc matches EVERY term of the query
+    qlen = qterms.groupBy("query_id").agg(F.count("*").alias("qlen"))
+    qrels = (
+        q_hits.groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_terms"))
+        .join(F.broadcast(qlen), "query_id")
+        .filter("n_terms = qlen")
+        .select("query_id", "doc_id")
+    )
+
+    # --- ranker 1: BM25 (identical scoring text to text_bm25_search) ---
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+    )
+    enriched = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
+    bm_scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "tok",
+        "CAST(floor(("
+        "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+        ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+    )
+    bm_hits = (
+        bm_scored.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("bm25_micro").alias("score_micro"))
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    bm_top = (
+        bm_hits.withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
+        .filter(F.col("rank") <= MRR_K)
+        .selectExpr("'bm25' AS ranker", "query_id", "doc_id", "rank")
+    )
+
+    # --- ranker 2: Dirichlet QL (identical A+B+C text to the QL entry) ---
+    cstats = postings.agg(F.sum("tf").cast("bigint").alias("n_c"))
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    ctf = (
+        postings.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("bigint").alias("ctf"))
+    )
+    a_term = _g9(
+        f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
+    )
+    matched = (
+        q_hits.join(F.broadcast(ctf), "tok")
+        .crossJoin(F.broadcast(cstats))
+        .selectExpr("query_id", "doc_id", f"{a_term} AS a9")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("a9").cast("bigint").alias("a9"))
+    )
+    c_term = _g9("ln(CAST(ctf AS DOUBLE) / n_c)")
+    qconst = (
+        qterms.join(ctf, "tok")
+        .crossJoin(F.broadcast(cstats))
+        .selectExpr("query_id", f"{c_term} AS c9")
+        .groupBy("query_id")
+        .agg(
+            F.sum("c9").cast("bigint").alias("c9"),
+            F.count("*").cast("bigint").alias("qlen"),
+        )
+    )
+    b_term = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
+    ql_full = (
+        doclen.crossJoin(F.broadcast(qconst))
+        .selectExpr("query_id", "doc_id", f"qlen * {b_term} + c9 AS bc9")
+        .join(matched, ["query_id", "doc_id"], "left")
+        .selectExpr("query_id", "doc_id", "coalesce(a9, 0) + bc9 AS score9")
+    )
+    w_ql = Window.partitionBy("query_id").orderBy(F.desc("score9"), F.asc("doc_id"))
+    ql_top = (
+        ql_full.withColumn("rank", F.row_number().over(w_ql).cast("bigint"))
+        .filter(F.col("rank") <= MRR_K)
+        .selectExpr("'ql_dirichlet' AS ranker", "query_id", "doc_id", "rank")
+    )
+
+    # --- fold: first relevant rank per (ranker, query) -> integer-micro MRR
+    n_q = qterms.select("query_id").distinct().count()  # 5, workload constant
+    first_rel = (
+        bm_top.unionAll(ql_top)
+        .join(qrels, ["query_id", "doc_id"])
+        .groupBy("ranker", "query_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return (
+        first_rel.groupBy("ranker")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit_queries"),
+            F.sum(F.expr("1000000 div first_rank")).cast("bigint").alias("rr_micro"),
+        )
+        .selectExpr(
+            "ranker",
+            f"CAST({n_q} AS BIGINT) AS n_queries",
+            "n_hit_queries",
+            mround(f"CAST(rr_micro AS DOUBLE) / 1000000 / {n_q}", 6) + " AS mrr",
+        )
+    )
+
+
+def _mrr_sql() -> str:
+    a_term = _g9(
+        f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
+    )
+    c_term = _g9("ln(CAST(ctf AS DOUBLE) / n_c)")
+    b_term = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+postings AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok, doc_id),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+q_hits AS (SELECT query_id, p.tok, p.doc_id, p.tf FROM postings p JOIN qterms USING (tok)),
+qlen AS (SELECT query_id, count(*) AS qlen FROM qterms GROUP BY query_id),
+qrels AS (
+  SELECT h.query_id, h.doc_id FROM q_hits h
+  GROUP BY h.query_id, h.doc_id
+  HAVING count(*) = (SELECT qlen FROM qlen WHERE qlen.query_id = h.query_id)),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_dl
+  FROM postings),
+enriched AS (
+  SELECT doc_id, tok, tf,
+         CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings),
+bm_scored AS (
+  SELECT doc_id, tok,
+         CAST(floor((
+           (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+           * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+         ) * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+  FROM enriched CROSS JOIN stats),
+bm_top AS (
+  SELECT 'bm25' AS ranker, query_id, doc_id, rank FROM (
+    SELECT query_id, s.doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sum(bm25_micro) DESC, s.doc_id ASC) AS BIGINT) AS rank
+    FROM bm_scored s JOIN qterms USING (tok)
+    GROUP BY query_id, s.doc_id) t WHERE rank <= {MRR_K}),
+cstats AS (SELECT CAST(sum(tf) AS BIGINT) AS n_c FROM postings),
+doclen AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+ctf AS (
+  SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf
+  FROM postings WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+  GROUP BY tok),
+matched AS (
+  SELECT query_id, doc_id, CAST(sum({a_term}) AS BIGINT) AS a9
+  FROM q_hits JOIN ctf USING (tok) CROSS JOIN cstats
+  GROUP BY query_id, doc_id),
+qconst AS (
+  SELECT query_id, CAST(sum({c_term}) AS BIGINT) AS c9,
+         CAST(count(*) AS BIGINT) AS qlen
+  FROM qterms JOIN ctf USING (tok) CROSS JOIN cstats
+  GROUP BY query_id),
+ql_top AS (
+  SELECT 'ql_dirichlet' AS ranker, query_id, doc_id, rank FROM (
+    SELECT q.query_id, d.doc_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id
+             ORDER BY (coalesce(m.a9, 0) + q.qlen * {b_term} + q.c9) DESC,
+                      d.doc_id ASC) AS BIGINT) AS rank
+    FROM doclen d CROSS JOIN qconst q
+    LEFT JOIN matched m ON m.query_id = q.query_id AND m.doc_id = d.doc_id) t
+  WHERE rank <= {MRR_K}),
+both_top AS (SELECT * FROM bm_top UNION ALL SELECT * FROM ql_top),
+first_rel AS (
+  SELECT ranker, query_id, CAST(min(rank) AS BIGINT) AS first_rank
+  FROM both_top JOIN qrels USING (query_id, doc_id)
+  GROUP BY ranker, query_id),
+n_q AS (SELECT count(DISTINCT query_id) AS n FROM qterms)
+SELECT ranker,
+       CAST(n AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_hit_queries,
+       {mround('CAST(sum(1000000 // first_rank) AS DOUBLE) / 1000000 / n', 6)} AS mrr
+FROM first_rel CROSS JOIN n_q
+GROUP BY ranker, n
+"""
+
+
+EVAL_MRR_DUAL_SQL = _mrr_sql()
+
+QUERIES["eval_mrr_dual_ranker"] = QuerySpec(
+    eval_mrr_dual_ranker, EVAL_MRR_DUAL_SQL, "eval"
+)
