@@ -265,3 +265,61 @@ def test_mann_whitney_grouped_formula_equals_naive_ranks(data):
         grouped_x2 += c1.get(v, 0) * (2 * cum + cnt[v] + 1)
         cum += cnt[v]
     assert grouped_x2 == naive_x2
+
+
+# --- min-label CC loop (dedup _cc_min_labels, factored r9) -------------------
+
+
+def _uf_components(edges):
+    """Union-find ground truth: node -> min node id of its component."""
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _minlabel_model(edges, max_iters=50):
+    """Pure-Python replica of _cc_min_labels' exact update rule: seed =
+    min(self, neighbors), then label <- min(label, min over neighbors of
+    their label) until fixed point. Edges are the SWAPPED union."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: min(n, min(adj[n])) for n in adj}
+    for _ in range(max_iters):
+        nxt = {
+            n: min(labels[n], min(labels[m] for m in adj[n])) for n in adj
+        }
+        if nxt == labels:
+            return labels
+        labels = nxt
+    raise AssertionError("did not converge")
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_minlabel_cc_equals_union_find(edges):
+    """For ANY undirected graph: the min-label propagation rule used by
+    dedup's _cc_min_labels converges to exactly the per-component minimum
+    node id (union-find ground truth), within diameter-bounded rounds."""
+    assert _minlabel_model(edges) == _uf_components(edges)

@@ -287,3 +287,45 @@ def test_mrr_dual_ranker_semantics(spark):
         if len(hit):
             rr_sum += 1.0 / hit.iloc[0]["rank"]
     assert abs(got.loc["bm25", "mrr"] - rr_sum / 5) < 1e-5
+
+
+def test_cc_min_labels_spark_equals_union_find(spark):
+    """The factored _cc_min_labels (now shared by dedup_cluster_resolve and
+    the leakage-safe split) against union-find ground truth on adversarial
+    fixed graphs: a long path (worst-case diameter), a star, two cliques
+    joined by a bridge, and isolated pairs."""
+    from tmapreduce_spark.functions.dedup import _cc_min_labels
+
+    graphs = {
+        "path": [(i, i + 1) for i in range(10, 24)],
+        "star": [(50, i) for i in range(51, 60)],
+        "cliques_bridge": [
+            (a, b) for a in range(100, 104) for b in range(100, 104) if a < b
+        ]
+        + [(a, b) for a in range(200, 204) for b in range(200, 204) if a < b]
+        + [(103, 200)],
+        "pairs": [(300, 301), (302, 303), (304, 305)],
+    }
+    for name, pairs in graphs.items():
+        # ground truth via union-find
+        parent = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        e = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+        edges = e.unionAll(e.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+        got = {
+            r["doc_id"]: r["label"] for r in _cc_min_labels(edges).collect()
+        }
+        assert got == want, name
