@@ -329,3 +329,22 @@ def test_cc_min_labels_spark_equals_union_find(spark):
             r["doc_id"]: r["label"] for r in _cc_min_labels(edges).collect()
         }
         assert got == want, name
+
+
+def test_brown_forsythe_identity(spark):
+    got = _run(spark, "agg_levene_brown_forsythe").iloc[0]
+    o = duckdb.sql(
+        f"""SELECT o_orderpriority p, floor(o_totalprice*100+0.5) v
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    med = o.groupby("p")["v"].apply(lambda s: s.sort_values().iloc[(len(s) - 1) // 2])
+    z = (o.v - o.p.map(med)).abs()
+    groups = [z[o.p == p] for p in sorted(o.p.unique())]
+    n, k = len(o), len(groups)
+    assert got["n_total"] == n and got["k_groups"] == k
+    assert got["df1"] == k - 1 and got["df2"] == n - k
+    zbar = z.mean()
+    num = sum(len(g) * (g.mean() - zbar) ** 2 for g in groups) / (k - 1)
+    den = sum(((g - g.mean()) ** 2).sum() for g in groups) / (n - k)
+    assert abs(got["w_stat"] - num / den) < 1e-4
+    assert got["ss_between_z"] >= 0 and got["ss_within_z"] >= 0

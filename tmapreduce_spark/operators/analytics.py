@@ -4826,3 +4826,86 @@ SELECT {", ".join(_cuped_out_exprs())} FROM mom
 EVENTS_CUPED_SQL = _cuped_sql()
 
 QUERIES["events_cuped_lift"] = QuerySpec(events_cuped_lift, EVENTS_CUPED_SQL, "events")
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-Levene) variance-homogeneity test — round 9
+# ---------------------------------------------------------------------------
+#
+# Completes the one-way family: Brown-Forsythe gates the ANOVA's
+# equal-variance assumption, and its W statistic IS the one-way ANOVA F
+# applied to z = abs(x - group median) — so the exact-integer cell machinery
+# (_anova_exprs, lane-split squares) is reused verbatim on the z column.
+
+
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) of order-value variance
+    homogeneity across the five priorities — the assumption gate run BEFORE
+    trusting `agg_anova_oneway`'s F: W = ANOVA-F of z = abs(x - median_g).
+    Reports W with its degrees of freedom and the between/within sums of
+    squares of z (dollars^2).
+
+    Determinism: group medians are percentile_disc over exact integer cents
+    (actual data values, no interpolation); z is exact int64; every cell
+    moment rides the IDENTICAL lane-split machinery as the ANOVA, so the
+    only cross-row reductions are integer sums and W is one fixed-text IEEE
+    expression.
+
+    Scale: one sort-based per-group exact median (5 groups) broadcast back
+    over the scan, then one FILTER-conditional partial-agg pass onto a
+    single row — the events_anomaly_mad two-pass clamp shape; swap
+    approx_percentile for the median at cardinalities where the exact
+    per-group sort dominates (rule logic unchanged)."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 100)} AS raw_vq"
+    )
+    o.createOrReplaceTempView("_bf_orders")
+    med = spark.sql(
+        """SELECT o_orderpriority,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY raw_vq) AS med
+           FROM _bf_orders GROUP BY o_orderpriority"""
+    )
+    # percentile_disc returns DOUBLE in Spark even over BIGINT input; the
+    # disc median IS an actual data value, so the cast back is exact
+    z = o.join(F.broadcast(med), "o_orderpriority").selectExpr(
+        "o_orderpriority", "abs(raw_vq - CAST(med AS BIGINT)) AS vq"
+    )
+    aggs, derived = _anova_exprs("spark")
+    row = z.agg(*[F.expr(a) for a in aggs]).selectExpr(*derived)
+    return row.selectExpr(*_bf_out_exprs())
+
+
+def _bf_out_exprs() -> list[str]:
+    return [
+        "n_total",
+        "k_groups",
+        "CAST(k_groups - 1 AS BIGINT) AS df1",
+        "CAST(n_total - k_groups AS BIGINT) AS df2",
+        mround(_ANOVA_SSB, 2) + " AS ss_between_z",
+        mround(_ANOVA_SSW, 2) + " AS ss_within_z",
+        mround(_ANOVA_F, 6) + " AS w_stat",
+    ]
+
+
+def _bf_sql() -> str:
+    aggs, derived = _anova_exprs("duck")
+    return f"""
+WITH raw AS (
+  SELECT o_orderpriority, {cents('o_totalprice', 100)} AS raw_vq FROM orders),
+med AS (
+  SELECT o_orderpriority, quantile_disc(raw_vq, 0.5) AS med
+  FROM raw GROUP BY o_orderpriority),
+z AS (
+  SELECT r.o_orderpriority, abs(r.raw_vq - CAST(m.med AS BIGINT)) AS vq
+  FROM raw r JOIN med m USING (o_orderpriority)),
+cells AS (SELECT {", ".join(aggs)} FROM z),
+row1 AS (SELECT {", ".join(derived)} FROM cells)
+SELECT {", ".join(_bf_out_exprs())} FROM row1
+"""
+
+
+AGG_LEVENE_BF_SQL = _bf_sql()
+
+QUERIES["agg_levene_brown_forsythe"] = QuerySpec(
+    agg_levene_brown_forsythe, AGG_LEVENE_BF_SQL, "aggregation"
+)
