@@ -812,3 +812,52 @@ def test_streaming_cuped_partials_merge_to_batch_lift(spark):
     assert batch["lift_raw"] == mr6(lift_raw)
     assert batch["lift_adjusted"] == mr6(lift_adj)
     assert batch["var_ratio"] == mr6(1 - rho * rho)
+
+
+def test_streaming_did_cells_merge_to_batch_contrast(spark):
+    """The DiD design-cell mergeability claim, executed: the six streaming
+    (treat, per) int64 cell partials — commutative, so order-proof —
+    recombined through the identical contrast algebra must reproduce the
+    batch `events_did_lift` row exactly at the output rounding."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.stateful import streaming_did_cells
+
+    s = streaming_did_cells(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_did", output_mode="update")
+    cells = {}
+    for r in mem.collect():
+        k = (r["treat"], r["per"])
+        best = cells.get(k)
+        if best is None or r["n"] > best["n"]:
+            cells[k] = r
+
+    def nc(t, p):
+        return cells[(t, p)]["n"] if (t, p) in cells else 0
+
+    def sc(t, p):
+        return cells[(t, p)]["s_micro"] if (t, p) in cells else 0
+
+    def mean(t, which):
+        if which == "pre":
+            return (sc(t, 0) + sc(t, 1)) / 1e6 / (nc(t, 0) + nc(t, 1))
+        p = {"pre1": 0, "pre2": 1, "post": 2}[which]
+        return sc(t, p) / 1e6 / nc(t, p)
+
+    def mr6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    batch = build_catalog()["events_did_lift"].fn(spark, SF_SMOKE).collect()[0]
+    assert batch["n_treat_pre"] == nc(1, 0) + nc(1, 1)
+    assert batch["n_treat_post"] == nc(1, 2)
+    assert batch["n_ctrl_pre"] == nc(0, 0) + nc(0, 1)
+    assert batch["n_ctrl_post"] == nc(0, 2)
+    assert batch["mean_treat_pre"] == mr6(mean(1, "pre"))
+    assert batch["mean_ctrl_post"] == mr6(mean(0, "post"))
+    did = (mean(1, "post") - mean(1, "pre")) - (mean(0, "post") - mean(0, "pre"))
+    placebo = (mean(1, "pre2") - mean(1, "pre1")) - (
+        mean(0, "pre2") - mean(0, "pre1")
+    )
+    assert batch["did_estimate"] == mr6(did)
+    assert batch["placebo_did"] == mr6(placebo)

@@ -937,3 +937,58 @@ def streaming_cuped_moments(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming DiD cell partials ----------------------------------------------
+#
+# Streaming twin of the batch `events_did_lift` catalog entry: state is keyed
+# by the (treat, period) DESIGN CELL — six keys total, each holding the exact
+# int64 (n, sum of value-micros) pair. Addition commutes, so the final cell
+# states are identical under ANY arrival order; recombining them through the
+# batch contrast algebra reproduces the DiD row exactly (asserted in
+# tests/test_streaming.py) — the always-on experiment dashboard shape, with
+# state bounded by the design (6 rows), not the data.
+
+DID_OUTPUT_SCHEMA = "treat int, per int, n bigint, s_micro bigint"
+DID_STATE_SCHEMA = "n bigint, s bigint"
+
+
+def _update_did_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    treat, per = int(key[0]), int(key[1])
+    n, s = state.get if state.exists else (0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # identical per-row quantization to the batch twin's cents('value')
+    q = np.floor(rows["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+    n += len(rows)
+    s += int(q.sum())
+    state.update((n, s))
+    yield pd.DataFrame({"treat": [treat], "per": [per], "n": [n], "s_micro": [s]})
+
+
+def streaming_did_cells(events: DataFrame) -> DataFrame:
+    """Streaming DiD design-cell partials — six commutative int64 states
+    whose final values recombined through the batch contrast algebra equal
+    `events_did_lift` exactly."""
+    from pyspark.sql import functions as F
+
+    from tmapreduce_spark.operators.analytics import _DID_MID_US, _DID_POST_US
+
+    proj = events.filter(F.col("event_type") == "purchase").selectExpr(
+        "CASE WHEN (user_id % 2) = 0 THEN 1 ELSE 0 END AS treat",
+        f"CASE WHEN unix_micros(ts) >= {_DID_POST_US} THEN 2"
+        f" WHEN unix_micros(ts) >= {_DID_MID_US} THEN 1 ELSE 0 END AS per",
+        "value",
+    )
+    return proj.groupBy("treat", "per").applyInPandasWithState(
+        _update_did_state,
+        outputStructType=DID_OUTPUT_SCHEMA,
+        stateStructType=DID_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
