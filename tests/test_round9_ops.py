@@ -5,6 +5,7 @@ replica; these pin the statistical identities the hash can't explain."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from tests.conftest import SF_SMOKE
@@ -348,3 +349,156 @@ def test_brown_forsythe_identity(spark):
     den = sum(((g - g.mean()) ** 2).sum() for g in groups) / (n - k)
     assert abs(got["w_stat"] - num / den) < 1e-4
     assert got["ss_between_z"] >= 0 and got["ss_within_z"] >= 0
+
+
+# --- wave 6 ------------------------------------------------------------------
+
+
+def test_kruskal_wallis_identity(spark):
+    got = _run(spark, "agg_kruskal_wallis").iloc[0]
+    o = duckdb.sql(
+        f"""SELECT o_orderpriority p,
+                   CAST(floor(o_totalprice + 0.5) AS BIGINT) v
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    n, k = len(o), o.p.nunique()
+    assert got["n_total"] == n and got["k_groups"] == k
+    # exact tie sum
+    c = o.v.value_counts()
+    assert got["tie_sum"] == int((c**3 - c).sum())
+    # H from pandas average ranks (mid-rank ties)
+    r = o.v.rank(method="average")
+    h = 12.0 / (n * (n + 1)) * sum(
+        r[o.p == p].sum() ** 2 / (o.p == p).sum() for p in o.p.unique()
+    ) - 3 * (n + 1)
+    c_corr = 1 - (c**3 - c).sum() / (n**3 - n)
+    assert abs(got["h_stat"] - h) < 1e-4
+    assert abs(got["h_corrected"] - h / c_corr) < 1e-4
+    assert abs(got["epsilon_sq"] - (h - k + 1) / (n - k)) < 1e-5
+
+
+def test_jarque_bera_identity(spark):
+    got = _run(spark, "agg_jarque_bera").set_index("event_type")
+    e = duckdb.sql(
+        f"""SELECT event_type t, CAST(floor(value) AS BIGINT) w
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).df()
+    for t, g in e.groupby("t"):
+        w = g.w.astype(float)
+        n = len(w)
+        m = w.mean()
+        m2 = ((w - m) ** 2).mean()
+        g1 = ((w - m) ** 3).mean() / m2**1.5
+        g2 = ((w - m) ** 4).mean() / m2**2 - 3
+        jb = n / 6 * (g1**2 + g2**2 / 4)
+        row = got.loc[t]
+        assert row["n"] == n
+        assert abs(row["skewness"] - g1) < 1e-5, t
+        assert abs(row["kurtosis_excess"] - g2) < 1e-5, t
+        assert abs(row["jb_stat"] - jb) / jb < 1e-5, t
+
+
+def test_char_entropy_identity(spark):
+    import collections
+    import math
+
+    got = _run(spark, "text_char_entropy").set_index("source")
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()
+    src = docs.source.iloc[0]
+    bi = collections.Counter()
+    for txt in docs[docs.source == src].text:
+        for i in range(len(txt) - 1):
+            bi[txt[i : i + 2]] += 1
+    uni = collections.Counter()
+    for bg, cnt in bi.items():
+        uni[bg[0]] += cnt
+    n = sum(bi.values())
+
+    def ent_bits(cnts):
+        return (
+            math.log(n) - sum(c * math.log(c) for c in cnts.values()) / n
+        ) / math.log(2)
+
+    row = got.loc[src]
+    assert row["n_bigrams"] == n
+    assert row["n_distinct_bigrams"] == len(bi)
+    assert abs(row["h_char_bits"] - ent_bits(uni)) < 1e-5
+    assert abs(row["h_bigram_bits"] - ent_bits(bi)) < 1e-5
+    # the conditional entropy is the chain-rule difference, and every
+    # entropy obeys 0 <= H <= log2(cells)
+    assert abs(
+        row["h_cond_bits"] - (row["h_bigram_bits"] - row["h_char_bits"])
+    ) < 3e-6
+    assert 0 <= row["h_cond_bits"] <= row["h_char_bits"] + 1e-9
+
+
+def test_jl_distortion_matches_numpy(spark):
+    import numpy as np
+
+    from tmapreduce_spark.functions.similarity import (
+        _JL_SIGNS,
+        JL_K,
+        JL_SAMPLE,
+    )
+
+    got = _run(spark, "embedding_jl_distortion").iloc[0]
+    emb = duckdb.sql(
+        f"""SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet'
+            WHERE vec_id < {JL_SAMPLE} ORDER BY vec_id"""
+    ).df()
+    x = np.floor(np.stack(emb.embedding.values).astype(np.float64) * 1e6 + 0.5)
+    x = x.astype(np.int64)
+    s = np.array(_JL_SIGNS, dtype=np.int64)  # (k, dim)
+    y = x @ s.T  # (n, k) exact ints (magnitudes << 2^53 via int64 matmul)
+    n = x.shape[0]
+    ratios = []
+    for a in range(n):
+        dx2 = ((x[a] - x[a + 1 :]) ** 2).sum(axis=1)
+        dy2 = ((y[a] - y[a + 1 :]) ** 2).sum(axis=1)
+        keep = dx2 > 0
+        r = dy2[keep] / (JL_K * dx2[keep])
+        ratios.extend(np.floor(r * 1e6 + 0.5).astype(np.int64).tolist())
+    ratios = np.array(ratios, dtype=np.int64)
+    assert got["n_pairs"] == len(ratios) == n * (n - 1) // 2
+    assert got["min_ratio"] == ratios.min() / 1e6
+    assert got["max_ratio"] == ratios.max() / 1e6
+    mean = np.floor(ratios.sum() / 1e6 / len(ratios) * 1e6 + 0.5) / 1e6
+    assert got["mean_ratio"] == mean
+    # JL sanity: the sign projection is unbiased, so the mean concentrates
+    assert 0.85 <= got["mean_ratio"] <= 1.15
+
+
+def test_incremental_rollup_reconciles(spark):
+    got = _run(spark, "pipeline_incremental_rollup")
+    o = duckdb.sql(
+        f"""SELECT o_orderkey k, o_totalprice p,
+                   strftime(o_orderdate, '%Y-%m') m
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    # month coverage and count identity: after = before + inserts - deletes
+    per = o.groupby("m")
+    assert list(got.month) == sorted(o.m.unique())
+    for _, row in got.iterrows():
+        g = per.get_group(row.month)
+        ins = int((g.k % 20 == 2).sum())
+        dels = int((g.k % 20 == 1).sum())
+        assert row.n_before == len(g)
+        assert row.n_after == len(g) + ins - dels, row.month
+        # revenue_after recomputed from the post-image in exact micro ints
+        micro = np.floor(g.p.values * 1e6 + 0.5).astype(np.int64)
+        upd = np.floor(g.p.values * 11 / 10 * 1e6 + 0.5).astype(np.int64)
+        mod20 = (g.k % 20).values
+        s_after = (
+            micro[(mod20 != 0) & (mod20 != 1)].sum()  # kept + insert source
+            + upd[mod20 == 0].sum()  # updated
+            + micro[mod20 == 2].sum()  # the inserted copies
+        )
+        assert row.revenue_after == round_half_up_cents(s_after), row.month
+
+
+def round_half_up_cents(s_micro: int) -> float:
+    s = int(s_micro)
+    cents = (s + 5000) // 10000 if s >= 0 else -((-s + 5000) // 10000)
+    return cents / 100

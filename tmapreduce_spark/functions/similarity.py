@@ -1375,3 +1375,174 @@ FROM ranked WHERE rank <= {HN_TOP_K}
 QUERIES["retrieval_hard_negatives"] = QuerySpec(
     retrieval_hard_negatives, _hard_negatives_sql(), "similarity"
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection distortion audit — round 9
+# ---------------------------------------------------------------------------
+#
+# Before shipping a dimensionality cut (64 -> 16 here) under an ANN index,
+# the curator wants the measured pairwise-distance distortion of the actual
+# corpus, not the JL bound: for a +-1 sign projection y = S x,
+# E[||y_a - y_b||^2] = k * ||x_a - x_b||^2, so ratio = dy2 / (k * dx2)
+# should concentrate near 1. Reference scope: an all-pairs distance audit is
+# a bespoke two-job .so in the reference (src/tmapreduce/master/job.cc:10-77);
+# here the sign matrix is BAKED INTO THE PLAN as +-1 literals, so the whole
+# audit is JVM-side integer arithmetic.
+
+JL_SAMPLE = 128  # calibration sample: vec_id < 128 (C*C/2 = 8128 pairs)
+JL_K = 16  # projected dimensionality
+JL_DIM = 64  # corpus embedding dimensionality
+
+# Deterministic sign matrix, generated ONCE at import from md5 parity (no
+# RNG state, no seed file) and emitted as literals into BOTH dialects — the
+# cross-engine-hash question can't arise because neither engine hashes.
+import hashlib as _hashlib
+
+_JL_SIGNS: list[list[int]] = [
+    [
+        1 if _hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0] & 1 else -1
+        for i in range(JL_DIM)
+    ]
+    for j in range(JL_K)
+]
+
+
+def _jl_x_exprs(dialect: str) -> list[str]:
+    """Quantized int64 components (1e6 grid; exact per-row). Spark indexes
+    arrays 0-based, DuckDB 1-based — the one dialect split."""
+    off = 0 if dialect == "spark" else 1
+    return [
+        f"CAST(floor(CAST(embedding[{i + off}] AS DOUBLE) * 1000000 + 0.5)"
+        f" AS BIGINT) AS x{i}"
+        for i in range(JL_DIM)
+    ]
+
+
+def _jl_y_exprs() -> list[str]:
+    """The k projected components as literal signed sums (shared text):
+    |y_j| <= 64e6, exact int64."""
+    out = []
+    for j in range(JL_K):
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"x{i}"
+            for i, s in enumerate(_JL_SIGNS[j])
+        )
+        out.append(f"({terms.lstrip('+ ')}) AS y{j}")
+    return out
+
+
+def _jl_pair_exprs(pa: str, pb: str) -> tuple[str, str]:
+    """Exact integer squared distances of a pair (shared text): dx2 over the
+    64 originals (<= 64 * (2e6)^2 ~ 2.6e14), dy2 over the 16 projections
+    (<= 16 * (1.3e8)^2 ~ 2.7e17) — both safely int64."""
+    dx2 = " + ".join(
+        f"({pa}.x{i} - {pb}.x{i}) * ({pa}.x{i} - {pb}.x{i})"
+        for i in range(JL_DIM)
+    )
+    dy2 = " + ".join(
+        f"({pa}.y{j} - {pb}.y{j}) * ({pa}.y{j} - {pb}.y{j})"
+        for j in range(JL_K)
+    )
+    return dx2, dy2
+
+
+# per-pair distortion ratio on the 1e-6 integer grid: ONE IEEE division of
+# exact int64 operands, then floor — deterministic on both engines.
+_JL_RATIOQ = (
+    f"CAST(floor(CAST(dy2 AS DOUBLE) / ({JL_K} * dx2) * 1000000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def _jl_out_exprs() -> list[str]:
+    return [
+        f"CAST({JL_K} AS BIGINT) AS k_dims",
+        "CAST(count(*) AS BIGINT) AS n_pairs",
+        mround("CAST(sum(rq) AS DOUBLE) / 1000000 / count(*)", 6)
+        + " AS mean_ratio",
+        "CAST(min(rq) AS DOUBLE) / 1000000 AS min_ratio",
+        "CAST(max(rq) AS DOUBLE) / 1000000 AS max_ratio",
+        mround(
+            "CAST(count(*) FILTER (WHERE rq BETWEEN 750000 AND 1250000)"
+            " AS DOUBLE) / count(*)",
+            6,
+        )
+        + " AS frac_within_25pct",
+    ]
+
+
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the 64-dim corpus to
+    16 dims with a +-1 sign matrix (baked into the plan as literals) and
+    measure the pairwise squared-distance ratio dy2/(k*dx2) over a pinned
+    128-vector calibration sample — n_pairs, mean/min/max ratio, and the
+    fraction within +-25% of 1. The go/no-go readout before swapping an ANN
+    index onto projected vectors (`ann_ivf_topk` family).
+
+    Determinism: components quantize to the 1e6 integer grid per row; each
+    projection is a literal signed integer sum; both squared distances are
+    exact int64; the only division is one fixed IEEE op per pair, floored
+    onto the 1e-6 ratio grid before integer aggregation.
+
+    Scale: the PROJECTION is the linear full-corpus pass — array
+    higher-order functions (transform/zip_with/aggregate) over a
+    CONSTANT-FOLDED sign-matrix literal, which codegen compiles as compact
+    loops (the 80-column unrolled form breaks Janino's 64 KB method limit
+    and silently falls back to interpreted evaluation — measured, hence
+    this shape); at 100 TB this is the map stage that feeds the index
+    builder. Only the distortion AUDIT touches pairs, and its C*C/2
+    candidate set is bounded by the pinned calibration sample (128 vectors
+    -> 8128 pairs, broadcast nested-loop by construction), never the
+    corpus."""
+    signs_lit = "array(" + ", ".join(
+        "array(" + ", ".join(str(s) for s in row) + ")" for row in _JL_SIGNS
+    ) + ")"
+    isum = "CAST(0 AS BIGINT), (acc, v) -> acc + v"
+    v = load_table(spark, sf_dir, "embeddings").filter(f"vec_id < {JL_SAMPLE}")
+    proj = v.selectExpr(
+        "vec_id",
+        "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000"
+        " + 0.5) AS BIGINT)) AS xq",
+    ).selectExpr(
+        "vec_id",
+        "xq",
+        f"transform(sequence(0, {JL_K - 1}), j -> aggregate("
+        f"zip_with(xq, {signs_lit}[j], (x, s) -> x * s), {isum})) AS yq",
+    )
+    pairs = (
+        proj.alias("a")
+        .join(F.broadcast(proj.alias("b")), F.expr("a.vec_id < b.vec_id"))
+        .selectExpr(
+            f"aggregate(zip_with(a.xq, b.xq, (x, y) -> (x - y) * (x - y)),"
+            f" {isum}) AS dx2",
+            f"aggregate(zip_with(a.yq, b.yq, (x, y) -> (x - y) * (x - y)),"
+            f" {isum}) AS dy2",
+        )
+        .filter("dx2 > 0")
+        .selectExpr(f"{_JL_RATIOQ} AS rq")
+    )
+    return pairs.agg(*[F.expr(e) for e in _jl_out_exprs()])
+
+
+def _jl_sql() -> str:
+    dx2, dy2 = _jl_pair_exprs("a", "b")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {", ".join(_jl_x_exprs("duck"))}
+  FROM embeddings WHERE vec_id < {JL_SAMPLE}),
+p AS (
+  SELECT vec_id, {", ".join(f"x{i}" for i in range(JL_DIM))},
+         {", ".join(_jl_y_exprs())}
+  FROM q),
+pr AS (
+  SELECT ({dx2}) AS dx2, ({dy2}) AS dy2
+  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+rq_t AS (SELECT {_JL_RATIOQ} AS rq FROM pr WHERE dx2 > 0)
+SELECT {", ".join(_jl_out_exprs())} FROM rq_t
+"""
+
+
+QUERIES["embedding_jl_distortion"] = QuerySpec(
+    embedding_jl_distortion, _jl_sql(), "similarity"
+)

@@ -5051,6 +5051,134 @@ QUERIES["text_source_kl_divergence"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Character-level entropy rate (compressibility proxy) — round 9
+# ---------------------------------------------------------------------------
+
+# Entropy from exact counts: H = ln(n) - (1/n) * sum_c cnt*ln(cnt) nats.
+# Each cnt*ln(cnt) term rides the 1e-9 integer grid (_g9 — the documented
+# transcendental exception), so the per-source reduction is an int64 sum.
+# int64 bound: sum_c cnt*ln(cnt) <= n*ln(n); the grid sum stays exact to
+# n ~ 4e8 chars per source — beyond that drop the grid to 1e6 (same shape).
+_ENT_TERM9 = "CAST(floor(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
+_LN2 = "ln(2.0)"
+
+
+def _entropy_bits(s9: str, n: str) -> str:
+    """H in BITS from a grid-int term sum and the population size (shared
+    text both dialects; ln(n)/ln(2) and the division are fixed IEEE ops)."""
+    return (
+        f"(ln(CAST({n} AS DOUBLE)) - CAST({s9} AS DOUBLE) / 1000000000 / {n})"
+        f" / {_LN2}"
+    )
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-level entropy — unigram H(c) and conditional
+    bigram H(c2|c1) = H(c1c2) - H(c1), both in bits/char — the
+    model-free compressibility proxy a corpus curator reads next to
+    `text_quality`: natural prose sits near ~4 bits unigram / ~3.5
+    conditional; machine-generated or templated text collapses the
+    conditional entropy, and binary-ish garbage pushes both toward 8.
+
+    Population: the corpus's bigram windows (positions 1..len-1), so the
+    unigram marginal is EXACTLY the bigram prefix marginal and one cell
+    table serves all three entropies (a document's final character is the
+    only char excluded — a vanishing boundary effect, documented not
+    hidden).
+
+    Determinism: one explode produces (source, bigram) cells; counts are
+    exact int64; each cnt*ln(cnt) term is pre-rounded onto the 1e-9 integer
+    grid before summation (the `text_source_kl_divergence` convention), so
+    reduction order is irrelevant; the final H expressions are fixed-text
+    IEEE chains.
+
+    Scale: the groupBy key space is |sources| x charset^2 (~9k cells for
+    ASCII) — partial aggregation collapses every partition to that bound
+    before the shuffle, so a 100 TB corpus moves kilobytes; the marginal is
+    a second groupBy OVER THE CELL TABLE, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    # length guard: Spark's sequence(1, 0) would generate DESCENDING [1, 0]
+    # for a sub-2-char doc; DuckDB's range(1, len) is empty there — the
+    # filter makes both engines skip such docs identically.
+    pairs = d.filter("length(text) >= 2").select(
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2)))"
+        ).alias("bg"),
+    )
+    # One explode: the reduced cell table is materialized so the bigram fold
+    # and the prefix marginal read the same blocks (the
+    # text_source_kl_divergence pattern — without this both consumers
+    # re-expand the explode: 2 Generates, measured).
+    cells = (
+        pairs.groupBy("source", "bg")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    # prefix marginal over the (tiny) cell table = the unigram cell table
+    uni = (
+        cells.selectExpr("source", "substring(bg, 1, 1) AS c1", "cnt")
+        .groupBy("source", "c1")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    bi_s = cells.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+        F.sum(F.expr(_ENT_TERM9)).cast("bigint").alias("s9_bi"),
+    )
+    uni_s = uni.groupBy("source").agg(
+        F.sum(F.expr(_ENT_TERM9)).cast("bigint").alias("s9_uni"),
+    )
+    h_uni = _entropy_bits("s9_uni", "n_bigrams")
+    h_bi = _entropy_bits("s9_bi", "n_bigrams")
+    return bi_s.join(uni_s, "source").selectExpr(
+        "source",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        mround(h_uni, 6) + " AS h_char_bits",
+        mround(h_bi, 6) + " AS h_bigram_bits",
+        mround(f"({h_bi}) - ({h_uni})", 6) + " AS h_cond_bits",
+    )
+
+
+def _char_entropy_sql() -> str:
+    h_uni = _entropy_bits("s9_uni", "n_bigrams")
+    h_bi = _entropy_bits("s9_bi", "n_bigrams")
+    return f"""
+WITH pairs AS (
+  SELECT source, substr(text, u.i, 2) AS bg
+  FROM documents, unnest(range(1, len(text))) AS u(i)),
+cells AS (
+  SELECT source, bg, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY source, bg),
+uni AS (
+  SELECT source, substr(bg, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM cells GROUP BY source, substr(bg, 1, 1)),
+bi_s AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(sum({_ENT_TERM9}) AS BIGINT) AS s9_bi
+  FROM cells GROUP BY source),
+uni_s AS (
+  SELECT source, CAST(sum({_ENT_TERM9}) AS BIGINT) AS s9_uni
+  FROM uni GROUP BY source)
+SELECT source, n_bigrams, n_distinct_bigrams,
+       {mround(h_uni, 6)} AS h_char_bits,
+       {mround(h_bi, 6)} AS h_bigram_bits,
+       {mround(f"({h_bi}) - ({h_uni})", 6)} AS h_cond_bits
+FROM bi_s JOIN uni_s USING (source)
+"""
+
+
+TEXT_CHAR_ENTROPY_SQL = _char_entropy_sql()
+
+QUERIES["text_char_entropy"] = QuerySpec(
+    text_char_entropy, TEXT_CHAR_ENTROPY_SQL, "text"
+)
+
+
+# ---------------------------------------------------------------------------
 # Dual-ranker MRR eval (BM25 vs query likelihood) — round 9
 # ---------------------------------------------------------------------------
 

@@ -4909,3 +4909,249 @@ AGG_LEVENE_BF_SQL = _bf_sql()
 QUERIES["agg_levene_brown_forsythe"] = QuerySpec(
     agg_levene_brown_forsythe, AGG_LEVENE_BF_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test — round 9
+# ---------------------------------------------------------------------------
+#
+# The distribution-free sibling of agg_anova_oneway: when Brown-Forsythe
+# rejects variance homogeneity (or the values are heavy-tailed), the rank
+# test is the statistic a reviewer asks for next. Reference scope: ranks
+# need a global order, which the reference's merge hook
+# (src/tmapreduce/master/job.cc:45-66) only provides per-key — a global
+# rank there is a bespoke two-job pipeline; here it is the weighted-median
+# two-level sweep over the DISTINCT-VALUE table.
+
+# Average ranks are kept in HALF-UNITS so they stay integers: for a distinct
+# value v with cum_v values strictly below it and c_v ties, every tied row
+# gets avg rank (cum_v + (c_v+1)/2), i.e. r2_v = 2*cum_v + c_v + 1 half-units.
+_KW_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_KW_BUCKET = 2048  # dollars DIV 2^11 — monotone in vq, ~270 buckets
+
+
+def _kw_fold_exprs() -> list[str]:
+    """One-row fold over the ranked distinct-value table: per-group counts
+    and half-unit rank sums, the global count, and the tie-correction sum.
+    Shared text both dialects (FILTER aggregates, integer arithmetic only).
+
+    int64 bounds (documented, not silent): r2 <= 2n+1 and sum(c*r2) <=
+    n*(2n+1), exact to n ~ 2.1e9 rows; the tie sum c_v^3 stays exact while
+    the largest tie group is <= ~2e6 rows. Beyond either, widen the two
+    accumulators to DECIMAL(38,0) — same grid, still exact."""
+    aggs = []
+    for i in range(len(_KW_GROUPS)):
+        aggs.append(f"CAST(coalesce(sum(c{i}), 0) AS BIGINT) AS n{i}")
+        aggs.append(f"CAST(coalesce(sum(c{i} * r2), 0) AS BIGINT) AS rs{i}")
+    aggs.append("CAST(sum(c_v) AS BIGINT) AS n_total")
+    aggs.append("CAST(sum(c_v * c_v * c_v - c_v) AS BIGINT) AS ties")
+    return aggs
+
+
+# H = 12/(n(n+1)) * SUM_g R_g^2/n_g - 3(n+1), with R_g = rs_g/2 half-units
+# => R_g^2/n_g = rs_g^2 / (4*n_g). rs^2 overflows int64, so each group term
+# is ONE double product over exact ints, summed in declared group order.
+_KW_HTERMS = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN CAST(rs{i} AS DOUBLE) * rs{i} / (4.0 * n{i})"
+    f" ELSE CAST(0 AS DOUBLE) END)"
+    for i in range(len(_KW_GROUPS))
+)
+_KW_K = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_KW_GROUPS))
+)
+_KW_H = (
+    f"(12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1)) * ({_KW_HTERMS})"
+    f" - 3 * CAST(n_total + 1 AS DOUBLE))"
+)
+_KW_C = (
+    "(1 - CAST(ties AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total))"
+)
+
+
+def _kw_out_exprs() -> list[str]:
+    k = f"CAST({_KW_K} AS BIGINT)"
+    return [
+        "n_total",
+        f"{k} AS k_groups",
+        "ties AS tie_sum",
+        mround(_KW_H, 6) + " AS h_stat",
+        mround(f"({_KW_H}) / {_KW_C}", 6) + " AS h_corrected",
+        mround(f"(({_KW_H}) - ({k} - 1)) / (n_total - {k})", 6)
+        + " AS epsilon_sq",
+    ]
+
+
+def _kw_value_aggs() -> list[str]:
+    """Per-distinct-value cell aggregates (shared text)."""
+    aggs = ["CAST(count(*) AS BIGINT) AS c_v"]
+    for i, g in enumerate(_KW_GROUPS):
+        aggs.append(
+            f"CAST(coalesce(count(*) FILTER (WHERE o_orderpriority = '{g}'), 0)"
+            f" AS BIGINT) AS c{i}"
+        )
+    return aggs
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of order value (half-up whole dollars, so the
+    data carries REAL tie groups at every SF) across the five order
+    priorities — the rank-based (distribution-free) one-way location test,
+    with exact mid-rank tie handling and the tie-corrected statistic.
+    Reports H, the exact integer tie sum SUM(c^3 - c), the tie-corrected
+    H/C, and the epsilon-squared effect size.
+
+    Determinism: ranks never materialize per row. The fact collapses to the
+    DISTINCT-VALUE table (exact integer dollars), each value's average rank
+    is the INTEGER r2 = 2*cum + c + 1 in half-units, and every reduction is
+    an int64 sum; H is one fixed-text IEEE expression with group terms in
+    declared priority order (the agg_anova_oneway convention).
+
+    Scale: one partial-aggregated groupBy collapses the scan to NDV(vq)
+    rows (bounded by the dollar domain, ~5.5e5 values, NOT by row count).
+    The exclusive cumulative count runs as the agg_weighted_median
+    TWO-LEVEL sweep: in-bucket windows partitioned by a monotone value
+    bucket (~270 balanced partitions), per-bucket totals prefix-summed on
+    the ~270-row aggregate and broadcast back — no global single-task
+    window ever sees the value table."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 1)} AS vq"
+    )
+    # One scan: the NDV-bounded distinct-value table is materialized so the
+    # offset branch and the ranked branch read the same blocks instead of
+    # each re-aggregating the fact (2 scans / 7 Exchanges, measured).
+    vals = (
+        o.groupBy("vq")
+        .agg(*[F.expr(a) for a in _kw_value_aggs()])
+        .withColumn("pb", F.expr(f"vq div {_KW_BUCKET}"))
+        .localCheckpoint()
+    )
+    wb = (
+        Window.partitionBy("pb")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_cum = F.coalesce(F.sum("c_v").over(wb), F.lit(0))
+    # per-bucket totals -> exclusive offsets over the ~230-row aggregate
+    wo = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        vals.groupBy("pb")
+        .agg(F.sum("c_v").alias("bw"))
+        .select("pb", F.coalesce(F.sum("bw").over(wo), F.lit(0)).alias("off"))
+    )
+    ranked = (
+        vals.withColumn("ic", in_cum)
+        .join(F.broadcast(offsets), "pb")
+        .withColumn("r2", F.expr("2 * (off + ic) + c_v + 1"))
+    )
+    row = ranked.agg(*[F.expr(a) for a in _kw_fold_exprs()])
+    return row.selectExpr(*_kw_out_exprs())
+
+
+def _kw_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT o_orderpriority, {cents('o_totalprice', 1)} AS vq FROM orders),
+vals AS (
+  SELECT vq, {", ".join(_kw_value_aggs())} FROM r GROUP BY vq),
+ranked AS (
+  SELECT *, 2 * coalesce(sum(c_v) OVER (
+               ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) + c_v + 1 AS r2
+  FROM vals),
+folded AS (SELECT {", ".join(_kw_fold_exprs())} FROM ranked)
+SELECT {", ".join(_kw_out_exprs())} FROM folded
+"""
+
+
+AGG_KRUSKAL_WALLIS_SQL = _kw_sql()
+
+QUERIES["agg_kruskal_wallis"] = QuerySpec(
+    agg_kruskal_wallis, AGG_KRUSKAL_WALLIS_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test — round 9
+# ---------------------------------------------------------------------------
+#
+# Completes the shape family: agg_skew_kurtosis reads the third/fourth
+# moments, JB turns them into the normality gate JB = n/6*(g1^2 + g2^2/4)
+# that decides between agg_anova_oneway (normal) and agg_kruskal_wallis
+# (not). Same exact int64 power-sum machinery, different subject so the two
+# entries don't share a plan: per-event-type integer-dollar values.
+
+
+def _jb_out_exprs() -> list[str]:
+    """Skewness/excess-kurtosis/JB from exact int64 power sums — the
+    _moments_exprs derivation (one correctly-rounded cast per double,
+    character-identical text both dialects) extended with the JB fold."""
+    nD = "CAST(n AS DOUBLE)"
+    m1 = f"(CAST(s1 AS DOUBLE) / {nD})"
+    r2 = f"(CAST(s2 AS DOUBLE) / {nD})"
+    r3 = f"(CAST(s3 AS DOUBLE) / {nD})"
+    r4 = f"(CAST(s4 AS DOUBLE) / {nD})"
+    m2 = f"({r2} - {m1} * {m1})"
+    m3 = f"({r3} - 3 * {m1} * {r2} + 2 * {m1} * {m1} * {m1})"
+    m4 = (
+        f"({r4} - 4 * {m1} * {r3} + 6 * {m1} * {m1} * {r2}"
+        f" - 3 * {m1} * {m1} * {m1} * {m1})"
+    )
+    g1 = f"({m3} / ({m2} * sqrt({m2})))"
+    g2 = f"({m4} / ({m2} * {m2}) - 3)"
+    jb = f"({nD} / 6 * ({g1} * {g1} + {g2} * {g2} / 4))"
+    return [
+        "event_type",
+        "n",
+        mround(g1, 6) + " AS skewness",
+        mround(g2, 6) + " AS kurtosis_excess",
+        mround(jb, 6) + " AS jb_stat",
+    ]
+
+
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of event value (whole dollars) per event
+    type: JB = n/6 * (skew^2 + excess_kurtosis^2 / 4) — the cheap
+    moment-based gate run before choosing parametric vs rank tests on a
+    metric column. Large JB = reject normality.
+
+    Exactness: the subject is floor(value) — exact IEEE on the cents-grid
+    data — so the power sums s1..s4 accumulate as int64 (|w| <= ~500 here:
+    s4 <= 500^4 * n ~ 6e10*n, exact to ~1.4e8 rows PER GROUP; beyond that
+    lane-split s4 exactly as agg_anova_oneway splits its squares). The
+    g1/g2/JB derivation is one fixed-text IEEE chain per group row.
+
+    Scale: one FILTER-free partial-aggregated groupBy on the 5-value
+    event_type key; the moment algebra runs on the 5-row group table."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value) AS BIGINT) AS w"
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("s1"),
+        F.sum(F.expr("w * w")).cast("bigint").alias("s2"),
+        F.sum(F.expr("w * w * w")).cast("bigint").alias("s3"),
+        F.sum(F.expr("w * w * w * w")).cast("bigint").alias("s4"),
+    )
+    return sums.selectExpr(*_jb_out_exprs()).orderBy("event_type")
+
+
+AGG_JARQUE_BERA_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS w FROM events),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS s1,
+         CAST(sum(w * w) AS BIGINT) AS s2,
+         CAST(sum(w * w * w) AS BIGINT) AS s3,
+         CAST(sum(w * w * w * w) AS BIGINT) AS s4
+  FROM g GROUP BY event_type)
+SELECT {', '.join(_jb_out_exprs())}
+FROM sums ORDER BY event_type
+"""
+
+
+QUERIES["agg_jarque_bera"] = QuerySpec(
+    agg_jarque_bera, AGG_JARQUE_BERA_SQL, "aggregation"
+)

@@ -933,3 +933,139 @@ FROM unioned
 QUERIES["pipeline_deletion_cascade"] = QuerySpec(
     pipeline_deletion_cascade, PIPELINE_DELETION_CASCADE_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (IVM) — round 9
+# ---------------------------------------------------------------------------
+#
+# The third member of the CDC family: pipeline_cdc_upsert_orders audits the
+# MERGE itself, pipeline_scd2_orders_status keeps history — this entry keeps
+# a DOWNSTREAM AGGREGATE current without recomputing it: the monthly revenue
+# rollup is advanced by folding the CDC batch's per-month (count, micro)
+# DELTAS into the stored partials. The oracle recomputes the rollup from the
+# merged post-image from scratch, so the driver's hash check IS the
+# incremental == full-recompute equivalence proof. Reference scope: the
+# reference can only overwrite a job's result wholesale
+# (/root/reference/src/master/master.cc:685-710) — no delta path exists.
+
+
+def _ivm_present(s: str, dialect: str) -> str:
+    """Micro-unit int64 -> half-up 2-decimal dollars (msum2's tail, applied
+    to an already-summed integer column)."""
+    d = "div" if dialect == SPARK else "//"
+    return (
+        f"CAST(CASE WHEN {s} >= 0 THEN ({s} + 5000) {d} 10000 "
+        f"ELSE -((-({s}) + 5000) {d} 10000) END AS DOUBLE) / 100"
+    )
+
+
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the monthly revenue rollup under the
+    standard CDC batch (o_orderkey % 20 — 0: update price*11/10, 1: delete,
+    2: insert a key+1e8 copy): per month, the BEFORE partials and the AFTER
+    values obtained by merging per-month deltas — n_after = n + inserts -
+    deletes, revenue_after = revenue + sum(signed micro deltas) — WITHOUT
+    rebuilding the post-image. The oracle applies the MERGE and recomputes
+    the rollup from scratch, so hash parity proves incremental == full
+    recompute exactly (deltas live on the integer micro grid; the update
+    delta uses the identical price*11/10 expression text as the post-image,
+    so the quantized doubles agree bit-for-bit).
+
+    Scale: this is THE pattern that keeps a 100 TB fact's rollups fresh —
+    the base partials are maintained state (here recomputed once for the
+    audit), the CDC batch is scanned ONCE, and the merge joins
+    |months|-sized aggregates (broadcast left join — CDC months are a
+    subset of base months by construction; a true new-partition insert
+    feed would make this a full outer over the same bounded key space)."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_totalprice",
+        "date_format(o_orderdate, 'yyyy-MM') AS month",
+    )
+    base = o.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_before"),
+        F.expr("sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))")
+        .cast("bigint")
+        .alias("s_before"),
+    )
+    delta = (
+        o.filter("o_orderkey % 20 IN (0, 1, 2)")
+        .selectExpr(
+            "month",
+            "CASE WHEN o_orderkey % 20 = 0 THEN 0"
+            " WHEN o_orderkey % 20 = 1 THEN -1 ELSE 1 END AS d_n",
+            "CASE WHEN o_orderkey % 20 = 0 THEN"
+            " CAST(floor(o_totalprice * 11 / 10 * 1000000 + 0.5) AS BIGINT)"
+            " - CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+            " WHEN o_orderkey % 20 = 1 THEN"
+            " -CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+            " ELSE CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+            " END AS d_s",
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("d_n").cast("bigint").alias("d_n"),
+            F.sum("d_s").cast("bigint").alias("d_s"),
+        )
+    )
+    merged = base.join(F.broadcast(delta), "month", "left").selectExpr(
+        "month",
+        "n_before",
+        "CAST(n_before + coalesce(d_n, 0) AS BIGINT) AS n_after",
+        "s_before",
+        "CAST(s_before + coalesce(d_s, 0) AS BIGINT) AS s_after",
+        "CAST(coalesce(d_s, 0) AS BIGINT) AS d_s",
+    )
+    return merged.selectExpr(
+        "month",
+        "n_before",
+        "n_after",
+        f"{_ivm_present('s_before', SPARK)} AS revenue_before",
+        f"{_ivm_present('s_after', SPARK)} AS revenue_after",
+        f"{_ivm_present('d_s', SPARK)} AS revenue_delta",
+    ).orderBy("month")
+
+
+PIPELINE_INCREMENTAL_ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m') AS month
+  FROM orders),
+ch AS (
+  SELECT CASE WHEN o_orderkey % 20 = 2
+              THEN o_orderkey + {CDC_INSERT_KEY_OFFSET}
+              ELSE o_orderkey END AS o_orderkey,
+         month,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'U'
+              WHEN o_orderkey % 20 = 1 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 11 / 10
+              WHEN o_orderkey % 20 = 2 THEN o_totalprice END AS new_price
+  FROM base WHERE o_orderkey % 20 IN (0, 1, 2)),
+post AS (
+  SELECT coalesce(b.month, c.month) AS month,
+         CASE WHEN c.op = 'D' THEN NULL
+              WHEN c.op IS NULL THEN b.o_totalprice
+              ELSE c.new_price END AS amt
+  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey),
+before_r AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS s_before
+  FROM base GROUP BY month),
+after_r AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CAST(floor(amt * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS s_after
+  FROM post WHERE amt IS NOT NULL GROUP BY month)
+SELECT month, n_before, n_after,
+       {_ivm_present('s_before', DUCK)} AS revenue_before,
+       {_ivm_present('s_after', DUCK)} AS revenue_after,
+       {_ivm_present('(s_after - s_before)', DUCK)} AS revenue_delta
+FROM before_r JOIN after_r USING (month)
+ORDER BY month
+"""
+
+QUERIES["pipeline_incremental_rollup"] = QuerySpec(
+    pipeline_incremental_rollup, PIPELINE_INCREMENTAL_ROLLUP_SQL, "pipeline"
+)
