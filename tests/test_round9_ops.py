@@ -502,3 +502,78 @@ def round_half_up_cents(s_micro: int) -> float:
     s = int(s_micro)
     cents = (s + 5000) // 10000 if s >= 0 else -((-s + 5000) // 10000)
     return cents / 100
+
+
+# --- wave 7 ------------------------------------------------------------------
+
+
+def test_ljung_box_identity(spark):
+    got = _run(spark, "events_ljung_box").iloc[0]
+    hours = duckdb.sql(
+        f"""SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).df()
+    lo, hi = int(hours.h.min()), int(hours.h.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    for h, c in hours.h.value_counts().items():
+        x[int(h) - lo] = c
+    n = len(x)
+    assert got["n_obs"] == n and got["h_lags"] == 12
+    m = x.mean()
+    c0 = ((x - m) ** 2).sum()
+    q = 0.0
+    for k in range(1, 13):
+        ck = ((x[:-k] - m) * (x[k:] - m)).sum()
+        q += (ck / c0) ** 2 / (n - k)
+    q *= n * (n + 2)
+    assert abs(got["q_stat"] - q) / q < 1e-5
+
+
+def test_friedman_identity(spark):
+    got = _run(spark, "agg_friedman").iloc[0]
+    o = duckdb.sql(
+        f"""SELECT strftime(o_orderdate, '%Y-%m') m, o_orderpriority p,
+                   floor(o_totalprice*100+0.5) vq
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    cells = o.groupby(["m", "p"]).vq.agg(["sum", "count"])
+    cells["mean"] = cells["sum"] / cells["count"]
+    piv = cells["mean"].unstack()
+    piv = piv.dropna()  # complete blocks only
+    b, k = piv.shape
+    assert got["b_blocks"] == b and got["k_treatments"] == k
+    ranks = piv.rank(axis=1, method="first")  # priority order breaks ties
+    rj = ranks.sum(axis=0)
+    chi2 = 12.0 / (b * k * (k + 1)) * (rj**2).sum() - 3 * b * (k + 1)
+    assert abs(got["chi2_stat"] - chi2) < 1e-4
+    assert abs(got["kendall_w"] - chi2 / (b * (k - 1))) < 1e-5
+
+
+def test_boundary_stitch_bruteforce(spark):
+    got = _run(spark, "dedup_boundary_stitch")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()
+    texts = dict(zip(docs.doc_id, docs.text))
+    # brute force: all pairs, maximal suffix/prefix overlap in [12, 256]
+    want = {}
+    by_prefix = {}
+    for b_id, tb in texts.items():
+        if len(tb) >= 12:
+            by_prefix.setdefault(tb[:12], []).append(b_id)
+    for a_id, ta in texts.items():
+        if len(ta) < 12:
+            continue
+        for b_id in by_prefix.get(ta[-12:], []):
+            if a_id == b_id:
+                continue
+            tb = texts[b_id]
+            best = 0
+            for L in range(12, min(256, len(ta), len(tb)) + 1):
+                if ta[-L:] == tb[:L]:
+                    best = L
+            if best:
+                want[(a_id, b_id)] = best
+    have = {(r.doc_a, r.doc_b): r.overlap_len for r in got.itertuples()}
+    assert have == want
+    assert len(have) > 0  # non-trivial at the smoke SF (13 pairs)

@@ -861,3 +861,45 @@ def test_streaming_did_cells_merge_to_batch_contrast(spark):
     )
     assert batch["did_estimate"] == mr6(did)
     assert batch["placebo_did"] == mr6(placebo)
+
+
+def test_streaming_jb_partials_merge_to_batch_moments(spark):
+    """The Jarque-Bera mergeability claim, executed: per-type streaming
+    power-sum partials — commutative int64 sums, so order-proof — pushed
+    through the identical moment algebra must reproduce the batch
+    `agg_jarque_bera` rows exactly at the output rounding."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.stateful import streaming_jb_moments
+
+    s = streaming_jb_moments(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_jb", output_mode="update")
+    per_type = {}
+    for r in mem.collect():
+        best = per_type.get(r["event_type"])
+        if best is None or r["n"] > best["n"]:
+            per_type[r["event_type"]] = r
+
+    def mr6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    batch = {
+        r["event_type"]: r
+        for r in build_catalog()["agg_jarque_bera"].fn(spark, SF_SMOKE).collect()
+    }
+    assert sorted(per_type) == sorted(batch)
+    for t, r in per_type.items():
+        n, s1, s2, s3, s4 = r["n"], r["s1"], r["s2"], r["s3"], r["s4"]
+        m1 = s1 / n
+        m2 = s2 / n - m1 * m1
+        m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1**3
+        m4 = s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1**4
+        g1 = m3 / (m2 * math.sqrt(m2))
+        g2 = m4 / (m2 * m2) - 3
+        jb = n / 6 * (g1 * g1 + g2 * g2 / 4)
+        b = batch[t]
+        assert b["n"] == n, t
+        assert abs(b["skewness"] - mr6(g1)) <= 1e-6, t
+        assert abs(b["kurtosis_excess"] - mr6(g2)) <= 1e-6, t
+        assert abs(b["jb_stat"] - jb) <= max(1e-4, 1e-6 * abs(jb)), t

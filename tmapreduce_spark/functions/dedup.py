@@ -3050,3 +3050,90 @@ FROM sizes CROSS JOIN edge_audit
 QUERIES["pipeline_leakage_safe_split"] = QuerySpec(
     pipeline_leakage_safe_split, PIPELINE_LEAKAGE_SPLIT_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# Boundary-stitch detector (suffix/prefix overlap) — round 9
+# ---------------------------------------------------------------------------
+
+STITCH_K = 12  # boundary key width: suffix_12(a) == prefix_12(b) generates
+STITCH_MAX_L = 256  # probe cap: overlaps longer than a chunk never matter
+
+
+def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary duplication detector: document pairs where a's SUFFIX
+    equals b's PREFIX — the signature of a sliding-window chunker or a
+    crawler that re-emits page tails as the next page's head (exact and
+    near-dup both miss it: the shared text is a fraction of either doc).
+    Candidates come from a 12-char boundary-key equi-join; each candidate's
+    true maximal overlap length (12..256) is then verified by direct
+    substring comparison. Emits (doc_a, doc_b, overlap_len).
+
+    Determinism: pure string equality end to end — no hashing, no floats.
+
+    Scale: the LSH discipline applied to boundaries — the key join shuffles
+    only (12-char key, doc_id) pairs, never text; texts are joined back BY
+    ID for the candidate set alone, and the L-probe explode (<= 245 rows
+    per candidate, capped at STITCH_MAX_L so verification cost is O(cap^2)
+    per candidate independent of document length) touches candidates only.
+    At 100 TB this is two hash joins on ids plus candidate-local work."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"length(text) >= {STITCH_K}")
+        .selectExpr("doc_id", "text", "length(text) AS ln")
+    )
+    pre = d.selectExpr(
+        "doc_id AS doc_b", f"substring(text, 1, {STITCH_K}) AS bkey"
+    )
+    suf = d.selectExpr(
+        "doc_id AS doc_a",
+        f"substring(text, ln - {STITCH_K - 1}, {STITCH_K}) AS bkey",
+    )
+    cand = suf.join(pre, "bkey").filter("doc_a <> doc_b").select(
+        "doc_a", "doc_b"
+    )
+    ta = d.selectExpr("doc_id AS doc_a", "text AS t_a", "ln AS l_a")
+    tb = d.selectExpr("doc_id AS doc_b", "text AS t_b", "ln AS l_b")
+    probed = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"explode(sequence({STITCH_K},"
+            f" least({STITCH_MAX_L}, l_a, l_b))) AS L",
+            "t_a",
+            "t_b",
+            "l_a",
+        )
+        .filter("substring(t_a, l_a - L + 1, L) = substring(t_b, 1, L)")
+    )
+    return probed.groupBy("doc_a", "doc_b").agg(
+        F.max("L").cast("bigint").alias("overlap_len")
+    )
+
+
+DEDUP_BOUNDARY_STITCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS ln FROM documents
+  WHERE len(text) >= {STITCH_K}),
+pre AS (SELECT doc_id AS doc_b, substr(text, 1, {STITCH_K}) AS bkey FROM d),
+suf AS (SELECT doc_id AS doc_a,
+               substr(text, ln - {STITCH_K - 1}, {STITCH_K}) AS bkey
+        FROM d),
+cand AS (
+  SELECT doc_a, doc_b FROM suf JOIN pre USING (bkey) WHERE doc_a <> doc_b),
+probed AS (
+  SELECT doc_a, doc_b, u.L
+  FROM cand
+  JOIN (SELECT doc_id AS doc_a, text AS t_a, ln AS l_a FROM d) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, text AS t_b, ln AS l_b FROM d) USING (doc_b),
+  unnest(generate_series({STITCH_K}, least({STITCH_MAX_L}, l_a, l_b))) AS u(L)
+  WHERE substr(t_a, l_a - u.L + 1, u.L) = substr(t_b, 1, u.L))
+SELECT doc_a, doc_b, CAST(max(L) AS BIGINT) AS overlap_len
+FROM probed GROUP BY doc_a, doc_b
+"""
+
+QUERIES["dedup_boundary_stitch"] = QuerySpec(
+    dedup_boundary_stitch, DEDUP_BOUNDARY_STITCH_SQL, "dedup"
+)

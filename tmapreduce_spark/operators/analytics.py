@@ -5155,3 +5155,230 @@ FROM sums ORDER BY event_type
 QUERIES["agg_jarque_bera"] = QuerySpec(
     agg_jarque_bera, AGG_JARQUE_BERA_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test — round 9
+# ---------------------------------------------------------------------------
+#
+# Completes the time-series family: events_autocorrelation reports the ACF,
+# Ljung-Box turns it into the whiteness gate Q = n(n+2) * SUM r_k^2/(n-k) a
+# forecaster checks on residuals (and seasonality hunters on the raw rate).
+# The textbook r_k uses the FULL-series mean and c_0 denominator, so this is
+# not a re-read of the ACF entry's per-lag Pearson — different statistic,
+# same reduced-series discipline.
+
+_LB_MAX_LAG = 12
+
+
+def _lb_nck(k_expr: str) -> str:
+    """n^2 * c_k from exact integer sums (shared text): c_k =
+    sum_t (x_t - m)(x_{t+k} - m) over the n-k overlap pairs with the
+    full-series mean m = S/n; multiplied through by n^2 every term is
+    int64 (bound documented in the docstring)."""
+    return (
+        f"(n_obs * n_obs * sxy - n_obs * s_all * (sxh + sxt)"
+        f" + (n_obs - {k_expr}) * s_all * s_all)"
+    )
+
+
+_LB_NC0 = "(n_obs * n_obs * sxx_all - n_obs * s_all * s_all)"
+# per-lag term r_k^2 / (n-k) pre-rounded onto the 1e-12 grid (each term is
+# <= 1 so int64 has 6 decades of headroom) so the 12-term sum is an integer
+# reduction; the fine grid matters because Q multiplies the sum by n(n+2)
+# (~5e5 at 720 hours), which would amplify a 1e-9 grid into the 4th decimal
+_LB_T12 = (
+    "CAST(floor((CAST({nck} AS DOUBLE) / {nc0})"
+    " * (CAST({nck} AS DOUBLE) / {nc0}) / (n_obs - lag)"
+    " * 1000000000000 + 0.5) AS BIGINT)"
+).format(nck=_lb_nck("lag"), nc0=_LB_NC0)
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on the dense hourly event-rate
+    series at lags 1..12: Q = n(n+2) * SUM_k r_k^2/(n-k) with the textbook
+    fixed-mean autocorrelations r_k = c_k/c_0 — the "is there ANY serial
+    structure" gate read before trusting `events_autocorrelation`'s
+    individual coefficients or fitting `window_holt_forecast`.
+
+    Exactness: counts are integers, so n^2*c_k expands to pure int64
+    arithmetic (exact while n^2 * sum(x_t*x_{t+k}) < 9e18 — hourly totals
+    to ~3.7e6 events/hour on a 30-day window; beyond, DECIMAL(38,0));
+    each lag's r_k^2/(n-k) is a fixed IEEE chain pre-rounded onto the 1e-12
+    integer grid, so the 12-term reduction is an integer sum.
+
+    Scale: identical to the ACF entry — one corpus-sized groupBy builds the
+    hourly rollup (materialized, so the spine/global/lag consumers share
+    it); the lag self-join and all algebra run on calendar-bounded rows."""
+    dense = _dense_hourly(spark, sf_dir).localCheckpoint()
+    glob = dense.agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("n").cast("bigint").alias("s_all"),
+        F.sum(F.expr("n * n")).cast("bigint").alias("sxx_all"),
+    )
+    lags = spark.range(1, _LB_MAX_LAG + 1).selectExpr("CAST(id AS BIGINT) AS lag")
+    a = dense.selectExpr("hidx", "n AS x")
+    b = dense.selectExpr("hidx AS hidx_b", "n AS y")
+    per_lag = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("hidx + lag = hidx_b"))
+        .groupBy("lag")
+        .agg(
+            F.sum("x").cast("bigint").alias("sxh"),
+            F.sum("y").cast("bigint").alias("sxt"),
+            F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        )
+    )
+    folded = (
+        per_lag.crossJoin(F.broadcast(glob))
+        .selectExpr("n_obs", f"{_LB_T12} AS t9")
+        .groupBy()
+        .agg(
+            F.max("n_obs").cast("bigint").alias("n_obs"),
+            F.sum("t9").cast("bigint").alias("s9"),
+        )
+    )
+    return folded.selectExpr(
+        "n_obs",
+        f"CAST({_LB_MAX_LAG} AS BIGINT) AS h_lags",
+        mround(
+            "CAST(n_obs AS DOUBLE) * (n_obs + 2) * s9 / 1000000000000", 6
+        )
+        + " AS q_stat",
+    )
+
+
+def _lb_sql() -> str:
+    return f"""
+WITH {_dense_hourly_sql()},
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(n) AS BIGINT) AS s_all,
+         CAST(sum(n * n) AS BIGINT) AS sxx_all
+  FROM dense),
+lags AS (SELECT CAST(unnest(generate_series(1, {_LB_MAX_LAG})) AS BIGINT) AS lag),
+per_lag AS (
+  SELECT lag, CAST(sum(a.n) AS BIGINT) AS sxh,
+         CAST(sum(b.n) AS BIGINT) AS sxt,
+         CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+  FROM dense a CROSS JOIN lags JOIN dense b ON a.hidx + lag = b.hidx
+  GROUP BY lag),
+folded AS (
+  SELECT CAST(max(n_obs) AS BIGINT) AS n_obs, CAST(sum({_LB_T12}) AS BIGINT) AS s9
+  FROM per_lag CROSS JOIN gstats)
+SELECT n_obs, CAST({_LB_MAX_LAG} AS BIGINT) AS h_lags,
+       {mround("CAST(n_obs AS DOUBLE) * (n_obs + 2) * s9 / 1000000000000", 6)} AS q_stat
+FROM folded
+"""
+
+
+EVENTS_LJUNG_BOX_SQL = _lb_sql()
+
+QUERIES["events_ljung_box"] = QuerySpec(
+    events_ljung_box, EVENTS_LJUNG_BOX_SQL, "events"
+)
+
+
+# ---------------------------------------------------------------------------
+# Friedman blocked rank test — round 9
+# ---------------------------------------------------------------------------
+#
+# The blocked sibling of agg_kruskal_wallis: months are blocks, priorities
+# are treatments, and the ranking happens WITHIN each block, so month-level
+# level shifts (seasonality, growth) cancel by construction — the
+# repeated-measures shape KW cannot express.
+
+
+def agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman chi-square test of mean order value across the five
+    priorities, blocked by order month: within each COMPLETE month block
+    (all five priorities present) the priorities are ranked by their cell
+    mean, and chi2 = 12/(b*k*(k+1)) * SUM_j R_j^2 - 3*b*(k+1); also reports
+    Kendall's W = chi2 / (b*(k-1)) agreement. Ranks are row_number over a
+    deterministic total order (one fixed IEEE division of exact integer
+    cell sums, priority label as tiebreak), so every reduction below the
+    cell table is pure int64.
+
+    Scale: ONE partial-aggregated groupBy collapses the fact to the
+    (month x priority) cell table (bounded by the calendar, not rows);
+    ranking windows, completeness filter, and the chi-square fold all run
+    on that reduced table."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') AS m",
+        "o_orderpriority AS p",
+        f"{cents('o_totalprice', 100)} AS vq",
+    )
+    cells = o.groupBy("m", "p").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("vq").cast("bigint").alias("s"),
+    )
+    k = len(_KW_GROUPS)
+    wm = Window.partitionBy("m")
+    complete = cells.withColumn("kb", F.count("*").over(wm)).filter(f"kb = {k}")
+    wr = Window.partitionBy("m").orderBy(
+        F.expr("CAST(s AS DOUBLE) / c"), F.col("p")
+    )
+    ranked = complete.withColumn("r", F.row_number().over(wr).cast("bigint"))
+    # each priority appears exactly once per complete block, so the
+    # per-priority row count IS b
+    rj = ranked.groupBy("p").agg(
+        F.sum("r").cast("bigint").alias("rj"),
+        F.count("*").cast("bigint").alias("b"),
+    )
+    fold = rj.groupBy().agg(
+        F.max("b").cast("bigint").alias("b_blocks"),
+        F.count("*").cast("bigint").alias("k_treatments"),
+        F.sum(F.expr("rj * rj")).cast("bigint").alias("rj2"),
+    )
+    return fold.selectExpr("b_blocks", "k_treatments", *_friedman_exprs())
+
+
+def _friedman_exprs() -> list[str]:
+    """chi2 and Kendall's W from (b_blocks, k_treatments, rj2) — shared
+    fixed-IEEE text both dialects over exact int64 operands."""
+    chi2 = (
+        "(12.0 / (CAST(b_blocks AS DOUBLE) * k_treatments"
+        " * (k_treatments + 1)) * rj2"
+        " - 3 * CAST(b_blocks AS DOUBLE) * (k_treatments + 1))"
+    )
+    return [
+        mround(chi2, 6) + " AS chi2_stat",
+        mround(f"{chi2} / (CAST(b_blocks AS DOUBLE) * (k_treatments - 1))", 6)
+        + " AS kendall_w",
+    ]
+
+
+def _friedman_sql() -> str:
+    k = len(_KW_GROUPS)
+    return f"""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS p,
+         {cents('o_totalprice', 100)} AS vq
+  FROM orders),
+cells AS (
+  SELECT m, p, CAST(count(*) AS BIGINT) AS c, CAST(sum(vq) AS BIGINT) AS s
+  FROM o GROUP BY m, p),
+complete AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY m) AS kb FROM cells) t
+  WHERE kb = {k}),
+ranked AS (
+  SELECT p, CAST(row_number() OVER (PARTITION BY m
+           ORDER BY CAST(s AS DOUBLE) / c, p) AS BIGINT) AS r
+  FROM complete),
+rj AS (
+  SELECT p, CAST(sum(r) AS BIGINT) AS rj, CAST(count(*) AS BIGINT) AS b
+  FROM ranked GROUP BY p),
+folded AS (
+  SELECT CAST(max(b) AS BIGINT) AS b_blocks,
+         CAST(count(*) AS BIGINT) AS k_treatments,
+         CAST(sum(rj * rj) AS BIGINT) AS rj2
+  FROM rj)
+SELECT b_blocks, k_treatments, {", ".join(_friedman_exprs())}
+FROM folded
+"""
+
+
+AGG_FRIEDMAN_SQL = _friedman_sql()
+
+QUERIES["agg_friedman"] = QuerySpec(agg_friedman, AGG_FRIEDMAN_SQL, "aggregation")

@@ -992,3 +992,65 @@ def streaming_did_cells(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming Jarque-Bera moment partials ------------------------------------
+#
+# Streaming twin of the batch `agg_jarque_bera` catalog entry: state per
+# event type is the exact int64 power sums (n, s1..s4) of the whole-dollar
+# value — addition COMMUTES, so the final state is identical under ANY
+# arrival order (the HDR/CUPED equality class; no late-arrival policy
+# needed) and state is bounded by the type key space (5 rows), not the data.
+# Merging the final partials through the identical moment algebra reproduces
+# the batch skewness/kurtosis/JB row exactly (asserted in
+# tests/test_streaming.py) — a live normality dashboard over the stream.
+
+JB_OUTPUT_SCHEMA = (
+    "event_type string, n bigint, s1 bigint, s2 bigint, s3 bigint, s4 bigint"
+)
+JB_STATE_SCHEMA = "n bigint, s1 bigint, s2 bigint, s3 bigint, s4 bigint"
+
+
+def _update_jb_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (etype,) = key
+    n, s1, s2, s3, s4 = state.get if state.exists else (0, 0, 0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # identical per-row quantization to the batch twin's floor(value)
+    w = np.floor(rows["value"].to_numpy()).astype("int64")
+    n += len(w)
+    s1 += int(w.sum())
+    s2 += int((w * w).sum())
+    s3 += int((w * w * w).sum())
+    s4 += int((w * w * w * w).sum())
+    state.update((n, s1, s2, s3, s4))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n": [n],
+            "s1": [s1],
+            "s2": [s2],
+            "s3": [s3],
+            "s4": [s4],
+        }
+    )
+
+
+def streaming_jb_moments(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type power-sum partials — commutative int64
+    state whose final values pushed through the batch moment algebra
+    reproduce `agg_jarque_bera` exactly."""
+    return events.select("event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _update_jb_state,
+        outputStructType=JB_OUTPUT_SCHEMA,
+        stateStructType=JB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
