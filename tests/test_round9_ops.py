@@ -577,3 +577,101 @@ def test_boundary_stitch_bruteforce(spark):
     have = {(r.doc_a, r.doc_b): r.overlap_len for r in got.itertuples()}
     assert have == want
     assert len(have) > 0  # non-trivial at the smoke SF (13 pairs)
+
+
+# --- wave 8 ------------------------------------------------------------------
+
+
+def test_grubbs_identity(spark):
+    got = _run(spark, "agg_grubbs_test").set_index("o_orderpriority")
+    o = duckdb.sql(
+        f"""SELECT o_orderpriority p, floor(o_totalprice*100+0.5) v
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    for p, g in o.groupby("p"):
+        v = g.v.astype(float)
+        m, sd = v.mean(), v.std(ddof=1)
+        gstat = max(v.max() - m, m - v.min()) / sd
+        row = got.loc[p]
+        assert row["n"] == len(v)
+        assert abs(row["g_stat"] - gstat) < 1e-5, p
+        assert row["tail"] == ("upper" if v.max() - m >= m - v.min() else "lower")
+        assert abs(row["sd_price"] - sd / 100) < 1e-4
+
+
+def test_pot_identity(spark):
+    got = _run(spark, "events_peak_over_threshold").set_index("event_type")
+    e = duckdb.sql(
+        f"""SELECT event_type t, CAST(floor(value*1e6+0.5) AS BIGINT) v
+            FROM '{SF_SMOKE}/events.parquet'"""
+    ).df()
+    for t, g in e.groupby("t"):
+        v = g.v.sort_values().reset_index(drop=True)
+        # quantile_disc(0.9): smallest value with cume_dist >= 0.9
+        import math
+        u = int(v.iloc[math.ceil(0.9 * len(v)) - 1])
+        exc = g.v[g.v > u]
+        row = got.loc[t]
+        assert row["n"] == len(g)
+        assert row["threshold_p90"] == u / 1e6, t
+        assert row["n_exceed"] == len(exc), t
+        assert abs(row["mean_excess"] - (exc - u).mean() / 1e6) < 1e-5, t
+        assert row["max_value"] == g.v.max() / 1e6
+
+
+def test_mcnemar_consistent_with_overlap_audit(spark):
+    got = _run(spark, "eval_mcnemar_dedup").iloc[0]
+    audit = _run(spark, "dedup_methods_overlap").set_index(
+        ["method_a", "method_b"]
+    )
+    row = audit.loc[("minhash", "simhash")]
+    assert got["n_minhash"] == row["n_a"]
+    assert got["n_simhash"] == row["n_b"]
+    assert got["n_both"] == row["n_both"]
+    b, c = got["n_only_minhash"], got["n_only_simhash"]
+    assert got["n_minhash"] == got["n_both"] + b
+    assert got["n_simhash"] == got["n_both"] + c
+    want = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(got["chi2_mcnemar"] - want) < 1e-6
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert got["n_docs"] == n_docs
+
+
+def test_scd2_pit_partitions_the_fact(spark):
+    got = _run(spark, "join_scd2_point_in_time")
+    n_li = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()[0]
+    # every lineitem matched exactly one dimension version
+    assert got.n_items.sum() == n_li
+    # spot-check one multi-version customer end to end in pandas
+    o = duckdb.sql(
+        f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m-%d') od
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df().sort_values(["o_custkey", "od", "o_orderkey"])
+    multi = o.groupby("o_custkey").o_orderstatus.nunique()
+    cust = multi[multi > 1].index[0]
+    hist = o[o.o_custkey == cust]
+    li = duckdb.sql(
+        f"""SELECT l.l_orderkey, strftime(l.l_shipdate, '%Y-%m-%d') sd
+            FROM '{SF_SMOKE}/lineitem.parquet' l"""
+    ).df()
+    li = li[li.l_orderkey.isin(set(hist.o_orderkey))]
+    # rebuild intervals
+    vers = []
+    prev = None
+    for _, r in hist.iterrows():
+        if prev is None or r.o_orderstatus != prev:
+            vers.append([r.o_orderstatus, r.od, None])
+            prev = r.o_orderstatus
+    for i in range(len(vers) - 1):
+        vers[i][2] = vers[i + 1][1]
+    vers[0][1] = "0000-00-00"  # the initial version is back-dated
+    for _, r in li.iterrows():
+        matches = [
+            s for s, vf, vt in vers if r.sd >= vf and (vt is None or r.sd < vt)
+        ]
+        assert len(matches) == 1, (cust, r.sd, vers)

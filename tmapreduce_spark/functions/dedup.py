@@ -3137,3 +3137,109 @@ FROM probed GROUP BY doc_a, doc_b
 QUERIES["dedup_boundary_stitch"] = QuerySpec(
     dedup_boundary_stitch, DEDUP_BOUNDARY_STITCH_SQL, "dedup"
 )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test of the two near-dup detectors — round 9
+# ---------------------------------------------------------------------------
+
+
+def eval_mcnemar_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of MinHash-LSH vs SimHash as duplicate
+    detectors over the SAME document universe: the 2x2 paired table (both
+    flag, only MinHash, only SimHash, neither) and the continuity-corrected
+    chi-square (abs(b - c) - 1)^2 / (b + c) — the statistically correct way
+    to ask `dedup_methods_overlap`'s question ("do the detectors disagree
+    more than chance?"): marginal-homogeneity inference on the DISCORDANT
+    cells, which the raw Jaccard overlap cannot give.
+
+    Determinism: flag sets are the exact detector pipelines (md5-derived
+    integer hashing throughout); every cell is an int64 count; the
+    statistic is one fixed IEEE division.
+
+    Scale: rides the factored `_overlap_tags` union with the exact-dup
+    branch pruned at OPTIMIZATION TIME (the m-filter folds that branch to
+    an empty relation, so only the two banded detectors run); the per-doc
+    pivot and 2x2 fold run on the flagged-id set, and the universe size is
+    a broadcast 1-row count."""
+    tags = (
+        _overlap_tags(spark, sf_dir)
+        .filter("m IN ('minhash', 'simhash')")
+        .localCheckpoint()
+    )
+    per_doc = tags.groupBy("doc_id").agg(
+        F.expr("max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END)").alias("f_mh"),
+        F.expr("max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END)").alias("f_sh"),
+    )
+    cells = per_doc.agg(
+        F.expr("count(*) FILTER (WHERE f_mh = 1 AND f_sh = 1)")
+        .cast("bigint")
+        .alias("n_both"),
+        F.expr("count(*) FILTER (WHERE f_mh = 1 AND f_sh = 0)")
+        .cast("bigint")
+        .alias("n_only_minhash"),
+        F.expr("count(*) FILTER (WHERE f_mh = 0 AND f_sh = 1)")
+        .cast("bigint")
+        .alias("n_only_simhash"),
+    )
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return cells.crossJoin(F.broadcast(total)).selectExpr(
+        "n_docs",
+        "CAST(n_both + n_only_minhash AS BIGINT) AS n_minhash",
+        "CAST(n_both + n_only_simhash AS BIGINT) AS n_simhash",
+        "n_both",
+        "n_only_minhash",
+        "n_only_simhash",
+        mround(
+            "CASE WHEN n_only_minhash + n_only_simhash = 0"
+            " THEN CAST(0 AS DOUBLE)"
+            " ELSE (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+            " * (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+            " / (n_only_minhash + n_only_simhash) END",
+            6,
+        )
+        + " AS chi2_mcnemar",
+    )
+
+
+EVAL_MCNEMAR_SQL = (
+    """
+WITH mh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_MINHASH_PAIRS_SQL
+    + """) t),
+sh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_SIMHASH_PAIRS_SQL
+    + f""") t),
+tags AS (
+  SELECT doc_id, 'minhash' AS m FROM mh
+  UNION SELECT doc_id, 'simhash' FROM sh),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f_mh,
+         max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) AS f_sh
+  FROM tags GROUP BY doc_id),
+cells AS (
+  SELECT CAST(count(*) FILTER (WHERE f_mh = 1 AND f_sh = 1) AS BIGINT) AS n_both,
+         CAST(count(*) FILTER (WHERE f_mh = 1 AND f_sh = 0) AS BIGINT) AS n_only_minhash,
+         CAST(count(*) FILTER (WHERE f_mh = 0 AND f_sh = 1) AS BIGINT) AS n_only_simhash
+  FROM per_doc),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs,
+       CAST(n_both + n_only_minhash AS BIGINT) AS n_minhash,
+       CAST(n_both + n_only_simhash AS BIGINT) AS n_simhash,
+       n_both, n_only_minhash, n_only_simhash,
+       {mround(
+           "CASE WHEN n_only_minhash + n_only_simhash = 0"
+           " THEN CAST(0 AS DOUBLE)"
+           " ELSE (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+           " * (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+           " / (n_only_minhash + n_only_simhash) END", 6)} AS chi2_mcnemar
+FROM cells CROSS JOIN total
+"""
+)
+
+QUERIES["eval_mcnemar_dedup"] = QuerySpec(
+    eval_mcnemar_dedup, EVAL_MCNEMAR_SQL, "eval"
+)

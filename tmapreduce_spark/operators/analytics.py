@@ -5382,3 +5382,170 @@ FROM folded
 AGG_FRIEDMAN_SQL = _friedman_sql()
 
 QUERIES["agg_friedman"] = QuerySpec(agg_friedman, AGG_FRIEDMAN_SQL, "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier statistic — round 9
+# ---------------------------------------------------------------------------
+
+
+def _grubbs_exprs() -> list[str]:
+    """G = max|x - mean| / sd from the one-pass exact sums (n, s1, s2,
+    mn, mx): max|x - mean| = max(mx - mean, mean - mn), so no second pass
+    ever happens. Shared fixed-IEEE text both dialects; sd is the sample
+    (n-1) form Grubbs specifies."""
+    m = "(CAST(s1 AS DOUBLE) / n)"
+    var = f"((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))"
+    dev = f"(CASE WHEN (mx - {m}) >= ({m} - mn) THEN mx - {m} ELSE {m} - mn END)"
+    return [
+        "n",
+        mround(f"{m} / 100", 2) + " AS mean_price",
+        mround(f"sqrt({var}) / 100", 6) + " AS sd_price",
+        mround(f"{dev} / sqrt({var})", 6) + " AS g_stat",
+        f"CASE WHEN (mx - {m}) >= ({m} - mn) THEN 'upper' ELSE 'lower' END"
+        " AS tail",
+    ]
+
+
+def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier statistic per order priority: G = max|x - mean|/sd
+    over exact integer cents — the single-outlier screen run on a metric
+    column before trusting its mean, completing the outlier family beside
+    the rolling MAD flag (`window_rolling_mad_flag`) and the z-score
+    embedding screen (`embedding_outlier_zscore`). Reports G and which
+    tail carries it.
+
+    Exactness and scale: ONE partial-aggregated pass collects n, sum,
+    min, max, and the sum of squared cents in the hi/lo int64 LANES of
+    agg_anova_oneway (a flat sum of vq^2 <= 3.2e15 per row would overflow
+    past ~3e3 rows; the lanes stay exact to ~3e9); max|x - mean| needs
+    only the group min/max, so there is no second pass and no per-row
+    deviation ever materializes."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 100)} AS vq"
+    )
+    lane = _ANOVA_LANE
+    sums = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s1"),
+        F.sum(F.expr(f"(vq * vq) div {lane}")).cast("bigint").alias("hi"),
+        F.sum(F.expr(f"(vq * vq) % {lane}")).cast("bigint").alias("lo"),
+        F.min("vq").cast("bigint").alias("mn"),
+        F.max("vq").cast("bigint").alias("mx"),
+    )
+    recomb = sums.selectExpr(
+        "o_orderpriority", "n", "s1", "mn", "mx",
+        f"CAST(hi AS DOUBLE) * {lane} + CAST(lo AS DOUBLE) AS s2",
+    )
+    return recomb.selectExpr("o_orderpriority", *_grubbs_exprs()).orderBy(
+        "o_orderpriority"
+    )
+
+
+AGG_GRUBBS_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority, {cents('o_totalprice', 100)} AS vq FROM orders),
+sums AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vq) AS BIGINT) AS s1,
+         CAST(sum((vq * vq) // {_ANOVA_LANE}) AS BIGINT) AS hi,
+         CAST(sum((vq * vq) % {_ANOVA_LANE}) AS BIGINT) AS lo,
+         CAST(min(vq) AS BIGINT) AS mn,
+         CAST(max(vq) AS BIGINT) AS mx
+  FROM o GROUP BY o_orderpriority),
+recomb AS (
+  SELECT o_orderpriority, n, s1, mn, mx,
+         CAST(hi AS DOUBLE) * {_ANOVA_LANE} + CAST(lo AS DOUBLE) AS s2
+  FROM sums)
+SELECT o_orderpriority, {", ".join(_grubbs_exprs())}
+FROM recomb ORDER BY o_orderpriority
+"""
+
+
+QUERIES["agg_grubbs_test"] = QuerySpec(agg_grubbs_test, AGG_GRUBBS_SQL, "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# Peak-over-threshold tail profile — round 9
+# ---------------------------------------------------------------------------
+
+
+def events_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-over-threshold (POT) tail profile per event type: the exact p90
+    of the value distribution as the threshold u, then the exceedance count,
+    mean excess E[X - u | X > u], and max — the extreme-value-theory readout
+    (a roughly constant mean-excess curve signals exponential tails; a
+    growing one, heavy/Pareto tails) behind alert-threshold and capacity
+    decisions.
+
+    Determinism: values quantize to exact integer micro; u is
+    percentile_disc (an actual data value, no interpolation); the excess
+    sums are int64; the mean excess is one fixed IEEE division.
+
+    Scale: pass 1 computes the per-group exact disc p90 (5 groups, sort-
+    based); the 5-row threshold table broadcasts back over the scan for one
+    FILTER-conditional partial-agg pass — the events_anomaly_mad /
+    Brown-Forsythe two-pass clamp shape."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{cents('value')} AS vq"
+    )
+    e.createOrReplaceTempView("_pot_events")
+    thr = spark.sql(
+        """SELECT event_type,
+                  percentile_disc(0.9) WITHIN GROUP (ORDER BY vq) AS u
+           FROM _pot_events GROUP BY event_type"""
+    )
+    # percentile_disc returns DOUBLE over BIGINT input; disc = an actual
+    # data value, so the cast back is exact (the Brown-Forsythe precedent)
+    j = e.join(F.broadcast(thr), "event_type").selectExpr(
+        "event_type", "vq", "CAST(u AS BIGINT) AS uq"
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("uq").cast("bigint").alias("uq"),
+        F.expr("count(*) FILTER (WHERE vq > uq)").cast("bigint").alias("n_exceed"),
+        F.expr("coalesce(sum(vq - uq) FILTER (WHERE vq > uq), 0)")
+        .cast("bigint")
+        .alias("excess_sum"),
+        F.max("vq").cast("bigint").alias("mxq"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "n_exceed",
+        "CAST(uq AS DOUBLE) / 1000000 AS threshold_p90",
+        mround("CAST(excess_sum AS DOUBLE) / 1000000 / n_exceed", 6)
+        + " AS mean_excess",
+        "CAST(mxq AS DOUBLE) / 1000000 AS max_value",
+    ).orderBy("event_type")
+
+
+EVENTS_POT_SQL = f"""
+WITH e AS (
+  SELECT event_type, {cents('value')} AS vq FROM events),
+thr AS (
+  SELECT event_type, quantile_disc(vq, 0.9) AS u
+  FROM e GROUP BY event_type),
+j AS (
+  SELECT e.event_type, vq, CAST(u AS BIGINT) AS uq
+  FROM e JOIN thr USING (event_type)),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(uq) AS BIGINT) AS uq,
+         CAST(count(*) FILTER (WHERE vq > uq) AS BIGINT) AS n_exceed,
+         CAST(coalesce(sum(vq - uq) FILTER (WHERE vq > uq), 0) AS BIGINT)
+           AS excess_sum,
+         CAST(max(vq) AS BIGINT) AS mxq
+  FROM j GROUP BY event_type)
+SELECT event_type, n, n_exceed,
+       CAST(uq AS DOUBLE) / 1000000 AS threshold_p90,
+       {mround("CAST(excess_sum AS DOUBLE) / 1000000 / n_exceed", 6)} AS mean_excess,
+       CAST(mxq AS DOUBLE) / 1000000 AS max_value
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES["events_peak_over_threshold"] = QuerySpec(
+    events_peak_over_threshold, EVENTS_POT_SQL, "events"
+)

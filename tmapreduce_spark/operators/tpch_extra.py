@@ -1069,3 +1069,119 @@ ORDER BY month
 QUERIES["pipeline_incremental_rollup"] = QuerySpec(
     pipeline_incremental_rollup, PIPELINE_INCREMENTAL_ROLLUP_SQL, "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (as-of interval) join — round 9
+# ---------------------------------------------------------------------------
+
+
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of a fact against the SCD2 dimension history:
+    each lineitem row picks up its customer's order-status version VALID AT
+    ITS SHIP DATE — the canonical leakage-free feature join against a
+    type-2 dimension (`pipeline_scd2_orders_status` builds the history;
+    this entry consumes it the way a training pipeline must: the version
+    in force at the fact's own timestamp, never the current row). Output
+    is the (status_asof, returnflag) incidence matrix with item counts and
+    total quantity.
+
+    Correctness invariant (tested): with the initial version back-dated,
+    the SCD2 intervals partition (-infinity, infinity) per customer, so
+    every fact row matches EXACTLY ONE version — the output counts sum to
+    count(lineitem) (474 of 6000 smoke-SF lineitems ship BEFORE their
+    customer's first order date; the back-dating is what catches them).
+
+    Scale: the dimension build is one o_custkey exchange serving the lag
+    filter and lead window (the SCD2 entry's plan); the fact side shuffles
+    once on the same key; the point-in-time predicate rides the equi-join
+    as a residual range filter (state per key is the bounded version
+    history, not the fact). The matrix fold is a partial-agg groupBy on a
+    bounded key."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS od",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    # the INITIAL version is back-dated to the beginning of time (the
+    # standard SCD2 initial-load convention) so facts that predate the
+    # first recorded change — here lineitems whose synthetic ship date
+    # precedes the customer's first order — still resolve to a version
+    dim = (
+        o.withColumn("prev", F.lag("o_orderstatus").over(w))
+        .filter("prev IS NULL OR prev <> o_orderstatus")
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status_asof"),
+            F.expr(
+                "CASE WHEN prev IS NULL THEN '0000-00-00' ELSE od END"
+            ).alias("valid_from"),
+            F.lead("od").over(w).alias("valid_to"),
+        )
+    )
+    # distinct key names on the two sides: facts and dim share the `o`
+    # lineage, and same-name attributes across a self-derived join are the
+    # classic Spark ambiguity trap
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_orderkey",
+            "l_returnflag",
+            "CAST(l_quantity AS BIGINT) AS qty",
+            "date_format(l_shipdate, 'yyyy-MM-dd') AS sd",
+        )
+        .join(
+            o.selectExpr("o_orderkey", "o_custkey AS f_ck"),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+    )
+    pit = facts.join(
+        dim.withColumnRenamed("o_custkey", "d_ck"),
+        F.expr(
+            "f_ck = d_ck AND sd >= valid_from"
+            " AND (valid_to IS NULL OR sd < valid_to)"
+        ),
+    )
+    return (
+        pit.groupBy("status_asof", "l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("status_asof", "l_returnflag")
+    )
+
+
+JOIN_SCD2_PIT_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d') AS od
+  FROM orders),
+seq AS (
+  SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+              ORDER BY od, o_orderkey) AS prev
+  FROM o),
+dim AS (
+  SELECT o_custkey, o_orderstatus AS status_asof,
+         CASE WHEN prev IS NULL THEN '0000-00-00' ELSE od END AS valid_from,
+         lead(od) OVER (PARTITION BY o_custkey
+              ORDER BY od, o_orderkey) AS valid_to
+  FROM seq WHERE prev IS NULL OR prev <> o_orderstatus),
+facts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         strftime(l_shipdate, '%Y-%m-%d') AS sd, o_custkey
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey)
+SELECT status_asof, l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(qty) AS BIGINT) AS total_qty
+FROM facts JOIN dim USING (o_custkey)
+WHERE sd >= valid_from AND (valid_to IS NULL OR sd < valid_to)
+GROUP BY status_asof, l_returnflag
+ORDER BY status_asof, l_returnflag
+"""
+
+QUERIES["join_scd2_point_in_time"] = QuerySpec(
+    join_scd2_point_in_time, JOIN_SCD2_PIT_SQL, "join"
+)
