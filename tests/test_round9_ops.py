@@ -675,3 +675,85 @@ def test_scd2_pit_partitions_the_fact(spark):
             s for s, vf, vt in vers if r.sd >= vf and (vt is None or r.sd < vt)
         ]
         assert len(matches) == 1, (cust, r.sd, vers)
+
+
+# --- wave 9 ------------------------------------------------------------------
+
+
+def test_wilcoxon_identity(spark):
+    got = _run(spark, "agg_wilcoxon_signed_rank").iloc[0]
+    med = duckdb.sql(
+        f"""WITH o AS (
+              SELECT strftime(o_orderdate, '%Y-%m') m, o_orderpriority p,
+                     CAST(floor(o_totalprice*100+0.5) AS BIGINT) vq
+              FROM '{SF_SMOKE}/orders.parquet'
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+            SELECT m, p, CAST(quantile_disc(vq, 0.5) AS BIGINT) med
+            FROM o GROUP BY m, p"""
+    ).df()
+    piv = med.pivot(index="m", columns="p", values="med").dropna()
+    d = (piv["1-URGENT"] - piv["5-LOW"]).astype("int64")
+    d = d[d != 0]
+    n = len(d)
+    assert got["n_pairs"] == n
+    r = d.abs().rank(method="average")
+    wp = r[d > 0].sum()
+    assert got["w_plus"] == wp
+    assert got["w_minus"] == n * (n + 1) / 2 - wp
+    c = d.abs().value_counts()
+    tie = int((c**3 - c).sum())
+    assert got["tie_sum"] == tie
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie / 48
+    z = (wp - n * (n + 1) / 4) / var**0.5
+    assert abs(got["z_stat"] - z) < 1e-5
+    # W+ + W- exhausts the rank mass
+    assert got["w_plus"] + got["w_minus"] == n * (n + 1) / 2
+
+
+def test_conversion_ztest_identity(spark):
+    got = _run(spark, "events_conversion_ztest").iloc[0]
+    pu = duckdb.sql(
+        f"""SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' AND value > 200
+                       THEN 1 ELSE 0 END) c
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY user_id"""
+    ).df()
+    t, c = pu[pu.user_id % 2 == 0], pu[pu.user_id % 2 != 0]
+    assert got["n_treat"] == len(t) and got["n_ctrl"] == len(c)
+    assert got["x_treat"] == t.c.sum() and got["x_ctrl"] == c.c.sum()
+    p1, p0 = t.c.mean(), c.c.mean()
+    pp = pu.c.mean()
+    z = (p1 - p0) / (pp * (1 - pp) * (1 / len(t) + 1 / len(c))) ** 0.5
+    assert abs(got["z_stat"] - z) < 1e-5
+    # non-degenerate by construction: both rates strictly inside (0, 1)
+    assert 0 < got["rate_treat"] < 1 and 0 < got["rate_ctrl"] < 1
+
+
+def test_bloom_fpr_bruteforce(spark):
+    import hashlib
+
+    got = _run(spark, "sketch_bloom_fpr_audit").iloc[0]
+    keys = duckdb.sql(
+        f"SELECT o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).df().o_orderkey.tolist()
+    n = len(keys)
+    m = 1 << ((10 * n - 1).bit_length())
+    assert got["n_keys"] == n and got["m_bits"] == m
+
+    def pos(j, key):
+        h = int(hashlib.md5(f"bf{j}:{key}".encode()).hexdigest()[:15], 16)
+        return h % m
+
+    bits = {pos(j, k) for k in keys for j in range(7)}
+    assert got["n_bits_set"] == len(bits)
+    fp = sum(
+        1
+        for k in keys
+        if all(pos(j, k + 1_000_000_000) in bits for j in range(7))
+    )
+    assert got["n_false_positives"] == fp
+    # the audit is calibrated: measured within 3x of theory (both nonzero
+    # at the smoke SF thanks to the 10-bits/key in-plan sizing)
+    assert got["fpr_theory"] > 0
+    assert got["n_false_positives"] > 0
+    assert got["fpr_measured"] <= 3 * got["fpr_theory"] + 1e-3

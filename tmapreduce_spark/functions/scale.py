@@ -1677,3 +1677,152 @@ EVAL_KENDALL_SQL = _kendall_sql()
 QUERIES["eval_rank_kendall"] = QuerySpec(
     eval_rank_kendall, EVAL_KENDALL_SQL, "similarity"
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit — round 9
+# ---------------------------------------------------------------------------
+#
+# The sketch family's measured-vs-theory calibration entry (the
+# dedup_lsh_scurve pattern applied to membership): build a Bloom filter over
+# the order keys from first principles (md5-derived positions — exact on
+# both engines), probe it with keys known to be absent, and report the
+# MEASURED false-positive rate against the fill-ratio theory value.
+
+BLOOM_K = 7  # hash functions (~optimal for the 10-bits/key sizing below)
+BLOOM_BITS_PER_KEY = 10
+BLOOM_PROBE_OFFSET = 1_000_000_000  # probe keys: o_orderkey + 1e9 (absent)
+
+
+def _bloom_m_expr(dialect: str, n: str) -> str:
+    """Filter size m = the smallest power of two >= 10 * n_keys, derived in
+    INTEGER arithmetic (binary bit width of 10n - 1) on both engines — a
+    ceil(log2()) here would put a 1-ulp transcendental inside a branch
+    (Spark's Math.log vs libm could flip the ceil), so it never enters.
+    One dialect split: Spark spells the shift shiftleft(), DuckDB 1.0 only
+    has the << operator."""
+    w = f"length(bin({BLOOM_BITS_PER_KEY} * {n} - 1))"
+    if dialect == SPARK:
+        return f"shiftleft(CAST(1 AS BIGINT), {w})"
+    return f"(CAST(1 AS BIGINT) << {w})"
+
+
+def _bloom_pos(dialect: str, key_expr: str) -> str:
+    """Bit position j of a key: md5-derived 60-bit integer mod m (identical
+    on both engines; the dedup-family hashing convention). `j` and `m` are
+    in-scope columns."""
+    cast = "STRING" if dialect == SPARK else "VARCHAR"
+    h = (
+        f"CAST(conv(substring(md5(concat('bf', CAST(j AS STRING), ':', "
+        f"CAST({key_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        if dialect == SPARK
+        else
+        f"CAST(('0x' || substring(md5('bf' || CAST(j AS {cast}) || ':' || "
+        f"CAST({key_expr} AS {cast})), 1, 15)) AS BIGINT)"
+    )
+    return f"({h} % m)"
+
+
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FPR audit: insert every o_orderkey into a k = 7-hash
+    Bloom filter sized IN-PLAN at 10 bits/key rounded up to a power of two
+    (integer bit-width arithmetic, no transcendental — so the same m falls
+    out on both engines at every SF, and the audit stays non-degenerate as
+    the data scales instead of saturating or starving a fixed m), probe
+    with the shifted key set (o_orderkey + 1e9, provably absent), and
+    report bits set, fill ratio, measured FPR, and the theory value
+    fill_ratio^k — written as seven explicit multiplications so no pow()
+    enters the compare path. The audit a capacity planner runs before
+    sizing `join_bloom_prefilter`-style pre-filters.
+
+    Scale: inserts explode to n*k (key, j) position rows that COLLAPSE
+    map-side into the <= m distinct-bit set (bounded by the filter, not the
+    data); probes explode the same way and join the bit set on the position
+    integer — one bounded-key shuffle each; a probe passes iff all k of its
+    positions hit (count = k). The 1-row (n, m) sizing aggregate broadcasts
+    over both sides; nothing driver-side — the filter never leaves the
+    executors."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # the sizing row and the built filter are each consumed by multiple
+    # branches — materialize both (a real Bloom build materializes the
+    # filter by definition; without this the insert explode runs twice and
+    # the count aggregate three times: 15 Exchanges, measured)
+    size_row = (
+        o.agg(F.count("*").cast("bigint").alias("n_keys"))
+        .selectExpr("n_keys", f"{_bloom_m_expr(SPARK, 'n_keys')} AS m")
+        .localCheckpoint()
+    )
+    jseq = f"explode(sequence(0, {BLOOM_K - 1})) AS j"
+    keyed = o.crossJoin(F.broadcast(size_row))
+    bits = (
+        keyed.selectExpr("o_orderkey", "m", jseq)
+        .selectExpr(f"{_bloom_pos(SPARK, 'o_orderkey')} AS pos")
+        .distinct()
+        .localCheckpoint()
+    )
+    probes = (
+        keyed.selectExpr(f"o_orderkey + {BLOOM_PROBE_OFFSET} AS pk", "m")
+        .selectExpr("pk", "m", jseq)
+        .selectExpr("pk", f"{_bloom_pos(SPARK, 'pk')} AS pos")
+    )
+    hits = (
+        probes.join(bits, "pos")
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("h"))
+        .filter(f"h = {BLOOM_K}")
+        .agg(F.count("*").cast("bigint").alias("n_fp"))
+    )
+    stats = size_row.crossJoin(
+        F.broadcast(bits.agg(F.count("*").cast("bigint").alias("n_bits_set")))
+    )
+    return stats.crossJoin(F.broadcast(hits)).selectExpr(*_bloom_out_exprs())
+
+
+def _bloom_out_exprs() -> list[str]:
+    r = "(CAST(n_bits_set AS DOUBLE) / m)"
+    r7 = " * ".join([r] * BLOOM_K)
+    return [
+        "n_keys",
+        "CAST(m AS BIGINT) AS m_bits",
+        f"CAST({BLOOM_K} AS BIGINT) AS k_hashes",
+        "n_bits_set",
+        mround(r, 6) + " AS fill_ratio",
+        "n_keys AS n_probes",
+        "n_fp AS n_false_positives",
+        mround("CAST(n_fp AS DOUBLE) / n_keys", 6) + " AS fpr_measured",
+        mround(r7, 6) + " AS fpr_theory",
+    ]
+
+
+def _bloom_sql() -> str:
+    pos_ins = _bloom_pos(DUCK, "o_orderkey")
+    pos_probe = _bloom_pos(DUCK, "pk")
+    return f"""
+WITH ks AS (SELECT o_orderkey FROM orders),
+size_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         {_bloom_m_expr(DUCK, "CAST(count(*) AS BIGINT)")} AS m
+  FROM ks),
+ins AS (
+  SELECT DISTINCT {pos_ins} AS pos
+  FROM ks CROSS JOIN size_row, unnest(range(0, {BLOOM_K})) AS u(j)),
+probes AS (
+  SELECT pk, {pos_probe} AS pos
+  FROM (SELECT o_orderkey + {BLOOM_PROBE_OFFSET} AS pk FROM ks) p
+  CROSS JOIN size_row, unnest(range(0, {BLOOM_K})) AS u(j)),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fp FROM (
+    SELECT pk FROM probes JOIN ins USING (pos)
+    GROUP BY pk HAVING count(*) = {BLOOM_K}) t),
+stats AS (
+  SELECT n_keys, m,
+         (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_bits_set,
+         n_fp
+  FROM size_row CROSS JOIN fp)
+SELECT {", ".join(_bloom_out_exprs())} FROM stats
+"""
+
+
+QUERIES["sketch_bloom_fpr_audit"] = QuerySpec(
+    sketch_bloom_fpr_audit, _bloom_sql(), "sketch"
+)

@@ -5549,3 +5549,217 @@ FROM agg ORDER BY event_type
 QUERIES["events_peak_over_threshold"] = QuerySpec(
     events_peak_over_threshold, EVENTS_POT_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test — round 9
+# ---------------------------------------------------------------------------
+#
+# Completes the rank-test family: Mann-Whitney (two independent samples),
+# Kruskal-Wallis (k groups), Friedman (blocked k), and now the PAIRED
+# two-sample member — months pair the observations, the subject is the
+# URGENT-vs-LOW monthly median order value.
+
+_WSR_A = "1-URGENT"
+_WSR_B = "5-LOW"
+
+
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of paired monthly medians: for each order
+    month, d = median(URGENT order cents) - median(LOW order cents) —
+    medians are percentile_disc actual data values, so every d is an EXACT
+    int64 — zero differences drop (the textbook treatment), |d| gets
+    mid-rank average ranks in integer half-units (the agg_kruskal_wallis
+    trick), and the readout is W+, W-, the exact tie sum, and the
+    tie-corrected normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - T/48).
+
+    Scale: one partial-agg groupBy to (month, priority) cells, exact
+    per-cell disc medians via one sort-based aggregate, then ALL rank work
+    happens on the calendar-bounded month table (~80 rows) — the window is
+    over months, never data rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_WSR_A, _WSR_B)
+    ).selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') AS m",
+        "o_orderpriority AS p",
+        f"{cents('o_totalprice', 100)} AS vq",
+    )
+    o.createOrReplaceTempView("_wsr_orders")
+    med = spark.sql(
+        """SELECT m, p,
+                  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vq)
+                       AS BIGINT) AS med
+           FROM _wsr_orders GROUP BY m, p"""
+    )
+    d = (
+        med.groupBy("m")
+        .agg(
+            F.expr(f"max(CASE WHEN p = '{_WSR_A}' THEN med END)").alias("ma"),
+            F.expr(f"max(CASE WHEN p = '{_WSR_B}' THEN med END)").alias("mb"),
+        )
+        .filter("ma IS NOT NULL AND mb IS NOT NULL AND ma <> mb")
+        .selectExpr("ma - mb AS d", "abs(ma - mb) AS ad")
+    )
+    # mid-rank average ranks of |d| in half-units over the month table
+    vals = d.groupBy("ad").agg(
+        F.count("*").cast("bigint").alias("c_v"),
+        F.expr("count(*) FILTER (WHERE d > 0)").cast("bigint").alias("c_pos"),
+    )
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "r2",
+        F.lit(2) * F.coalesce(F.sum("c_v").over(wv), F.lit(0))
+        + F.col("c_v")
+        + F.lit(1),
+    )
+    fold = ranked.agg(
+        F.sum("c_v").cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("c_pos * r2")).cast("bigint").alias("w2_plus"),
+        F.sum(F.expr("c_v * c_v * c_v - c_v")).cast("bigint").alias("tie_sum"),
+    )
+    return fold.selectExpr(*_wsr_out_exprs())
+
+
+def _wsr_out_exprs() -> list[str]:
+    mu = "(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)"
+    var = (
+        "(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24"
+        " - CAST(tie_sum AS DOUBLE) / 48)"
+    )
+    wp = "(CAST(w2_plus AS DOUBLE) / 2)"
+    return [
+        "n_pairs",
+        f"{wp} AS w_plus",
+        f"(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 2 - {wp}) AS w_minus",
+        "tie_sum",
+        mround(f"({wp} - {mu}) / sqrt({var})", 6) + " AS z_stat",
+    ]
+
+
+def _wsr_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS p,
+         {cents('o_totalprice', 100)} AS vq
+  FROM orders WHERE o_orderpriority IN ('{_WSR_A}', '{_WSR_B}')),
+med AS (
+  SELECT m, p, CAST(quantile_disc(vq, 0.5) AS BIGINT) AS med
+  FROM o GROUP BY m, p),
+d AS (
+  SELECT ma - mb AS d, abs(ma - mb) AS ad FROM (
+    SELECT m,
+           max(CASE WHEN p = '{_WSR_A}' THEN med END) AS ma,
+           max(CASE WHEN p = '{_WSR_B}' THEN med END) AS mb
+    FROM med GROUP BY m) t
+  WHERE ma IS NOT NULL AND mb IS NOT NULL AND ma <> mb),
+vals AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS c_v,
+         CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS c_pos
+  FROM d GROUP BY ad),
+ranked AS (
+  SELECT *, 2 * coalesce(sum(c_v) OVER (
+               ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) + c_v + 1 AS r2
+  FROM vals),
+folded AS (
+  SELECT CAST(sum(c_v) AS BIGINT) AS n_pairs,
+         CAST(sum(c_pos * r2) AS BIGINT) AS w2_plus,
+         CAST(sum(c_v * c_v * c_v - c_v) AS BIGINT) AS tie_sum
+  FROM ranked)
+SELECT {", ".join(_wsr_out_exprs())} FROM folded
+"""
+
+
+AGG_WILCOXON_SQL = _wsr_sql()
+
+QUERIES["agg_wilcoxon_signed_rank"] = QuerySpec(
+    agg_wilcoxon_signed_rank, AGG_WILCOXON_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion conversion z-test — round 9
+# ---------------------------------------------------------------------------
+
+
+def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of USER-LEVEL purchase conversion between the
+    deterministic A/B arms (even vs odd user_id): the experiment readout
+    `events_srm_check` guards (SRM tests the assignment counts; this tests
+    the OUTCOME — whether treatment moved the conversion rate), with the
+    pooled-variance z = (p1 - p0) / sqrt(p(1-p)(1/n1 + 1/n0)).
+
+    Determinism: everything up to z is integer counting (a user converts
+    iff they have a big-ticket purchase, value > 200 — EVERY user has some
+    purchase in the synthetic stream, so the raw any-purchase definition is
+    degenerate: both rates pin at 1 and the pooled variance is 0, division
+    by zero; same lesson as the r9 kappa rater switch); z is one fixed
+    IEEE chain over the four exact counts.
+
+    Scale: one partial-agg groupBy on user_id (bool_or collapses map-side),
+    then a 2-row arm aggregate — the per-user table never leaves the
+    executors un-reduced."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' AND value > 200"
+            " THEN 1 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("converted")
+    )
+    arms = per_user.agg(
+        F.expr("count(*) FILTER (WHERE user_id % 2 = 0)")
+        .cast("bigint")
+        .alias("n_treat"),
+        F.expr("coalesce(sum(converted) FILTER (WHERE user_id % 2 = 0), 0)")
+        .cast("bigint")
+        .alias("x_treat"),
+        F.expr("count(*) FILTER (WHERE user_id % 2 <> 0)")
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.expr("coalesce(sum(converted) FILTER (WHERE user_id % 2 <> 0), 0)")
+        .cast("bigint")
+        .alias("x_ctrl"),
+    )
+    return arms.selectExpr(*_ztest_out_exprs())
+
+
+def _ztest_out_exprs() -> list[str]:
+    p1 = "(CAST(x_treat AS DOUBLE) / n_treat)"
+    p0 = "(CAST(x_ctrl AS DOUBLE) / n_ctrl)"
+    pp = "(CAST(x_treat + x_ctrl AS DOUBLE) / (n_treat + n_ctrl))"
+    se = f"sqrt({pp} * (1 - {pp}) * (CAST(1 AS DOUBLE) / n_treat + CAST(1 AS DOUBLE) / n_ctrl))"
+    return [
+        "n_treat",
+        "x_treat",
+        "n_ctrl",
+        "x_ctrl",
+        mround(p1, 6) + " AS rate_treat",
+        mround(p0, 6) + " AS rate_ctrl",
+        mround(f"({p1} - {p0}) / {se}", 6) + " AS z_stat",
+    ]
+
+
+EVENTS_CONVERSION_ZTEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_treat,
+         CAST(coalesce(sum(converted) FILTER (WHERE user_id % 2 = 0), 0)
+              AS BIGINT) AS x_treat,
+         CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_ctrl,
+         CAST(coalesce(sum(converted) FILTER (WHERE user_id % 2 <> 0), 0)
+              AS BIGINT) AS x_ctrl
+  FROM per_user)
+SELECT {", ".join(_ztest_out_exprs())} FROM arms
+"""
+
+
+QUERIES["events_conversion_ztest"] = QuerySpec(
+    events_conversion_ztest, EVENTS_CONVERSION_ZTEST_SQL, "events"
+)
