@@ -757,3 +757,33 @@ def test_bloom_fpr_bruteforce(spark):
     assert got["fpr_theory"] > 0
     assert got["n_false_positives"] > 0
     assert got["fpr_measured"] <= 3 * got["fpr_theory"] + 1e-3
+
+
+def test_mr_secondary_sort_order_contract(spark):
+    """The secondary-sort reduce must be ORDER-PROOF: feeding the same kvs
+    in reversed input order yields byte-identical results, and a sample
+    customer's sequence equals the pandas chronological recompute."""
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    o = duckdb.sql(
+        f"""SELECT CAST(o_custkey AS VARCHAR) AS key,
+                   strftime(o_orderdate, '%Y-%m-%d')
+                     || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                     || '|' || o_orderstatus AS value
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    eng = MapReduceEngine(spark)
+    fwd = eng.apply_df(
+        spark.createDataFrame(o), "secondarysort"
+    ).toPandas().sort_values(["key", "result"], ignore_index=True)
+    rev = eng.apply_df(
+        spark.createDataFrame(o.iloc[::-1]), "secondarysort"
+    ).toPandas().sort_values(["key", "result"], ignore_index=True)
+    assert fwd.equals(rev)
+    # pandas recompute of one customer's chronological status string
+    got = _run(spark, "mr_secondary_sort")
+    key = got.key.iloc[0]
+    seqs = got[(got.key == key) & (got.result != key)]
+    ours = o[o.key == key].value.sort_values()
+    want = "".join(v.split("|", 1)[1] for v in ours)
+    assert list(seqs.result) == [want]

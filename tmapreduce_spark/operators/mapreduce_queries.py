@@ -179,6 +179,40 @@ FROM nation JOIN customer ON c_nationkey = n_nationkey
 """
 
 
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort through the MapReduce path (the canonical pattern the
+    reference's key-sorted merge alone cannot provide, `job.cc:45-66`:
+    value order within a key is partition-dependent there): per customer,
+    the order-status letters concatenated in (order date, zero-padded
+    orderkey) order. The sort key travels INSIDE the value
+    ("yyyy-MM-dd%012d|payload" — the fixed-width date + zero-padded key
+    concatenation sorts lexicographically = chronologically)
+    and the reduce sorts its value list — explicit, deterministic under any
+    shuffle order, and exactly what Hadoop's composite-key partitioner
+    trick achieves implicitly."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey AS STRING) AS key",
+        "concat(date_format(o_orderdate, 'yyyy-MM-dd'),"
+        " lpad(CAST(o_orderkey AS STRING), 12, '0'), '|',"
+        " o_orderstatus) AS value",
+    )
+    engine = MapReduceEngine(spark)
+    return engine.apply_df(o, "secondarysort")
+
+
+MR_SECONDARY_SORT_SQL = """
+WITH seq AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key,
+         string_agg(o_orderstatus, ''
+           ORDER BY strftime(o_orderdate, '%Y-%m-%d'),
+                    lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS agg
+  FROM orders GROUP BY o_custkey)
+SELECT key, key AS result FROM seq
+UNION ALL
+SELECT key, agg AS result FROM seq
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mr_sort": QuerySpec(mr_sort, MR_SORT_SQL, "mapreduce"),
     "mr_inverted_index": QuerySpec(mr_inverted_index, MR_INVERTED_INDEX_SQL, "mapreduce"),
@@ -187,4 +221,7 @@ QUERIES: dict[str, QuerySpec] = {
     "mr_wordcount": QuerySpec(mr_wordcount, MR_WORDCOUNT_SQL, "mapreduce"),
     "mr_charcount_combined": QuerySpec(mr_charcount_combined, MR_CHARCOUNT_SQL, "mapreduce"),
     "mr_join": QuerySpec(mr_join, MR_JOIN_SQL, "mapreduce"),
+    "mr_secondary_sort": QuerySpec(
+        mr_secondary_sort, MR_SECONDARY_SORT_SQL, "mapreduce"
+    ),
 }

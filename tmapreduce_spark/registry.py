@@ -167,6 +167,25 @@ def reducejoin_reduce(key: str, values: list[str]) -> Iterable[str]:
     return [f"{l}|{r}" for l in lefts for r in rights]
 
 
+def secondarysort_map(key: str, value: str) -> Iterable[tuple[str, str]]:
+    """Secondary-sort map (the fourth canonical pattern: reduce inputs
+    ordered by a value-embedded sort key). The value arrives as
+    "sortkey|payload"; map is identity — in Hadoop this pattern needs a
+    composite key + custom partitioner/grouper, but this engine's reduce
+    receives the full value list, so the ordering contract moves into the
+    reduce (and is therefore explicit and testable)."""
+    return [(key, value)]
+
+
+def secondarysort_reduce(key: str, values: list[str]) -> Iterable[str]:
+    """Emit [key, payload1payload2...] with payloads concatenated in
+    lexicographic sortkey order — deterministic under any shuffle order
+    because the sort happens HERE, not in arrival order (the reference
+    sorts reduce inputs by key only, `job.cc:45-66`)."""
+    ordered = sorted(values)
+    return [key, "".join(v.split("|", 1)[1] for v in ordered)]
+
+
 def default_registry() -> JobRegistry:
     reg = JobRegistry()
     reg.register("charcount", charcount_map, charcount_reduce)
@@ -180,4 +199,5 @@ def default_registry() -> JobRegistry:
     reg.register("grep-spark", grep_spark_map, identity_reduce)
     reg.register("invertedindex", invertedindex_map, invertedindex_reduce)
     reg.register("reducejoin", reducejoin_map, reducejoin_reduce)
+    reg.register("secondarysort", secondarysort_map, secondarysort_reduce)
     return reg
