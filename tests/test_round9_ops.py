@@ -741,8 +741,11 @@ def test_bloom_fpr_bruteforce(spark):
     assert got["n_keys"] == n and got["m_bits"] == m
 
     def pos(j, key):
-        h = int(hashlib.md5(f"bf{j}:{key}".encode()).hexdigest()[:15], 16)
-        return h % m
+        # Kirsch-Mitzenmacher: one md5 per key, pos_j = h1 + j*h2 mod m
+        d = hashlib.md5(f"bf:{key}".encode()).hexdigest()
+        h1 = int(d[:15], 16) % m
+        h2 = (int(d[15:30], 16) % m) | 1
+        return (h1 + j * h2) % m
 
     bits = {pos(j, k) for k in keys for j in range(7)}
     assert got["n_bits_set"] == len(bits)

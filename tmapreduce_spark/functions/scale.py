@@ -1707,20 +1707,27 @@ def _bloom_m_expr(dialect: str, n: str) -> str:
     return f"(CAST(1 AS BIGINT) << {w})"
 
 
-def _bloom_pos(dialect: str, key_expr: str) -> str:
-    """Bit position j of a key: md5-derived 60-bit integer mod m (identical
-    on both engines; the dedup-family hashing convention). `j` and `m` are
-    in-scope columns."""
-    cast = "STRING" if dialect == SPARK else "VARCHAR"
-    h = (
-        f"CAST(conv(substring(md5(concat('bf', CAST(j AS STRING), ':', "
-        f"CAST({key_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-        if dialect == SPARK
-        else
-        f"CAST(('0x' || substring(md5('bf' || CAST(j AS {cast}) || ':' || "
-        f"CAST({key_expr} AS {cast})), 1, 15)) AS BIGINT)"
-    )
-    return f"({h} % m)"
+def _bloom_h12(dialect: str, key_expr: str) -> list[str]:
+    """ONE md5 per key, split into the two independent 60-bit halves of the
+    Kirsch-Mitzenmacher double-hashing construction (pos_j = h1 + j*h2 mod
+    m) — the per-replicate-hash lesson from agg_permutation_test (29.6s ->
+    1.8s there): hashing is the dominant cost, so consume the digest's
+    bits instead of hashing k times. h2 is forced odd so the stride never
+    degenerates to 0 mod a power-of-two m."""
+    if dialect == SPARK:
+        d = f"md5(concat('bf:', CAST({key_expr} AS STRING)))"
+        h1 = f"CAST(conv(substring({d}, 1, 15), 16, 10) AS BIGINT)"
+        h2 = f"CAST(conv(substring({d}, 16, 15), 16, 10) AS BIGINT)"
+    else:
+        d = f"md5('bf:' || CAST({key_expr} AS VARCHAR))"
+        h1 = f"CAST(('0x' || substring({d}, 1, 15)) AS BIGINT)"
+        h2 = f"CAST(('0x' || substring({d}, 16, 15)) AS BIGINT)"
+    return [f"({h1} % m) AS h1", f"(({h2} % m) | 1) AS h2"]
+
+
+# position j from the two halves: exact int64 (h1, j*h2 < 2^21 * 7 * 2^21
+# never approaches the cap because both are already reduced mod m)
+_BLOOM_POS_J = "((h1 + j * h2) % m)"
 
 
 def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,15 +1762,19 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     jseq = f"explode(sequence(0, {BLOOM_K - 1})) AS j"
     keyed = o.crossJoin(F.broadcast(size_row))
     bits = (
-        keyed.selectExpr("o_orderkey", "m", jseq)
-        .selectExpr(f"{_bloom_pos(SPARK, 'o_orderkey')} AS pos")
+        keyed.selectExpr("m", *_bloom_h12(SPARK, "o_orderkey"))
+        .selectExpr("m", "h1", "h2", jseq)
+        .selectExpr(f"{_BLOOM_POS_J} AS pos")
         .distinct()
         .localCheckpoint()
     )
     probes = (
-        keyed.selectExpr(f"o_orderkey + {BLOOM_PROBE_OFFSET} AS pk", "m")
-        .selectExpr("pk", "m", jseq)
-        .selectExpr("pk", f"{_bloom_pos(SPARK, 'pk')} AS pos")
+        keyed.selectExpr(
+            f"o_orderkey + {BLOOM_PROBE_OFFSET} AS pk", "m"
+        )
+        .selectExpr("pk", "m", *_bloom_h12(SPARK, "pk"))
+        .selectExpr("pk", "m", "h1", "h2", jseq)
+        .selectExpr("pk", f"{_BLOOM_POS_J} AS pos")
     )
     hits = (
         probes.join(bits, "pos")
@@ -1795,8 +1806,8 @@ def _bloom_out_exprs() -> list[str]:
 
 
 def _bloom_sql() -> str:
-    pos_ins = _bloom_pos(DUCK, "o_orderkey")
-    pos_probe = _bloom_pos(DUCK, "pk")
+    h12_ins = ", ".join(_bloom_h12(DUCK, "o_orderkey"))
+    h12_probe = ", ".join(_bloom_h12(DUCK, "pk"))
     return f"""
 WITH ks AS (SELECT o_orderkey FROM orders),
 size_row AS (
@@ -1804,12 +1815,15 @@ size_row AS (
          {_bloom_m_expr(DUCK, "CAST(count(*) AS BIGINT)")} AS m
   FROM ks),
 ins AS (
-  SELECT DISTINCT {pos_ins} AS pos
-  FROM ks CROSS JOIN size_row, unnest(range(0, {BLOOM_K})) AS u(j)),
+  SELECT DISTINCT {_BLOOM_POS_J} AS pos
+  FROM (SELECT m, {h12_ins} FROM ks CROSS JOIN size_row) h,
+       unnest(range(0, {BLOOM_K})) AS u(j)),
 probes AS (
-  SELECT pk, {pos_probe} AS pos
-  FROM (SELECT o_orderkey + {BLOOM_PROBE_OFFSET} AS pk FROM ks) p
-  CROSS JOIN size_row, unnest(range(0, {BLOOM_K})) AS u(j)),
+  SELECT pk, {_BLOOM_POS_J} AS pos
+  FROM (SELECT pk, m, {h12_probe}
+        FROM (SELECT o_orderkey + {BLOOM_PROBE_OFFSET} AS pk FROM ks) p
+        CROSS JOIN size_row) h,
+       unnest(range(0, {BLOOM_K})) AS u(j)),
 fp AS (
   SELECT CAST(count(*) AS BIGINT) AS n_fp FROM (
     SELECT pk FROM probes JOIN ins USING (pos)
