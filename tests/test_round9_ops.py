@@ -790,3 +790,72 @@ def test_mr_secondary_sort_order_contract(spark):
     ours = o[o.key == key].value.sort_values()
     want = "".join(v.split("|", 1)[1] for v in ours)
     assert list(seqs.result) == [want]
+
+
+# --- wave 11 -----------------------------------------------------------------
+
+
+def test_bartlett_identity(spark):
+    import math
+
+    got = _run(spark, "agg_bartlett_test").iloc[0]
+    o = duckdb.sql(
+        f"""SELECT o_orderpriority p, floor(o_totalprice*100+0.5) v
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    groups = [g.v.astype(float) for _, g in o.groupby("p")]
+    n, k = len(o), len(groups)
+    assert got["n_total"] == n and got["k_groups"] == k
+    s2 = [g.var(ddof=1) for g in groups]
+    sp2 = sum((len(g) - 1) * v for g, v in zip(groups, s2)) / (n - k)
+    t_num = (n - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(v) for g, v in zip(groups, s2)
+    )
+    c = 1 + (sum(1 / (len(g) - 1) for g in groups) - 1 / (n - k)) / (3 * (k - 1))
+    assert abs(got["correction_c"] - c) < 1e-5
+    assert abs(got["bartlett_t"] - t_num / c) < 1e-4
+    assert got["bartlett_t"] >= 0
+
+
+def test_cochran_armitage_identity(spark):
+    got = _run(spark, "agg_cochran_armitage").iloc[0]
+    o = duckdb.sql(
+        f"""SELECT o_orderpriority p,
+                   CAST(o_totalprice > 300000 AS INT) big
+            FROM '{SF_SMOKE}/orders.parquet'"""
+    ).df()
+    tab = o.groupby("p").big.agg(["count", "sum"]).sort_index()
+    n = tab["count"].to_numpy(dtype=float)
+    x = tab["sum"].to_numpy(dtype=float)
+    w = np.arange(1, 6, dtype=float)
+    nn, xx = n.sum(), x.sum()
+    pbar = xx / nn
+    num = (w * (x - n * pbar)).sum()
+    var = pbar * (1 - pbar) * ((w * w * n).sum() - (w * n).sum() ** 2 / nn)
+    assert got["n_total"] == nn and got["n_big"] == xx
+    assert abs(got["z_trend"] - num / var**0.5) < 1e-5
+    # non-degenerate: rate strictly inside (0, 1)
+    assert 0 < got["rate_overall"] < 1
+
+
+def test_assortativity_identity(spark):
+    got = _run(spark, "graph_assortativity").iloc[0]
+    pairs = _run(spark, "dedup_minhash_pairs")[["doc_a", "doc_b"]]
+    e = pd.concat(
+        [
+            pairs.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+            pairs.rename(columns={"doc_a": "dst", "doc_b": "src"}),
+        ],
+        ignore_index=True,
+    )
+    deg = e.groupby("src").size()
+    dx = e.src.map(deg).astype(float)
+    dy = e.dst.map(deg).astype(float)
+    assert got["n_dir_edges"] == len(e)
+    r = np.corrcoef(dx, dy)[0, 1]
+    assert abs(got["assortativity"] - r) < 1e-5
+    # the smoke-SF near-dup graph is a union of cliques (exact-duplicate
+    # families), and within a k-clique every edge joins two degree-(k-1)
+    # nodes — assortativity exactly 1 is the CORRECT structural value,
+    # not a bug (a star graph would read -1; mixed corpora land between)
+    assert got["assortativity"] == 1.0

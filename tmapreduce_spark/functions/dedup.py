@@ -3243,3 +3243,83 @@ FROM cells CROSS JOIN total
 QUERIES["eval_mcnemar_dedup"] = QuerySpec(
     eval_mcnemar_dedup, EVAL_MCNEMAR_SQL, "eval"
 )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph — round 9
+# ---------------------------------------------------------------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the near-duplicate graph: the
+    Pearson correlation of (deg(src), deg(dst)) over the directed edge
+    list (both orientations — the standard undirected treatment). Positive
+    r = hubs link to hubs (one template family duplicated en masse);
+    negative r = star patterns (one canonical page copied by many
+    singletons) — the structural fingerprint that tells a dedup curator
+    WHICH cluster shape dominates before choosing keep-best vs keep-first.
+
+    Exactness: degrees are integer counts; the six moment sums are int64
+    (`pearson_txt` casts each once to DOUBLE for the fixed combination) —
+    reduction order is irrelevant end to end.
+
+    Scale: rides the shared `_edges_neardup` substrate (banded LSH, never
+    all-pairs); degrees are one partial-agg groupBy over the edge list and
+    join back twice BY NODE KEY; the correlation is a 1-row fold."""
+    from tmapreduce_spark.parity import pearson_txt
+
+    edges = _edges_neardup(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    j = (
+        edges.join(deg.selectExpr("src", "deg AS dx"), "src")
+        .join(deg.selectExpr("src AS dst", "deg AS dy"), "dst")
+    )
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_dir_edges"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("bigint").alias("syy"),
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("sxy"),
+    )
+    return agg.selectExpr(
+        "n_dir_edges",
+        pearson_txt("n_dir_edges", "sx", "sy", "sxx", "syy", "sxy")
+        + " AS assortativity",
+    )
+
+
+def _assortativity_sql() -> str:
+    from tmapreduce_spark.parity import pearson_txt
+
+    return (
+        """
+WITH pairs AS (SELECT * FROM ("""
+        + DEDUP_MINHASH_PAIRS_SQL
+        + f""") t_pairs),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+j AS (
+  SELECT a.deg AS dx, b.deg AS dy
+  FROM edges JOIN deg a ON edges.src = a.src
+             JOIN deg b ON edges.dst = b.src),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM j)
+SELECT n_dir_edges,
+       {pearson_txt("n_dir_edges", "sx", "sy", "sxx", "syy", "sxy")} AS assortativity
+FROM agg
+"""
+    )
+
+
+QUERIES["graph_assortativity"] = QuerySpec(
+    graph_assortativity, _assortativity_sql(), "dedup"
+)

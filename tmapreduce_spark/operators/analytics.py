@@ -5763,3 +5763,171 @@ SELECT {", ".join(_ztest_out_exprs())} FROM arms
 QUERIES["events_conversion_ztest"] = QuerySpec(
     events_conversion_ztest, EVENTS_CONVERSION_ZTEST_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett variance-homogeneity test — round 9
+# ---------------------------------------------------------------------------
+#
+# Completes the variance-homogeneity PAIR: Brown-Forsythe (above) is the
+# robust member; Bartlett is the classical parametric one — more powerful
+# under normality (which agg_jarque_bera gates), badly non-robust without
+# it. Same exact-integer cell machinery as the ANOVA (_anova_exprs).
+
+
+def _bartlett_exprs() -> list[str]:
+    """T = [(N-k) ln(sp2) - sum (n_i-1) ln(s_i2)] / C from the ANOVA cell
+    columns (n_i, s_i, hi_i, lo_i). Per-group variances derive from exact
+    integers; the ln() terms are the documented transcendental exception,
+    summed in declared priority order (fixed text both dialects).
+    Variances are in cents^2 — the statistic is scale-invariant (the ln of
+    the units cancels between the pooled and per-group terms), so no /1e4
+    rescale is needed or wanted inside the logs."""
+    idx = range(len(_ANOVA_PRIORITIES))
+    s2 = {
+        i: (
+            f"((CAST(hi{i} AS DOUBLE) * {_ANOVA_LANE} + CAST(lo{i} AS DOUBLE)"
+            f" - CAST(s{i} AS DOUBLE) * s{i} / n{i}) / (n{i} - 1))"
+        )
+        for i in idx
+    }
+    nk = "(n_total - k_groups)"
+    sp2 = (
+        "(("
+        + " + ".join(f"(n{i} - 1) * {s2[i]}" for i in idx)
+        + f") / {nk})"
+    )
+    lnsum = " + ".join(f"(n{i} - 1) * ln({s2[i]})" for i in idx)
+    t_num = f"({nk} * ln({sp2}) - ({lnsum}))"
+    inv = " + ".join(f"CAST(1 AS DOUBLE) / (n{i} - 1)" for i in idx)
+    c = (
+        f"(1 + (({inv}) - CAST(1 AS DOUBLE) / {nk})"
+        " / (3 * (k_groups - 1)))"
+    )
+    return [
+        "n_total",
+        "k_groups",
+        mround(c, 6) + " AS correction_c",
+        mround(f"{t_num} / {c}", 6) + " AS bartlett_t",
+    ]
+
+
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of order-value variance homogeneity across the five
+    priorities — the parametric sibling of `agg_levene_brown_forsythe`
+    (run Bartlett when `agg_jarque_bera` accepts normality, Brown-Forsythe
+    when it doesn't). T ~ chi2(k-1) under H0.
+
+    Exactness: the cells are the IDENTICAL lane-split integer moments as
+    `agg_anova_oneway` (one FILTER-conditional partial-agg pass onto a
+    single row); the per-group variances are fixed IEEE chains over exact
+    integers and the ln() terms are the documented transcendental
+    exception, summed in declared priority order.
+
+    Scale: one partial-aggregated pass; all algebra on the 1-row fold."""
+    aggs, derived = _anova_exprs("spark")
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{cents('o_totalprice', 100)} AS vq"
+    )
+    # keep the raw cell columns alongside the derived totals
+    row = o.agg(*[F.expr(a) for a in aggs]).selectExpr("*", *derived)
+    return row.selectExpr(*_bartlett_exprs())
+
+
+def _bartlett_sql() -> str:
+    aggs, derived = _anova_exprs("duck")
+    return f"""
+WITH cells AS (
+  SELECT {", ".join(aggs)}
+  FROM (SELECT o_orderpriority, {cents('o_totalprice', 100)} AS vq FROM orders) t),
+row1 AS (SELECT *, {", ".join(derived)} FROM cells)
+SELECT {", ".join(_bartlett_exprs())} FROM row1
+"""
+
+
+AGG_BARTLETT_SQL = _bartlett_sql()
+
+QUERIES["agg_bartlett_test"] = QuerySpec(
+    agg_bartlett_test, AGG_BARTLETT_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — round 9
+# ---------------------------------------------------------------------------
+
+
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the big-order proportion
+    (o_totalprice > 300k) across the ORDERED priorities (scores 1..5) —
+    the categorical family's ordered member: chi-square/Cramer's V ask "is
+    there any association", CA asks "does the rate climb with priority",
+    which is the monotone question a pricing or SLA analysis actually
+    poses. z > 0 = rate increases toward LOW priority.
+
+    Exactness: the 2x5 table is pure integer counting (one conditional
+    partial-agg pass); z = sum(w_i (x_i - n_i*pbar)) /
+    sqrt(pbar(1-pbar) (sum w_i^2 n_i - (sum w_i n_i)^2/N)) is one fixed
+    IEEE chain with group terms in declared score order.
+
+    Scale: one FILTER-conditional pass onto a single row."""
+    aggs = []
+    for i, p in enumerate(_ANOVA_PRIORITIES):
+        f = f"FILTER (WHERE o_orderpriority = '{p}')"
+        aggs.append(f"CAST(count(*) {f} AS BIGINT) AS n{i}")
+        aggs.append(
+            f"CAST(coalesce(count(*) {f.replace(')', ' AND big = 1)')}, 0)"
+            f" AS BIGINT) AS x{i}"
+        )
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS big",
+    )
+    row = o.agg(*[F.expr(a) for a in aggs])
+    return row.selectExpr(*_ca_out_exprs())
+
+
+def _ca_out_exprs() -> list[str]:
+    idx = range(len(_ANOVA_PRIORITIES))
+    n_tot = " + ".join(f"n{i}" for i in idx)
+    x_tot = " + ".join(f"x{i}" for i in idx)
+    pbar = f"(CAST({x_tot} AS DOUBLE) / ({n_tot}))"
+    num = " + ".join(f"({i + 1}) * (x{i} - n{i} * {pbar})" for i in idx)
+    sw2n = " + ".join(f"({i + 1}) * ({i + 1}) * n{i}" for i in idx)
+    swn = " + ".join(f"({i + 1}) * n{i}" for i in idx)
+    var = (
+        f"({pbar} * (1 - {pbar})"
+        f" * (({sw2n}) - CAST({swn} AS DOUBLE) * ({swn}) / ({n_tot})))"
+    )
+    return [
+        f"CAST({n_tot} AS BIGINT) AS n_total",
+        f"CAST({x_tot} AS BIGINT) AS n_big",
+        mround(pbar, 6) + " AS rate_overall",
+        mround(f"({num}) / sqrt({var})", 6) + " AS z_trend",
+    ]
+
+
+def _ca_sql() -> str:
+    aggs = []
+    for i, p in enumerate(_ANOVA_PRIORITIES):
+        f = f"FILTER (WHERE o_orderpriority = '{p}')"
+        aggs.append(f"CAST(count(*) {f} AS BIGINT) AS n{i}")
+        aggs.append(
+            f"CAST(coalesce(count(*) {f.replace(')', ' AND big = 1)')}, 0)"
+            f" AS BIGINT) AS x{i}"
+        )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS big
+  FROM orders),
+cells AS (SELECT {", ".join(aggs)} FROM o)
+SELECT {", ".join(_ca_out_exprs())} FROM cells
+"""
+
+
+AGG_COCHRAN_ARMITAGE_SQL = _ca_sql()
+
+QUERIES["agg_cochran_armitage"] = QuerySpec(
+    agg_cochran_armitage, AGG_COCHRAN_ARMITAGE_SQL, "aggregation"
+)
