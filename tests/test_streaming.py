@@ -903,3 +903,42 @@ def test_streaming_jb_partials_merge_to_batch_moments(spark):
         assert abs(b["skewness"] - mr6(g1)) <= 1e-6, t
         assert abs(b["kurtosis_excess"] - mr6(g2)) <= 1e-6, t
         assert abs(b["jb_stat"] - jb) <= max(1e-4, 1e-6 * abs(jb)), t
+
+
+def test_streaming_conversion_flags_merge_to_batch_ztest(spark):
+    """The conversion-cell mergeability claim, executed: per-user streaming
+    converted flags — idempotent max state, so duplicate delivery AND
+    reordering are both harmless — recombined through the identical pooled
+    two-proportion algebra must reproduce the batch z-test row exactly."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.stateful import streaming_conversion_flags
+
+    s = streaming_conversion_flags(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_conv", output_mode="update")
+    per_user = {}
+    for r in mem.collect():
+        prev = per_user.get(r["user_id"])
+        # max-merge across emissions: later batches can only raise the flag
+        if prev is None or r["converted"] > prev["converted"]:
+            per_user[r["user_id"]] = r
+    arms = {1: [0, 0], 0: [0, 0]}  # n, x
+    for r in per_user.values():
+        arms[r["treat"]][0] += 1
+        arms[r["treat"]][1] += r["converted"]
+    batch = (
+        build_catalog()["events_conversion_ztest"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert batch["n_treat"] == arms[1][0] and batch["x_treat"] == arms[1][1]
+    assert batch["n_ctrl"] == arms[0][0] and batch["x_ctrl"] == arms[0][1]
+    n1, x1 = arms[1]
+    n0, x0 = arms[0]
+    p1, p0, pp = x1 / n1, x0 / n0, (x1 + x0) / (n1 + n0)
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n0))
+
+    def mr6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert batch["z_stat"] == mr6(z)
+    assert batch["rate_treat"] == mr6(p1) and batch["rate_ctrl"] == mr6(p0)

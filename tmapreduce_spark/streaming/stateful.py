@@ -1054,3 +1054,54 @@ def streaming_jb_moments(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming conversion-cell partials ---------------------------------------
+#
+# Streaming twin of the batch `events_conversion_ztest` catalog entry: state
+# per user is the big-ticket-converted flag (max of 0/1 — idempotent AND
+# commutative, so duplicates and reordering are both harmless: the strongest
+# equality class, stricter than the additive CUPED/JB states). Merging the
+# final per-user flags through the identical pooled-z algebra reproduces the
+# batch readout exactly — the always-on experiment conversion dashboard.
+
+CONV_OUTPUT_SCHEMA = "user_id bigint, treat int, converted int"
+CONV_STATE_SCHEMA = "c int"
+
+
+def _update_conv_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    (c,) = state.get if state.exists else (0,)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # identical per-row predicate to the batch twin: purchase AND value > 200
+    hit = (
+        (rows["event_type"] == "purchase") & (rows["value"] > 200)
+    ).any()
+    c = max(c, int(hit))
+    state.update((c,))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "treat": [1 if user_id % 2 == 0 else 0],
+            "converted": [c],
+        }
+    )
+
+
+def streaming_conversion_flags(events: DataFrame) -> DataFrame:
+    """Streaming per-user conversion flags — idempotent-commutative state
+    whose final values pushed through the batch pooled-z algebra reproduce
+    `events_conversion_ztest` exactly."""
+    return events.select("user_id", "event_type", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _update_conv_state,
+        outputStructType=CONV_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
