@@ -859,3 +859,69 @@ def test_assortativity_identity(spark):
     # nodes — assortativity exactly 1 is the CORRECT structural value,
     # not a bug (a star graph would read -1; mixed corpora land between)
     assert got["assortativity"] == 1.0
+
+
+# --- wave 12 -----------------------------------------------------------------
+
+
+def test_herfindahl_identity(spark):
+    got = _run(spark, "agg_herfindahl").iloc[0]
+    rev = duckdb.sql(
+        f"""SELECT p_brand,
+                   sum(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)) r
+            FROM '{SF_SMOKE}/lineitem.parquet'
+            JOIN '{SF_SMOKE}/part.parquet' ON l_partkey = p_partkey
+            GROUP BY p_brand"""
+    ).df()
+    shares = 100 * rev.r / rev.r.sum()
+    hhi = (shares**2).sum()
+    n = len(rev)
+    assert got["n_brands"] == n
+    assert abs(got["hhi"] - hhi) < 1e-3
+    assert abs(got["top_share_pct"] - shares.max()) < 1e-4
+    assert abs(got["effective_brands"] - 10000 / hhi) < 1e-3
+    # HHI bounds: equal split floor 10000/n, monopoly ceiling 10000
+    assert 10000 / n - 1e-6 <= got["hhi"] <= 10000
+
+
+def test_power_mde_consistency(spark):
+    got = _run(spark, "events_experiment_power_mde").iloc[0]
+    z = _run(spark, "events_conversion_ztest").iloc[0]
+    # identical per-user cells as the z-test entry
+    assert got["n_treat"] == z["n_treat"] and got["n_ctrl"] == z["n_ctrl"]
+    p = (z["x_treat"] + z["x_ctrl"]) / (z["n_treat"] + z["n_ctrl"])
+    se = (p * (1 - p) * (1 / z["n_treat"] + 1 / z["n_ctrl"])) ** 0.5
+    mde = (1.959964 + 0.841621) * se
+    assert abs(got["baseline_rate"] - p) < 1e-5
+    assert abs(got["mde_abs"] - mde) < 1e-5
+    assert abs(got["mde_rel"] - mde / p) < 1e-4
+    # sanity: with these arm sizes the experiment can only see large lifts
+    assert got["mde_abs"] > 0
+
+
+def test_bucketed_join_entry_plan_is_exchange_free(spark):
+    """The catalog entry's JOIN subplan must actually run bucket-to-bucket:
+    SortMergeJoin present, zero Exchange touching the join (the final
+    5-row priority rollup may exchange — the join key partitioning does
+    not serve the priority key)."""
+    from tmapreduce_spark.plans.explain import physical_plan
+
+    df = CAT["layout_bucketed_join"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # tree section only (details re-list every node, including the rollup
+    # exchange, and would false-positive a substring check)
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    below_join = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join, below_join
+    # the one exchange in the whole plan is the 5-row priority rollup,
+    # ABOVE the join — the join key itself never reshuffles
+    assert tree.count("Exchange") == 1, tree
+    got = df.toPandas().sort_values("o_orderpriority", ignore_index=True)
+    want = duckdb.sql(
+        f"""SELECT o_orderpriority, count(*) n
+            FROM '{SF_SMOKE}/lineitem.parquet'
+            JOIN '{SF_SMOKE}/orders.parquet' ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(got.n_items) == list(want.n)

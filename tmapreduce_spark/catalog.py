@@ -304,7 +304,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         windows,
     )
     from tmapreduce_spark.functions import dedup, multimodal, scale, similarity, text, udfs
-    from tmapreduce_spark.sources import pysource
+    from tmapreduce_spark.sources import bucketing, pysource
 
     catalog: dict[str, QuerySpec] = {}
     for mod in (
@@ -322,6 +322,7 @@ def build_catalog() -> dict[str, QuerySpec]:
         scale,
         mapreduce_queries,
         pysource,
+        bucketing,
     ):
         for name, spec in mod.QUERIES.items():
             if name in catalog:

@@ -5931,3 +5931,179 @@ AGG_COCHRAN_ARMITAGE_SQL = _ca_sql()
 QUERIES["agg_cochran_armitage"] = QuerySpec(
     agg_cochran_armitage, AGG_COCHRAN_ARMITAGE_SQL, "aggregation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index — round 9
+# ---------------------------------------------------------------------------
+
+
+def agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of brand revenue concentration: HHI =
+    sum over brands of (market share in percent)^2, on the 0..10000 scale
+    regulators use (<1500 unconcentrated, >2500 highly concentrated) —
+    the standard concentration index beside `agg_gini_concentration`'s
+    inequality view (Gini ranks the whole curve; HHI is the antitrust
+    summary a category manager quotes). Also reports the top brand's share
+    and the effective number of brands 10000/HHI.
+
+    Exactness: per-brand revenue accumulates as exact integer micro; the
+    share-squared fold is one fixed IEEE chain per brand row, pre-rounded
+    onto the 1e-6 grid before the (bounded, 25-row) integer sum — so even
+    the cross-brand reduction is order-free.
+
+    Scale: lineitem joins the broadcast part dim and partial-aggregates
+    onto the 25-brand key; everything downstream is 25 rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .selectExpr(
+            "p_brand",
+            f"{cents('l_extendedprice * (1 - l_discount)')} AS rq",
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("rq").cast("bigint").alias("rev"))
+        # two consumers (total + shares) — materialize the 25-row brand
+        # table so the fact join runs once (7 -> 4 Exchanges, measured)
+        .localCheckpoint()
+    )
+    tot = rev.agg(F.sum("rev").cast("bigint").alias("tot"))
+    shares = rev.crossJoin(F.broadcast(tot)).selectExpr(
+        "p_brand",
+        "rev",
+        # share in percent on the 1e-6 grid: one IEEE chain of exact ints
+        "CAST(floor(CAST(rev AS DOUBLE) / tot * 100 * 1000000 + 0.5)"
+        " AS BIGINT) AS share_pct_q",
+    )
+    fold = shares.agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.max("share_pct_q").cast("bigint").alias("top_q"),
+        # sum of squared percent shares, each term floored onto the 1e-6
+        # grid first so the 25-term reduction is an integer sum
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(share_pct_q AS DOUBLE) * share_pct_q"
+                " / 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("hhi_q"),
+    )
+    return fold.selectExpr(
+        "n_brands",
+        mround("CAST(top_q AS DOUBLE) / 1000000", 6) + " AS top_share_pct",
+        mround("CAST(hhi_q AS DOUBLE) / 1000000", 6) + " AS hhi",
+        mround("10000 / (CAST(hhi_q AS DOUBLE) / 1000000)", 6)
+        + " AS effective_brands",
+    )
+
+
+AGG_HERFINDAHL_SQL = f"""
+WITH rev AS (
+  SELECT p_brand,
+         CAST(sum({cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+shares AS (
+  SELECT p_brand, rev,
+         CAST(floor(CAST(rev AS DOUBLE) / tot * 100 * 1000000 + 0.5)
+              AS BIGINT) AS share_pct_q
+  FROM rev CROSS JOIN tot),
+folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(max(share_pct_q) AS BIGINT) AS top_q,
+         CAST(sum(CAST(floor(CAST(share_pct_q AS DOUBLE) * share_pct_q
+                  / 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS hhi_q
+  FROM shares)
+SELECT n_brands,
+       {mround('CAST(top_q AS DOUBLE) / 1000000', 6)} AS top_share_pct,
+       {mround('CAST(hhi_q AS DOUBLE) / 1000000', 6)} AS hhi,
+       {mround('10000 / (CAST(hhi_q AS DOUBLE) / 1000000)', 6)} AS effective_brands
+FROM folded
+"""
+
+
+QUERIES["agg_herfindahl"] = QuerySpec(
+    agg_herfindahl, AGG_HERFINDAHL_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Experiment power / minimum detectable effect — round 9
+# ---------------------------------------------------------------------------
+
+
+def events_experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the running conversion experiment at
+    the standard alpha = 0.05 two-sided / 80% power design point: MDE =
+    (z_{0.975} + z_{0.80}) * sqrt(p(1-p) * (1/n1 + 1/n0)) with the normal
+    quantiles as LITERAL constants (1.959964, 0.841621 — design constants,
+    not data; no inverse-CDF ever executes engine-side). The question a
+    growth team asks BEFORE reading `events_conversion_ztest`: "could this
+    experiment even see the lift we care about?" — reported in absolute
+    percentage points and relative to baseline.
+
+    Scale: rides the identical per-user conversion cells (one partial-agg
+    groupBy, then a 1-row fold)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' AND value > 200"
+            " THEN 1 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("converted")
+    )
+    arms = per_user.agg(
+        F.expr("count(*) FILTER (WHERE user_id % 2 = 0)")
+        .cast("bigint")
+        .alias("n_treat"),
+        F.expr("count(*) FILTER (WHERE user_id % 2 <> 0)")
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.sum("converted").cast("bigint").alias("x_all"),
+    )
+    return arms.selectExpr(*_mde_out_exprs())
+
+
+# z_{1-alpha/2} + z_{power} for alpha=.05 two-sided, power=.80 — literal
+# DESIGN constants shared by both dialects (pre-rounded, no erfinv runs)
+_MDE_ZSUM = "(1.959964 + 0.841621)"
+
+
+def _mde_out_exprs() -> list[str]:
+    p = "(CAST(x_all AS DOUBLE) / (n_treat + n_ctrl))"
+    se = (
+        f"sqrt({p} * (1 - {p})"
+        " * (CAST(1 AS DOUBLE) / n_treat + CAST(1 AS DOUBLE) / n_ctrl))"
+    )
+    mde = f"({_MDE_ZSUM} * {se})"
+    return [
+        "n_treat",
+        "n_ctrl",
+        mround(p, 6) + " AS baseline_rate",
+        mround(mde, 6) + " AS mde_abs",
+        mround(f"{mde} / {p}", 6) + " AS mde_rel",
+    ]
+
+
+EVENTS_POWER_MDE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_treat,
+         CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_ctrl,
+         CAST(sum(converted) AS BIGINT) AS x_all
+  FROM per_user)
+SELECT {", ".join(_mde_out_exprs())} FROM arms
+"""
+
+
+QUERIES["events_experiment_power_mde"] = QuerySpec(
+    events_experiment_power_mde, EVENTS_POWER_MDE_SQL, "events"
+)

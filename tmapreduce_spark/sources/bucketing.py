@@ -72,3 +72,70 @@ def bucketed_order_revenue(spark: SparkSession, o_tbl: str, l_tbl: str) -> DataF
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.expr(msum2("l_extendedprice * (1 - l_discount)", SPARK)).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entry: the bucketed fact-fact join, driver-proven — round 9
+# ---------------------------------------------------------------------------
+
+from tmapreduce_spark.catalog import QuerySpec  # noqa: E402
+from tmapreduce_spark.parity import SPARK, msum2  # noqa: E402
+
+
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the at-rest bucketing strategy THROUGH the
+    oracle gate: orders and lineitem are written co-bucketed on the order
+    key, the fact-fact join + per-priority rollup runs over the bucketed
+    tables (SortMergeJoin with ZERO Exchange on the join key —
+    tests/test_plans.py pins the plan; broadcast is disabled for the join
+    so the bucket-to-bucket path is what actually executes), and the
+    result is hash-checked against a plain-parquet DuckDB join. The entry
+    deliberately pays the one-time ingest inside the timed window — at
+    100 TB that cost amortizes over every subsequent orderkey join, which
+    is the whole argument for bucketing.
+
+    Exactness: revenue is msum2 (integer micro, order-free)."""
+    from pyspark.sql import functions as F
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = f"/tmp/tmrs_bucketed/{sf_tag}"
+    o_tbl, l_tbl = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        o_tbl, "o_orderkey", 8, f"{base}/{o_tbl}",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        l_tbl, "l_orderkey", 8, f"{base}/{l_tbl}",
+    )
+    j = spark.table(l_tbl).join(
+        spark.table(o_tbl).hint("MERGE"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.expr(msum2("l_extendedprice * (1 - l_discount)", SPARK)).alias(
+            "revenue"
+        ),
+    )
+
+
+from tmapreduce_spark.parity import DUCK  # noqa: E402
+
+LAYOUT_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {msum2("l_extendedprice * (1 - l_discount)", DUCK)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES: dict[str, QuerySpec] = {
+    "layout_bucketed_join": QuerySpec(
+        layout_bucketed_join, LAYOUT_BUCKETED_JOIN_SQL, "layout"
+    ),
+}
