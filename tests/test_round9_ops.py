@@ -925,3 +925,28 @@ def test_bucketed_join_entry_plan_is_exchange_free(spark):
             GROUP BY 1 ORDER BY 1"""
     ).df()
     assert list(got.n_items) == list(want.n)
+
+
+def test_event_study_identities(spark):
+    got = _run(spark, "events_did_event_study")
+    assert len(got) == 10
+    assert list(got.period) == list(range(10))
+    assert list(got.is_post) == [0] * 5 + [1] * 5
+    e = duckdb.sql(
+        f"""SELECT user_id % 2 = 0 AS t,
+                   (epoch_us(ts) - 1704067200000000) // 259200000000 AS per,
+                   value
+            FROM '{SF_SMOKE}/events.parquet' WHERE event_type = 'purchase'"""
+    ).df()
+    # per-period diff recompute and the baseline-netting identity
+    pre = e[e.per < 5]
+    bl = pre[pre.t].value.mean() - pre[~pre.t].value.mean()
+    for _, row in got.iterrows():
+        g = e[e.per == row.period]
+        diff = g[g.t].value.mean() - g[~g.t].value.mean()
+        assert abs(row["diff"] - diff) < 1e-4, row.period
+        assert abs(row["coef"] - (diff - bl)) < 1e-4, row.period
+    # the n-weighted mean of pre-period coefficients is ~0 by construction
+    pre_rows = got[got.is_post == 0]
+    w = (pre_rows.n_treat + pre_rows.n_ctrl).to_numpy(dtype=float)
+    assert abs((pre_rows.coef.to_numpy() * w).sum() / w.sum()) < 0.2

@@ -6107,3 +6107,132 @@ SELECT {", ".join(_mde_out_exprs())} FROM arms
 QUERIES["events_experiment_power_mde"] = QuerySpec(
     events_experiment_power_mde, EVENTS_POWER_MDE_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-study (dynamic DiD) coefficients — round 9
+# ---------------------------------------------------------------------------
+#
+# The companion every reviewer asks for after `events_did_lift`: the SAME
+# design, but the treatment contrast traced period by period — flat
+# pre-period coefficients ARE the parallel-trends check, and the post
+# coefficients show how the effect ramps instead of one pooled number.
+
+_ES_DAY0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_ES_PERIOD_US = 3 * 86_400_000_000  # 3-day periods; intervention at per 5
+_ES_POST_PER = 5  # periods 0..4 pre, 5..9 post (cut = _DID_POST_US)
+
+
+def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study coefficients around the standing intervention: per
+    3-day period, the treatment-control mean-spend difference and the
+    coefficient net of the pooled PRE-period baseline difference. Pre
+    coefficients hugging zero = parallel trends hold (the identification
+    assumption `events_did_lift` rests on); post coefficients = the
+    dynamic effect path.
+
+    Exactness: cells are (n, integer-micro sum) per (treat, period) from
+    ONE conditional pass; the baseline is a fixed-text fold of the five
+    pre-period cells; every reported double is one IEEE chain over exact
+    integers.
+
+    Scale: one partial-agg groupBy onto the 20-cell design table
+    (materialized — two consumers), then 10 output rows."""
+    e = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    cells = (
+        e.selectExpr(
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat",
+            f"CAST((unix_micros(ts) - {_ES_DAY0_US}) div {_ES_PERIOD_US}"
+            " AS BIGINT) AS per",
+            f"{cents('value')} AS vq",
+        )
+        .groupBy("treat", "per")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("vq").cast("bigint").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    base = cells.filter(f"per < {_ES_POST_PER}").agg(
+        F.expr(
+            "CAST(coalesce(sum(n) FILTER (WHERE treat = 1), 0) AS BIGINT)"
+        ).alias("nt"),
+        F.expr(
+            "CAST(coalesce(sum(s) FILTER (WHERE treat = 1), 0) AS BIGINT)"
+        ).alias("st"),
+        F.expr(
+            "CAST(coalesce(sum(n) FILTER (WHERE treat = 0), 0) AS BIGINT)"
+        ).alias("nc"),
+        F.expr(
+            "CAST(coalesce(sum(s) FILTER (WHERE treat = 0), 0) AS BIGINT)"
+        ).alias("sc"),
+    )
+    per = cells.groupBy("per").agg(
+        F.expr(
+            "CAST(coalesce(max(n) FILTER (WHERE treat = 1), 0) AS BIGINT)"
+        ).alias("n_treat"),
+        F.expr(
+            "CAST(coalesce(max(s) FILTER (WHERE treat = 1), 0) AS BIGINT)"
+        ).alias("s_treat"),
+        F.expr(
+            "CAST(coalesce(max(n) FILTER (WHERE treat = 0), 0) AS BIGINT)"
+        ).alias("n_ctrl"),
+        F.expr(
+            "CAST(coalesce(max(s) FILTER (WHERE treat = 0), 0) AS BIGINT)"
+        ).alias("s_ctrl"),
+    )
+    return (
+        per.crossJoin(F.broadcast(base))
+        .selectExpr(*_es_out_exprs())
+        .orderBy("period")
+    )
+
+
+def _es_out_exprs() -> list[str]:
+    mt = "(CAST(s_treat AS DOUBLE) / 1000000 / n_treat)"
+    mc = "(CAST(s_ctrl AS DOUBLE) / 1000000 / n_ctrl)"
+    bl = (
+        "(CAST(st AS DOUBLE) / 1000000 / nt"
+        " - CAST(sc AS DOUBLE) / 1000000 / nc)"
+    )
+    diff = f"({mt} - {mc})"
+    return [
+        "CAST(per AS BIGINT) AS period",
+        f"CAST(per >= {_ES_POST_PER} AS INT) AS is_post",
+        "n_treat",
+        "n_ctrl",
+        mround(diff, 6) + " AS diff",
+        mround(f"{diff} - {bl}", 6) + " AS coef",
+    ]
+
+
+EVENTS_EVENT_STUDY_SQL = f"""
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CAST((epoch_us(ts) - {_ES_DAY0_US}) // {_ES_PERIOD_US} AS BIGINT) AS per,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({cents('value')}) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+base AS (
+  SELECT CAST(coalesce(sum(n) FILTER (WHERE treat = 1), 0) AS BIGINT) AS nt,
+         CAST(coalesce(sum(s) FILTER (WHERE treat = 1), 0) AS BIGINT) AS st,
+         CAST(coalesce(sum(n) FILTER (WHERE treat = 0), 0) AS BIGINT) AS nc,
+         CAST(coalesce(sum(s) FILTER (WHERE treat = 0), 0) AS BIGINT) AS sc
+  FROM cells WHERE per < {_ES_POST_PER}),
+per_t AS (
+  SELECT per,
+         CAST(coalesce(max(n) FILTER (WHERE treat = 1), 0) AS BIGINT) AS n_treat,
+         CAST(coalesce(max(s) FILTER (WHERE treat = 1), 0) AS BIGINT) AS s_treat,
+         CAST(coalesce(max(n) FILTER (WHERE treat = 0), 0) AS BIGINT) AS n_ctrl,
+         CAST(coalesce(max(s) FILTER (WHERE treat = 0), 0) AS BIGINT) AS s_ctrl
+  FROM cells GROUP BY per)
+SELECT {", ".join(_es_out_exprs())}
+FROM per_t CROSS JOIN base
+ORDER BY period
+"""
+
+
+QUERIES["events_did_event_study"] = QuerySpec(
+    events_did_event_study, EVENTS_EVENT_STUDY_SQL, "events"
+)
