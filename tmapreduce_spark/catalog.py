@@ -228,6 +228,35 @@ _COVERED_R8: frozenset[str] = frozenset(
     }
 )
 
+# round 9 (CORRECTNESS_r09.json: 50 green, all three checks, 0 err — the 33
+# round-9 additions + 17 stalest-green rotations)
+_COVERED_R9: frozenset[str] = frozenset(
+    {
+        "agg_anova_oneway", "agg_bartlett_test", "agg_cochran_armitage",
+        "agg_friedman", "agg_grubbs_test", "agg_herfindahl",
+        "agg_jarque_bera", "agg_kruskal_wallis",
+        "agg_levene_brown_forsythe", "agg_tukey_hsd",
+        "agg_wilcoxon_signed_rank", "dedup_boundary_stitch",
+        "embedding_jl_distortion", "eval_cohens_kappa",
+        "eval_mcnemar_dedup", "eval_mrr_dual_ranker",
+        "events_conversion_ztest", "events_cuped_lift",
+        "events_did_event_study", "events_did_lift",
+        "events_experiment_power_mde", "events_ljung_box",
+        "events_peak_over_threshold", "graph_assortativity",
+        "join_asof_events", "join_fuzzy_name", "join_fuzzy_symdel",
+        "join_lateral_topn", "join_scd2_point_in_time",
+        "layout_bucketed_join", "mr_secondary_sort", "percentiles_price",
+        "pipeline_deletion_cascade", "pipeline_incremental_rollup",
+        "pipeline_leakage_safe_split", "pivot_status_priority",
+        "q14_promo_share", "q15_top_supplier", "q16_supplier_part_count",
+        "q17_small_quantity", "q18_large_orders", "q21_waiting_supplier",
+        "q22_sales_opportunity", "retrieval_prf_expansion",
+        "retrieval_query_likelihood", "sketch_bloom_fpr_audit",
+        "subquery_above_avg", "subquery_exists", "text_char_entropy",
+        "text_source_kl_divergence",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -254,6 +283,7 @@ for _rnd, _names in (
     (6, _COVERED_R6),
     (7, _COVERED_R7),
     (8, _COVERED_R8),
+    (9, _COVERED_R9),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd
