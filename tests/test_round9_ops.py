@@ -631,7 +631,9 @@ def test_mcnemar_consistent_with_overlap_audit(spark):
     b, c = got["n_only_minhash"], got["n_only_simhash"]
     assert got["n_minhash"] == got["n_both"] + b
     assert got["n_simhash"] == got["n_both"] + c
-    want = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+    # Edwards continuity correction clamps at zero (r09 ADVICE): equal
+    # nonzero discordant cells give exactly 0, never 1/(b+c)
+    want = 0.0 if b + c == 0 else max(abs(b - c) - 1, 0) ** 2 / (b + c)
     assert abs(got["chi2_mcnemar"] - want) < 1e-6
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
@@ -749,11 +751,10 @@ def test_bloom_fpr_bruteforce(spark):
 
     bits = {pos(j, k) for k in keys for j in range(7)}
     assert got["n_bits_set"] == len(bits)
-    fp = sum(
-        1
-        for k in keys
-        if all(pos(j, k + 1_000_000_000) in bits for j in range(7))
-    )
+    # probe offset is derived in-plan as max(o_orderkey) + 1 (r09 ADVICE:
+    # a fixed 1e9 stops being provably-absent once TPC-H keys pass 1e9)
+    off = max(keys) + 1
+    fp = sum(1 for k in keys if all(pos(j, k + off) in bits for j in range(7)))
     assert got["n_false_positives"] == fp
     # the audit is calibrated: measured within 3x of theory (both nonzero
     # at the smoke SF thanks to the 10-bits/key in-plan sizing)

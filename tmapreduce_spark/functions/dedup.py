@@ -3148,7 +3148,9 @@ def eval_mcnemar_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar paired test of MinHash-LSH vs SimHash as duplicate
     detectors over the SAME document universe: the 2x2 paired table (both
     flag, only MinHash, only SimHash, neither) and the continuity-corrected
-    chi-square (abs(b - c) - 1)^2 / (b + c) — the statistically correct way
+    chi-square max(abs(b - c) - 1, 0)^2 / (b + c) — the standard Edwards
+    form: the clamp keeps equal nonzero discordant cells at exactly 0
+    instead of overshooting to 1/(b+c) (r09 ADVICE) — the correct way
     to ask `dedup_methods_overlap`'s question ("do the detectors disagree
     more than chance?"): marginal-homogeneity inference on the DISCORDANT
     cells, which the raw Jaccard overlap cannot give.
@@ -3195,8 +3197,8 @@ def eval_mcnemar_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mround(
             "CASE WHEN n_only_minhash + n_only_simhash = 0"
             " THEN CAST(0 AS DOUBLE)"
-            " ELSE (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
-            " * (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+            " ELSE CAST(greatest(abs(n_only_minhash - n_only_simhash) - 1, 0) AS DOUBLE)"
+            " * CAST(greatest(abs(n_only_minhash - n_only_simhash) - 1, 0) AS DOUBLE)"
             " / (n_only_minhash + n_only_simhash) END",
             6,
         )
@@ -3233,8 +3235,8 @@ SELECT n_docs,
        {mround(
            "CASE WHEN n_only_minhash + n_only_simhash = 0"
            " THEN CAST(0 AS DOUBLE)"
-           " ELSE (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
-           " * (CAST(abs(n_only_minhash - n_only_simhash) AS DOUBLE) - 1)"
+           " ELSE CAST(greatest(abs(n_only_minhash - n_only_simhash) - 1, 0) AS DOUBLE)"
+           " * CAST(greatest(abs(n_only_minhash - n_only_simhash) - 1, 0) AS DOUBLE)"
            " / (n_only_minhash + n_only_simhash) END", 6)} AS chi2_mcnemar
 FROM cells CROSS JOIN total
 """

@@ -1691,7 +1691,12 @@ QUERIES["eval_rank_kendall"] = QuerySpec(
 
 BLOOM_K = 7  # hash functions (~optimal for the 10-bits/key sizing below)
 BLOOM_BITS_PER_KEY = 10
-BLOOM_PROBE_OFFSET = 1_000_000_000  # probe keys: o_orderkey + 1e9 (absent)
+# Probe keys are o_orderkey + probe_off with probe_off = max(o_orderkey) + 1
+# derived IN-PLAN (broadcast alongside the sizing row) — a fixed 1e9 constant
+# is only "provably absent" while max(o_orderkey) < 1e9, which TPC-H breaks
+# around SF ~165; past that the probes collide with inserted keys and the
+# measured FPR counts true members (r09 ADVICE). The derived offset keeps
+# every probe strictly greater than every inserted key at ANY scale.
 
 
 def _bloom_m_expr(dialect: str, n: str) -> str:
@@ -1736,7 +1741,9 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer bit-width arithmetic, no transcendental — so the same m falls
     out on both engines at every SF, and the audit stays non-degenerate as
     the data scales instead of saturating or starving a fixed m), probe
-    with the shifted key set (o_orderkey + 1e9, provably absent), and
+    with the shifted key set (o_orderkey + max(o_orderkey) + 1 — the offset
+    is derived in-plan so every probe exceeds every inserted key at any SF,
+    i.e. provably absent), and
     report bits set, fill ratio, measured FPR, and the theory value
     fill_ratio^k — written as seven explicit multiplications so no pow()
     enters the compare path. The audit a capacity planner runs before
@@ -1755,8 +1762,11 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter by definition; without this the insert explode runs twice and
     # the count aggregate three times: 15 Exchanges, measured)
     size_row = (
-        o.agg(F.count("*").cast("bigint").alias("n_keys"))
-        .selectExpr("n_keys", f"{_bloom_m_expr(SPARK, 'n_keys')} AS m")
+        o.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            (F.max("o_orderkey") + F.lit(1)).cast("bigint").alias("probe_off"),
+        )
+        .selectExpr("n_keys", "probe_off", f"{_bloom_m_expr(SPARK, 'n_keys')} AS m")
         .localCheckpoint()
     )
     jseq = f"explode(sequence(0, {BLOOM_K - 1})) AS j"
@@ -1769,9 +1779,7 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     probes = (
-        keyed.selectExpr(
-            f"o_orderkey + {BLOOM_PROBE_OFFSET} AS pk", "m"
-        )
+        keyed.selectExpr("o_orderkey + probe_off AS pk", "m")
         .selectExpr("pk", "m", *_bloom_h12(SPARK, "pk"))
         .selectExpr("pk", "m", "h1", "h2", jseq)
         .selectExpr("pk", f"{_BLOOM_POS_J} AS pos")
@@ -1812,6 +1820,7 @@ def _bloom_sql() -> str:
 WITH ks AS (SELECT o_orderkey FROM orders),
 size_row AS (
   SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(o_orderkey) + 1 AS BIGINT) AS probe_off,
          {_bloom_m_expr(DUCK, "CAST(count(*) AS BIGINT)")} AS m
   FROM ks),
 ins AS (
@@ -1821,8 +1830,8 @@ ins AS (
 probes AS (
   SELECT pk, {_BLOOM_POS_J} AS pos
   FROM (SELECT pk, m, {h12_probe}
-        FROM (SELECT o_orderkey + {BLOOM_PROBE_OFFSET} AS pk FROM ks) p
-        CROSS JOIN size_row) h,
+        FROM (SELECT o_orderkey + probe_off AS pk, m
+              FROM ks CROSS JOIN size_row) p) h,
        unnest(range(0, {BLOOM_K})) AS u(j)),
 fp AS (
   SELECT CAST(count(*) AS BIGINT) AS n_fp FROM (

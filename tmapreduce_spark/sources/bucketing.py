@@ -74,6 +74,23 @@ def bucketed_order_revenue(spark: SparkSession, o_tbl: str, l_tbl: str) -> DataF
     )
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Best-effort removal of this session's bucketed-layout directory at
+    process exit (r09 ADVICE: the fixed path was never cleaned up). The
+    session-catalog tables die with the session's metastore; the on-disk
+    bytes need an explicit sweep."""
+    if path in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(path)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Catalog entry: the bucketed fact-fact join, driver-proven — round 9
 # ---------------------------------------------------------------------------
@@ -94,12 +111,22 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that cost amortizes over every subsequent orderkey join, which
     is the whole argument for bucketing.
 
-    Exactness: revenue is msum2 (integer micro, order-free)."""
+    Exactness: revenue is msum2 (integer micro, order-free).
+
+    Concurrency (r09 ADVICE): the table names and the on-disk path both
+    carry the session's applicationId, so parallel sessions (bench + pytest,
+    or two drivers) at the same SF never race on the saveAsTable overwrite
+    of a shared name/path; re-runs within one session overwrite their own
+    tables idempotently."""
+    import re
+
     from pyspark.sql import functions as F
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    base = f"/tmp/tmrs_bucketed/{sf_tag}"
-    o_tbl, l_tbl = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    app = re.sub(r"[^a-zA-Z0-9_]", "_", spark.sparkContext.applicationId)
+    base = f"/tmp/tmrs_bucketed/{app}/{sf_tag}"
+    o_tbl, l_tbl = f"orders_bkt_{sf_tag}_{app}", f"lineitem_bkt_{sf_tag}_{app}"
+    _cleanup_at_exit(f"/tmp/tmrs_bucketed/{app}")
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
@@ -134,8 +161,94 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+def layout_bucketed_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side dividend of the bucketed layout (r09 verdict #6): an
+    aggregation ON THE BUCKET KEY over the same bucketed lineitem table
+    `layout_bucketed_join` writes runs with ZERO Exchange below the
+    per-orderkey HashAggregate — the at-rest layout already distributes
+    rows by the grouping key, so Spark's EnsureRequirements inserts no
+    shuffle (tests/test_plans.py pins exactly ONE Exchange in the whole
+    plan: the tiny second-level histogram rollup). The reference analogue
+    is the ingest-sort amortization argument (``master.cc:736-738``): pay
+    the organize-by-key cost once at write time, then every downstream
+    per-key pass is local.
+
+    Output: the order-size histogram — for each per-order item count, how
+    many orders have it and their total revenue. Level 1 keeps EXACT int64
+    micro-units per order; level 2 sums those micros (still exact) and only
+    the final presentation divides, so the result is reduction-order-free.
+
+    Scale: at 100 TB the per-orderkey aggregate is the expensive pass and
+    it is exchange-free; the histogram shuffle moves one row per distinct
+    order size (~7 at TPC-H)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tmapreduce_spark.parity import cents
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    app = re.sub(r"[^a-zA-Z0-9_]", "_", spark.sparkContext.applicationId)
+    base = f"/tmp/tmrs_bucketed/{app}/{sf_tag}"
+    l_tbl = f"lineitem_bkt_gb_{sf_tag}_{app}"
+    _cleanup_at_exit(f"/tmp/tmrs_bucketed/{app}")
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        l_tbl, "l_orderkey", 8, f"{base}/{l_tbl}",
+    )
+    per_order = (
+        spark.table(l_tbl)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.expr(
+                f"sum({cents('l_extendedprice * (1 - l_discount)')})"
+            ).cast("bigint").alias("rev_micro"),
+        )
+    )
+    return per_order.groupBy("n_items").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr(_micro_to_money("sum(rev_micro)", SPARK)).alias("revenue"),
+    )
+
+
+def _micro_to_money(s: str, dialect: str) -> str:
+    """Present an exact int64 micro-unit sum at 2 decimals as DOUBLE —
+    msum2's rounding tail applied to an already-summed micro column (same
+    half-away-from-zero guard, same integer division)."""
+    from tmapreduce_spark.parity import _idiv
+
+    d = _idiv(dialect)
+    return (
+        f"CAST(CASE WHEN {s} >= 0 THEN ({s} + 5000) {d} 10000 "
+        f"ELSE -((-{s} + 5000) {d} 10000) END AS DOUBLE) / 100"
+    )
+
+
+def _bucketed_groupby_sql() -> str:
+    from tmapreduce_spark.parity import cents
+
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum({cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+           AS rev_micro
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_items,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_micro_to_money('sum(rev_micro)', DUCK)} AS revenue
+FROM per_order GROUP BY n_items
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_bucketed_join": QuerySpec(
         layout_bucketed_join, LAYOUT_BUCKETED_JOIN_SQL, "layout"
+    ),
+    "layout_bucketed_groupby": QuerySpec(
+        layout_bucketed_groupby, _bucketed_groupby_sql(), "layout"
     ),
 }
