@@ -5200,24 +5200,58 @@ def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal ranks are integer micro via truncating division, so the MRR
     fold is pure int64.
 
-    Scale: ONE tokenize feeds one localCheckpoint-ed postings table; both
-    rankers and the qrels read the materialized blocks (no second corpus
-    pass); qrels need only the postings rows matching the <=13 broadcast
-    query terms; each ranker's candidate set is per-query top-k via
-    row_number — no global sort, no dense score matrix."""
+    Scale (r09 verdict #3 diet): the full inverted index is NEVER
+    materialized — the old plan checkpointed the whole postings table and
+    ran two corpus-wide windows (partitionBy tok, partitionBy doc_id) over
+    it; at 100 TB that writes a corpus-sized index to executor storage
+    before either ranker starts. Both rankers actually need only two SMALL
+    substrates, each one map-side pass over the tokenize: the per-doc
+    length table (doclen — BM25's dl, QL's b_term over every doc, and the
+    corpus n_docs/sum_dl fold; n_c IS sum_dl, so the former separate cstats
+    pass is gone) and the query-token postings slice (qpost — the <=13
+    token literals are an in-plan isin() filter pushed below the
+    aggregation, so its groupBy shuffles only matching tokens). qpost
+    feeds BM25 scoring, QL's A-term, the qrels, and the 13-row df/ctf
+    stats in one aggregate; neither ranker touches a corpus-wide
+    intermediate. Each ranker's top-k is per-query row_number — no global
+    sort, no dense score matrix."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    postings = (
-        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
-    )
     qterms = spark.createDataFrame(
         [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
         "query_id string, tok string",
     )
-    q_hits = postings.join(F.broadcast(qterms), "tok").localCheckpoint()
+    qtok_list = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    # shared substrate 1: per-doc length, reused by BOTH rankers + corpus
+    # fold (dl = sum of term frequencies = the doc's token count, so it
+    # aggregates straight off the tokenize — no postings table needed)
+    doclen = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("dl"))
+        .localCheckpoint()
+    )
+    # corpus stats from doclen (n_c == sum_dl exactly; one tiny agg, broadcast)
+    corpus = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    # shared substrate 2: postings rows for the <=13 distinct query tokens
+    qpost = (
+        toks.filter(F.col("tok").isin(qtok_list))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    # per-token df + ctf in ONE aggregate over the tiny slice ((tok, doc_id)
+    # unique in postings, so count(*) IS the document frequency)
+    qtok_stats = qpost.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("ctf"),
+    )
+    q_hits = qpost.join(F.broadcast(qterms), "tok")
 
     # strict-AND qrels: doc matches EVERY term of the query
     qlen = qterms.groupBy("query_id").agg(F.count("*").alias("qlen"))
@@ -5230,21 +5264,19 @@ def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- ranker 1: BM25 (identical scoring text to text_bm25_search) ---
-    stats = postings.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("tf").cast("bigint").alias("sum_dl"),
-    )
-    enriched = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
-    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
-    bm_scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
-        "doc_id",
-        "tok",
-        "CAST(floor(("
-        "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
-        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
-        " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
-        ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+    bm_scored = (
+        qpost.join(F.broadcast(qtok_stats), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            "tok",
+            "CAST(floor(("
+            "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+            " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+            " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+            ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+        )
     )
     bm_hits = (
         bm_scored.join(F.broadcast(qterms), "tok")
@@ -5261,27 +5293,20 @@ def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- ranker 2: Dirichlet QL (identical A+B+C text to the QL entry) ---
-    cstats = postings.agg(F.sum("tf").cast("bigint").alias("n_c"))
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    ctf = (
-        postings.join(F.broadcast(qterms.select("tok").distinct()), "tok")
-        .groupBy("tok")
-        .agg(F.sum("tf").cast("bigint").alias("ctf"))
-    )
     a_term = _g9(
-        f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
+        f"ln(1 + CAST(tf AS DOUBLE) * sum_dl / (CAST({QL_MU} AS DOUBLE) * ctf))"
     )
     matched = (
-        q_hits.join(F.broadcast(ctf), "tok")
-        .crossJoin(F.broadcast(cstats))
+        q_hits.join(F.broadcast(qtok_stats), "tok")
+        .crossJoin(F.broadcast(corpus))
         .selectExpr("query_id", "doc_id", f"{a_term} AS a9")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("a9").cast("bigint").alias("a9"))
     )
-    c_term = _g9("ln(CAST(ctf AS DOUBLE) / n_c)")
+    c_term = _g9("ln(CAST(ctf AS DOUBLE) / sum_dl)")
     qconst = (
-        qterms.join(ctf, "tok")
-        .crossJoin(F.broadcast(cstats))
+        qterms.join(qtok_stats, "tok")
+        .crossJoin(F.broadcast(corpus))
         .selectExpr("query_id", f"{c_term} AS c9")
         .groupBy("query_id")
         .agg(
