@@ -67,8 +67,14 @@ class Gateway:
     """Serve the engine over HTTP on 127.0.0.1; ``port=0`` picks an ephemeral
     port (exposed as ``self.port``). Use as a context manager in tests."""
 
-    def __init__(self, engine: MapReduceEngine, port: int = 0):
+    def __init__(self, engine: MapReduceEngine, port: int = 0, spool=None):
+        """``spool``: optional :class:`~tmapreduce_spark.sources.stream_launch.
+        LaunchSpool` — every ACCEPTED launch is also appended there, making
+        the ingest consumable as a Structured Streaming source
+        (``readStream.format("launchstream")``), the streaming twin of the
+        reference's push-based REST path (r09 verdict #4)."""
         self.engine = engine
+        self.spool = spool
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -131,6 +137,12 @@ class Gateway:
                 except (LaunchError, KeyError) as exc:
                     # the master's admission rejection, proxied as ok=false
                     return self._reply(500, {"ok": False, "message": str(exc)})
+                if gateway.spool is not None:
+                    gateway.spool.append(
+                        doc["name"],
+                        doc["type"],
+                        [(kv["key"], kv["value"]) for kv in doc["kvs"]],
+                    )
                 return self._reply(
                     200, {"ok": True, "message": "", "job_id": job_id}
                 )

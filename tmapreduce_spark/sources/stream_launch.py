@@ -1,0 +1,144 @@
+"""Streaming twin of the REST ingest path (r09 verdict #4).
+
+The reference's ONLY ingest is push-based REST: clients POST job payloads to
+``/launch`` and the master buffers them until workers pull subjobs
+(``/root/reference/src/tmapreduce/gateway.cc:66-129``,
+``master.cc:489-514``). The batch shim (:mod:`tmapreduce_spark.gateway`)
+covers the request/response contract; this module closes the one surface
+that had only a batch twin by making the launch queue a **Spark 4 streaming
+Python DataSource**, so MapReduce-style payloads compose with Structured
+Streaming exactly like every other source in the engine
+(``readStream.format("launchstream")`` → any streaming transformation →
+``writeStream``).
+
+Design — a durable spool, not an in-memory queue:
+
+- The gateway (or :class:`LaunchSpool` directly) appends each ACCEPTED
+  launch payload as one atomically-renamed JSON file ``{seq:012d}.json``.
+  Atomic rename gives the reader a consistent prefix: a half-written file
+  is never visible under its final name.
+- :class:`LaunchStreamReader` is a ``SimpleDataSourceStreamReader`` whose
+  offset is the next unread sequence number — ``read(start)`` consumes the
+  contiguous file prefix from ``start.seq`` and ``readBetweenOffsets``
+  replays any committed range deterministically from the same files, which
+  is exactly Spark's exactly-once replay contract (the reference gets the
+  equivalent durability by writing launch payloads into its raft log,
+  ``master.cc:489-514`` — same idea: the ingest is re-readable after a
+  failure).
+- Rows are exploded to one row per kv pair
+  ``(seq, name, job_type, key, value)`` so the streamed payload drops
+  straight into DataFrame transformations (the map side of the classic
+  pipeline); job-level fields repeat per row like any denormalized stream.
+
+Scale: the simple-reader variant reads on the driver — correct for a
+CONTROL-PLANE queue of job launches (the reference master also funnels
+every launch through one process). A data-plane firehose would implement
+``streamReader()`` with ``partitions()`` instead; the spool layout (one
+file per payload, dense integer sequence) already supports that split
+surface unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+LAUNCH_STREAM_SCHEMA = (
+    "seq bigint, name string, job_type string, key string, value string"
+)
+
+
+class LaunchSpool:
+    """Writer side of the streaming launch queue: one JSON file per
+    accepted payload, written to a temp name and atomically renamed to its
+    dense sequence number."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _next_seq(self) -> int:
+        seqs = [
+            int(f[:-5])
+            for f in os.listdir(self.path)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(seqs) + 1 if seqs else 0
+
+    def append(self, name: str, job_type: str, kvs: list[tuple[str, str]]) -> int:
+        seq = self._next_seq()
+        final = os.path.join(self.path, f"{seq:012d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "type": job_type, "kvs": kvs}, f)
+        os.rename(tmp, final)
+        return seq
+
+
+def _read_seq_range(path: str, start: int, end: int) -> list[Tuple]:
+    # a LIST, not a generator: Spark's simple-reader prefetch cache
+    # copy.copy()s the returned iterator for replay, and generators don't
+    # pickle (hit live in testing)
+    rows: list[Tuple] = []
+    for seq in range(start, end):
+        with open(os.path.join(path, f"{seq:012d}.json")) as f:
+            doc = json.load(f)
+        for k, v in doc["kvs"]:
+            rows.append((seq, doc["name"], doc["type"], k, v))
+    return rows
+
+
+class LaunchStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("launchstream requires a 'path' option")
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _max_contiguous(self, start: int) -> int:
+        """First missing sequence number >= start — only the contiguous
+        prefix is consumed, so an in-flight atomic rename never creates a
+        gap that would break replay."""
+        seq = start
+        while os.path.exists(os.path.join(self.path, f"{seq:012d}.json")):
+            seq += 1
+        return seq
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        lo = start["seq"]
+        hi = self._max_contiguous(lo)
+        return _read_seq_range(self.path, lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        return _read_seq_range(self.path, start["seq"], end["seq"])
+
+    def commit(self, end: dict) -> None:
+        # spool files are kept: they ARE the replayable log (the reference
+        # keeps launch payloads in its raft log the same way); a retention
+        # sweep below the committed offset would go here.
+        pass
+
+
+class LaunchStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "launchstream"
+
+    def schema(self) -> str:
+        return LAUNCH_STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema) -> LaunchStreamReader:
+        return LaunchStreamReader(self.options)
+
+
+def read_launch_stream(spark, spool_path: str):
+    """Register (idempotent) and open the streaming launch queue."""
+    spark.dataSource.register(LaunchStreamDataSource)
+    return (
+        spark.readStream.format("launchstream").option("path", spool_path).load()
+    )
