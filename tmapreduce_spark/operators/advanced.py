@@ -1929,3 +1929,58 @@ FROM per CROSS JOIN truth
 QUERIES["layout_skipping_audit"] = QuerySpec(
     layout_skipping_audit, _layout_skipping_sql(), "layout"
 )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery in the projection — round 10 (the subquery position the
+# category's two existing entries don't cover: above_avg is WHERE-correlated,
+# exists is semi-join; this one puts uncorrelated scalars in the SELECT list)
+# ---------------------------------------------------------------------------
+
+
+def subquery_select_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue with SELECT-list scalar subqueries: each group
+    row carries the global max order price and its share of GLOBAL revenue
+    — written through the SQL front door so Catalyst's scalar-subquery
+    rewrite (subquery -> one-row broadcast) is what executes, the
+    declarative twin of the engine's explicit crossJoin(broadcast(agg))
+    pattern.
+
+    Determinism: shares divide exact integer cent sums, rounded 1e-6.
+
+    Scale: both subqueries fold to 1-row broadcasts reused across every
+    group — no per-row re-evaluation (that is the decorrelation Catalyst
+    guarantees for uncorrelated scalars)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sss_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               (SELECT max(o_totalprice) FROM _sss_orders) AS global_max_price,
+               floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE)
+                     / (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                        AS BIGINT)) FROM _sss_orders)
+                     * 1000000 + 0.5) / 1000000 AS revenue_share
+        FROM _sss_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SUBQUERY_SELECT_SCALAR_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (SELECT max(o_totalprice) FROM orders) AS global_max_price,
+       floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FROM orders)
+             * 1000000 + 0.5) / 1000000 AS revenue_share
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES["subquery_select_scalar"] = QuerySpec(
+    subquery_select_scalar, SUBQUERY_SELECT_SCALAR_SQL, "subquery"
+)

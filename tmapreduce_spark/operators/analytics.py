@@ -6236,3 +6236,620 @@ ORDER BY period
 QUERIES["events_did_event_study"] = QuerySpec(
     events_did_event_study, EVENTS_EVENT_STUDY_SQL, "events"
 )
+
+
+# ---------------------------------------------------------------------------
+# Grouped robust dispersion: median absolute deviation — round 10
+# ---------------------------------------------------------------------------
+
+
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust location/scale: exact discrete median, the
+    median absolute deviation around it, and the count of robust-z
+    outliers (|x - med| > 3 * 1.4826 * MAD) — the screen that survives the
+    heavy tails that wreck mean/stddev rules (`agg_stats`' z-score would
+    flag nothing on lognormal-ish prices; MAD flags the true tail).
+
+    Determinism: prices enter as exact integer cents; percentile_disc
+    returns an ACTUAL data value (no interpolation) so med/MAD are
+    integer-exact in both engines; the outlier gate is the pure-integer
+    comparison adev * 10000 > 44478 * mad_cents (3 * 1.4826 scaled 1e4 —
+    no float ever compared).
+
+    Scale: two grouped percentile_disc passes (base, then deviations) +
+    one broadcast join of the 5-row median table — the same two-level
+    shape as `agg_weighted_median`; nothing collects."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_mad_orders")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM _mad_orders),
+        med AS (
+          SELECT prio,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS med_c
+          FROM base GROUP BY prio),
+        dev AS (
+          SELECT b.prio, b.c, m.med_c, abs(b.c - m.med_c) AS adev
+          FROM base b JOIN med m ON b.prio = m.prio),
+        mad AS (
+          SELECT prio,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_c
+          FROM dev GROUP BY prio)
+        SELECT d.prio AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(d.med_c) AS DOUBLE) / 100 AS median_price,
+               CAST(min(a.mad_c) AS DOUBLE) / 100 AS mad_price,
+               CAST(count(*) FILTER (WHERE d.adev * 10000 > 44478 * a.mad_c)
+                    AS BIGINT) AS n_robust_outliers
+        FROM dev d JOIN mad a ON d.prio = a.prio
+        GROUP BY d.prio
+        """
+    )
+
+
+AGG_MAD_ROBUST_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+med AS (
+  SELECT prio, quantile_disc(c, 0.5) AS med_c FROM base GROUP BY prio),
+dev AS (
+  SELECT b.prio, b.c, m.med_c, abs(b.c - m.med_c) AS adev
+  FROM base b JOIN med m ON b.prio = m.prio),
+mad AS (
+  SELECT prio, quantile_disc(adev, 0.5) AS mad_c FROM dev GROUP BY prio)
+SELECT d.prio AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med_c) AS DOUBLE) / 100 AS median_price,
+       CAST(min(a.mad_c) AS DOUBLE) / 100 AS mad_price,
+       CAST(count(*) FILTER (WHERE d.adev * 10000 > 44478 * a.mad_c)
+            AS BIGINT) AS n_robust_outliers
+FROM dev d JOIN mad a ON d.prio = a.prio
+GROUP BY d.prio
+"""
+
+
+QUERIES["agg_mad_robust"] = QuerySpec(agg_mad_robust, AGG_MAD_ROBUST_SQL, "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# G-test of independence (priority x status) — round 10
+# ---------------------------------------------------------------------------
+#
+# The likelihood-ratio counterpart of the chi-square family already in the
+# catalog (agg_cramers_v measures association strength; diag_distribution_
+# drift tests goodness-of-fit): G = 2 * sum O*ln(O*N / (R*C)) tests row/
+# column INDEPENDENCE on the contingency table, and is additive across
+# partitions of the table (the property that makes it the standard choice
+# for hierarchical log-linear models).
+
+_GTEST_T9 = (
+    "CAST(floor(CAST(o AS DOUBLE)"
+    " * ln(CAST(o AS DOUBLE) * n_tot / (CAST(r AS DOUBLE) * c))"
+    " * 1000000000 + 0.5) AS BIGINT)"
+)
+
+
+def agg_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence between
+    o_orderpriority and o_orderstatus. Reports N, the table shape, dof,
+    and G. Absent cells contribute 0 by the 0*ln(0) = 0 convention —
+    exactly what the GROUP BY produces (no row, no term).
+
+    Determinism: every count is int64; each cell's O*ln(O*N/(R*C)) is
+    grid-rounded at 1e-9 BEFORE the 15-cell sum (per-cell magnitude <=
+    O*ln(N) keeps the grid product inside int64 to ~1e8-row cells), and
+    the final x2 / 1e9 is one fixed IEEE step.
+
+    Scale: one groupBy over the fact table produces the <= |priorities x
+    statuses| cell table; everything after is broadcast joins of <= 5-row
+    margins — the contingency table never grows with the data."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rowm = cells.groupBy("o_orderpriority").agg(F.sum("o").cast("bigint").alias("r"))
+    colm = cells.groupBy("o_orderstatus").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n_tot"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_rows_tbl"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_cols_tbl"),
+    )
+    terms = (
+        cells.join(F.broadcast(rowm), "o_orderpriority")
+        .join(F.broadcast(colm), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("n_tot", "n_rows_tbl", "n_cols_tbl", f"{_GTEST_T9} AS t9")
+    )
+    return terms.groupBy("n_tot", "n_rows_tbl", "n_cols_tbl").agg(
+        F.sum("t9").cast("bigint").alias("g9")
+    ).selectExpr(
+        "n_tot AS n",
+        "n_rows_tbl AS n_priorities",
+        "n_cols_tbl AS n_statuses",
+        "CAST((n_rows_tbl - 1) * (n_cols_tbl - 1) AS BIGINT) AS dof",
+        mround("2 * CAST(g9 AS DOUBLE) / 1000000000", 6) + " AS g_stat",
+    )
+
+
+AGG_GTEST_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+rowm AS (
+  SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS r
+  FROM cells GROUP BY o_orderpriority),
+colm AS (
+  SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS c
+  FROM cells GROUP BY o_orderstatus),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_tot,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_rows_tbl,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_cols_tbl
+  FROM cells),
+terms AS (
+  SELECT n_tot, n_rows_tbl, n_cols_tbl, {_GTEST_T9} AS t9
+  FROM cells
+  JOIN rowm USING (o_orderpriority)
+  JOIN colm USING (o_orderstatus)
+  CROSS JOIN tot)
+SELECT n_tot AS n,
+       n_rows_tbl AS n_priorities,
+       n_cols_tbl AS n_statuses,
+       CAST((n_rows_tbl - 1) * (n_cols_tbl - 1) AS BIGINT) AS dof,
+       {mround('2 * CAST(sum(t9) AS DOUBLE) / 1000000000', 6)} AS g_stat
+FROM terms
+GROUP BY n_tot, n_rows_tbl, n_cols_tbl
+"""
+
+
+QUERIES["agg_gtest_independence"] = QuerySpec(
+    agg_gtest_independence, AGG_GTEST_SQL, "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue series — round 10
+# ---------------------------------------------------------------------------
+#
+# Completes the rank/nonparametric family (Mann-Whitney, Kruskal-Wallis,
+# Wilcoxon, Friedman are all LEVEL tests; Ljung-Box needs a lag grid): the
+# runs test asks whether above/below-median days CLUSTER in time — the
+# model-free randomness gate a forecaster runs before trusting residuals.
+
+_RUNS_DAYS_CTE = """
+days AS (
+  SELECT o_orderdate AS dt,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders GROUP BY o_orderdate)
+"""
+
+
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: daily revenue days are labeled above /
+    below the exact discrete median (ties with the median are dropped, the
+    standard treatment); R = number of sign runs in date order; z uses the
+    exact integer moments mu = 1 + 2*n1*n2/n and
+    var = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n - 1)).
+
+    Determinism: day revenues are exact cent sums; the median is
+    percentile_disc (an actual value); run boundaries are integer lag
+    comparisons; only the final mu/var/z division-and-sqrt runs in IEEE,
+    from exact int64 operands (n1*n2 <= (n/2)^2 ~ 1.4e6 at 2.4e3 days;
+    the var numerator stays under 1e13 — int64-safe to ~1e5 days, i.e.
+    270 years of calendar).
+
+    Scale: the series is calendar-bounded (one row per DAY), so the
+    ordered lag window over it is bounded work regardless of fact-table
+    size — the same daily-grid argument as events_ljung_box."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_runs_orders")
+    return spark.sql(
+        f"""
+        WITH {_RUNS_DAYS_CTE.replace("FROM orders", "FROM _runs_orders")},
+        med AS (
+          SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS med_c
+          FROM days),
+        signs AS (
+          SELECT dt, CASE WHEN c > med_c THEN 1 ELSE 0 END AS s
+          FROM days CROSS JOIN med WHERE c <> med_c),
+        runs AS (
+          SELECT s,
+                 CASE WHEN lag(s) OVER (ORDER BY dt) IS NULL
+                        OR lag(s) OVER (ORDER BY dt) <> s
+                      THEN 1 ELSE 0 END AS run_start
+          FROM signs)
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(s) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+               CAST(sum(run_start) AS BIGINT) AS n_runs,
+               floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
+                     * 1000000 + 0.5) / 1000000 AS expected_runs,
+               floor((sum(run_start)
+                      - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
+                     / sqrt(CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s))
+                            * (CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) - count(*))
+                            / (CAST(count(*) AS DOUBLE) * count(*)
+                               * (count(*) - 1)))
+                     * 1000000 + 0.5) / 1000000 AS z_stat
+        FROM runs
+        """
+    )
+
+
+AGG_RUNS_TEST_SQL = f"""
+WITH {_RUNS_DAYS_CTE},
+med AS (SELECT quantile_disc(c, 0.5) AS med_c FROM days),
+signs AS (
+  SELECT dt, CASE WHEN c > med_c THEN 1 ELSE 0 END AS s
+  FROM days CROSS JOIN med WHERE c <> med_c),
+runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY dt) IS NULL
+                OR lag(s) OVER (ORDER BY dt) <> s
+              THEN 1 ELSE 0 END AS run_start
+  FROM signs)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(s) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+       CAST(sum(run_start) AS BIGINT) AS n_runs,
+       floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
+             * 1000000 + 0.5) / 1000000 AS expected_runs,
+       floor((sum(run_start)
+              - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
+             / sqrt(CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s))
+                    * (CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) - count(*))
+                    / (CAST(count(*) AS DOUBLE) * count(*) * (count(*) - 1)))
+             * 1000000 + 0.5) / 1000000 AS z_stat
+FROM runs
+"""
+
+
+QUERIES["agg_runs_test"] = QuerySpec(agg_runs_test, AGG_RUNS_TEST_SQL, "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson first-order autocorrelation gate — round 10
+# ---------------------------------------------------------------------------
+#
+# The regression-residual companion to events_ljung_box's portmanteau: DW =
+# sum (e_t - e_{t-1})^2 / sum e_t^2 over mean-centered daily revenue, the
+# single-lag statistic every OLS diagnostic table leads with (DW ~ 2 means
+# no lag-1 autocorrelation; DW -> 0 positive, -> 4 negative).
+
+_DW_LANE = 1_048_576  # 2^20, the agg_anova_oneway lane width
+
+
+def _dw_sql(dialect: str) -> str:
+    d = "div" if dialect == "spark" else "//"
+    src = "_dw_orders" if dialect == "spark" else "orders"
+    # numerator sum (delta^2) and raw sum (c^2) both lane-split: c <= ~1e8
+    # cents/day at sf0.1 so c^2 <= 1e16 fits int64 per row but not summed;
+    # hi/lo lanes stay exact to ~1e5 days (270 calendar years)
+    return f"""
+WITH days AS (
+  SELECT o_orderdate AS dt,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM {src} GROUP BY o_orderdate),
+lagged AS (
+  SELECT c, c - lag(c) OVER (ORDER BY dt) AS dc FROM days),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum((c * c) {d} {_DW_LANE}) AS BIGINT) AS sq_hi,
+         CAST(sum((c * c) % {_DW_LANE}) AS BIGINT) AS sq_lo,
+         CAST(sum((dc * dc) {d} {_DW_LANE}) AS BIGINT) AS dq_hi,
+         CAST(sum((dc * dc) % {_DW_LANE}) AS BIGINT) AS dq_lo
+  FROM lagged)
+SELECT n AS n_days,
+       floor((CAST(dq_hi AS DOUBLE) * {_DW_LANE} + CAST(dq_lo AS DOUBLE))
+             / ((CAST(sq_hi AS DOUBLE) * {_DW_LANE} + CAST(sq_lo AS DOUBLE))
+                - CAST(s AS DOUBLE) * s / n)
+             * 1000000 + 0.5) / 1000000 AS dw_stat,
+       floor(CAST(s AS DOUBLE) / n / 100 * 100 + 0.5) / 100
+         AS mean_daily_revenue
+FROM sums
+"""
+
+
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 autocorrelation statistic of the mean-centered
+    daily revenue series. The centering cancels algebraically in the
+    numerator (e_t - e_{t-1} = c_t - c_{t-1}) and reduces the denominator
+    to sum c^2 - S^2/n, so BOTH sums fold from exact lane-split int64
+    moments — no per-row residual is ever materialized in floating point.
+
+    Scale: calendar-bounded daily grid (same argument as agg_runs_test);
+    the only window is a lag over <= days-of-history rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_dw_orders")
+    return spark.sql(_dw_sql("spark"))
+
+
+QUERIES["agg_durbin_watson"] = QuerySpec(
+    agg_durbin_watson, _dw_sql("duck"), "aggregation"
+)
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics of the daily activity cycle — round 10
+# ---------------------------------------------------------------------------
+#
+# Hour-of-day is a CIRCULAR variable (23:00 and 01:00 are 2h apart, not
+# 22h); the arithmetic mean/hour histograms already in the catalog
+# (events_hourweek_profile) cannot say "this event type concentrates around
+# 3am with strength R". Circular mean resultant length is the standard
+# readout (Fisher, Statistical Analysis of Circular Data). The 24 unit
+# vectors are import-time Python literals fed through string->double
+# parsing (correctly rounded in BOTH engines) — no engine trig on the
+# compare path, the events_spectral_energy literal-twiddle discipline.
+
+import math as _math
+
+_CIRC_VALUES = ", ".join(
+    f"({h}, CAST('{_math.cos(2 * _math.pi * h / 24)!r}' AS DOUBLE),"
+    f" CAST('{_math.sin(2 * _math.pi * h / 24)!r}' AS DOUBLE))"
+    for h in range(24)
+)
+
+
+def events_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: circular mean vector (x, y), resultant length R and
+    circular variance 1-R of the hour-of-day distribution — R ~ 0 means
+    activity is spread around the clock, R ~ 1 means a sharp daily peak.
+
+    Determinism: hourly counts are int64; each count x literal-cosine
+    product is grid-rounded at 1e-9 BEFORE summing (order-free int64
+    folds); R's sqrt is IEEE-correctly-rounded over one fixed expression.
+
+    Scale: one groupBy onto a <= types x 24 cell table; the trig table is
+    a 24-row broadcast literal."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.selectExpr("event_type", "hour(ts) AS hod").groupBy(
+        "event_type", "hod"
+    ).agg(F.count("*").cast("bigint").alias("n_h"))
+    trig = spark.sql(f"SELECT * FROM VALUES {_CIRC_VALUES} AS t(hod, cx, sy)")
+    terms = cells.join(F.broadcast(trig), "hod").selectExpr(
+        "event_type",
+        "n_h",
+        "CAST(floor(n_h * cx * 1000000000 + 0.5) AS BIGINT) AS c9",
+        "CAST(floor(n_h * sy * 1000000000 + 0.5) AS BIGINT) AS s9",
+    )
+    xbar = "(CAST(c9 AS DOUBLE) / 1000000000 / n)"
+    ybar = "(CAST(s9 AS DOUBLE) / 1000000000 / n)"
+    r = f"sqrt(({xbar}) * ({xbar}) + ({ybar}) * ({ybar}))"
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("n_h").cast("bigint").alias("n"),
+            F.sum("c9").cast("bigint").alias("c9"),
+            F.sum("s9").cast("bigint").alias("s9"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            mround(xbar, 6) + " AS mean_x",
+            mround(ybar, 6) + " AS mean_y",
+            mround(r, 6) + " AS resultant_r",
+            mround(f"1 - ({r})", 6) + " AS circ_variance",
+        )
+    )
+
+
+def _circadian_sql() -> str:
+    xbar = "(CAST(c9 AS DOUBLE) / 1000000000 / n)"
+    ybar = "(CAST(s9 AS DOUBLE) / 1000000000 / n)"
+    r = f"sqrt(({xbar}) * ({xbar}) + ({ybar}) * ({ybar}))"
+    return f"""
+WITH cells AS (
+  SELECT event_type, hour(ts) AS hod, CAST(count(*) AS BIGINT) AS n_h
+  FROM events GROUP BY event_type, hour(ts)),
+trig AS (SELECT * FROM (VALUES {_CIRC_VALUES}) AS t(hod, cx, sy)),
+terms AS (
+  SELECT event_type, n_h,
+         CAST(floor(n_h * cx * 1000000000 + 0.5) AS BIGINT) AS c9,
+         CAST(floor(n_h * sy * 1000000000 + 0.5) AS BIGINT) AS s9
+  FROM cells JOIN trig USING (hod)),
+agg AS (
+  SELECT event_type, CAST(sum(n_h) AS BIGINT) AS n,
+         CAST(sum(c9) AS BIGINT) AS c9, CAST(sum(s9) AS BIGINT) AS s9
+  FROM terms GROUP BY event_type)
+SELECT event_type, n,
+       {mround(xbar, 6)} AS mean_x,
+       {mround(ybar, 6)} AS mean_y,
+       {mround(r, 6)} AS resultant_r,
+       {mround(f"1 - ({r})", 6)} AS circ_variance
+FROM agg
+"""
+
+
+QUERIES["events_circadian_profile"] = QuerySpec(
+    events_circadian_profile, _circadian_sql(), "events"
+)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the hourly rate — round 10
+# ---------------------------------------------------------------------------
+#
+# The time-LOCALIZED complement of events_spectral_energy's DFT: Haar
+# detail energy at level j measures variability at the 2^j-hour scale
+# (level 1 = hour-to-hour jitter, level 5 ~ intra-day structure, level 9 ~
+# three-week drift), and the unnormalized Haar transform is PURE INTEGER
+# arithmetic over counts — block-sum differences squared — so the whole
+# decomposition is exact.
+
+_HAAR_LEVELS = 9  # 2^9 = 512-hour analysis window from the first hour
+
+
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per level j in 1..9: the number of Haar blocks, the detail energy
+    sum((left-half sum - right-half sum)^2), and its share of total detail
+    energy. The window is the FIRST 512 hours from the stream's first
+    hour, zero-filled (absent hours are true zero-activity hours).
+
+    Determinism: integer end-to-end; only the share divides (one fixed
+    IEEE division of exact int64 operands, grid-rounded 1e-6). Block sums
+    stay int64-exact to ~4e9 events/hour.
+
+    Scale: the groupBy collapses the stream to hourly counts; all nine
+    levels explode off the 512-row dense grid (512 x 9 rows), regrouped on
+    (level, block) — bounded by the calendar window, not data volume."""
+    e = load_table(spark, sf_dir, "events")
+    hidx = "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+    counted = (
+        e.selectExpr(f"{hidx} AS hidx")
+        .groupBy("hidx")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rng = e.selectExpr(f"{hidx} AS h").agg(F.min("h").alias("lo"))
+    spine = rng.selectExpr("explode(sequence(lo, lo + 511)) AS hidx", "lo")
+    dense = spine.join(counted, "hidx", "left").selectExpr(
+        "hidx - lo AS idx", "CAST(coalesce(n, 0) AS BIGINT) AS n"
+    )
+    levels = spark.range(1, _HAAR_LEVELS + 1).selectExpr(
+        "CAST(id AS BIGINT) AS level"
+    )
+    signed = dense.crossJoin(F.broadcast(levels)).selectExpr(
+        "level",
+        "idx div shiftleft(CAST(1 AS BIGINT), CAST(level AS INT)) AS block",
+        "n * (1 - 2 * ((idx div shiftleft(CAST(1 AS BIGINT),"
+        " CAST(level AS INT) - 1)) % 2)) AS sgn",
+    )
+    detail = signed.groupBy("level", "block").agg(
+        F.sum("sgn").cast("bigint").alias("d")
+    )
+    per_level = detail.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("energy"),
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_level.withColumn("tot", F.sum("energy").over(wt))
+        .selectExpr(
+            "level",
+            "shiftleft(CAST(1 AS BIGINT), CAST(level AS INT)) AS block_hours",
+            "n_blocks",
+            "energy",
+            mround("CAST(energy AS DOUBLE) / tot", 6) + " AS energy_share",
+        )
+        .orderBy("level")
+    )
+
+
+EVENTS_HAAR_SQL = f"""
+WITH counted AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hidx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+rng AS (
+  SELECT min(hidx) AS lo FROM counted),
+dense AS (
+  SELECT u.hidx - r.lo AS idx, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM rng r, unnest(generate_series(r.lo, r.lo + 511)) AS u(hidx)
+  LEFT JOIN counted c ON c.hidx = u.hidx),
+levels AS (SELECT CAST(unnest(generate_series(1, {_HAAR_LEVELS})) AS BIGINT) AS level),
+signed AS (
+  SELECT level,
+         idx // (CAST(1 AS BIGINT) << CAST(level AS INT)) AS block,
+         n * (1 - 2 * ((idx // (CAST(1 AS BIGINT) << (CAST(level AS INT) - 1)))
+              % 2)) AS sgn
+  FROM dense CROSS JOIN levels),
+detail AS (
+  SELECT level, block, CAST(sum(sgn) AS BIGINT) AS d
+  FROM signed GROUP BY level, block),
+per_level AS (
+  SELECT level, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(d * d) AS BIGINT) AS energy
+  FROM detail GROUP BY level)
+SELECT level,
+       (CAST(1 AS BIGINT) << CAST(level AS INT)) AS block_hours,
+       n_blocks, energy,
+       {mround('CAST(energy AS DOUBLE) / sum(energy) OVER ()', 6)} AS energy_share
+FROM per_level
+ORDER BY level
+"""
+
+
+QUERIES["events_haar_energy"] = QuerySpec(
+    events_haar_energy, EVENTS_HAAR_SQL, "events"
+)
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn rate — round 10
+# ---------------------------------------------------------------------------
+#
+# The SRE consumption of the event stream: with availability SLO such that
+# the error budget is 25% of events (sized to this stream's ~20% baseline
+# error share so the readout is non-degenerate BOTH ways — breaching and
+# healthy windows exist at every SF, the r9 degenerate-subject lesson),
+# burn rate = (error share) / (budget share) per 6-hour window; fast-burn
+# alerts fire past 1.2x.
+
+_SLO_BUDGET_NUM, _SLO_BUDGET_DEN = 1, 4  # error budget = 1/4 of events
+_SLO_WIN_US = 6 * 3600 * 1_000_000
+
+
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 6-hour window: event count, error count, burn rate against the
+    25% error budget, and the fast-burn flag (burn > 1.2). The flag is the
+    pure-integer comparison 10 * 4 * n_err > 12 * n (no float threshold);
+    burn itself is one fixed IEEE division grid-rounded 1e-6. Window
+    identity is pure epoch arithmetic; the start column renders through
+    date arithmetic (epoch day + hour), never a timezone conversion.
+
+    Scale: one partial-agg groupBy onto the 6-hourly key space — the
+    window table is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    win = e.selectExpr(
+        f"unix_micros(ts) div {_SLO_WIN_US} AS widx",
+        "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err",
+    ).groupBy("widx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("is_err").cast("bigint").alias("n_errors"),
+    )
+    return win.selectExpr(
+        "date_format(date_add(DATE '1970-01-01',"
+        " CAST((widx * 6) div 24 AS INT)), 'yyyy-MM-dd') AS window_day",
+        "CAST((widx * 6) % 24 AS BIGINT) AS window_hour",
+        "n_events",
+        "n_errors",
+        mround(
+            f"CAST({_SLO_BUDGET_DEN} AS DOUBLE) * n_errors"
+            f" / {_SLO_BUDGET_NUM} / n_events",
+            6,
+        )
+        + " AS burn_rate",
+        f"CAST(CASE WHEN 10 * {_SLO_BUDGET_DEN} * n_errors"
+        f" > 12 * {_SLO_BUDGET_NUM} * n_events THEN 1 ELSE 0 END AS BIGINT)"
+        " AS fast_burn",
+    )
+
+
+EVENTS_SLO_BURN_SQL = f"""
+WITH win AS (
+  SELECT epoch_us(ts) // {_SLO_WIN_US} AS widx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1)
+SELECT strftime(DATE '1970-01-01' + CAST((widx * 6) // 24 AS INT),
+                '%Y-%m-%d') AS window_day,
+       CAST((widx * 6) % 24 AS BIGINT) AS window_hour,
+       n_events, n_errors,
+       {mround(f'CAST({_SLO_BUDGET_DEN} AS DOUBLE) * n_errors'
+               f' / {_SLO_BUDGET_NUM} / n_events', 6)} AS burn_rate,
+       CAST(CASE WHEN 10 * {_SLO_BUDGET_DEN} * n_errors
+                 > 12 * {_SLO_BUDGET_NUM} * n_events THEN 1 ELSE 0 END
+            AS BIGINT) AS fast_burn
+FROM win
+"""
+
+
+QUERIES["events_slo_burn_rate"] = QuerySpec(
+    events_slo_burn_rate, EVENTS_SLO_BURN_SQL, "events"
+)

@@ -1089,3 +1089,71 @@ FROM framed
 QUERIES["window_rolling_p90"] = QuerySpec(
     window_rolling_p90, WINDOW_ROLLING_P90_SQL, "window"
 )
+
+
+# ---------------------------------------------------------------------------
+# cume_dist / percent_rank — round 10 (the two rank-family window functions
+# the catalog didn't yet exercise)
+# ---------------------------------------------------------------------------
+
+
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist and percent_rank of each priority's 8 most expensive
+    orders within their priority group — the relative-standing readout
+    (rank() gives position; these give POSITION AS A FRACTION, which is
+    what a percentile-based alerting rule consumes).
+
+    Determinism: the metric windows order by VALUE ONLY, so tied prices
+    share identical cume_dist/percent_rank in both engines (both are pure
+    functions of the peer-group value multiset); the row-selection window
+    adds the o_orderkey tie-break so 'top 8' is unambiguous.
+
+    Scale: one hash exchange on o_orderpriority serves all three window
+    functions (same partition spec); no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w_sel = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_val = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"))
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_sel).alias("rn"),
+            F.cume_dist().over(w_val).alias("cd"),
+            F.percent_rank().over(w_val).alias("pr"),
+        )
+        .filter(F.col("rn") <= 8)
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            "CAST(rn AS BIGINT) AS rn",
+            "floor(cd * 1000000 + 0.5) / 1000000 AS cume_dist",
+            "floor(pr * 1000000 + 0.5) / 1000000 AS percent_rank",
+        )
+    )
+
+
+WINDOW_CUME_DIST_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(rn AS BIGINT) AS rn,
+       floor(cd * 1000000 + 0.5) / 1000000 AS cume_dist,
+       floor(pr * 1000000 + 0.5) / 1000000 AS percent_rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice ASC) AS cd,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice ASC) AS pr
+  FROM orders) t
+WHERE rn <= 8
+"""
+
+
+QUERIES["window_cume_dist"] = QuerySpec(
+    window_cume_dist, WINDOW_CUME_DIST_SQL, "window"
+)
