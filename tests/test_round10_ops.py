@@ -212,3 +212,152 @@ def test_slo_burn_identities(spark):
         assert row.burn_rate == want
     # non-degenerate: both healthy and breaching windows exist at smoke SF
     assert 0 < got.fast_burn.sum() < len(got)
+
+
+def _docs() -> pd.DataFrame:
+    return duckdb.sql(f"SELECT * FROM '{SF_SMOKE}/documents.parquet'").df()
+
+
+def test_heaps_fit_bruteforce(spark):
+    got = _run(spark, "text_heaps_law_fit").iloc[0]
+    import re
+
+    d = _docs()
+    rows = []
+    for _, r in d.iterrows():
+        ts = [t for t in re.split(r"\s+", r.text.strip().lower()) if t]
+        for i in range(len(ts) - 2):
+            rows.append((r.doc_id, " ".join(ts[i : i + 3])))
+    sh = pd.DataFrame(rows, columns=["doc_id", "s"])
+    lo, hi = sh.doc_id.min(), sh.doc_id.max()
+    firsts = sh.groupby("s").doc_id.min()
+    lx, ly = [], []
+    for k in range(1, 11):
+        cut = lo + (hi - lo + 1) * k // 10 - 1
+        n = int((sh.doc_id <= cut).sum())
+        v = int((firsts <= cut).sum())
+        lx.append(math.floor(math.log(n) * 1e6 + 0.5))
+        ly.append(math.floor(math.log(v) * 1e6 + 0.5))
+    lx, ly = np.array(lx, dtype=float), np.array(ly, dtype=float)
+    n = 10
+    beta = (n * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        n * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert got["n_prefixes"] == 10
+    assert abs(got["beta_heaps"] - beta) < 1e-4
+    # non-degenerate: real sublinear growth with a tight fit
+    assert 0.3 < got["beta_heaps"] < 1.0
+    assert got["r_squared"] > 0.9
+
+
+def test_burrows_delta_bruteforce(spark):
+    got = _run(spark, "text_burrows_delta")
+    assert len(got) == 20 * 19 // 2
+    assert (got.delta >= 0).all()
+    import re
+
+    d = _docs()
+    rows = []
+    for _, r in d.iterrows():
+        for t in re.split(r"\s+", r.text.strip().lower()):
+            if t:
+                rows.append((r.source, t))
+    tk = pd.DataFrame(rows, columns=["source", "tok"])
+    cnt = tk.groupby(["source", "tok"]).size()
+    tot = tk.groupby("tok").size().reset_index(name="n")
+    topk = list(
+        tot.sort_values(["n", "tok"], ascending=[False, True]).head(10).tok
+    )
+    src_tot = tk.groupby("source").size()
+    sources = sorted(src_tot.index)
+    f6 = {
+        (s, t): math.floor(cnt.get((s, t), 0) / src_tot[s] * 1e6 + 0.5)
+        for s in sources
+        for t in topk
+    }
+    z6 = {}
+    for t in topk:
+        vals = np.array([f6[(s, t)] for s in sources], dtype=float)
+        sd = math.sqrt(((vals**2).sum() - vals.sum() ** 2 / len(vals)) / len(vals))
+        for s in sources:
+            z = 0.0 if sd == 0 else (f6[(s, t)] - vals.mean()) / sd
+            z6[(s, t)] = math.floor(z * 1e6 + 0.5)
+    a, b = sources[0], sources[1]
+    want = sum(abs(z6[(a, t)] - z6[(b, t)]) for t in topk)
+    want = math.floor(want / 10 / 1e6 * 1e6 + 0.5) / 1e6
+    gotab = got[(got.source_a == a) & (got.source_b == b)].delta.iloc[0]
+    assert abs(gotab - want) < 2e-6
+
+
+def test_cross_perplexity_structure(spark):
+    got = _run(spark, "text_cross_perplexity")
+    assert len(got) == 400
+    diag = got[got.source_a == got.source_b]
+    assert len(diag) == 20 and (diag.excess_nats == 0).all()
+    assert (got.h_cross > 0).all()
+    # brute-force one off-diagonal pair
+    d = _docs()
+    cells: dict[tuple[str, str], int] = {}
+    for _, r in d.iterrows():
+        if len(r.text) < 2:
+            continue
+        for i in range(len(r.text) - 1):
+            key = (r.source, r.text[i : i + 2])
+            cells[key] = cells.get(key, 0) + 1
+    vocab = len({bg for _, bg in cells})
+    totals: dict[str, int] = {}
+    for (s, _), c in cells.items():
+        totals[s] = totals.get(s, 0) + c
+    a, b = sorted(totals)[0], sorted(totals)[1]
+    s9 = sum(
+        math.floor(
+            ca * math.log((cells.get((b, bg), 0) + 1) / (totals[b] + vocab)) * 1e9
+            + 0.5
+        )
+        for (sa, bg), ca in cells.items()
+        if sa == a
+    )
+    want = math.floor(-s9 / 1e9 / totals[a] * 1e6 + 0.5) / 1e6
+    gotab = got[(got.source_a == a) & (got.source_b == b)].h_cross.iloc[0]
+    assert abs(gotab - want) < 2e-6
+
+
+def test_span_corruption_bruteforce(spark):
+    import hashlib
+    import re
+
+    got = _run(spark, "pipeline_span_corruption").set_index("source")
+    d = _docs()
+
+    def start(doc_id, p):
+        if p < 0:
+            return 0
+        h = hashlib.md5(f"sc:{doc_id}:{p}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 20 == 0 else 0
+
+    src = d.source.iloc[0]
+    n_docs = n_tok = n_starts = n_masked = n_sent = 0
+    for _, r in d[d.source == src].iterrows():
+        ts = [t for t in re.split(r"\s+", r.text.strip().lower()) if t or True]
+        ts = re.split(r"\s+", r.text.strip().lower())
+        n = len(ts)
+        if n < 1:
+            continue
+        n_docs += 1
+        n_tok += n
+        for p in range(n):
+            s0 = start(r.doc_id, p)
+            m = max(s0, start(r.doc_id, p - 1), start(r.doc_id, p - 2))
+            mp = max(
+                start(r.doc_id, p - 1), start(r.doc_id, p - 2), start(r.doc_id, p - 3)
+            )
+            n_starts += s0
+            n_masked += m
+            n_sent += 1 if (m == 1 and mp == 0) else 0
+    row = got.loc[src]
+    assert row.n_docs == n_docs and row.n_tokens == n_tok
+    assert row.n_span_starts == n_starts
+    assert row.n_masked == n_masked and row.n_sentinels == n_sent
+    # global non-degeneracy: a T5-ish mask plan
+    assert 0.05 < got.mask_rate.mean() < 0.3
+    assert (got.mean_span_len >= 3).all()

@@ -5439,3 +5439,508 @@ EVAL_MRR_DUAL_SQL = _mrr_sql()
 QUERIES["eval_mrr_dual_ranker"] = QuerySpec(
     eval_mrr_dual_ranker, EVAL_MRR_DUAL_SQL, "eval"
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit — round 10
+# ---------------------------------------------------------------------------
+#
+# Zipf (text_zipf_fit) describes the rank-frequency SHAPE of one corpus;
+# Heaps describes how vocabulary GROWS with corpus size: V = K * N^beta.
+# The fixture's whitespace vocabulary saturates instantly (31 word types —
+# probed before design, the r9 degenerate-subject rule), so the unit is the
+# 3-token SHINGLE: its type count grows all the way through the corpus
+# (beta ~ 0.82, r^2 ~ 0.995 at sf0.01) — and shingle-vocabulary growth is
+# the quantity that actually sizes winnowing/MinHash dedup state, which is
+# what a pipeline operator fits Heaps FOR.
+
+_HEAPS_L6 = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(shingle vocab) on ln(shingle count) across ten
+    cumulative corpus prefixes: beta (the Heaps exponent), K, and r^2.
+
+    The prefix trick makes this one-pass: V_p needs only each shingle's
+    FIRST doc (min doc_id per type — a vocab-sized table) and N_p only the
+    per-doc shingle counts, so ten cut points are ten conditional sums
+    over REDUCED tables — the corpus is never re-scanned per prefix. Cut
+    points are pure integer arithmetic on the doc_id range (no data-
+    dependent quantile), logs pre-rounded onto a 1e-6 integer grid (1e-9
+    squares would overflow the cross-point OLS sums), slope/intercept/r^2
+    fixed IEEE chains over exact int64 sums.
+
+    Scale: two groupBys collapse the corpus to |vocab| + |docs| rows; the
+    ten-point join and regression are constant-size."""
+    d = load_table(spark, sf_dir, "documents")
+    # sub-3-token guard: Spark's sequence(1, size-2) DESCENDS through 0 when
+    # size < 3 (the r9 sequence-step pitfall) and slice() rejects start 0;
+    # DuckDB's range(1, len-1) is just empty there — the filter makes both
+    # engines skip such docs identically.
+    sh = (
+        d.filter(r"size(split(trim(lower(text)), '\\s+')) >= 3")
+        .selectExpr(
+            "doc_id",
+            r"explode(transform(sequence(1, size(split(trim(lower(text)),"
+            r" '\\s+')) - 2), i -> concat_ws(' ',"
+            r" slice(split(trim(lower(text)), '\\s+'), i, 3)))) AS s",
+        )
+    )
+    rng = sh.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    cuts = (
+        spark.range(1, 11)
+        .selectExpr("CAST(id AS BIGINT) AS k")
+        .crossJoin(F.broadcast(rng))
+        .selectExpr("k", "lo + ((hi - lo + 1) * k) div 10 - 1 AS cut")
+    )
+    dlen = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    n_p = (
+        dlen.crossJoin(F.broadcast(cuts))
+        .filter("doc_id <= cut")
+        .groupBy("k")
+        .agg(F.sum("len").cast("bigint").alias("n_tok"))
+    )
+    v_p = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter("fd <= cut")
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("v_tok"))
+    )
+    pts = n_p.join(v_p, "k").selectExpr(
+        _HEAPS_L6.format(x="n_tok") + " AS lx",
+        _HEAPS_L6.format(x="v_tok") + " AS ly",
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.expr("lx * lx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("ly * ly")).cast("bigint").alias("syy"),
+        F.sum(F.expr("lx * ly")).cast("bigint").alias("sxy"),
+    )
+    return s.selectExpr(*_heaps_out_exprs())
+
+
+def _heaps_out_exprs() -> list[str]:
+    beta = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    )
+    lnk = f"((CAST(sy AS DOUBLE) - ({beta}) * sx) / n / 1000000)"
+    r2 = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+    )
+    return [
+        "n AS n_prefixes",
+        mround(beta, 5) + " AS beta_heaps",
+        mround(f"exp({lnk})", 5) + " AS k_heaps",
+        mround(r2, 5) + " AS r_squared",
+    ]
+
+
+def _heaps_sql() -> str:
+    return rf"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1] || ' ' || ts[u.i + 2] AS s
+  FROM tl, unnest(range(1, len(ts) - 1)) AS u(i)),
+rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sh),
+cuts AS (
+  SELECT CAST(u.k AS BIGINT) AS k, lo + ((hi - lo + 1) * u.k) // 10 - 1 AS cut
+  FROM rng, unnest(generate_series(1, 10)) AS u(k)),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM sh GROUP BY doc_id),
+firsts AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+np_ AS (
+  SELECT c.k, CAST(sum(d.len) AS BIGINT) AS n_tok
+  FROM cuts c JOIN dlen d ON d.doc_id <= c.cut GROUP BY c.k),
+vp AS (
+  SELECT c.k, CAST(count(*) AS BIGINT) AS v_tok
+  FROM cuts c JOIN firsts f ON f.fd <= c.cut GROUP BY c.k),
+pts AS (
+  SELECT {_HEAPS_L6.format(x="n_tok")} AS lx,
+         {_HEAPS_L6.format(x="v_tok")} AS ly
+  FROM np_ JOIN vp USING (k)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(ly * ly) AS BIGINT) AS syy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy
+  FROM pts)
+SELECT {", ".join(_heaps_out_exprs())} FROM s
+"""
+
+
+QUERIES["text_heaps_law_fit"] = QuerySpec(
+    text_heaps_law_fit, _heaps_sql(), "text"
+)
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta stylometric distance — round 10
+# ---------------------------------------------------------------------------
+#
+# The classic authorship-attribution distance (Burrows 2002): z-score each
+# source's relative frequency of the corpus's top function words, then
+# delta(a, b) = mean |z_a - z_b|. For a training-data pipeline it is the
+# SOURCE-STYLE distance matrix behind "which scrapes are stylistically
+# redundant" — a different axis than the token-overlap dedup family.
+
+_BURROWS_K = 10  # top-K corpus function words
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Burrows' delta between sources over the corpus's top-10
+    tokens (frequency desc, token asc tie-break). Relative frequencies are
+    grid-rounded to 1e-6 integers on the DENSE source x token grid (a
+    source missing a word is frequency 0, not a missing row); per-token
+    mean/sd over sources fold from exact int64 sums (population sd; a
+    zero-sd token contributes z = 0 by the NULLIF convention, documented);
+    z-scores are grid-rounded 1e-6 so the final |z_a - z_b| fold is pure
+    integer.
+
+    Scale: one tokenize -> (source, token) counts; the top-K vocabulary is
+    a 10-row broadcast; the dense grid is |sources| x 10 and the pair
+    matrix |sources|^2 / 2 — model-sized, independent of corpus volume."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).localCheckpoint()
+    topk = (
+        st.groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("tok"))
+        .limit(_BURROWS_K)
+        .select("tok")
+    )
+    src_tot = st.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_src"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(topk))
+        .join(st, ["source", "tok"], "left")
+        .selectExpr(
+            "source",
+            "tok",
+            "CAST(floor(CAST(coalesce(cnt, 0) AS DOUBLE) / n_src * 1000000"
+            " + 0.5) AS BIGINT) AS f6",
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("ns"),
+        F.sum("f6").cast("bigint").alias("sf"),
+        F.sum(F.expr("f6 * f6")).cast("bigint").alias("sff"),
+    )
+    z = grid.join(F.broadcast(stats), "tok").selectExpr(
+        "source",
+        "tok",
+        "CAST(floor(coalesce("
+        "  (f6 - CAST(sf AS DOUBLE) / ns)"
+        "  / nullif(sqrt((sff - CAST(sf AS DOUBLE) * sf / ns) / ns), 0),"
+        " 0) * 1000000 + 0.5) AS BIGINT) AS z6",
+    )
+    a = z.selectExpr("source AS source_a", "tok", "z6 AS za")
+    b = z.selectExpr("source AS source_b", "tok", "z6 AS zb")
+    return (
+        a.join(b, "tok")
+        .filter("source_a < source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.expr("abs(za - zb)")).cast("bigint").alias("sad"))
+        .selectExpr(
+            "source_a",
+            "source_b",
+            mround(f"CAST(sad AS DOUBLE) / {_BURROWS_K} / 1000000", 6)
+            + " AS delta",
+        )
+    )
+
+
+def _burrows_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY source, tok),
+topk AS (
+  SELECT tok FROM (
+    SELECT tok, sum(cnt) AS tot FROM st GROUP BY tok
+    ORDER BY tot DESC, tok ASC LIMIT {_BURROWS_K})),
+src_tot AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM st GROUP BY source),
+grid AS (
+  SELECT s.source, k.tok,
+         CAST(floor(CAST(coalesce(c.cnt, 0) AS DOUBLE) / s.n_src * 1000000
+              + 0.5) AS BIGINT) AS f6
+  FROM src_tot s CROSS JOIN topk k
+  LEFT JOIN st c ON c.source = s.source AND c.tok = k.tok),
+stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(f6) AS BIGINT) AS sf,
+         CAST(sum(f6 * f6) AS BIGINT) AS sff
+  FROM grid GROUP BY tok),
+z AS (
+  SELECT source, tok,
+         CAST(floor(coalesce(
+           (f6 - CAST(sf AS DOUBLE) / ns)
+           / nullif(sqrt((sff - CAST(sf AS DOUBLE) * sf / ns) / ns), 0),
+          0) * 1000000 + 0.5) AS BIGINT) AS z6
+  FROM grid JOIN stats USING (tok))
+SELECT a.source AS source_a, b.source AS source_b,
+       {mround(f'CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / {_BURROWS_K} / 1000000', 6)}
+         AS delta
+FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+QUERIES["text_burrows_delta"] = QuerySpec(
+    text_burrows_delta, _burrows_sql(), "text"
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source LM cross-entropy matrix — round 10
+# ---------------------------------------------------------------------------
+#
+# The data-mixing signal behind pipeline_mix_temperature's knobs: train an
+# add-one-smoothed character-bigram LM per source and score every OTHER
+# source under it. H(a, b) - H(a, a) is the excess bits source b's model
+# pays on source a's text — low excess means the sources are stylistically
+# interchangeable (mix them), high excess means b's model generalizes badly
+# to a (keep both). Char bigrams keep the event space bounded (charset^2),
+# the text_char_entropy population discipline.
+
+
+def text_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All source pairs (a, b): cross-entropy H(a, b) =
+    -sum_bg p_a(bg) ln q_b(bg) in nats, with q_b add-one smoothed over the
+    GLOBAL observed bigram vocabulary (so q_b > 0 wherever p_a > 0), plus
+    the self-entropy H(a, a) and the excess H(a,b) - H(a,a).
+
+    Determinism: counts are int64; each cnt_a * ln(q_b) term is
+    grid-rounded at 1e-9 BEFORE the cross-bigram sum (cnt_a <= 1e5 keeps
+    the grid product under 1e15 int64 at any realistic cell), and the
+    final divisions are fixed IEEE.
+
+    Scale: the corpus collapses once to (source, bigram) cells bounded by
+    |sources| x charset^2; the pair scoring joins the cell table against
+    the broadcast source list (|cells| x |sources| rows, still bounded by
+    the cell space) — never against the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.filter("length(text) >= 2").select(
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2)))"
+        ).alias("bg"),
+    )
+    cells = pairs.groupBy("source", "bg").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).localCheckpoint()
+    totals = cells.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_src")
+    )
+    vocab = cells.agg(F.countDistinct("bg").cast("bigint").alias("v_glob"))
+    # model side: for every (scoring source b, bigram in GLOBAL vocab seen
+    # by ANY source a) we need cnt_b — join a-cells with b-models on bg
+    a_side = cells.selectExpr("source AS source_a", "bg", "cnt AS cnt_a")
+    b_side = cells.selectExpr("source AS source_b", "bg", "cnt AS cnt_b")
+    b_tot = totals.selectExpr("source AS source_b", "n_src AS n_b")
+    scored = (
+        a_side.join(F.broadcast(totals.selectExpr("source AS source_a",
+                                                  "n_src AS n_a")), "source_a")
+        .crossJoin(F.broadcast(b_tot))
+        .join(b_side, ["source_b", "bg"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "n_a",
+            "CAST(floor(cnt_a * ln((CAST(coalesce(cnt_b, 0) AS DOUBLE) + 1)"
+            " / (n_b + v_glob)) * 1000000000 + 0.5) AS BIGINT) AS t9",
+        )
+    )
+    h = scored.groupBy("source_a", "source_b", "n_a").agg(
+        F.sum("t9").cast("bigint").alias("s9")
+    ).selectExpr(
+        "source_a",
+        "source_b",
+        mround("-CAST(s9 AS DOUBLE) / 1000000000 / n_a", 6) + " AS h_cross",
+    )
+    self_h = h.filter("source_a = source_b").selectExpr(
+        "source_a", "h_cross AS h_self"
+    )
+    return h.join(self_h, "source_a").selectExpr(
+        "source_a",
+        "source_b",
+        "h_cross",
+        mround("h_cross - h_self", 6) + " AS excess_nats",
+    )
+
+
+def _cross_ppl_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT source, substr(text, u.i, 2) AS bg
+  FROM documents, unnest(range(1, len(text))) AS u(i)
+  WHERE len(text) >= 2),
+cells AS (
+  SELECT source, bg, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY source, bg),
+totals AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM cells GROUP BY source),
+vocab AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS v_glob FROM cells),
+scored AS (
+  SELECT a.source AS source_a, bt.source AS source_b, ta.n_src AS n_a,
+         CAST(floor(a.cnt * ln((CAST(coalesce(b.cnt, 0) AS DOUBLE) + 1)
+              / (bt.n_src + v.v_glob)) * 1000000000 + 0.5) AS BIGINT) AS t9
+  FROM cells a
+  JOIN totals ta ON ta.source = a.source
+  CROSS JOIN totals bt
+  LEFT JOIN cells b ON b.source = bt.source AND b.bg = a.bg
+  CROSS JOIN vocab v),
+h AS (
+  SELECT source_a, source_b,
+         floor(-CAST(sum(t9) AS DOUBLE) / 1000000000 / n_a * 1000000 + 0.5)
+           / 1000000 AS h_cross
+  FROM scored GROUP BY source_a, source_b, n_a)
+SELECT h.source_a, h.source_b, h.h_cross,
+       floor((h.h_cross - s.h_cross) * 1000000 + 0.5) / 1000000 AS excess_nats
+FROM h JOIN h s ON s.source_a = h.source_a AND s.source_b = h.source_a
+"""
+
+
+QUERIES["text_cross_perplexity"] = QuerySpec(
+    text_cross_perplexity, _cross_ppl_sql(), "text"
+)
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask plan (T5-style objective prep) — round 10
+# ---------------------------------------------------------------------------
+#
+# The training-objective half of the pipeline family: pipeline_pack_sequences
+# shapes batches, this plans the denoising MASKS — deterministic span starts
+# (md5 coin per token position, rate 1/20), fixed span length 3, overlaps
+# merged — and reports the statistics a T5-style recipe is tuned on (mask
+# rate ~15%, mean span length, sentinel count = number of MERGED runs).
+# Everything is a pure function of (doc_id, position), so both engines
+# recompute the same plan with NO window: masked(p) needs only the coins at
+# p-2..p, run-start(p) the coins at p-3..p — four md5s per position, all
+# map-side.
+
+_SC_RATE = 20  # span-start probability 1/20 per position
+_SC_LEN = 3  # span length in tokens
+
+
+def _sc_start(dialect: str, pos: str) -> str:
+    """1 iff a span STARTS at `pos` (0 when pos is out of range)."""
+    s = f"concat('sc:', CAST(doc_id AS STRING), ':', CAST({pos} AS STRING))"
+    if dialect != "spark":
+        s = f"('sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST({pos} AS VARCHAR))"
+    h = (
+        f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+        if dialect == "spark"
+        else f"CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+    )
+    return (
+        f"(CASE WHEN ({pos}) >= 0 AND {h} % {_SC_RATE} = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: documents, token count, span starts, masked tokens
+    (merged-overlap union), sentinel count (contiguous masked runs — what
+    T5 replaces with one sentinel token each), mask rate, and mean merged
+    span length. masked(p) = a start exists in [p-2, p]; run_start(p) =
+    masked(p) and not masked(p-1), both expanded to direct coin
+    evaluations so no sequential scan or window exists — the plan is
+    embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = (
+        d.selectExpr(
+            "doc_id",
+            "source",
+            r"size(split(trim(lower(text)), '\\s+')) AS n_tok",
+        )
+        .filter("n_tok >= 1")
+        .selectExpr(
+            "doc_id", "source", "n_tok",
+            "explode(sequence(0, n_tok - 1)) AS p",
+        )
+    )
+    starts = [_sc_start("spark", f"p - {k}") for k in range(_SC_LEN + 1)]
+    flags = pos.selectExpr(
+        "source",
+        "doc_id",
+        f"{starts[0]} AS s0",
+        f"greatest({starts[0]}, {starts[1]}, {starts[2]}) AS masked",
+        f"greatest({starts[1]}, {starts[2]}, {starts[3]}) AS masked_prev",
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("s0").cast("bigint").alias("n_span_starts"),
+            F.sum("masked").cast("bigint").alias("n_masked"),
+            F.sum(F.expr("CASE WHEN masked = 1 AND masked_prev = 0 THEN 1"
+                         " ELSE 0 END")).cast("bigint").alias("n_sentinels"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_tokens", "n_span_starts", "n_masked",
+            "n_sentinels",
+            mround("CAST(n_masked AS DOUBLE) / n_tokens", 6) + " AS mask_rate",
+            mround("CAST(n_masked AS DOUBLE) / n_sentinels", 6)
+            + " AS mean_span_len",
+        )
+    )
+
+
+def _span_corruption_sql() -> str:
+    st = [_sc_start("duck", f"p - {k}") for k in range(_SC_LEN + 1)]
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+  FROM documents),
+pos AS (
+  SELECT doc_id, source, u.p
+  FROM docs, unnest(range(0, n_tok)) AS u(p)
+  WHERE n_tok >= 1),
+flags AS (
+  SELECT source, doc_id,
+         {st[0]} AS s0,
+         greatest({st[0]}, {st[1]}, {st[2]}) AS masked,
+         greatest({st[1]}, {st[2]}, {st[3]}) AS masked_prev
+  FROM pos)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s0) AS BIGINT) AS n_span_starts,
+       CAST(sum(masked) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN masked = 1 AND masked_prev = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sentinels,
+       {mround('CAST(sum(masked) AS DOUBLE) / count(*)', 6)} AS mask_rate,
+       {mround('CAST(sum(masked) AS DOUBLE) / sum(CASE WHEN masked = 1 AND masked_prev = 0 THEN 1 ELSE 0 END)', 6)}
+         AS mean_span_len
+FROM flags
+GROUP BY source
+"""
+
+
+QUERIES["pipeline_span_corruption"] = QuerySpec(
+    pipeline_span_corruption, _span_corruption_sql(), "pipeline"
+)
