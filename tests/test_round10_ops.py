@@ -361,3 +361,101 @@ def test_span_corruption_bruteforce(spark):
     # global non-degeneracy: a T5-ish mask plan
     assert 0.05 < got.mask_rate.mean() < 0.3
     assert (got.mean_span_len >= 3).all()
+
+
+def test_kmv_jaccard_identities(spark):
+    got = _run(spark, "sketch_kmv_jaccard")
+    assert len(got) == 20 * 19 // 2
+    assert (got.k_used <= 64).all() and (got.k_used > 0).all()
+    assert ((got.j_kmv >= 0) & (got.j_kmv <= 1)).all()
+    assert ((got.j_exact >= 0) & (got.j_exact <= 1)).all()
+    # the estimate is calibrated: mean abs error well under the k=64
+    # binomial noise floor ~ 1/sqrt(64) = 0.125
+    assert got.abs_err.mean() < 0.125
+    # brute-force one pair end to end
+    import hashlib
+    import re
+
+    d = _docs()
+    sets: dict[str, set] = {}
+    for _, r in d.iterrows():
+        ts = [t for t in re.split(r"\s+", r.text.strip().lower()) if t]
+        if len(ts) < 3:
+            continue
+        sets.setdefault(r.source, set()).update(
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        )
+    a, b = sorted(sets)[0], sorted(sets)[1]
+    j_exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+    def sk(src):
+        hs = sorted(
+            int(hashlib.md5(f"kmv:{s}".encode()).hexdigest()[:15], 16)
+            for s in sets[src]
+        )
+        return hs[:64]
+    sa, sb = set(sk(a)), set(sk(b))
+    merged = sorted(sa | sb)[:64]
+    j_kmv = sum(1 for h in merged if h in sa and h in sb) / len(merged)
+    row = got[(got.source_a == a) & (got.source_b == b)].iloc[0]
+    assert abs(row.j_exact - j_exact) < 2e-6
+    assert abs(row.j_kmv - j_kmv) < 2e-6
+
+
+def test_exposure_fairness_identities(spark):
+    got = _run(spark, "eval_exposure_fairness")
+    assert len(got) == 20
+    assert abs(got.corpus_share.sum() - 1) < 1e-4
+    assert abs(got.exposure_share.sum() - 1) < 1e-4
+    # disparity is genuinely non-uniform on this corpus (some sources get
+    # buried, some over-exposed) — the audit has signal
+    assert got.disparity_ratio.min() < 0.9 < got.disparity_ratio.max()
+
+
+def test_capture_recapture_identities(spark):
+    got = _run(spark, "eval_capture_recapture_dedup").iloc[0]
+    n1, n2, m = got.n_minhash, got.n_simhash, got.n_both
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(got.n_hat_chapman - nhat) < 1e-4
+    assert got.n_observed == n1 + n2 - m
+    assert got.est_undetected == max(
+        math.floor((nhat - got.n_observed) * 1e6 + 0.5) / 1e6, 0
+    )
+    assert 0 < got.est_coverage <= 1 + 1e-9
+    # consistency with the McNemar entry's cells
+    mc = _run(spark, "eval_mcnemar_dedup").iloc[0]
+    assert got.n_minhash == mc.n_minhash and got.n_simhash == mc.n_simhash
+    assert got.n_both == mc.n_both
+
+
+def test_hist_equalize_bruteforce(spark):
+    from tmapreduce_spark.functions.multimodal import (
+        _r_channel,
+        _synth_container,
+    )
+
+    got = _run(spark, "multimodal_hist_equalize").set_index("doc_id")
+    d = _docs()
+    assert len(got) == len(d)
+    # brute-force a handful of docs across both container formats
+    for _, r in pd.concat([d.head(4), d.tail(3)]).iterrows():
+        img = _synth_container(int(r.doc_id), r.text.encode())
+        w, h, rv = _r_channel(img)
+        n = len(rv)
+        hist: dict[int, int] = {}
+        for v in rv:
+            hist[v] = hist.get(v, 0) + 1
+        acc, cdf = 0, {}
+        for v in sorted(hist):
+            acc += hist[v]
+            cdf[v] = acc
+        cm = min(cdf.values())
+        den = 2 * (n - cm)
+        eq = {v: ((c - cm) * 510 + (n - cm)) // den if den else 0
+              for v, c in cdf.items()}
+        row = got.loc[r.doc_id]
+        assert row.width == w and row.height == h and row.n_pix == n
+        assert row.n_levels_before == len(hist)
+        assert row.n_levels_after == len(set(eq.values()))
+        assert row.eq_sum == sum(eq[v] * hist[v] for v in hist)
+        # equalization really spreads the histogram to the full range
+        assert max(eq.values()) == 255 and min(eq.values()) == 0

@@ -3325,3 +3325,100 @@ FROM agg
 QUERIES["graph_assortativity"] = QuerySpec(
     graph_assortativity, _assortativity_sql(), "dedup"
 )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture duplicate-population estimate — round 10
+# ---------------------------------------------------------------------------
+#
+# The ecology estimator applied to dedup coverage: treat MinHash-LSH and
+# SimHash as two independent "capture" surveys of the SAME duplicate
+# population; the Chapman estimator N_hat = (n1+1)(n2+1)/(m+1) - 1 then
+# estimates how many duplicate documents exist INCLUDING the ones neither
+# detector flagged — the "how much did we miss" number eval_mcnemar_dedup's
+# disagreement test cannot give. Rides the same factored _overlap_tags
+# union (candidates-only, no all-pairs anywhere).
+
+
+def eval_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: both detectors' flag counts, the overlap, the observed
+    union, the Chapman population estimate, the estimated undetected
+    count (clamped at 0 — the estimator can fall below the observed union
+    when overlap is high, which is itself a finding), and estimated
+    coverage = observed / N_hat.
+
+    Determinism: integer cells end-to-end; Chapman and coverage are fixed
+    IEEE expressions over exact int64 operands, grid-rounded 1e-6.
+
+    Scale: identical substrate cost to eval_mcnemar_dedup — banded
+    candidate generation only; the estimator is a 1-row fold."""
+    tags = (
+        _overlap_tags(spark, sf_dir)
+        .filter("m IN ('minhash', 'simhash')")
+        .localCheckpoint()
+    )
+    per_doc = tags.groupBy("doc_id").agg(
+        F.expr("max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END)").alias("f_mh"),
+        F.expr("max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END)").alias("f_sh"),
+    )
+    cells = per_doc.agg(
+        F.expr("count(*) FILTER (WHERE f_mh = 1)").cast("bigint").alias("n_minhash"),
+        F.expr("count(*) FILTER (WHERE f_sh = 1)").cast("bigint").alias("n_simhash"),
+        F.expr("count(*) FILTER (WHERE f_mh = 1 AND f_sh = 1)")
+        .cast("bigint")
+        .alias("n_both"),
+        F.count("*").cast("bigint").alias("n_observed"),
+    )
+    nhat = (
+        "(CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1)"
+    )
+    return cells.selectExpr(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        "n_observed",
+        mround(nhat, 6) + " AS n_hat_chapman",
+        mround(f"greatest(({nhat}) - n_observed, CAST(0 AS DOUBLE))", 6)
+        + " AS est_undetected",
+        mround(f"CAST(n_observed AS DOUBLE) / ({nhat})", 6)
+        + " AS est_coverage",
+    )
+
+
+EVAL_CAPTURE_RECAPTURE_SQL = (
+    """
+WITH mh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_MINHASH_PAIRS_SQL
+    + """) t),
+sh AS (SELECT DISTINCT doc_b AS doc_id FROM ("""
+    + DEDUP_SIMHASH_PAIRS_SQL
+    + f""") t),
+tags AS (
+  SELECT doc_id, 'minhash' AS m FROM mh
+  UNION SELECT doc_id, 'simhash' FROM sh),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f_mh,
+         max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) AS f_sh
+  FROM tags GROUP BY doc_id),
+cells AS (
+  SELECT CAST(count(*) FILTER (WHERE f_mh = 1) AS BIGINT) AS n_minhash,
+         CAST(count(*) FILTER (WHERE f_sh = 1) AS BIGINT) AS n_simhash,
+         CAST(count(*) FILTER (WHERE f_mh = 1 AND f_sh = 1) AS BIGINT)
+           AS n_both,
+         CAST(count(*) AS BIGINT) AS n_observed
+  FROM per_doc)
+SELECT n_minhash, n_simhash, n_both, n_observed,
+       {mround('(CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1)', 6)}
+         AS n_hat_chapman,
+       {mround('greatest((CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1) - n_observed, CAST(0 AS DOUBLE))', 6)}
+         AS est_undetected,
+       {mround('CAST(n_observed AS DOUBLE) / (CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1)', 6)}
+         AS est_coverage
+FROM cells
+"""
+)
+
+QUERIES["eval_capture_recapture_dedup"] = QuerySpec(
+    eval_capture_recapture_dedup, EVAL_CAPTURE_RECAPTURE_SQL, "eval"
+)

@@ -1316,3 +1316,163 @@ GROUP BY doc_id, patch_row, patch_col
 QUERIES["multimodal_patch_features"] = QuerySpec(
     multimodal_patch_features, MULTIMODAL_PATCH_SQL, "multimodal"
 )
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization over the REAL decode — round 10
+# ---------------------------------------------------------------------------
+#
+# The classic contrast-normalization preprocessing step (the missing member
+# of the image family: decode, resize, patch, phash — this one REWRITES
+# pixel values). R-channel histogram -> integer CDF -> the standard map
+# v' = round((cdf(v) - cdf_min) * 255 / (n_pix - cdf_min)), computed in
+# pure integer arithmetic as ((cdf - cdf_min) * 510 + (n - cdf_min)) div
+# (2 * (n - cdf_min)) so both the pandas UDF and the SQL oracle round
+# identically.
+
+EQUALIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_pix bigint,"
+    " r_min bigint, r_max bigint, n_levels_before bigint,"
+    " n_levels_after bigint, eq_sum bigint"
+)
+
+
+def _r_channel(payload: bytes) -> tuple[int, int, list[int]]:
+    """(width, height, R samples in row order) from a BMP or PPM container
+    — the pixel-extraction sibling of decode_image's stats contract."""
+    import struct
+
+    if payload[:2] == b"BM":
+        (_, _fs, _r1, _r2, off) = struct.unpack_from("<2sIHHI", payload, 0)
+        (hsz, w, h, _pl, bpp, comp) = struct.unpack_from("<IiiHHI", payload, 14)
+        if hsz < 40 or bpp != 24 or comp != 0:
+            raise NotImplementedError("unsupported BMP variant")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = range(h - 1, -1, -1) if bottom_up else range(h)
+        out: list[int] = []
+        for row in rows:
+            start = off + row * stride
+            out.extend(payload[start + 2 : start + w * 3 : 3])  # BGR -> R
+        return w, h, out
+    if payload[:2] == b"P6":
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(payload[i:j])
+                i = j
+        w, h = int(toks[0]), int(toks[1])
+        i += 1
+        data = payload[i : i + w * h * 3]
+        return w, h, list(data[0::3])  # RGB -> R
+    raise NotImplementedError("unsupported container")
+
+
+def equalize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDF: real container decode -> R-channel histogram ->
+    exact integer CDF equalization -> per-image stats."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            img = _synth_container(int(doc_id), bytes(p))
+            w, h, r = _r_channel(img)
+            n = len(r)
+            hist: dict[int, int] = {}
+            for v in r:
+                hist[v] = hist.get(v, 0) + 1
+            cdf = {}
+            acc = 0
+            for v in sorted(hist):
+                acc += hist[v]
+                cdf[v] = acc
+            cdf_min = min(cdf.values())
+            den = 2 * (n - cdf_min)
+            eq = {
+                v: (((c - cdf_min) * 510 + (n - cdf_min)) // den if den else 0)
+                for v, c in cdf.items()
+            }
+            rows.append(
+                (
+                    int(doc_id), w, h, n, min(hist), max(hist),
+                    len(hist), len(set(eq.values())),
+                    sum(eq[v] * hist[v] for v in hist),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pix", "r_min", "r_max",
+                "n_levels_before", "n_levels_after", "eq_sum",
+            ],
+        )
+
+
+def multimodal_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per image: dimensions, R-channel level census before/after
+    equalization, and the exact equalized pixel sum — the decode really
+    runs (container headers, BMP row padding, bottom-up order, BGR
+    sampling), and the oracle recomputes everything from the shared
+    synthetic pixel formula, so a parser or CDF bug breaks parity.
+
+    Scale: the standard mapInPandas shape — one Arrow-batched linear pass,
+    per-task memory one image's histogram (<= 256 ints); no shuffle."""
+    return binary_documents(spark, sf_dir).select("doc_id", "payload").mapInPandas(
+        equalize_batch, schema=EQUALIZE_SCHEMA
+    )
+
+
+MULTIMODAL_EQUALIZE_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, hv % 256 AS s, 4 + hv % 13 AS w, 4 + (hv // 13) % 13 AS ht
+  FROM h),
+px AS (
+  SELECT doc_id, w, ht,
+         (s + 7 * (u.i % w) + 13 * (u.i // w)) % 256 AS r
+  FROM p, unnest(range(0, w * ht)) AS u(i)),
+hist AS (
+  SELECT doc_id, w, ht, r, CAST(count(*) AS BIGINT) AS cnt
+  FROM px GROUP BY doc_id, w, ht, r),
+cdf AS (
+  SELECT doc_id, w, ht, r, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY doc_id ORDER BY r) AS BIGINT) AS c,
+         CAST(w * ht AS BIGINT) AS n
+  FROM hist),
+cm AS (
+  SELECT doc_id, CAST(min(c) AS BIGINT) AS cdf_min FROM cdf GROUP BY doc_id),
+eq AS (
+  SELECT f.doc_id, f.w, f.ht, f.n, f.r, f.cnt,
+         CASE WHEN f.n - m.cdf_min = 0 THEN 0
+              ELSE ((f.c - m.cdf_min) * 510 + (f.n - m.cdf_min))
+                   // (2 * (f.n - m.cdf_min)) END AS v2
+  FROM cdf f JOIN cm m USING (doc_id))
+SELECT doc_id,
+       CAST(min(w) AS BIGINT) AS width,
+       CAST(min(ht) AS BIGINT) AS height,
+       CAST(min(n) AS BIGINT) AS n_pix,
+       CAST(min(r) AS BIGINT) AS r_min,
+       CAST(max(r) AS BIGINT) AS r_max,
+       CAST(count(*) AS BIGINT) AS n_levels_before,
+       CAST(count(DISTINCT v2) AS BIGINT) AS n_levels_after,
+       CAST(sum(v2 * cnt) AS BIGINT) AS eq_sum
+FROM eq
+GROUP BY doc_id
+"""
+
+
+QUERIES["multimodal_hist_equalize"] = QuerySpec(
+    multimodal_hist_equalize, MULTIMODAL_EQUALIZE_SQL, "multimodal"
+)

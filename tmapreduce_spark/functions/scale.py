@@ -1849,3 +1849,184 @@ SELECT {", ".join(_bloom_out_exprs())} FROM stats
 QUERIES["sketch_bloom_fpr_audit"] = QuerySpec(
     sketch_bloom_fpr_audit, _bloom_sql(), "sketch"
 )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values Jaccard sketch, measured vs exact — round 10
+# ---------------------------------------------------------------------------
+#
+# The set-similarity member of the sketch calibration family (HLL merge =
+# cardinality, Bloom = membership, count-min = frequency, KMV = SIMILARITY):
+# keep each source's k smallest md5 values over its 3-token shingle set;
+# for a pair, the fraction of the k smallest values of the sketch UNION
+# that appear in BOTH sketches is an unbiased Jaccard estimate (Beyer et
+# al. 2007). The audit reports estimate vs exact per source pair — the
+# calibration read that sizes k before anyone trusts KMV at 100 TB (where
+# the exact join is the thing being avoided).
+
+KMV_K = 64
+
+
+def _kmv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, shingle-hash) pairs — shingles because the
+    fixture's whitespace vocabulary saturates at 31 types (probed; the
+    text_heaps_law_fit lesson) while shingle sets are thousands per
+    source."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(r"size(split(trim(lower(text)), '\\s+')) >= 3")
+        .selectExpr(
+            "source",
+            r"explode(transform(sequence(1, size(split(trim(lower(text)),"
+            r" '\\s+')) - 2), i -> concat_ws(' ',"
+            r" slice(split(trim(lower(text)), '\\s+'), i, 3)))) AS s",
+        )
+        .distinct()
+    )
+    return sh.selectExpr(
+        "source",
+        "s",
+        "CAST(conv(substring(md5(concat('kmv:', s)), 1, 15), 16, 10)"
+        " AS BIGINT) AS h",
+    )
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source pair (a < b): exact shingle-set Jaccard, the KMV-64
+    estimate, and the absolute error. Estimate = among the k smallest
+    hash values of sketch(a) UNION sketch(b), the fraction present in
+    both sketches (k capped by the union-sketch size).
+
+    Determinism: md5-derived integer hashes; sketches are row_number <= k
+    over the (h) total order (md5 collisions on 60 bits are ~impossible at
+    any SF, and a collision would affect both engines identically); the
+    estimate is one exact integer division presented at 1e-6.
+
+    Scale: sketches are k-row tables per source — the pair stage joins
+    2k-row sets, NEVER the shingle tables; only the exact-Jaccard audit
+    column touches the full distinct-shingle table (one self-join on the
+    shingle key — the cost KMV exists to avoid, present here solely as
+    the calibration truth)."""
+    hs = _kmv_shingles(spark, sf_dir).localCheckpoint()
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.select("source", "h")
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(f"rn <= {KMV_K}")
+        .select("source", "h")
+    ).localCheckpoint()
+    # exact Jaccard per pair from the full distinct-shingle table
+    sizes = hs.groupBy("source").agg(F.count("*").cast("bigint").alias("sz"))
+    inter = (
+        hs.selectExpr("source AS sa", "s")
+        .join(hs.selectExpr("source AS sb", "s"), "s")
+        .filter("sa < sb")
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    exact = (
+        inter.join(F.broadcast(sizes.selectExpr("source AS sa", "sz AS za")), "sa")
+        .join(F.broadcast(sizes.selectExpr("source AS sb", "sz AS zb")), "sb")
+        .selectExpr(
+            "sa", "sb", "n_inter",
+            "za + zb - n_inter AS n_union",
+        )
+    )
+    # KMV estimate per pair from the k-row sketches only
+    ska = sk.selectExpr("source AS sa", "h")
+    skb = sk.selectExpr("source AS sb", "h")
+    merged = (
+        ska.crossJoin(skb.select("sb").distinct())
+        .filter("sa < sb")
+        .selectExpr("sa", "sb", "h")
+        .unionAll(
+            skb.crossJoin(ska.select("sa").distinct())
+            .filter("sa < sb")
+            .selectExpr("sa", "sb", "h")
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.count("*").alias("n_sk"))
+        .selectExpr(
+            "sa", "sb", "h",
+            "CASE WHEN n_sk = 2 THEN 1 ELSE 0 END AS in_both",
+        )
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        merged.withColumn("rn", F.row_number().over(wp))
+        .filter(f"rn <= {KMV_K}")
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum("in_both").cast("bigint").alias("n_both"),
+        )
+    )
+    j = "(CAST(n_inter AS DOUBLE) / n_union)"
+    je = "(CAST(n_both AS DOUBLE) / k_used)"
+    return exact.join(est, ["sa", "sb"]).selectExpr(
+        "sa AS source_a",
+        "sb AS source_b",
+        "k_used",
+        mround(j, 6) + " AS j_exact",
+        mround(je, 6) + " AS j_kmv",
+        mround(f"abs(({j}) - ({je}))", 6) + " AS abs_err",
+    )
+
+
+def _kmv_sql() -> str:
+    j = "(CAST(n_inter AS DOUBLE) / n_union)"
+    je = "(CAST(n_both AS DOUBLE) / k_used)"
+    return rf"""
+WITH tl AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+hs AS (
+  SELECT DISTINCT source, s,
+         CAST(('0x' || substring(md5('kmv:' || s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT source, ts[u.i] || ' ' || ts[u.i + 1] || ' ' || ts[u.i + 2] AS s
+        FROM tl, unnest(range(1, len(ts) - 1)) AS u(i)) t),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs) t WHERE rn <= {KMV_K}),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM hs GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM hs a JOIN hs b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source),
+exact AS (
+  SELECT sa, sb, n_inter, za.sz + zb.sz - n_inter AS n_union
+  FROM inter
+  JOIN sizes za ON za.source = inter.sa
+  JOIN sizes zb ON zb.source = inter.sb),
+merged AS (
+  SELECT sa, sb, h, CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS in_both
+  FROM (
+    SELECT a.source AS sa, p.sb, a.h FROM sk a
+    CROSS JOIN (SELECT DISTINCT source AS sb FROM sk) p WHERE a.source < p.sb
+    UNION ALL
+    SELECT p.sa, b.source AS sb, b.h FROM sk b
+    CROSS JOIN (SELECT DISTINCT source AS sa FROM sk) p WHERE p.sa < b.source)
+  GROUP BY sa, sb, h),
+est AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(in_both) AS BIGINT) AS n_both
+  FROM (
+    SELECT sa, sb, h, in_both,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM merged) t
+  WHERE rn <= {KMV_K}
+  GROUP BY sa, sb)
+SELECT sa AS source_a, sb AS source_b, k_used,
+       {mround(j, 6)} AS j_exact,
+       {mround(je, 6)} AS j_kmv,
+       {mround(f"abs(({j}) - ({je}))", 6)} AS abs_err
+FROM exact JOIN est USING (sa, sb)
+"""
+
+
+QUERIES["sketch_kmv_jaccard"] = QuerySpec(
+    sketch_kmv_jaccard, _kmv_sql(), "sketch"
+)

@@ -5944,3 +5944,177 @@ GROUP BY source
 QUERIES["pipeline_span_corruption"] = QuerySpec(
     pipeline_span_corruption, _span_corruption_sql(), "pipeline"
 )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval exposure-fairness audit — round 10
+# ---------------------------------------------------------------------------
+#
+# The fairness consumption of the ranking stack: position exposure (the
+# 1/log2(1+rank) attention model NDCG discounts with) aggregated BY SOURCE
+# over every query's BM25 top-10, compared against each source's share of
+# the corpus — the disparity audit run before a retrieval system ships
+# (sources systematically buried relative to their corpus presence show
+# ratio << 1). Exposure weights are import-time Python literals through
+# string->double parsing, the NDCG/twiddle discipline.
+
+import math as _math
+
+_EXPO_CASE = "CASE rank " + " ".join(
+    f"WHEN {r} THEN CAST({int(_math.floor(1 / _math.log2(1 + r) * 1000000 + 0.5))}"
+    f" AS BIGINT)"
+    for r in range(1, MRR_K + 1)
+) + " END"
+
+
+def eval_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: corpus document share vs share of total BM25-top-10
+    exposure across the query workload, and the disparity ratio. Rides the
+    dieted eval_mrr_dual_ranker substrate (doclen + query-token postings
+    slice, no materialized index).
+
+    Determinism: ranks are row_number over integer-micro BM25 scores with
+    doc_id tie-break; exposure weights are 1e-6-grid integer literals so
+    every sum is exact int64; the two shares and the ratio are fixed IEEE
+    divisions.
+
+    Scale: exposure aggregates over queries x 10 rows; only the corpus
+    share (one groupBy over documents) and the ranking substrate touch
+    the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, tok string",
+    )
+    qtok_list = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    doclen = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    ).localCheckpoint()
+    corpus = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    qpost = (
+        toks.filter(F.col("tok").isin(qtok_list))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    qtok_stats = qpost.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("ctf"),
+    )
+    bm_scored = (
+        qpost.join(F.broadcast(qtok_stats), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            "tok",
+            "CAST(floor(("
+            "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+            " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+            " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+            ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+        )
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    top = (
+        bm_scored.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("bm25_micro").alias("score_micro"))
+        .withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
+        .filter(F.col("rank") <= MRR_K)
+    )
+    expo = (
+        top.join(d.select("doc_id", "source"), "doc_id")
+        .selectExpr("source", f"{_EXPO_CASE} AS e6")
+        .groupBy("source")
+        .agg(F.sum("e6").cast("bigint").alias("e6"))
+    )
+    tot_e = expo.agg(F.sum("e6").cast("bigint").alias("te6"))
+    src_n = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_src"))
+    cshare = "(CAST(n_src AS DOUBLE) / n_docs)"
+    eshare = "(CAST(coalesce(e6, 0) AS DOUBLE) / te6)"
+    return (
+        src_n.crossJoin(F.broadcast(corpus.select("n_docs")))
+        .join(expo, "source", "left")
+        .crossJoin(F.broadcast(tot_e))
+        .selectExpr(
+            "source",
+            "n_src AS n_docs_source",
+            mround(cshare, 6) + " AS corpus_share",
+            mround(eshare, 6) + " AS exposure_share",
+            mround(f"({eshare}) / ({cshare})", 6) + " AS disparity_ratio",
+        )
+    )
+
+
+def _exposure_sql() -> str:
+    cshare = "(CAST(n_src AS DOUBLE) / n_docs)"
+    eshare = "(CAST(coalesce(e6, 0) AS DOUBLE) / te6)"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+qterms AS (SELECT * FROM (VALUES {_bm25_query_values()}) AS v(query_id, tok)),
+doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM doclen),
+qpost AS (
+  SELECT tok, doc_id, count(*) AS tf FROM t2
+  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+  GROUP BY tok, doc_id),
+qtok_stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ctf
+  FROM qpost GROUP BY tok),
+bm_scored AS (
+  SELECT doc_id, tok,
+         CAST(floor((
+           (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+           * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+         ) * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+  FROM qpost
+  JOIN qtok_stats USING (tok)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN corpus),
+top AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, s.doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sum(bm25_micro) DESC, s.doc_id ASC) AS BIGINT) AS rank
+    FROM bm_scored s JOIN qterms USING (tok)
+    GROUP BY query_id, s.doc_id) t WHERE rank <= {MRR_K}),
+expo AS (
+  SELECT d.source, CAST(sum({_EXPO_CASE}) AS BIGINT) AS e6
+  FROM top JOIN documents d USING (doc_id)
+  GROUP BY d.source),
+tot_e AS (SELECT CAST(sum(e6) AS BIGINT) AS te6 FROM expo),
+src_n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents
+  GROUP BY source)
+SELECT source,
+       n_src AS n_docs_source,
+       {mround(cshare, 6)} AS corpus_share,
+       {mround(eshare, 6)} AS exposure_share,
+       {mround(f"({eshare}) / ({cshare})", 6)} AS disparity_ratio
+FROM src_n
+CROSS JOIN corpus
+LEFT JOIN expo USING (source)
+CROSS JOIN tot_e
+"""
+
+
+QUERIES["eval_exposure_fairness"] = QuerySpec(
+    eval_exposure_fairness, _exposure_sql(), "eval"
+)
