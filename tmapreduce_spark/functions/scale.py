@@ -1873,13 +1873,17 @@ def _kmv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_heaps_law_fit lesson) while shingle sets are thousands per
     source."""
     d = load_table(spark, sf_dir, "documents")
+    # the token ARRAY is projected ONCE before the explode: referencing
+    # split() inside the transform lambda re-evaluates it per element —
+    # O(tokens^2) per document, measured as ~4.5s of the entry's cost at
+    # sf0.1 before this projection
     sh = (
-        d.filter(r"size(split(trim(lower(text)), '\\s+')) >= 3")
+        d.selectExpr("source", r"split(trim(lower(text)), '\\s+') AS ts")
+        .filter("size(ts) >= 3")
         .selectExpr(
             "source",
-            r"explode(transform(sequence(1, size(split(trim(lower(text)),"
-            r" '\\s+')) - 2), i -> concat_ws(' ',"
-            r" slice(split(trim(lower(text)), '\\s+'), i, 3)))) AS s",
+            "explode(transform(sequence(1, size(ts) - 2),"
+            " i -> concat_ws(' ', slice(ts, i, 3)))) AS s",
         )
         .distinct()
     )

@@ -5477,16 +5477,24 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size < 3 (the r9 sequence-step pitfall) and slice() rejects start 0;
     # DuckDB's range(1, len-1) is just empty there — the filter makes both
     # engines skip such docs identically.
+    # the token ARRAY is projected ONCE before the explode: referencing
+    # split() inside the transform lambda re-evaluates it per element —
+    # O(tokens^2) per document, measured as ~4.5s of the entry's cost at
+    # sf0.1 before this projection
     sh = (
-        d.filter(r"size(split(trim(lower(text)), '\\s+')) >= 3")
+        d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS ts")
+        .filter("size(ts) >= 3")
         .selectExpr(
             "doc_id",
-            r"explode(transform(sequence(1, size(split(trim(lower(text)),"
-            r" '\\s+')) - 2), i -> concat_ws(' ',"
-            r" slice(split(trim(lower(text)), '\\s+'), i, 3)))) AS s",
+            "explode(transform(sequence(1, size(ts) - 2),"
+            " i -> concat_ws(' ', slice(ts, i, 3)))) AS s",
         )
     )
-    rng = sh.agg(
+    # dlen is computed FIRST and the doc_id range derives from it — the
+    # range over sh directly would be a third full pass over the shingle
+    # stream (dlen and firsts are the two unavoidable ones)
+    dlen = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    rng = dlen.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
     cuts = (
@@ -5495,7 +5503,6 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(rng))
         .selectExpr("k", "lo + ((hi - lo + 1) * k) div 10 - 1 AS cut")
     )
-    dlen = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
     n_p = (
         dlen.crossJoin(F.broadcast(cuts))
