@@ -1033,3 +1033,85 @@ def test_launch_stream_source_matches_engine_results(spark, tmp_path):
     rows2 = sorted(reader.readBetweenOffsets({"seq": 0}, off))
     assert rows1 == rows2
     assert {r[1] for r in rows1} == {"job0", "job1"}
+
+
+def test_streaming_circadian_partials_merge_to_batch_profile(spark):
+    """14th applyInPandasWithState twin: per-type hourly count vectors —
+    additive commutative int64 state — merged through the identical
+    literal unit-vector algebra must reproduce events_circadian_profile's
+    batch rows exactly."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.operators.analytics import _CIRC_VALUES
+    from tmapreduce_spark.streaming.stateful import streaming_circadian_partials
+
+    s = streaming_circadian_partials(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_circ", output_mode="update")
+    # max-merge across update emissions: counts only grow, so the LAST
+    # (largest-total) emission per type is the final state
+    final = {}
+    for r in mem.collect():
+        cur = final.get(r["event_type"])
+        if cur is None or sum(r["hour_counts"]) > sum(cur):
+            final[r["event_type"]] = list(r["hour_counts"])
+    # the literal trig table (exact doubles parsed from repr strings)
+    import re
+
+    trig = {}
+    for m in re.finditer(r"\((\d+), CAST\('([^']+)' AS DOUBLE\),"
+                         r" CAST\('([^']+)' AS DOUBLE\)\)", _CIRC_VALUES):
+        trig[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    batch = (
+        build_catalog()["events_circadian_profile"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(final) == set(batch.index)
+    for t, h in final.items():
+        n = sum(h)
+        c9 = sum(math.floor(cnt * trig[hod][0] * 1e9 + 0.5)
+                 for hod, cnt in enumerate(h))
+        s9 = sum(math.floor(cnt * trig[hod][1] * 1e9 + 0.5)
+                 for hod, cnt in enumerate(h))
+        x, y = c9 / 1e9 / n, s9 / 1e9 / n
+        r = math.sqrt(x * x + y * y)
+        row = batch.loc[t]
+        assert row.n == n
+        assert row.mean_x == math.floor(x * 1e6 + 0.5) / 1e6
+        assert row.mean_y == math.floor(y * 1e6 + 0.5) / 1e6
+        assert row.resultant_r == math.floor(r * 1e6 + 0.5) / 1e6
+
+
+def test_streaming_slo_counts_merge_to_batch_burn(spark):
+    """15th twin: (n, n_err) cells per 6-hour window — additive commutative
+    state — pushed through the identical burn/flag algebra must equal
+    events_slo_burn_rate's batch rows."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.stateful import streaming_slo_window_counts
+
+    s = streaming_slo_window_counts(stream_events(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_slo", output_mode="update")
+    final = {}
+    for r in mem.collect():
+        cur = final.get(r["widx"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["widx"]] = (r["n_events"], r["n_errors"])
+    batch = build_catalog()["events_slo_burn_rate"].fn(spark, SF_SMOKE).toPandas()
+    assert len(batch) == len(final)
+    # reconstruct each window's rendered (day, hour) key for the join
+    import datetime
+
+    for w, (n, e) in final.items():
+        day = datetime.date(1970, 1, 1) + datetime.timedelta(days=(w * 6) // 24)
+        hour = (w * 6) % 24
+        sub = batch[(batch.window_day == day.strftime("%Y-%m-%d"))
+                    & (batch.window_hour == hour)]
+        assert len(sub) == 1
+        row = sub.iloc[0]
+        assert row.n_events == n and row.n_errors == e
+        assert row.burn_rate == math.floor(4 * e / n * 1e6 + 0.5) / 1e6
+        assert row.fast_burn == (1 if 40 * e > 12 * n else 0)

@@ -1105,3 +1105,91 @@ def streaming_conversion_flags(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# 14th twin: streaming circadian hourly-count partials — round 10
+# ---------------------------------------------------------------------------
+#
+# State = the per-event-type 24-slot hour-of-day count vector — ADDITIVE
+# COMMUTATIVE int64 increments (the CUPED/JB equality class: any arrival
+# order converges; exactly-once delivery assumed as for every additive
+# state). Pushing the final counts through the IDENTICAL literal
+# unit-vector algebra reproduces events_circadian_profile's batch row —
+# the always-on daily-rhythm monitor.
+
+CIRC_OUTPUT_SCHEMA = "event_type string, hour_counts array<bigint>"
+CIRC_STATE_SCHEMA = "h array<bigint>"
+
+
+def _update_circ_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    (h,) = state.get if state.exists else ([0] * 24,)
+    h = list(h)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    for hod, cnt in rows["ts"].dt.hour.value_counts().items():
+        h[int(hod)] += int(cnt)
+    state.update((h,))
+    yield pd.DataFrame({"event_type": [event_type], "hour_counts": [h]})
+
+
+def streaming_circadian_partials(events: DataFrame) -> DataFrame:
+    """Streaming hour-of-day count partials per event type; the final
+    per-type vectors merged through the batch literal-trig algebra equal
+    `events_circadian_profile` exactly."""
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _update_circ_state,
+        outputStructType=CIRC_OUTPUT_SCHEMA,
+        stateStructType=CIRC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15th twin: streaming SLO burn-rate window counts — round 10
+# ---------------------------------------------------------------------------
+#
+# State = (n_events, n_errors) per 6-hour window — additive commutative
+# int64, so late or reordered events land in their window regardless of
+# arrival order. The final cells pushed through the identical burn/flag
+# algebra equal events_slo_burn_rate — the streaming form IS how an SRE
+# burn alert actually runs.
+
+SLO_OUTPUT_SCHEMA = "widx bigint, n_events bigint, n_errors bigint"
+SLO_STATE_SCHEMA = "n bigint, e bigint"
+
+
+def _update_slo_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (widx,) = key
+    n, e = state.get if state.exists else (0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n += len(rows)
+    e += int((rows["event_type"] == "error").sum())
+    state.update((n, e))
+    yield pd.DataFrame({"widx": [widx], "n_events": [n], "n_errors": [e]})
+
+
+def streaming_slo_window_counts(events: DataFrame) -> DataFrame:
+    """Streaming (n, n_err) cells per 6-hour epoch window; final cells
+    merged through the batch burn algebra equal `events_slo_burn_rate`."""
+    keyed = events.selectExpr(
+        "unix_micros(ts) div 21600000000 AS widx", "event_type"
+    )
+    return keyed.groupBy("widx").applyInPandasWithState(
+        _update_slo_state,
+        outputStructType=SLO_OUTPUT_SCHEMA,
+        stateStructType=SLO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
