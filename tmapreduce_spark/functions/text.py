@@ -5251,58 +5251,58 @@ def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("ctf"),
     )
-    q_hits = qpost.join(F.broadcast(qterms), "tok")
-
-    # strict-AND qrels: doc matches EVERY term of the query
-    qlen = qterms.groupBy("query_id").agg(F.count("*").alias("qlen"))
-    qrels = (
-        q_hits.groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("n_terms"))
-        .join(F.broadcast(qlen), "query_id")
-        .filter("n_terms = qlen")
-        .select("query_id", "doc_id")
+    # ONE candidate aggregate serves all three consumers (r10 second diet):
+    # BM25's score sum, the strict-AND qrels' term count, and QL's A-term
+    # all group the SAME (query_id, doc_id) candidate rows — formerly three
+    # separate shuffles of the identical row set, now one (materialized:
+    # bm_top, qrels and the QL join all read it).
+    a_term = _g9(
+        f"ln(1 + CAST(tf AS DOUBLE) * sum_dl / (CAST({QL_MU} AS DOUBLE) * ctf))"
     )
-
-    # --- ranker 1: BM25 (identical scoring text to text_bm25_search) ---
-    bm_scored = (
+    cand = (
         qpost.join(F.broadcast(qtok_stats), "tok")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(qterms), "tok")
         .selectExpr(
+            "query_id",
             "doc_id",
-            "tok",
             "CAST(floor(("
             "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
             " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
             " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
             ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
+            f"{a_term} AS a9",
         )
-    )
-    bm_hits = (
-        bm_scored.join(F.broadcast(qterms), "tok")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("bm25_micro").alias("score_micro"))
+        .agg(
+            F.sum("bm25_micro").alias("score_micro"),
+            F.sum("a9").cast("bigint").alias("a9"),
+            F.count("*").alias("n_terms"),
+        )
+        .localCheckpoint()
     )
+
+    # strict-AND qrels: doc matches EVERY term of the query
+    qlen = qterms.groupBy("query_id").agg(F.count("*").alias("qlen"))
+    qrels = (
+        cand.join(F.broadcast(qlen), "query_id")
+        .filter("n_terms = qlen")
+        .select("query_id", "doc_id")
+    )
+
+    # --- ranker 1: BM25 (identical scoring text to text_bm25_search) ---
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
     bm_top = (
-        bm_hits.withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
+        cand.withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
         .filter(F.col("rank") <= MRR_K)
         .selectExpr("'bm25' AS ranker", "query_id", "doc_id", "rank")
     )
 
     # --- ranker 2: Dirichlet QL (identical A+B+C text to the QL entry) ---
-    a_term = _g9(
-        f"ln(1 + CAST(tf AS DOUBLE) * sum_dl / (CAST({QL_MU} AS DOUBLE) * ctf))"
-    )
-    matched = (
-        q_hits.join(F.broadcast(qtok_stats), "tok")
-        .crossJoin(F.broadcast(corpus))
-        .selectExpr("query_id", "doc_id", f"{a_term} AS a9")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("a9").cast("bigint").alias("a9"))
-    )
+    matched = cand.select("query_id", "doc_id", "a9")
     c_term = _g9("ln(CAST(ctf AS DOUBLE) / sum_dl)")
     qconst = (
         qterms.join(qtok_stats, "tok")
