@@ -152,3 +152,35 @@ def test_committed_bench_record_warm_never_exceeds_cold():
         if w > rec["queries"][q]
     }
     assert not bad, bad
+
+
+def test_driver_enumeration_rotation_invariants():
+    """The catalog's driver enumeration order IS the verification-budget
+    policy (r09 verdict #2): never-driver-checked entries first (so new
+    operators get rows before anything else), then covered entries from
+    STALEST green round to freshest (so coverage debt drains oldest-first),
+    with the terminal no-oracle sketches dead last. Pin the three
+    invariants so a refactor can't silently break the rotation."""
+    from tmapreduce_spark.catalog import (
+        _COVERED_ROUND,
+        _NO_ORACLE_TERMINAL,
+        build_catalog,
+    )
+
+    names = list(build_catalog())
+    term = [n for n in names if n in _NO_ORACLE_TERMINAL]
+    assert names[-len(term):] == term, "terminal sketches must come last"
+    body = names[: -len(term)]
+    classes = [0 if n not in _COVERED_ROUND else 1 for n in body]
+    assert classes == sorted(classes), "never-covered must precede covered"
+    covered_rounds = [_COVERED_ROUND[n] for n in body if n in _COVERED_ROUND]
+    assert covered_rounds == sorted(covered_rounds), (
+        "covered entries must enumerate stalest-first"
+    )
+    # the current window: every entry the driver samples next round is
+    # either brand new or came from the two stalest cohorts
+    head = names[:50]
+    stale = [_COVERED_ROUND.get(n) for n in head]
+    assert all(r is None or r <= min(
+        rr for rr in covered_rounds if rr is not None
+    ) + 1 for r in stale)
