@@ -459,3 +459,43 @@ def test_hist_equalize_bruteforce(spark):
         assert row.eq_sum == sum(eq[v] * hist[v] for v in hist)
         # equalization really spreads the histogram to the full range
         assert max(eq.values()) == 255 and min(eq.values()) == 0
+
+
+def test_synthgrid_filter_pushdown(spark):
+    """Spark 4.1 Python DataSource filter pushdown: range predicates on the
+    index column must reach the reader (PushedFilters in the plan), narrow
+    the GENERATION bounds (unit-level), leave unsupported predicates to
+    Spark, and not change any result."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from tmapreduce_spark.plans import physical_plan
+    from tmapreduce_spark.sources.pysource import SynthGridReader, read_synthgrid
+
+    # unit: accepted filters narrow bounds and are consumed; others returned
+    r = SynthGridReader({})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("i",), 100), LessThan(("i",), 200),
+             IsNotNull(("i",)), EqualTo(("label",), "g1")]
+        )
+    )
+    assert r.lo_bound == 100 and r.hi_bound == 200
+    assert {type(f).__name__ for f in leftover} == {"IsNotNull", "EqualTo"}
+    parts = r.partitions()
+    assert parts[0].lo == 100 and parts[-1].hi == 200
+
+    # end-to-end: plan shows PushedFilters; results equal the unpruned scan
+    df = read_synthgrid(spark).filter("i >= 49000 AND i < 49500 AND h % 2 = 0")
+    plan = physical_plan(df)
+    assert "PushedFilters: [GreaterThanOrEqual(i,49000), LessThan(i,49500)]" in plan
+    got = sorted(r.i for r in df.collect())
+    want = sorted(
+        r.i for r in read_synthgrid(spark).collect()
+        if 49000 <= r.i < 49500 and r.h % 2 == 0
+    )
+    assert got == want and len(got) == 250

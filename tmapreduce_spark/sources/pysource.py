@@ -45,14 +45,60 @@ class _RangePartition(InputPartition):
 
 
 class SynthGridReader(DataSourceReader):
+    """Reader with Spark 4.1 FILTER PUSHDOWN on the index column: range
+    predicates on `i` narrow the generation bounds BEFORE partitioning, so
+    a `WHERE i >= x` scan generates (and ships) only the matching index
+    range — the connector-side pruning a real source (database, REST
+    cursor, object-store manifest) would do. Accepted filters are consumed
+    (not returned), so Spark plans `PushedFilters` and skips re-evaluating
+    them; everything else (on `h`, `label`, or non-range shapes) is
+    returned for Spark to apply post-scan — the partial-pushdown contract."""
+
     def __init__(self, options):
         self.num_rows = int(options.get("num_rows", SYNTH_ROWS))
         self.num_parts = int(options.get("num_parts", SYNTH_PARTS))
+        self.lo_bound = 0  # inclusive generation start after pushdown
+        self.hi_bound = self.num_rows  # exclusive end after pushdown
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        range_types = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+        )
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            # only RANGE predicates on `i` are ours; IsNotNull and friends
+            # carry no .value and go back to Spark
+            if col != ("i",) or not isinstance(f, range_types):
+                yield f  # not ours — Spark evaluates it post-scan
+                continue
+            v = f.value
+            if isinstance(f, GreaterThanOrEqual):
+                self.lo_bound = max(self.lo_bound, int(v))
+            elif isinstance(f, GreaterThan):
+                self.lo_bound = max(self.lo_bound, int(v) + 1)
+            elif isinstance(f, LessThan):
+                self.hi_bound = min(self.hi_bound, int(v))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi_bound = min(self.hi_bound, int(v) + 1)
+            elif isinstance(f, EqualTo):
+                self.lo_bound = max(self.lo_bound, int(v))
+                self.hi_bound = min(self.hi_bound, int(v) + 1)
+            # accepted: NOT yielded back, so the scan owns this predicate
 
     def partitions(self):
-        n, p = self.num_rows, self.num_parts
+        lo, hi = self.lo_bound, max(self.lo_bound, self.hi_bound)
+        n, p = hi - lo, self.num_parts
         return [
-            _RangePartition(i * n // p, (i + 1) * n // p) for i in range(p)
+            _RangePartition(lo + i * n // p, lo + (i + 1) * n // p)
+            for i in range(p)
         ]
 
     def read(self, partition: _RangePartition):
@@ -75,7 +121,11 @@ class SynthGridDataSource(DataSource):
 def read_synthgrid(
     spark: SparkSession, num_rows: int = SYNTH_ROWS, num_parts: int = SYNTH_PARTS
 ) -> DataFrame:
-    """Register (idempotent) and read the custom source."""
+    """Register (idempotent) and read the custom source. Python-source
+    filter pushdown is opt-in in Spark 4.1 — enabled here so the reader's
+    pushFilters() range pruning actually executes (without the flag Spark
+    REFUSES to plan a reader that implements the method)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthGridDataSource)
     return (
         spark.read.format("synthgrid")
