@@ -1115,3 +1115,38 @@ def test_streaming_slo_counts_merge_to_batch_burn(spark):
         assert row.n_events == n and row.n_errors == e
         assert row.burn_rate == math.floor(4 * e / n * 1e6 + 0.5) / 1e6
         assert row.fast_burn == (1 if 40 * e > 12 * n else 0)
+
+
+def test_streaming_gtest_cells_merge_to_batch_statistic(spark):
+    """16th twin: per-(priority, status) contingency counts — additive
+    commutative state over the order feed — pushed through the identical
+    grid-rounded likelihood-ratio algebra must reproduce
+    agg_gtest_independence's batch row exactly."""
+    import math
+
+    from tmapreduce_spark.catalog import build_catalog
+    from tmapreduce_spark.streaming.events import stream_orders
+    from tmapreduce_spark.streaming.stateful import streaming_gtest_cells
+
+    s = streaming_gtest_cells(stream_orders(spark, SF_SMOKE))
+    mem = run_stream_to_memory(spark, s, "t_gtest", output_mode="update")
+    cells = {}
+    for r in mem.collect():
+        k = (r["o_orderpriority"], r["o_orderstatus"])
+        cells[k] = max(cells.get(k, 0), r["n"])  # counts only grow
+    n = sum(cells.values())
+    rowm: dict[str, int] = {}
+    colm: dict[str, int] = {}
+    for (p, st), c in cells.items():
+        rowm[p] = rowm.get(p, 0) + c
+        colm[st] = colm.get(st, 0) + c
+    g9 = sum(
+        math.floor(c * math.log(c * n / (rowm[p] * colm[st])) * 1e9 + 0.5)
+        for (p, st), c in cells.items()
+    )
+    g = math.floor(2 * g9 / 1e9 * 1e6 + 0.5) / 1e6
+    batch = build_catalog()["agg_gtest_independence"].fn(spark, SF_SMOKE).toPandas().iloc[0]
+    assert batch.n == n
+    assert batch.n_priorities == len(rowm) and batch.n_statuses == len(colm)
+    assert batch.dof == (len(rowm) - 1) * (len(colm) - 1)
+    assert batch.g_stat == g

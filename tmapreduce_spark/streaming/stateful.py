@@ -1193,3 +1193,46 @@ def streaming_slo_window_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# 16th twin: streaming contingency cells for the G-test — round 10
+# ---------------------------------------------------------------------------
+#
+# State = one int64 count per (priority, status) cell — additive
+# commutative, so the contingency table converges under any arrival order.
+# The final 15 cells pushed through the identical grid-rounded G algebra
+# reproduce agg_gtest_independence — the independence monitor running
+# continuously over the order feed instead of as a batch audit.
+
+GTEST_OUTPUT_SCHEMA = "o_orderpriority string, o_orderstatus string, n bigint"
+GTEST_STATE_SCHEMA = "n bigint"
+
+
+def _update_gtest_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    prio, status = key
+    (n,) = state.get if state.exists else (0,)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n += len(rows)
+    state.update((n,))
+    yield pd.DataFrame(
+        {"o_orderpriority": [prio], "o_orderstatus": [status], "n": [n]}
+    )
+
+
+def streaming_gtest_cells(orders: DataFrame) -> DataFrame:
+    """Streaming contingency cells; final cells merged through the batch
+    G-test algebra equal `agg_gtest_independence` exactly."""
+    return orders.select("o_orderpriority", "o_orderstatus").groupBy(
+        "o_orderpriority", "o_orderstatus"
+    ).applyInPandasWithState(
+        _update_gtest_state,
+        outputStructType=GTEST_OUTPUT_SCHEMA,
+        stateStructType=GTEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
