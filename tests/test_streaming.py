@@ -1150,3 +1150,35 @@ def test_streaming_gtest_cells_merge_to_batch_statistic(spark):
     assert batch.n_priorities == len(rowm) and batch.n_statuses == len(colm)
     assert batch.dof == (len(rowm) - 1) * (len(colm) - 1)
     assert batch.g_stat == g
+
+
+def test_launch_spool_concurrent_appends_never_collide():
+    """The gateway serves /launch on concurrent threads — unsynchronized
+    appends could compute the same sequence and the POSIX rename would
+    silently replace a payload (a lost launch). Hammer the spool from many
+    threads and assert every payload survives under a dense sequence."""
+    import json as _json
+    import os
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tmapreduce_spark.sources.stream_launch import LaunchSpool
+
+    with tempfile.TemporaryDirectory() as d:
+        spool = LaunchSpool(d)
+        n = 64
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            seqs = list(
+                ex.map(
+                    lambda i: spool.append(f"job{i}", "wordcount", [("k", str(i))]),
+                    range(n),
+                )
+            )
+        assert sorted(seqs) == list(range(n))  # dense, no collisions
+        files = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        assert len(files) == n
+        payloads = set()
+        for f in files:
+            with open(os.path.join(d, f)) as fh:
+                payloads.add(_json.load(fh)["name"])
+        assert len(payloads) == n  # nothing was overwritten

@@ -54,10 +54,19 @@ LAUNCH_STREAM_SCHEMA = (
 class LaunchSpool:
     """Writer side of the streaming launch queue: one JSON file per
     accepted payload, written to a temp name and atomically renamed to its
-    dense sequence number."""
+    dense sequence number. Appends are serialized by a lock: the gateway's
+    ThreadingHTTPServer handles requests on concurrent threads, and two
+    unsynchronized appends could compute the same next sequence — POSIX
+    rename would then silently REPLACE the first payload with the second
+    (a lost launch). One process owns a spool by design (the reference's
+    master is likewise the single ingest point, ``master.cc:489-514``);
+    multi-process producers would need per-producer subdirectories."""
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
+        self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
     def _next_seq(self) -> int:
@@ -69,13 +78,14 @@ class LaunchSpool:
         return max(seqs) + 1 if seqs else 0
 
     def append(self, name: str, job_type: str, kvs: list[tuple[str, str]]) -> int:
-        seq = self._next_seq()
-        final = os.path.join(self.path, f"{seq:012d}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "type": job_type, "kvs": kvs}, f)
-        os.rename(tmp, final)
-        return seq
+        with self._lock:
+            seq = self._next_seq()
+            final = os.path.join(self.path, f"{seq:012d}.json")
+            tmp = final + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"name": name, "type": job_type, "kvs": kvs}, f)
+            os.rename(tmp, final)
+            return seq
 
 
 def _read_seq_range(path: str, start: int, end: int) -> list[Tuple]:
