@@ -499,3 +499,29 @@ def test_synthgrid_filter_pushdown(spark):
         if 49000 <= r.i < 49500 and r.h % 2 == 0
     )
     assert got == want and len(got) == 250
+
+
+def test_synthgrid_arrow_path_equals_row_path(spark):
+    """The connector's Arrow fast path (vectorized RecordBatch per split)
+    must be byte-identical to the row-iterator form, compose with filter
+    pushdown, and keep the oracle-paired entry unchanged."""
+    from tmapreduce_spark.sources.pysource import SynthGridDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthGridDataSource)
+
+    def rd(arrow):
+        return (
+            spark.read.format("synthgrid")
+            .option("num_rows", "20000")
+            .option("arrow", "true" if arrow else "false")
+            .load()
+        )
+
+    a = sorted(map(tuple, rd(True).collect()))
+    b = sorted(map(tuple, rd(False).collect()))
+    assert a == b and len(a) == 20000
+    # pushdown composes with the Arrow batches
+    fa = sorted(map(tuple, rd(True).filter("i >= 19990").collect()))
+    fb = sorted(map(tuple, rd(False).filter("i >= 19990").collect()))
+    assert fa == fb and len(fa) == 10
