@@ -3380,7 +3380,7 @@ def eval_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mround(nhat, 6) + " AS n_hat_chapman",
         mround(f"greatest(({nhat}) - n_observed, CAST(0 AS DOUBLE))", 6)
         + " AS est_undetected",
-        mround(f"CAST(n_observed AS DOUBLE) / ({nhat})", 6)
+        mround(f"CAST(n_observed AS DOUBLE) / nullif({nhat}, 0)", 6)
         + " AS est_coverage",
     )
 
@@ -3413,7 +3413,7 @@ SELECT n_minhash, n_simhash, n_both, n_observed,
          AS n_hat_chapman,
        {mround('greatest((CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1) - n_observed, CAST(0 AS DOUBLE))', 6)}
          AS est_undetected,
-       {mround('CAST(n_observed AS DOUBLE) / (CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1)', 6)}
+       {mround('CAST(n_observed AS DOUBLE) / nullif(CAST(n_minhash + 1 AS DOUBLE) * (n_simhash + 1) / (n_both + 1) - 1, 0)', 6)}
          AS est_coverage
 FROM cells
 """

@@ -6468,13 +6468,15 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(run_start) AS BIGINT) AS n_runs,
                floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
                      * 1000000 + 0.5) / 1000000 AS expected_runs,
-               floor((sum(run_start)
+               CASE WHEN sum(s) = 0 OR sum(s) = count(*) OR count(*) < 2
+                    THEN NULL
+               ELSE floor((sum(run_start)
                       - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
                      / sqrt(CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s))
                             * (CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) - count(*))
                             / (CAST(count(*) AS DOUBLE) * count(*)
                                * (count(*) - 1)))
-                     * 1000000 + 0.5) / 1000000 AS z_stat
+                     * 1000000 + 0.5) / 1000000 END AS z_stat
         FROM runs
         """
     )
@@ -6498,12 +6500,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(run_start) AS BIGINT) AS n_runs,
        floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
              * 1000000 + 0.5) / 1000000 AS expected_runs,
-       floor((sum(run_start)
+       CASE WHEN sum(s) = 0 OR sum(s) = count(*) OR count(*) < 2 THEN NULL
+       ELSE floor((sum(run_start)
               - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
              / sqrt(CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s))
                     * (CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) - count(*))
                     / (CAST(count(*) AS DOUBLE) * count(*) * (count(*) - 1)))
-             * 1000000 + 0.5) / 1000000 AS z_stat
+             * 1000000 + 0.5) / 1000000 END AS z_stat
 FROM runs
 """
 
@@ -6547,8 +6550,8 @@ sums AS (
   FROM lagged)
 SELECT n AS n_days,
        floor((CAST(dq_hi AS DOUBLE) * {_DW_LANE} + CAST(dq_lo AS DOUBLE))
-             / ((CAST(sq_hi AS DOUBLE) * {_DW_LANE} + CAST(sq_lo AS DOUBLE))
-                - CAST(s AS DOUBLE) * s / n)
+             / nullif((CAST(sq_hi AS DOUBLE) * {_DW_LANE} + CAST(sq_lo AS DOUBLE))
+                - CAST(s AS DOUBLE) * s / n, 0)
              * 1000000 + 0.5) / 1000000 AS dw_stat,
        floor(CAST(s AS DOUBLE) / n / 100 * 100 + 0.5) / 100
          AS mean_daily_revenue
