@@ -257,6 +257,33 @@ _COVERED_R9: frozenset[str] = frozenset(
     }
 )
 
+# round 10 (CORRECTNESS_r10.json: 50 green, all three checks, 0 err — the 18
+# round-10 additions + 32 stalest-green rotations, draining the r02 backlog)
+_COVERED_R10: frozenset[str] = frozenset(
+    {
+        "agg_durbin_watson", "agg_gtest_independence", "agg_mad_robust",
+        "agg_runs_test", "ann_topk_cosine", "charcount",
+        "dedup_cc_twophase", "dedup_cluster_resolve", "dedup_ngram_jaccard",
+        "dedup_span_exact", "embedding_norms",
+        "eval_capture_recapture_dedup", "eval_exposure_fairness",
+        "events_circadian_profile", "events_haar_energy",
+        "events_slo_burn_rate", "layout_bucketed_groupby", "mr_charcount",
+        "mr_charcount_combined", "mr_wordcount", "multimodal_decode_stats",
+        "multimodal_embed_ann", "multimodal_feature_extract",
+        "multimodal_hist_equalize", "pipeline_chunk_documents",
+        "pipeline_merge_scd", "pipeline_pack_sequences",
+        "pipeline_span_corruption", "q10_returned_items", "q19_disjunctive",
+        "set_intersect", "set_union_all", "set_union_distinct",
+        "similarity_pairs_blocked", "sketch_kmv_jaccard",
+        "subquery_select_scalar", "text_bigram_topk", "text_burrows_delta",
+        "text_cross_perplexity", "text_heaps_law_fit",
+        "text_inverted_index", "udf_mapinarrow", "udf_pandas_grouped_agg",
+        "udf_pandas_scalar", "window_cume_dist", "window_ignore_nulls",
+        "window_range_frame", "window_rank_topn", "window_running_distinct",
+        "wordcount",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
 # output is approximate); each already has its permanent `no_oracle` driver
 # row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
@@ -284,6 +311,7 @@ for _rnd, _names in (
     (7, _COVERED_R7),
     (8, _COVERED_R8),
     (9, _COVERED_R9),
+    (10, _COVERED_R10),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd
