@@ -1,0 +1,138 @@
+"""Round-11 degenerate-input pins + the reworked oracle-backed sketches.
+
+The r10 advice flagged three divisions that would go NaN/Inf on inputs the
+shipped fixtures never produce (zero span starts, an all-flat Haar window,
+a zero-variance runs test). The guards landed with identical text in both
+engines; these tests CONSTRUCT the degenerate inputs as crafted parquet
+fixtures and pin the NULL convention on the Spark side, plus the DuckDB
+oracle on mirrored views — so the convention is load-bearing, not prose.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _write(tmp_path, name: str, df: pd.DataFrame) -> str:
+    df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_runs_test_var0_is_null_not_nan(spark, duck, tmp_path):
+    """Exactly one above-median and one below-median day: 2*n1*n2 = n makes
+    the variance 0 — z_stat must be NULL (both engines), never NaN."""
+    from tmapreduce_spark.operators.analytics import QUERIES
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            "o_orderstatus": ["O", "O", "O"],
+            "o_totalprice": [1.0, 2.0, 3.0],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03"]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    row = QUERIES["agg_runs_test"].fn(spark, sf).collect()[0]
+    assert row["n_above"] == 1 and row["n_below"] == 1
+    assert row["z_stat"] is None, row
+    assert row["expected_runs"] == 2.0
+    duck.execute(
+        f"CREATE OR REPLACE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    drow = duck.execute(QUERIES["agg_runs_test"].oracle).df().iloc[0]
+    assert pd.isna(drow["z_stat"]) and not math.isnan(drow["expected_runs"])
+
+
+def test_haar_energy_flat_window_is_null_not_nan(spark, tmp_path):
+    """A constant hourly series (1 event in each of the 512 window hours):
+    every detail energy is 0, so energy_share is NULL at every level —
+    the 0/0 case the r10 advice flagged."""
+    from tmapreduce_spark.operators.analytics import QUERIES
+
+    ts = pd.date_range("2024-01-01", periods=512, freq="h")
+    events = pd.DataFrame(
+        {
+            "event_id": range(512),
+            "ts": ts,
+            "user_id": [1] * 512,
+            "event_type": ["view"] * 512,
+            "value": [1.0] * 512,
+            "props": ["{}"] * 512,
+        }
+    )
+    sf = _write(tmp_path, "events", events)
+    rows = QUERIES["events_haar_energy"].fn(spark, sf).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r["energy"] == 0
+        assert r["energy_share"] is None, r
+
+
+def test_span_corruption_zero_sentinels_is_null(spark, tmp_path):
+    """A source whose only doc never draws a span start (doc_id=1, single
+    token: md5 coin 10/20 != 0): n_sentinels = 0, mean_span_len NULL.
+    doc_id=10 (coin 0) is the fires-normally companion in a second source."""
+    from tmapreduce_spark.functions.text import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 10],
+            "text": ["solo", "alone"],
+            "lang": ["en", "en"],
+            "source": ["quiet", "noisy"],
+            "n_chars": [4, 5],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    rows = {r["source"]: r for r in QUERIES["pipeline_span_corruption"].fn(spark, sf).collect()}
+    assert rows["quiet"]["n_sentinels"] == 0
+    assert rows["quiet"]["mean_span_len"] is None, rows["quiet"]
+    assert rows["noisy"]["n_sentinels"] == 1
+    assert rows["noisy"]["mean_span_len"] == 1.0
+
+
+def test_kmv_distinct_exact_branch_at_smoke(spark):
+    """sf0.001 has 15 users/type (< k=32): the KMV sketch holds every hash,
+    so the estimate is EXACT and rel_err is 0 on every row."""
+    from tmapreduce_spark.functions.scale import approx_distinct_sketch
+
+    for r in approx_distinct_sketch(spark, SF_SMOKE).collect():
+        assert r["k_used"] == r["exact_users"] <= 32
+        assert r["kmv_users"] == float(r["exact_users"])
+        assert r["rel_err"] == 0.0
+
+
+def test_quantile_sketch_full_sample_at_smoke(spark):
+    """sf0.001 orders (~500/status) fit entirely in the k=1024 sample, so
+    est_value == exact_value on every row (the sample IS the partition)."""
+    from tmapreduce_spark.functions.scale import approx_quantiles_sketch
+
+    for r in approx_quantiles_sketch(spark, SF_SMOKE).collect():
+        assert r["est_value"] == r["exact_value"], r
+        assert r["rel_err"] == 0.0
+
+
+def test_hll_registers_are_md5_derived_and_engine_neutral(duck):
+    """The HLL oracle recomputes the Spark estimate because the registers
+    derive from md5, not an engine sketch: pin one register's value by
+    recomputing rho by hand for a single user hash."""
+    h, idx, w = duck.execute(
+        "SELECT CAST(('0x' || substring(md5('hll:' || CAST(7 AS VARCHAR)), 1, 10)) AS BIGINT) AS h,"
+        " CAST(('0x' || substring(md5('hll:' || CAST(7 AS VARCHAR)), 1, 10)) AS BIGINT) % 256,"
+        " CAST(('0x' || substring(md5('hll:' || CAST(7 AS VARCHAR)), 1, 10)) AS BIGINT) // 256"
+    ).fetchone()
+    assert h == idx + 256 * w
+    rho_sql = duck.execute(
+        f"SELECT CASE WHEN {w} = 0 THEN 33 ELSE 33 - length(bin(CAST({w} AS BIGINT))) END"
+    ).fetchone()[0]
+    rho_py = 33 - w.bit_length() if w else 33
+    assert rho_sql == rho_py

@@ -284,12 +284,14 @@ _COVERED_R10: frozenset[str] = frozenset(
     }
 )
 
-# Terminal rows-only entries: no oracle BY DESIGN (mergeable sketches whose
-# output is approximate); each already has its permanent `no_oracle` driver
-# row (r02/r03/r04). Enumerated dead last so they never consume driver budget.
-_NO_ORACLE_TERMINAL: frozenset[str] = frozenset(
-    {"approx_distinct_sketch", "approx_quantiles_sketch", "sketch_hll_partition_merge"}
-)
+# Terminal rows-only entries: no oracle BY DESIGN. EMPTY since r11 — the three
+# engine-native sketches (approx_distinct / approx_quantiles / hll_partition_
+# merge) that lived here through r10 were reworked onto md5-derived
+# deterministic estimators (the sketch_kmv_jaccard pattern), so DuckDB now
+# recomputes their estimates exactly and they re-enter the normal rotation as
+# never-green entries. Kept as a mechanism: a future genuinely-unverifiable
+# entry goes here and enumerates dead last.
+_NO_ORACLE_TERMINAL: frozenset[str] = frozenset()
 
 # Entries added AFTER the current round's backlog ordering was frozen: they
 # enumerate behind the earlier never-sampled backlog (which is sized/sequenced

@@ -164,45 +164,157 @@ GROUP BY tok
 """
 
 
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch per event type. NO oracle entry:
-    sketch estimates are engine-specific by construction (DuckDB's HLL would
-    disagree); accuracy is asserted in tests against the exact count (rsd 5%).
-    At 100 TB this replaces an exact countDistinct whose shuffle would carry
-    every distinct user id."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-        F.count("*").alias("n_events"),
+# --- deterministic, oracle-recomputable sketch family (reworked r11) -------
+#
+# Until round 10 these three entries used engine-native sketches
+# (approx_count_distinct / approx_percentile / DataSketches HLL) and were the
+# catalog's only permanently `no_oracle` rows. The r10 `sketch_kmv_jaccard`
+# entry proved the fix: build the sketch from md5-derived integers BOTH
+# engines compute bit-identically, so DuckDB recomputes the estimate exactly
+# and the driver gets a full rows+schema+hash row. The estimators below are
+# the textbook algorithms (KMV / bottom-k sampling / HyperLogLog), not
+# engine-native calls — same asymptotics, deterministic output.
+
+KMV_DISTINCT_K = 32   # small enough that sf0.01 (150 users/type) exercises
+                      # the ESTIMATOR branch while sf0.001 (15) hits exact
+HASH60_MAX = 1152921504606846976  # 2**60: md5-prefix hash range
+QSK_K = 1024          # bottom-k sample size for the quantile sketch
+HLL_P = 8             # 2**8 = 256 registers; rho over the remaining 32 bits
+
+
+def _h60(dialect: str, arg: str) -> str:
+    """60-bit integer hash from an md5 prefix — identical in both engines."""
+    if dialect == SPARK:
+        return f"CAST(conv(substring(md5({arg}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substring(md5({arg}), 1, 15)) AS BIGINT)"
+
+
+def _h40(dialect: str, arg: str) -> str:
+    """40-bit variant (8 index bits + 32 rho bits for the HLL registers)."""
+    if dialect == SPARK:
+        return f"CAST(conv(substring(md5({arg}), 1, 10), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substring(md5({arg}), 1, 10)) AS BIGINT)"
+
+
+def _cc(dialect: str, *parts: str) -> str:
+    """String concatenation (Spark concat() / DuckDB ||)."""
+    if dialect == SPARK:
+        return f"concat({', '.join(parts)})"
+    return " || ".join(parts)
+
+
+def _adk_sql(dialect: str, tbl: str) -> str:
+    """KMV (k-minimum-values) distinct-count estimator, shared SQL text.
+
+    Bottom-k of the 60-bit hashes per event_type; with fewer than k distinct
+    values the sketch IS the exact set (estimate = k_used), else the k-th
+    minimum h_k estimates density: E = (k-1) * 2^60 / h_k (Bar-Yossef et al.
+    2002). Every step is integer-exact until one double division."""
+    h = _h60(dialect, _cc(dialect, "'adk:'", "CAST(user_id AS STRING)"))
+    est = (
+        f"CASE WHEN k_used < {KMV_DISTINCT_K} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE CAST({KMV_DISTINCT_K - 1} AS DOUBLE) "
+        f"* CAST({HASH60_MAX} AS BIGINT) / CAST(h_k AS DOUBLE) END"
     )
+    rel = f"abs(({est}) - exact_users) / CAST(nullif(exact_users, 0) AS DOUBLE)"
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM {tbl}),
+hs AS (SELECT event_type, {h} AS h FROM du),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n_distinct
+       FROM hs),
+sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+              max(h) AS h_k, CAST(max(n_distinct) AS BIGINT) AS exact_users
+       FROM rk WHERE rn <= {KMV_DISTINCT_K} GROUP BY event_type),
+ev AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+       FROM {tbl} GROUP BY event_type)
+SELECT event_type, n_events, exact_users, k_used,
+       {mround(est, 6)} AS kmv_users,
+       {mround(rel, 6)} AS rel_err
+FROM sk JOIN ev USING (event_type)
+"""
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event type, vs the exact count.
+
+    Reworked r11 from approx_count_distinct (whose HLL estimate is
+    engine-private, hence permanently `no_oracle`) to a deterministic
+    k-minimum-values sketch over md5-derived 60-bit hashes: DuckDB recomputes
+    the estimate bit-exactly, so the entry is now hash-checked.
+
+    Scale: the sketch is the k=32 smallest hashes per group — a fixed-size,
+    MERGEABLE summary (union-then-bottom-k), exactly the property that lets
+    100 TB distinct-counts ship kilobytes instead of re-shuffling every
+    distinct user id; the exact_users column is the calibration truth the
+    sketch exists to avoid (same audit pattern as sketch_kmv_jaccard)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_adk_events")
+    return spark.sql(_adk_sql(SPARK, "_adk_events"))
+
+
+def _qsk_sql(dialect: str, tbl: str) -> str:
+    """Bottom-k-by-hash sample quantiles vs exact, shared SQL text.
+
+    The 'sketch' is a deterministic uniform sample: the QSK_K rows with the
+    smallest md5 hash of the primary key (hash-order ≡ random order, but
+    replayable — the property rand() sampling lacks). Quantiles are type-1
+    discrete (element at floor((n-1)*q), 1-based), computed IDENTICALLY over
+    the sample (estimate) and the full partition (truth), so both engines
+    pick the same physical row and emit its raw double."""
+    h = _h60(dialect, _cc(dialect, "'qsk:'", "CAST(okey AS STRING)"))
+    if dialect == SPARK:
+        pcts = ("SELECT * FROM VALUES ('p50', CAST(0.5 AS DOUBLE)), "
+                "('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)) AS p(tag, q)")
+    else:
+        pcts = ("SELECT * FROM (VALUES ('p50', CAST(0.5 AS DOUBLE)), "
+                "('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE))) p(tag, q)")
+    return f"""
+WITH base AS (SELECT o_orderstatus AS st, o_totalprice AS v, o_orderkey AS okey
+              FROM {tbl}),
+hs AS (SELECT st, v, okey, {h} AS h FROM base),
+samp AS (SELECT st, v, okey FROM (
+           SELECT st, v, okey,
+                  row_number() OVER (PARTITION BY st ORDER BY h, okey) AS hrn
+           FROM hs) t
+         WHERE hrn <= {QSK_K}),
+sr AS (SELECT st, v,
+              row_number() OVER (PARTITION BY st ORDER BY v, okey) AS rn,
+              count(*) OVER (PARTITION BY st) AS n
+       FROM samp),
+fr AS (SELECT st, v,
+              row_number() OVER (PARTITION BY st ORDER BY v, okey) AS rn,
+              count(*) OVER (PARTITION BY st) AS n
+       FROM base),
+pct AS ({pcts}),
+est AS (SELECT sr.st, pct.tag, sr.v AS est_value, CAST(sr.n AS BIGINT) AS sample_n
+        FROM sr JOIN pct
+          ON sr.rn = CAST(floor((sr.n - 1) * pct.q) AS BIGINT) + 1),
+tru AS (SELECT fr.st, pct.tag, fr.v AS exact_value
+        FROM fr JOIN pct
+          ON fr.rn = CAST(floor((fr.n - 1) * pct.q) AS BIGINT) + 1)
+SELECT est.st AS o_orderstatus, est.tag AS pct, sample_n, est_value, exact_value,
+       {mround('abs(est_value - exact_value) / nullif(exact_value, 0.0)', 6)} AS rel_err
+FROM est JOIN tru ON est.st = tru.st AND est.tag = tru.tag
+"""
 
 
 def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate percentiles of order totals. NO oracle
-    (sketch-specific); tests bound the error against exact percentiles.
+    """Sampled percentiles (p50/p90/p99) of order totals vs exact, per status.
 
-    Output is EXPLODED to scalar rows (o_orderstatus, pct, value) — a
-    list-valued column would crash the correctness driver's canonicalizer
-    (CORRECTNESS_r02's one err row), and scalar rows are the shape a
-    downstream consumer joins on anyway."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.expr(
-                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("pcts")
-        )
-        .select(
-            "o_orderstatus",
-            F.posexplode("pcts").alias("idx", "value"),
-        )
-        .select(
-            "o_orderstatus",
-            F.element_at(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.col("idx") + 1).alias("pct"),
-            "value",
-        )
-    )
+    Reworked r11 from approx_percentile (Greenwald-Khanna internals are
+    engine-private, hence permanently `no_oracle`) to a deterministic
+    bottom-k-by-hash sample + type-1 discrete quantile — DuckDB recomputes
+    the identical sample and picks the identical element, so the entry is
+    now hash-checked. Output stays exploded to scalar rows (the r02
+    canonicalizer lesson).
+
+    Scale: the sample is a fixed-size uniform summary selected by a
+    hash-order row_number per group — one shuffle on the group key, no
+    global sort; the full-partition exact column is the calibration truth.
+    At 100 TB swap QSK_K up and the plan is unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_qsk_orders")
+    return spark.sql(_qsk_sql(SPARK, "_qsk_orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -214,36 +326,88 @@ IVF_K = 8  # centroids; "training" stand-in: the first K vectors ARE the
            # k-means and broadcasts the learned centroids the same way)
 
 
+# alpha_m * m^2 * 2^33 for m=256 (Flajolet et al. 2007): one Python-side
+# IEEE constant, emitted as a string-parsed double so DuckDB's decimal-literal
+# parser can't widen it (the r09 decimal-literal trap).
+_HLL_A = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0)
+
+
+def _hll_sql(dialect: str, tbl: str) -> str:
+    """Textbook HyperLogLog over md5-derived 40-bit hashes, shared SQL text.
+
+    Register index = low 8 bits; rho = leading-zero count of the remaining
+    32 bits + 1 = 33 - bit_length(w) (both engines' bin() is minimal-width,
+    so length(bin(w)) IS bit_length for w > 0). Registers build per
+    (event_type, day) and merge UPWARD by max() — the mergeability property
+    this entry exists to demonstrate. The harmonic denominator is an EXACT
+    BIGINT (sum of 2^(33-M) over 256 registers, absent registers contribute
+    2^33), so the only float steps are one division and the small-range
+    ln() branch (the parity.py transcendental exception: identical exact
+    rational argument on both sides)."""
+    h = _h40(dialect, _cc(dialect, "'hll:'", "CAST(user_id AS STRING)"))
+    idiv = "div" if dialect == SPARK else "//"
+    shift = (
+        "shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"
+        if dialect == SPARK
+        else "(CAST(1 AS BIGINT) << (33 - m))"
+    )
+    raw = f"CAST('{_HLL_A}' AS DOUBLE) / CAST(harmonic_num AS DOUBLE)"
+    est = (
+        f"CASE WHEN ({raw}) <= 640.0 AND v_zero > 0 "
+        f"THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) "
+        f"ELSE ({raw}) END"
+    )
+    rel = f"abs(({est}) - exact_users) / CAST(nullif(exact_users, 0) AS DOUBLE)"
+    return f"""
+WITH pts AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+             FROM {tbl}),
+hx AS (SELECT event_type, day, {h} AS h FROM pts),
+rr AS (SELECT event_type, day, h % 256 AS idx, h {idiv} 256 AS w FROM hx),
+rho AS (SELECT event_type, day, idx,
+               CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho
+        FROM rr),
+daily AS (SELECT event_type, day, idx, max(rho) AS m_day
+          FROM rho GROUP BY event_type, day, idx),
+merged AS (SELECT event_type, idx, max(m_day) AS m
+           FROM daily GROUP BY event_type, idx),
+regs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+                CAST(sum({shift}) AS BIGINT) AS present_num
+         FROM merged GROUP BY event_type),
+meta AS (SELECT event_type,
+                CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM {tbl} GROUP BY event_type),
+fin AS (SELECT event_type, n_days, n_events, exact_users,
+               256 - n_present AS v_zero,
+               present_num + (256 - n_present) * CAST(8589934592 AS BIGINT)
+                 AS harmonic_num
+        FROM regs JOIN meta USING (event_type))
+SELECT event_type, n_days, n_events, exact_users, v_zero, harmonic_num,
+       {mround(est, 6)} AS hll_users,
+       {mround(rel, 6)} AS rel_err
+FROM fin
+"""
+
+
 def sketch_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the property that makes 100 TB distinct
-    cubes feasible: per-(event_type, day) DataSketches HLL sketches of
-    user_id built in one pass, then merged UPWARD with hll_union_agg to
-    per-type totals without ever revisiting raw rows. Materialize the daily
-    sketch table once and any coarser grain (weekly, all-time, cross-type)
-    is a cheap union of kilobyte sketches; an exact countDistinct re-shuffles
-    every distinct user for every new grain.
+    cubes feasible: per-(event_type, day) HLL registers built in one pass,
+    then merged UPWARD by per-register max to per-type totals without
+    revisiting raw rows. Materialize the daily register table once and any
+    coarser grain (weekly, all-time, cross-type) is a cheap max-merge of
+    256-cell summaries; an exact countDistinct re-shuffles every distinct
+    user for every new grain.
 
-    NO oracle (estimates are engine/sketch-specific by construction, like
-    ``approx_distinct_sketch``) — rows-only driver check; the accuracy and
-    the merge-consistency property (union of daily sketches ≈ one direct
-    sketch) are asserted in ``tests/test_scale_ops.py``."""
+    Reworked r11 from DataSketches hll_sketch_agg (whose binary sketch and
+    estimator are engine-private, hence permanently `no_oracle`) to a
+    textbook HLL over md5-derived registers both engines compute
+    bit-identically — the estimate, the exact harmonic numerator, and the
+    zero-register count are all now hash-checked against DuckDB. Merge
+    losslessness (max is associative) plus estimate accuracy stay pinned in
+    ``tests/test_scale_ops.py``."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_hll_events")
-    return spark.sql(
-        """
-        WITH daily AS (
-          SELECT event_type, CAST(ts AS DATE) AS day,
-                 hll_sketch_agg(user_id, 12) AS sk,
-                 count(*) AS n_events
-          FROM _hll_events
-          GROUP BY event_type, CAST(ts AS DATE))
-        SELECT event_type,
-               count(*) AS n_days,
-               CAST(sum(n_events) AS BIGINT) AS n_events,
-               hll_sketch_estimate(hll_union_agg(sk, false)) AS approx_users
-        FROM daily
-        GROUP BY event_type
-        """
-    )
+    return spark.sql(_hll_sql(SPARK, "_hll_events"))
 
 
 def _ivf_centroid_model(e: DataFrame):
@@ -1033,9 +1197,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_pq_topk": QuerySpec(ann_pq_topk, _pq_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
-    "approx_distinct_sketch": QuerySpec(approx_distinct_sketch, None, "sketch"),
-    "sketch_hll_partition_merge": QuerySpec(sketch_hll_partition_merge, None, "sketch"),
-    "approx_quantiles_sketch": QuerySpec(approx_quantiles_sketch, None, "sketch"),
+    "approx_distinct_sketch": QuerySpec(
+        approx_distinct_sketch, _adk_sql(DUCK, "events"), "sketch"
+    ),
+    "sketch_hll_partition_merge": QuerySpec(
+        sketch_hll_partition_merge, _hll_sql(DUCK, "events"), "sketch"
+    ),
+    "approx_quantiles_sketch": QuerySpec(
+        approx_quantiles_sketch, _qsk_sql(DUCK, "orders"), "sketch"
+    ),
 }
 
 

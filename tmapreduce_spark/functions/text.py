@@ -5910,7 +5910,9 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_tokens", "n_span_starts", "n_masked",
             "n_sentinels",
             mround("CAST(n_masked AS DOUBLE) / n_tokens", 6) + " AS mask_rate",
-            mround("CAST(n_masked AS DOUBLE) / n_sentinels", 6)
+            # nullif: a source with zero span starts (degenerate tiny
+            # corpus) yields NULL identically in both engines (r10 advice)
+            mround("CAST(n_masked AS DOUBLE) / nullif(n_sentinels, 0)", 6)
             + " AS mean_span_len",
         )
     )
@@ -5941,7 +5943,7 @@ SELECT source,
        CAST(sum(CASE WHEN masked = 1 AND masked_prev = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sentinels,
        {mround('CAST(sum(masked) AS DOUBLE) / count(*)', 6)} AS mask_rate,
-       {mround('CAST(sum(masked) AS DOUBLE) / sum(CASE WHEN masked = 1 AND masked_prev = 0 THEN 1 ELSE 0 END)', 6)}
+       {mround('CAST(sum(masked) AS DOUBLE) / nullif(sum(CASE WHEN masked = 1 AND masked_prev = 0 THEN 1 ELSE 0 END), 0)', 6)}
          AS mean_span_len
 FROM flags
 GROUP BY source

@@ -29,6 +29,7 @@ for observable parity — production Spark jobs use the Python API or
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -138,11 +139,22 @@ class Gateway:
                     # the master's admission rejection, proxied as ok=false
                     return self._reply(500, {"ok": False, "message": str(exc)})
                 if gateway.spool is not None:
-                    gateway.spool.append(
-                        doc["name"],
-                        doc["type"],
-                        [(kv["key"], kv["value"]) for kv in doc["kvs"]],
-                    )
+                    # The job is already launched: a spool failure (disk
+                    # full, unwritable dir) must NOT surface as a 500 — the
+                    # client would retry and duplicate the job. The spool is
+                    # a best-effort streaming mirror, so log and reply ok
+                    # (r10 advice).
+                    try:
+                        gateway.spool.append(
+                            doc["name"],
+                            doc["type"],
+                            [(kv["key"], kv["value"]) for kv in doc["kvs"]],
+                        )
+                    except OSError as exc:
+                        logging.getLogger(__name__).warning(
+                            "spool append failed for launched job %s: %s",
+                            job_id, exc,
+                        )
                 return self._reply(
                     200, {"ok": True, "message": "", "job_id": job_id}
                 )

@@ -6469,6 +6469,9 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
                      * 1000000 + 0.5) / 1000000 AS expected_runs,
                CASE WHEN sum(s) = 0 OR sum(s) = count(*) OR count(*) < 2
+                      -- var=0 also when 2*n1*n2 = n (e.g. exactly one
+                      -- above- and one below-median day): NULL, not NaN
+                      OR 2 * sum(s) * (count(*) - sum(s)) <= count(*)
                     THEN NULL
                ELSE floor((sum(run_start)
                       - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
@@ -6500,7 +6503,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(run_start) AS BIGINT) AS n_runs,
        floor((1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*))
              * 1000000 + 0.5) / 1000000 AS expected_runs,
-       CASE WHEN sum(s) = 0 OR sum(s) = count(*) OR count(*) < 2 THEN NULL
+       CASE WHEN sum(s) = 0 OR sum(s) = count(*) OR count(*) < 2
+              -- var=0 also when 2*n1*n2 = n: NULL, not NaN (r10 advice)
+              OR 2 * sum(s) * (count(*) - sum(s)) <= count(*) THEN NULL
        ELSE floor((sum(run_start)
               - (1 + CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s)) / count(*)))
              / sqrt(CAST(2 AS DOUBLE) * sum(s) * (count(*) - sum(s))
@@ -6737,7 +6742,10 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftleft(CAST(1 AS BIGINT), CAST(level AS INT)) AS block_hours",
             "n_blocks",
             "energy",
-            mround("CAST(energy AS DOUBLE) / tot", 6) + " AS energy_share",
+            # nullif: an all-flat 512-hour window (zero detail energy at
+            # every level) yields NULL, not 0/0 NaN (r10 advice)
+            mround("CAST(energy AS DOUBLE) / nullif(tot, 0)", 6)
+            + " AS energy_share",
         )
         .orderBy("level")
     )
@@ -6771,7 +6779,7 @@ per_level AS (
 SELECT level,
        (CAST(1 AS BIGINT) << CAST(level AS INT)) AS block_hours,
        n_blocks, energy,
-       {mround('CAST(energy AS DOUBLE) / sum(energy) OVER ()', 6)} AS energy_share
+       {mround('CAST(energy AS DOUBLE) / nullif(sum(energy) OVER (), 0)', 6)} AS energy_share
 FROM per_level
 ORDER BY level
 """

@@ -144,8 +144,24 @@ def read_synthgrid(
     """Register (idempotent) and read the custom source. Python-source
     filter pushdown is opt-in in Spark 4.1 — enabled here so the reader's
     pushFilters() range pruning actually executes (without the flag Spark
-    REFUSES to plan a reader that implements the method)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    REFUSES to plan a reader that implements the method).
+
+    The flag is SESSION-WIDE and must stay set past this call: Spark
+    consults it when the consuming query is PLANNED (at action time, after
+    this function returns), so a save/restore scope here would silently
+    undo the pushdown. The opt-in is therefore explicit: a no-op when
+    already enabled, logged once when this call flips it, so other Python
+    data sources in the session can't have their planning changed without a
+    trace (r10 advice)."""
+    flag = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(flag, "false").lower() != "true":
+        import logging
+
+        logging.getLogger(__name__).info(
+            "enabling %s session-wide: required at plan time for the "
+            "synthgrid reader's pushFilters() (Spark 4.1 opt-in)", flag
+        )
+        spark.conf.set(flag, "true")
     spark.dataSource.register(SynthGridDataSource)
     return (
         spark.read.format("synthgrid")
