@@ -5200,139 +5200,162 @@ def eval_mrr_dual_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal ranks are integer micro via truncating division, so the MRR
     fold is pure int64.
 
-    Scale (r09 verdict #3 diet): the full inverted index is NEVER
-    materialized — the old plan checkpointed the whole postings table and
-    ran two corpus-wide windows (partitionBy tok, partitionBy doc_id) over
-    it; at 100 TB that writes a corpus-sized index to executor storage
-    before either ranker starts. Both rankers actually need only two SMALL
-    substrates, each one map-side pass over the tokenize: the per-doc
-    length table (doclen — BM25's dl, QL's b_term over every doc, and the
-    corpus n_docs/sum_dl fold; n_c IS sum_dl, so the former separate cstats
-    pass is gone) and the query-token postings slice (qpost — the <=13
-    token literals are an in-plan isin() filter pushed below the
-    aggregation, so its groupBy shuffles only matching tokens). qpost
-    feeds BM25 scoring, QL's A-term, the qrels, and the 13-row df/ctf
-    stats in one aggregate; neither ranker touches a corpus-wide
-    intermediate. Each ranker's top-k is per-query row_number — no global
-    sort, no dense score matrix."""
+    Scale (r09 verdict #3 diet; r11 column-lane diet): the full inverted
+    index is NEVER materialized, and since r11 neither is a per-(query,
+    doc, token) candidate table — the whole workload is 5 queries over 12
+    distinct tokens (a compile-time constant), so the corpus collapses in
+    ONE pass to one row per document carrying dl plus a tf LANE per query
+    token (12 conditional sums), the corpus/df/ctf statistics fold to a
+    single broadcast row, and every per-(query, doc) quantity — the BM25
+    micro sum, QL's A-term, the strict-AND term count, the B+C constants —
+    becomes a map-side column expression over those lanes. The r10 plan's
+    three checkpoint jobs (doclen, qpost, cand), the qpost-doclen shuffle
+    join, and the QL left join all disappear; what remains is one
+    (doc_id) aggregation shuffle, one broadcast stats attach, one explode
+    to (doc, query) rows, and the two per-query top-10 windows — the
+    irreducible sorts. At 100 TB: one tokenize pass, one keyed shuffle,
+    windows bounded per query by WindowGroupLimit; the lane count grows
+    with the QUERY workload, not the data."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    qterms = spark.createDataFrame(
-        [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
-        "query_id string, tok string",
-    )
     qtok_list = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    # shared substrate 1: per-doc length, reused by BOTH rankers + corpus
-    # fold (dl = sum of term frequencies = the doc's token count, so it
-    # aggregates straight off the tokenize — no postings table needed)
-    doclen = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("dl"))
+    n_q = len(BM25_QUERIES)  # 5, workload constant
+    # ONE corpus pass, no keyed shuffle: the tf lanes are codegen'd array
+    # counts over the once-projected token array (size(ts) minus the array
+    # with that token removed — array_remove beats a lambda filter() by
+    # ~1.5x here, measured: higher-order functions evaluate interpreted) —
+    # never explode + groupBy, which shuffles every token. spread() fans the
+    # single-row-group local parquet across the cluster first (one compact
+    # pre-amplification exchange, a no-op at production split counts). The
+    # dl >= 1 filter replicates the postings-era semantics exactly: a doc
+    # with no tokens never had a doclen row, so it never entered either
+    # ranking.
+    lanes = (
+        spread(d.select("doc_id", "text"), spark)
+        .selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS ts")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(array_remove(ts, '')) AS BIGINT) AS dl",
+            *[
+                f"CAST(size(ts) - size(array_remove(ts, '{t}')) AS BIGINT)"
+                f" AS tf_{i}"
+                for i, t in enumerate(qtok_list)
+            ],
+        )
+        .filter("dl >= 1")
         .localCheckpoint()
     )
-    # corpus stats from doclen (n_c == sum_dl exactly; one tiny agg, broadcast)
-    corpus = doclen.agg(
+    # corpus + per-token df/ctf statistics: ONE tiny fold to a 1-row
+    # broadcast (n_c == sum_dl exactly, as before)
+    stats = lanes.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            c
+            for i in range(len(qtok_list))
+            for c in (
+                F.sum(F.expr(f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias(f"df_{i}"),
+                F.sum(f"tf_{i}").cast("bigint").alias(f"ctf_{i}"),
+            )
+        ],
     )
-    # shared substrate 2: postings rows for the <=13 distinct query tokens
-    qpost = (
-        toks.filter(F.col("tok").isin(qtok_list))
-        .groupBy("tok", "doc_id")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
-    # per-token df + ctf in ONE aggregate over the tiny slice ((tok, doc_id)
-    # unique in postings, so count(*) IS the document frequency)
-    qtok_stats = qpost.groupBy("tok").agg(
-        F.count("*").cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("ctf"),
-    )
-    # ONE candidate aggregate serves all three consumers (r10 second diet):
-    # BM25's score sum, the strict-AND qrels' term count, and QL's A-term
-    # all group the SAME (query_id, doc_id) candidate rows — formerly three
-    # separate shuffles of the identical row set, now one (materialized:
-    # bm_top, qrels and the QL join all read it).
-    a_term = _g9(
-        f"ln(1 + CAST(tf AS DOUBLE) * sum_dl / (CAST({QL_MU} AS DOUBLE) * ctf))"
-    )
-    cand = (
-        qpost.join(F.broadcast(qtok_stats), "tok")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .join(F.broadcast(qterms), "tok")
-        .selectExpr(
-            "query_id",
-            "doc_id",
+    # per-LANE scores first (each heavy expression appears ONCE; the
+    # per-query structs below are plain sums of these columns — keeps the
+    # Catalyst tree small, which is where a naive inline version spent
+    # ~0.5s/run of pure driver analysis time, measured)
+    def _bm25_micro(i: int) -> str:
+        # identical scoring text to text_bm25_search, tf/df -> lane i
+        return (
             "CAST(floor(("
-            "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
-            " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
-            " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
-            ") * 1000000 + 0.5) AS BIGINT) AS bm25_micro",
-            f"{a_term} AS a9",
+            f"(CAST(n_docs - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" * (CAST(tf_{i} AS DOUBLE) * 2.2) / (CAST(tf_{i} AS DOUBLE)"
+            f" + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl))"
+            ") * 1000000 + 0.5) AS BIGINT)"
         )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("bm25_micro").alias("score_micro"),
-            F.sum("a9").cast("bigint").alias("a9"),
-            F.count("*").alias("n_terms"),
+
+    def _a9(i: int) -> str:
+        return _g9(
+            f"ln(1 + CAST(tf_{i} AS DOUBLE) * sum_dl"
+            f" / (CAST({QL_MU} AS DOUBLE) * ctf_{i}))"
         )
-        .localCheckpoint()
+
+    def _c9(i: int) -> str:
+        return _g9(f"ln(CAST(ctf_{i} AS DOUBLE) / sum_dl)")
+
+    b9 = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
+    nl = range(len(qtok_list))
+    scored = lanes.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        f"({b9}) AS b9",
+        *[
+            f"(CASE WHEN tf_{i} > 0 THEN {_bm25_micro(i)}"
+            f" ELSE CAST(0 AS BIGINT) END) AS bm_{i}"
+            for i in nl
+        ],
+        *[
+            f"(CASE WHEN tf_{i} > 0 THEN {_a9(i)}"
+            f" ELSE CAST(0 AS BIGINT) END) AS a9_{i}"
+            for i in nl
+        ],
+        # QL's B+C constants use only tokens with at least one posting
+        # (the r9 plan's inner join qterms><qtok_stats dropped the rest)
+        *[
+            f"(CASE WHEN df_{i} > 0 THEN {_c9(i)}"
+            f" ELSE CAST(0 AS BIGINT) END) AS c9_{i}"
+            for i in nl
+        ],
+        *[f"(CASE WHEN df_{i} > 0 THEN 1 ELSE 0 END) AS has_{i}" for i in nl],
+        *[f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS m_{i}" for i in nl],
+    )
+    structs = []
+    for q in sorted(BM25_QUERIES):
+        idxs = [qtok_list.index(t) for t in BM25_QUERIES[q]]
+        score_micro = " + ".join(f"bm_{i}" for i in idxs)
+        a9 = " + ".join(f"a9_{i}" for i in idxs)
+        n_terms = " + ".join(f"m_{i}" for i in idxs)
+        c9 = " + ".join(f"c9_{i}" for i in idxs)
+        qlen_bc = " + ".join(f"has_{i}" for i in idxs)
+        structs.append(
+            f"named_struct('query_id', '{q}',"
+            f" 'score_micro', CAST({score_micro} AS BIGINT),"
+            f" 'n_terms', CAST({n_terms} AS BIGINT),"
+            f" 'is_rel', CAST({n_terms} AS BIGINT) = {len(BM25_QUERIES[q])},"
+            f" 'score9', CAST({a9} AS BIGINT)"
+            f" + CAST({qlen_bc} AS BIGINT) * b9 + CAST({c9} AS BIGINT))"
+        )
+    per_query = scored.selectExpr(
+        "doc_id", f"explode(array({', '.join(structs)})) AS q"
+    ).selectExpr(
+        "q.query_id AS query_id", "doc_id", "q.score_micro AS score_micro",
+        "q.n_terms AS n_terms", "q.is_rel AS is_rel", "q.score9 AS score9",
     )
 
-    # strict-AND qrels: doc matches EVERY term of the query
-    qlen = qterms.groupBy("query_id").agg(F.count("*").alias("qlen"))
-    qrels = (
-        cand.join(F.broadcast(qlen), "query_id")
-        .filter("n_terms = qlen")
-        .select("query_id", "doc_id")
-    )
-
-    # --- ranker 1: BM25 (identical scoring text to text_bm25_search) ---
+    # --- ranker 1: BM25 over matched docs only (as the r9 candidate table)
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
     bm_top = (
-        cand.withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
+        per_query.filter("n_terms > 0")
+        .withColumn("rank", F.row_number().over(w_bm).cast("bigint"))
         .filter(F.col("rank") <= MRR_K)
-        .selectExpr("'bm25' AS ranker", "query_id", "doc_id", "rank")
+        .selectExpr("'bm25' AS ranker", "query_id", "doc_id", "rank", "is_rel")
     )
-
-    # --- ranker 2: Dirichlet QL (identical A+B+C text to the QL entry) ---
-    matched = cand.select("query_id", "doc_id", "a9")
-    c_term = _g9("ln(CAST(ctf AS DOUBLE) / sum_dl)")
-    qconst = (
-        qterms.join(qtok_stats, "tok")
-        .crossJoin(F.broadcast(corpus))
-        .selectExpr("query_id", f"{c_term} AS c9")
-        .groupBy("query_id")
-        .agg(
-            F.sum("c9").cast("bigint").alias("c9"),
-            F.count("*").cast("bigint").alias("qlen"),
-        )
-    )
-    b_term = _g9(f"ln(CAST({QL_MU} AS DOUBLE) / (dl + {QL_MU}))")
-    ql_full = (
-        doclen.crossJoin(F.broadcast(qconst))
-        .selectExpr("query_id", "doc_id", f"qlen * {b_term} + c9 AS bc9")
-        .join(matched, ["query_id", "doc_id"], "left")
-        .selectExpr("query_id", "doc_id", "coalesce(a9, 0) + bc9 AS score9")
-    )
+    # --- ranker 2: Dirichlet QL over EVERY doc (B+C scores unmatched docs)
     w_ql = Window.partitionBy("query_id").orderBy(F.desc("score9"), F.asc("doc_id"))
     ql_top = (
-        ql_full.withColumn("rank", F.row_number().over(w_ql).cast("bigint"))
+        per_query.withColumn("rank", F.row_number().over(w_ql).cast("bigint"))
         .filter(F.col("rank") <= MRR_K)
-        .selectExpr("'ql_dirichlet' AS ranker", "query_id", "doc_id", "rank")
+        .selectExpr(
+            "'ql_dirichlet' AS ranker", "query_id", "doc_id", "rank", "is_rel"
+        )
     )
 
     # --- fold: first relevant rank per (ranker, query) -> integer-micro MRR
-    n_q = qterms.select("query_id").distinct().count()  # 5, workload constant
+    # (is_rel IS the strict-AND qrels membership — no join needed)
     first_rel = (
         bm_top.unionAll(ql_top)
-        .join(qrels, ["query_id", "doc_id"])
+        .filter("is_rel")
         .groupBy("ranker", "query_id")
         .agg(F.min("rank").alias("first_rank"))
     )
