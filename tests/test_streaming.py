@@ -1182,3 +1182,411 @@ def test_launch_spool_concurrent_appends_never_collide():
             with open(os.path.join(d, f)) as fh:
                 payloads.add(_json.load(fh)["name"])
         assert len(payloads) == n  # nothing was overwritten
+
+
+# ---------------------------------------------------------------------------
+# Replay-class table (r10 verdict #4): every applyInPandasWithState updater
+# is assigned an arrival-order equality class, and each class carries a
+# replay test. The table is asserted COMPLETE against the module, so a new
+# twin cannot land without declaring its class.
+#
+#   ADDITIVE   — commutative int64/count accumulation: the final state is
+#                identical under ANY arrival order (exactly-once assumed).
+#   IDEMPOTENT — max-flag state: duplicates AND reordering are harmless
+#                (at-least-once safe), the strongest class.
+#   GUARANTEE  — the summary itself is order-dependent, but an invariant
+#                (Misra-Gries superset) holds under any order.
+#   ORDERED    — in-batch event-time sort + an explicit cross-batch
+#                late-arrival policy:
+#                  fold    = late rows fold at arrival position
+#                  discard = rows behind the emitted cursor are dropped
+#   BOUNDED    — additive within the retained calendar window; lateness
+#                beyond the window re-opens partial buckets (state stays
+#                calendar-bounded).
+# ---------------------------------------------------------------------------
+
+import pandas as _rc_pd
+
+
+class _RCState:
+    """Minimal GroupState stub (the scd2 duplicate-redelivery pattern)."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def _rc_feed(update_fn, key, columns, state, rows):
+    pdf = _rc_pd.DataFrame(rows, columns=columns)
+    out = list(update_fn(key, iter([pdf]), state))
+    return out[0] if out else None
+
+
+def _rc_run(update_fn, key, columns, batches):
+    st = _RCState()
+    last = None
+    for rows in batches:
+        if rows:
+            last = _rc_feed(update_fn, key, columns, st, rows)
+    return st._v, last
+
+
+def _rc_run_all(update_fn, key, columns, batches):
+    st = _RCState()
+    emitted = []
+    for rows in batches:
+        if rows:
+            out = _rc_feed(update_fn, key, columns, st, rows)
+            if out is not None and len(out):
+                emitted.append(out)
+    return st._v, _rc_pd.concat(emitted, ignore_index=True) if emitted else None
+
+
+_TS0 = 1_700_000_000_000_000  # µs epoch base for crafted rows
+
+REPLAY_CLASS_TABLE = {
+    # updater name -> (class, key, columns, in-order rows)
+    "_update_user_state": ("ADDITIVE", (1,), ["value"],
+                           [(1.0,), (2.5,), (4.0,), (0.5,)]),
+    "_update_cuped_state": ("ADDITIVE", (2,), ["value", "ts_us"], None),
+    "_update_did_state": ("ADDITIVE", (1, 2), ["value"],
+                          [(10.0,), (20.0,), (5.5,)]),
+    "_update_jb_state": ("ADDITIVE", ("view",), ["value"],
+                         [(3.0,), (7.0,), (11.0,), (2.0,)]),
+    "_update_circ_state": ("ADDITIVE", ("view",), ["ts"], None),
+    "_update_slo_state": ("ADDITIVE", (3,), ["event_type"],
+                          [("view",), ("error",), ("view",), ("error",)]),
+    "_update_gtest_state": ("ADDITIVE", ("1-URGENT", "O"), ["x"],
+                            [(1,), (2,), (3,)]),
+    "_update_peaks_state": ("ADDITIVE", (0,), ["hidx"],
+                            [(h,) for h in [5, 5, 5, 6, 3, 4, 8, 2, 7, 5]]),
+    "_update_spike_state": ("BOUNDED", ("view",), ["hidx"],
+                            [(h,) for h in [1, 1, 2, 2, 2, 3, 4, 4, 5, 5, 5, 5]]),
+    "_update_conv_state": ("IDEMPOTENT", (4,), ["event_type", "value"],
+                           [("view", 10.0), ("purchase", 250.0), ("click", 1.0)]),
+    "_update_mg_state": ("GUARANTEE", (0,), ["user_id"], None),
+    "_update_funnel_state": ("ORDERED:fold", (1,), ["event_type", "ts_us"], None),
+    "_update_ewma_state": ("ORDERED:fold", (1,), ["ts_us", "event_id", "value"], None),
+    "_update_attrib_state": ("ORDERED:fold", (1,),
+                             ["event_id", "event_type", "ts_us"], None),
+    "_update_drawdown_state": ("ORDERED:fold", (1,),
+                               ["ts_us", "event_id", "value"], None),
+    "_update_sfunnel_state": ("ORDERED:fold", (1,),
+                              ["event_type", "ts_us", "event_id"], None),
+    "_update_hdr_state": ("ORDERED:discard", (1,), ["ts_us", "event_id"], None),
+    "_update_rollp90_state": ("ORDERED:discard", (1,), ["ts_us", "event_id"], None),
+    "_update_scd2_state": ("ORDERED:discard", (7,),
+                           ["o_custkey", "o_orderkey", "o_orderstatus", "od"], None),
+}
+
+
+def test_replay_class_table_is_complete():
+    """Every _update_*_state in the stateful module has exactly one class
+    row — a new twin cannot land unclassified."""
+    import tmapreduce_spark.streaming.stateful as S
+
+    updaters = {n for n in dir(S) if n.startswith("_update_") and n.endswith("_state")}
+    assert updaters == set(REPLAY_CLASS_TABLE), (
+        updaters ^ set(REPLAY_CLASS_TABLE)
+    )
+
+
+def _rc_rows_for(name):
+    import tmapreduce_spark.streaming.stateful as S  # noqa: F401
+    from tmapreduce_spark.operators.analytics import _DID_POST_US
+
+    cls, key, cols, rows = REPLAY_CLASS_TABLE[name]
+    if rows is not None:
+        return key, cols, rows
+    if name == "_update_cuped_state":
+        return key, cols, [
+            (10.0, _DID_POST_US - 1_000_000),
+            (30.0, _DID_POST_US + 1_000_000),
+            (5.0, _DID_POST_US - 2_000_000),
+            (7.5, _DID_POST_US + 2_000_000),
+        ]
+    if name == "_update_circ_state":
+        ts = _rc_pd.to_datetime(
+            ["2024-01-01 03:15", "2024-01-01 03:40", "2024-01-02 17:05",
+             "2024-01-03 03:59", "2024-01-02 22:10"]
+        )
+        return key, cols, [(t,) for t in ts]
+    raise AssertionError(name)
+
+
+def test_additive_twins_are_arrival_order_invariant():
+    """ADDITIVE class: final state identical for in-order single-batch vs
+    reversed + interleaved multi-batch delivery of the same rows."""
+    import tmapreduce_spark.streaming.stateful as S
+
+    for name, (cls, *_rest) in sorted(REPLAY_CLASS_TABLE.items()):
+        if cls != "ADDITIVE":
+            continue
+        key, cols, rows = _rc_rows_for(name)
+        fn = getattr(S, name)
+        st_inorder, _ = _rc_run(fn, key, cols, [rows])
+        shuffled = list(reversed(rows))
+        mid = len(shuffled) // 2
+        st_replay, _ = _rc_run(
+            fn, key, cols, [shuffled[mid:], [], shuffled[:mid]]
+        )
+        assert st_inorder == st_replay, name
+
+
+def test_bounded_twin_converges_within_lateness_window():
+    """BOUNDED class (rate spike): any arrival order of rows whose hours
+    fit inside the 24 h retention window yields the same final state."""
+    import tmapreduce_spark.streaming.stateful as S
+
+    key, cols, rows = _rc_rows_for("_update_spike_state")
+    fn = S._update_spike_state
+    st_inorder, _ = _rc_run(fn, key, cols, [rows])
+    shuffled = sorted(rows, key=lambda r: (-r[0], r))
+    st_replay, _ = _rc_run(fn, key, cols, [shuffled[::2], shuffled[1::2]])
+    assert dict(zip(*st_inorder)) == dict(zip(*st_replay))
+
+
+def test_idempotent_twin_tolerates_duplicates_and_reorder():
+    """IDEMPOTENT class (conversion flags): duplicated AND reordered
+    delivery converges to the same flag — at-least-once safe."""
+    import tmapreduce_spark.streaming.stateful as S
+
+    key, cols, rows = _rc_rows_for("_update_conv_state")
+    fn = S._update_conv_state
+    st_a, out_a = _rc_run(fn, key, cols, [rows])
+    dup = list(reversed(rows)) + rows + rows[:1]
+    st_b, out_b = _rc_run(fn, key, cols, [dup[:2], dup[2:]])
+    assert st_a == st_b
+    assert out_a["converted"].iloc[0] == out_b["converted"].iloc[0] == 1
+
+
+def test_mg_guarantee_holds_under_any_order():
+    """GUARANTEE class (Misra-Gries): the candidate SET may differ across
+    orders, but any key with true frequency > N/(K+1) survives in every
+    replay order."""
+    import tmapreduce_spark.streaming.stateful as S
+    from tmapreduce_spark.streaming.stateful import MG_K
+
+    heavy = [(1,)] * 40          # true frequency 40 of N=76 >> N/(K+1)
+    noise = [(k,) for k in range(2, 38)]  # 36 singletons
+    rows = heavy + noise
+    for batches in (
+        [rows],
+        [list(reversed(rows))],
+        [noise[:18] + heavy[:20], heavy[20:] + noise[18:]],
+    ):
+        st, _ = _rc_run(S._update_mg_state, (0,), ["user_id"], batches)
+        ids, counts = st
+        assert 1 in ids, batches[0][:3]
+
+
+def test_ordered_twins_batch_split_invariant_under_in_order_delivery():
+    """ORDERED class: with in-order delivery, the final emission does not
+    depend on micro-batch boundaries or on WITHIN-batch row order (each
+    updater sorts its batch by event time)."""
+    import tmapreduce_spark.streaming.stateful as S
+
+    cases = {
+        "_update_funnel_state": [
+            ("view", _TS0), ("click", _TS0 + 10_000_000),
+            ("purchase", _TS0 + 20_000_000),
+        ],
+        "_update_ewma_state": [
+            (_TS0, 1, 10.0), (_TS0 + 1, 2, 20.0), (_TS0 + 2, 3, 0.0),
+        ],
+        "_update_attrib_state": [
+            (1, "click", _TS0), (2, "purchase", _TS0 + 5_000_000),
+            (3, "view", _TS0 + 6_000_000), (4, "purchase", _TS0 + 9_000_000),
+        ],
+        "_update_drawdown_state": [
+            (_TS0, 1, 5.0), (_TS0 + 1, 2, -3.0), (_TS0 + 2, 3, 1.0),
+            (_TS0 + 3, 4, -6.0),
+        ],
+        "_update_sfunnel_state": [
+            ("view", _TS0, 1), ("click", _TS0 + 1_000_000, 2),
+            ("purchase", _TS0 + 2_000_000, 3),
+            ("view", _TS0 + 5_000_000_000, 4),
+        ],
+        "_update_hdr_state": [
+            (_TS0, 1), (_TS0 + 4_000_000, 2), (_TS0 + 5_000_000, 3),
+            (_TS0 + 90_000_000, 4),
+        ],
+        "_update_rollp90_state": [
+            (_TS0, 1), (_TS0 + 1_000_000, 2), (_TS0 + 9_000_000, 3),
+            (_TS0 + 10_000_000, 4),
+        ],
+        "_update_scd2_state": [
+            (7, 1, "O", "2024-01-01"), (7, 2, "F", "2024-01-02"),
+            (7, 3, "F", "2024-01-03"), (7, 4, "P", "2024-01-04"),
+        ],
+    }
+    for name, rows in sorted(cases.items()):
+        cls, key, cols, _ = REPLAY_CLASS_TABLE[name]
+        assert cls.startswith("ORDERED"), name
+        fn = getattr(S, name)
+        # attribution emits one row PER PURCHASE per batch, so compare the
+        # concatenation of all emissions; the running twins emit their full
+        # current state each batch, so compare the final emission.
+        runner = _rc_run_all if name == "_update_attrib_state" else _rc_run
+        st_one, out_one = runner(fn, key, cols, [rows])
+        # same event-time order, different batch boundaries, each batch
+        # internally shuffled (the in-batch sort must absorb it)
+        st_many, out_many = runner(
+            fn, key, cols, [list(reversed(rows[:2])), list(reversed(rows[2:]))]
+        )
+        assert st_one == st_many, name
+        _rc_pd.testing.assert_frame_equal(out_one, out_many)
+
+
+def test_discard_twins_drop_rows_behind_the_emitted_cursor():
+    """ORDERED:discard — a row arriving in a LATER batch with an earlier
+    event time than already-emitted state is dropped: the final state
+    equals the run that never saw the late row. (scd2's cursor variant is
+    pinned by test_streaming_scd2_duplicate_redelivery_is_idempotent.)"""
+    import tmapreduce_spark.streaming.stateful as S
+
+    for name, late_row in (
+        ("_update_hdr_state", (_TS0 + 2_000_000, 9)),
+        ("_update_rollp90_state", (_TS0 + 2_000_000, 9)),
+    ):
+        _, key, cols, _ = REPLAY_CLASS_TABLE[name]
+        fn = getattr(S, name)
+        rows = [(_TS0, 1), (_TS0 + 4_000_000, 2), (_TS0 + 7_000_000, 3)]
+        st_clean, _ = _rc_run(fn, key, cols, [rows])
+        st_late, _ = _rc_run(fn, key, cols, [rows, [late_row]])
+        assert st_clean == st_late, name
+
+
+def test_fold_twins_apply_late_rows_at_arrival_position():
+    """ORDERED:fold — the documented policies, each pinned explicitly:
+    EWMA folds the late value last; drawdown keeps cum exact (commutative
+    sum) while peak/dd reflect arrival order; attribution never
+    retro-credits an emitted purchase; the funnels never regress stage."""
+    import math
+
+    import tmapreduce_spark.streaming.stateful as S
+
+    # EWMA: late row (earlier ts) in a second batch folds LAST
+    key, cols = (1,), ["ts_us", "event_id", "value"]
+    st, out = _rc_run(
+        S._update_ewma_state, key, cols,
+        [[(_TS0 + 1, 2, 20.0), (_TS0 + 2, 3, 0.0)], [(_TS0, 1, 10.0)]],
+    )
+    expect = ((20.0 * 0.5 + 0.0 * 0.5) * 0.5) + 10.0 * 0.5
+    assert math.isclose(st[1], expect)
+
+    # drawdown: cum invariant under the late delivery, dd is arrival-order
+    cols_dd = ["ts_us", "event_id", "value"]
+    in_order = [(_TS0, 1, 5.0), (_TS0 + 1, 2, -3.0), (_TS0 + 2, 3, 4.0)]
+    st_in, _ = _rc_run(S._update_drawdown_state, key, cols_dd, [in_order])
+    st_late, _ = _rc_run(
+        S._update_drawdown_state, key, cols_dd,
+        [[(_TS0 + 1, 2, -3.0), (_TS0 + 2, 3, 4.0)], [(_TS0, 1, 5.0)]],
+    )
+    assert st_in[0] == st_late[0]          # cum: exact under any order
+    assert st_late[2] >= 0                 # dd well-defined, arrival-order
+
+    # attribution: a touch delivered after the purchase it preceded in
+    # event time does not retro-credit it
+    cols_at = ["event_id", "event_type", "ts_us"]
+    _, out_a = _rc_run(
+        S._update_attrib_state, key, cols_at,
+        [[(2, "purchase", _TS0 + 5_000_000)], [(1, "click", _TS0)]],
+    )
+    # (second batch emitted no purchase rows -> inspect the first batch)
+    st_b = _RCState()
+    out_p = _rc_feed(
+        S._update_attrib_state, key, cols_at, st_b,
+        [(2, "purchase", _TS0 + 5_000_000)],
+    )
+    assert bool(out_p["organic"].iloc[0]) is True  # emitted organic, final
+
+    # funnel: a late click after the user already purchased can't regress
+    st_f = _RCState()
+    _rc_feed(S._update_funnel_state, key, ["event_type", "ts_us"], st_f,
+             [("view", _TS0), ("click", _TS0 + 1), ("purchase", _TS0 + 2)])
+    assert st_f._v[0] == 3
+    _rc_feed(S._update_funnel_state, key, ["event_type", "ts_us"], st_f,
+             [("click", _TS0 + 1)])
+    assert st_f._v[0] == 3  # stage never regresses
+
+
+def test_launch_spool_marker_protocol_visibility_and_bound():
+    """Object-store-safe spool (r10 verdict #5): under protocol='marker' a
+    payload is visible iff its .ok commit marker exists — a half-uploaded
+    .part is never consumed and never breaks the contiguous prefix — and
+    maxPayloadsPerTrigger caps each micro-batch."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tmapreduce_spark.sources.stream_launch import (
+        LaunchSpool,
+        LaunchStreamReader,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spool = LaunchSpool(d, protocol="marker")
+        for i in range(5):
+            assert spool.append(f"job{i}", "wordcount", [("k", str(i))]) == i
+        # both PUTs present, data before marker
+        assert os.path.exists(os.path.join(d, "000000000000.json.part"))
+        assert os.path.exists(os.path.join(d, "000000000000.json.ok"))
+
+        rd = LaunchStreamReader(
+            {"path": d, "protocol": "marker", "maxPayloadsPerTrigger": "2"}
+        )
+        rows, off = rd.read({"seq": 0})
+        assert off == {"seq": 2} and {r[0] for r in rows} == {0, 1}
+        rows, off = rd.read(off)
+        assert off == {"seq": 4} and {r[0] for r in rows} == {2, 3}
+        # replay of a committed range is deterministic
+        assert rd.readBetweenOffsets({"seq": 0}, {"seq": 2}) == [
+            (0, "job0", "wordcount", "k", "0"),
+            (1, "job1", "wordcount", "k", "1"),
+        ]
+
+        # a half-uploaded payload (data, NO marker) is invisible and stops
+        # the contiguous prefix even though later markers exist
+        with open(os.path.join(d, "000000000005.json.part"), "w") as f:
+            _json.dump({"name": "half", "type": "wordcount", "kvs": []}, f)
+        spool6 = os.path.join(d, "000000000006")
+        with open(spool6 + ".json.part", "w") as f:
+            _json.dump({"name": "later", "type": "wordcount", "kvs": [["k", "6"]]}, f)
+        with open(spool6 + ".json.ok", "w"):
+            pass
+        rd_all = LaunchStreamReader({"path": d, "protocol": "marker"})
+        rows, off = rd_all.read({"seq": 4})
+        assert off == {"seq": 5}, "prefix must stop at the uncommitted payload"
+        # once the marker lands, 5 and 6 both drain
+        with open(os.path.join(d, "000000000005.json.ok"), "w"):
+            pass
+        rows, off = rd_all.read({"seq": 5})
+        assert off == {"seq": 7}
+        # _next_seq skips past everything visible (no overwrite)
+        assert spool.append("job7", "wordcount", [("k", "7")]) == 7
+
+
+def test_launch_spool_rejects_unknown_protocol():
+    import tempfile
+
+    import pytest as _pytest
+
+    from tmapreduce_spark.sources.stream_launch import (
+        LaunchSpool,
+        LaunchStreamReader,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        with _pytest.raises(ValueError):
+            LaunchSpool(d, protocol="s3-magic")
+        with _pytest.raises(ValueError):
+            LaunchStreamReader({"path": d, "protocol": "s3-magic"})

@@ -36,6 +36,17 @@ every launch through one process). A data-plane firehose would implement
 ``streamReader()`` with ``partitions()`` instead; the spool layout (one
 file per payload, dense integer sequence) already supports that split
 surface unchanged.
+
+Object-store caveat (r10 verdict #5): the default visibility protocol is
+POSIX atomic rename, which S3-style stores do NOT provide (rename is
+copy+delete, non-atomic and not cheap). For those stores pass
+``protocol="marker"`` to writer and reader: the payload is written in full
+to ``{seq}.json.part`` and then a zero-byte commit marker
+``{seq}.json.ok`` is PUT after it — both single-object PUTs are atomic on
+every object store, and a payload is visible iff its marker exists, so a
+half-uploaded ``.part`` can never be consumed. ``maxPayloadsPerTrigger``
+bounds how many payloads one micro-batch consumes (backlog catch-up
+otherwise arrives as one giant batch).
 """
 
 from __future__ import annotations
@@ -60,12 +71,20 @@ class LaunchSpool:
     rename would then silently REPLACE the first payload with the second
     (a lost launch). One process owns a spool by design (the reference's
     master is likewise the single ingest point, ``master.cc:489-514``);
-    multi-process producers would need per-producer subdirectories."""
+    multi-process producers would need per-producer subdirectories.
 
-    def __init__(self, path: str):
+    ``protocol="rename"`` (default) commits via POSIX atomic rename;
+    ``protocol="marker"`` is the object-store-safe variant (full payload
+    PUT to ``.json.part``, then a zero-byte ``.json.ok`` marker — see the
+    module docstring's object-store caveat)."""
+
+    def __init__(self, path: str, protocol: str = "rename"):
         import threading
 
+        if protocol not in ("rename", "marker"):
+            raise ValueError(f"unknown spool protocol {protocol!r}")
         self.path = path
+        self.protocol = protocol
         self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
@@ -75,26 +94,45 @@ class LaunchSpool:
             for f in os.listdir(self.path)
             if f.endswith(".json") and f[:-5].isdigit()
         ]
+        if self.protocol == "marker":
+            seqs += [
+                int(f[: -len(".json.ok")])
+                for f in os.listdir(self.path)
+                if f.endswith(".json.ok") and f[: -len(".json.ok")].isdigit()
+            ]
         return max(seqs) + 1 if seqs else 0
 
     def append(self, name: str, job_type: str, kvs: list[tuple[str, str]]) -> int:
         with self._lock:
             seq = self._next_seq()
             final = os.path.join(self.path, f"{seq:012d}.json")
-            tmp = final + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"name": name, "type": job_type, "kvs": kvs}, f)
-            os.rename(tmp, final)
+            doc = {"name": name, "type": job_type, "kvs": kvs}
+            if self.protocol == "marker":
+                # object-store-safe: two atomic PUTs, data before marker
+                with open(final + ".part", "w") as f:
+                    json.dump(doc, f)
+                with open(final + ".ok", "w"):
+                    pass
+            else:
+                tmp = final + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(doc, f)
+                os.rename(tmp, final)
             return seq
 
 
-def _read_seq_range(path: str, start: int, end: int) -> list[Tuple]:
+def _payload_file(path: str, seq: int, protocol: str) -> str:
+    suffix = ".json.part" if protocol == "marker" else ".json"
+    return os.path.join(path, f"{seq:012d}{suffix}")
+
+
+def _read_seq_range(path: str, start: int, end: int, protocol: str) -> list[Tuple]:
     # a LIST, not a generator: Spark's simple-reader prefetch cache
     # copy.copy()s the returned iterator for replay, and generators don't
     # pickle (hit live in testing)
     rows: list[Tuple] = []
     for seq in range(start, end):
-        with open(os.path.join(path, f"{seq:012d}.json")) as f:
+        with open(_payload_file(path, seq, protocol)) as f:
             doc = json.load(f)
         for k, v in doc["kvs"]:
             rows.append((seq, doc["name"], doc["type"], k, v))
@@ -106,26 +144,41 @@ class LaunchStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("launchstream requires a 'path' option")
+        self.protocol = options.get("protocol", "rename")
+        if self.protocol not in ("rename", "marker"):
+            raise ValueError(f"unknown spool protocol {self.protocol!r}")
+        self.max_payloads = int(options.get("maxPayloadsPerTrigger", 0)) or None
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
+    def _visible(self, seq: int) -> bool:
+        if self.protocol == "marker":
+            # visible iff the commit marker exists — a half-uploaded .part
+            # has no marker yet (the object-store-safe contract)
+            return os.path.exists(
+                os.path.join(self.path, f"{seq:012d}.json.ok")
+            )
+        return os.path.exists(os.path.join(self.path, f"{seq:012d}.json"))
+
     def _max_contiguous(self, start: int) -> int:
-        """First missing sequence number >= start — only the contiguous
-        prefix is consumed, so an in-flight atomic rename never creates a
-        gap that would break replay."""
+        """First non-visible sequence number >= start — only the contiguous
+        visible prefix is consumed, so an in-flight commit never creates a
+        gap that would break replay. Bounded by maxPayloadsPerTrigger when
+        set, so a backlog drains in controlled micro-batches."""
         seq = start
-        while os.path.exists(os.path.join(self.path, f"{seq:012d}.json")):
+        cap = start + self.max_payloads if self.max_payloads else None
+        while (cap is None or seq < cap) and self._visible(seq):
             seq += 1
         return seq
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         lo = start["seq"]
         hi = self._max_contiguous(lo)
-        return _read_seq_range(self.path, lo, hi), {"seq": hi}
+        return _read_seq_range(self.path, lo, hi, self.protocol), {"seq": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        return _read_seq_range(self.path, start["seq"], end["seq"])
+        return _read_seq_range(self.path, start["seq"], end["seq"], self.protocol)
 
     def commit(self, end: dict) -> None:
         # spool files are kept: they ARE the replayable log (the reference
@@ -146,9 +199,22 @@ class LaunchStreamDataSource(DataSource):
         return LaunchStreamReader(self.options)
 
 
-def read_launch_stream(spark, spool_path: str):
-    """Register (idempotent) and open the streaming launch queue."""
+def read_launch_stream(
+    spark,
+    spool_path: str,
+    protocol: str = "rename",
+    max_payloads_per_trigger: int = 0,
+):
+    """Register (idempotent) and open the streaming launch queue.
+
+    ``protocol="marker"`` selects the object-store-safe visibility protocol
+    (module docstring); ``max_payloads_per_trigger`` > 0 bounds each
+    micro-batch."""
     spark.dataSource.register(LaunchStreamDataSource)
     return (
-        spark.readStream.format("launchstream").option("path", spool_path).load()
+        spark.readStream.format("launchstream")
+        .option("path", spool_path)
+        .option("protocol", protocol)
+        .option("maxPayloadsPerTrigger", str(max_payloads_per_trigger))
+        .load()
     )

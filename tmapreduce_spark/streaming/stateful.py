@@ -90,7 +90,14 @@ def _update_funnel_state(
 
 
 def streaming_funnel(events: DataFrame) -> DataFrame:
-    """Streaming view→click→purchase funnel with explicit per-user state."""
+    """Streaming view→click→purchase funnel with explicit per-user state.
+
+    Late-arrival policy (ORDERED class, arrival-order fold): the stage
+    machine only advances — a click arriving after the purchase already
+    moved the user past stage 1 is ignored (stage never regresses), so a
+    late row can only delay progression, never corrupt it. Batch equality
+    requires in-order delivery; pinned in tests/test_streaming.py's
+    replay-class table."""
     from pyspark.sql import functions as F
 
     return (
@@ -137,7 +144,14 @@ def _update_ewma_state(
 
 
 def streaming_ewma(events: DataFrame) -> DataFrame:
-    """Streaming per-user EWMA (alpha = 0.5) with one double of state."""
+    """Streaming per-user EWMA (alpha = 0.5) with one double of state.
+
+    Late-arrival policy (ORDERED class, arrival-order fold): rows sort by
+    event time WITHIN a micro-batch, but a row arriving in a later batch
+    than its timestamp folds at its ARRIVAL position — the recursion is
+    order-sensitive, so batch equality requires in-order delivery (an
+    ordered-log replay); the fold-at-arrival behavior is pinned in
+    tests/test_streaming.py's replay-class table."""
     from pyspark.sql import functions as F
 
     return (
@@ -202,7 +216,14 @@ def _update_attrib_state(
 
 def streaming_attribution(events: DataFrame) -> DataFrame:
     """Streaming last-touch attribution with three scalars of state per
-    user; purchase rows emit their credit immediately."""
+    user; purchase rows emit their credit immediately.
+
+    Late-arrival policy (ORDERED class, arrival-order fold): a purchase is
+    credited against the touch state AT ARRIVAL and its row is already
+    emitted — a touch arriving later than the purchase it preceded in
+    event time does NOT retro-credit it (no emitted row is ever revised);
+    the late touch only affects purchases that arrive after it. Pinned in
+    tests/test_streaming.py's replay-class table."""
     from pyspark.sql import functions as F
 
     return (
@@ -343,7 +364,14 @@ def _update_drawdown_state(
 
 
 def streaming_drawdown(events: DataFrame) -> DataFrame:
-    """Streaming per-user maximum drawdown with three int64s of state."""
+    """Streaming per-user maximum drawdown with three int64s of state.
+
+    Late-arrival policy (ORDERED class, arrival-order fold): `cum` is a
+    commutative int64 sum (exact under ANY order), but peak/max_drawdown
+    are PREFIX maxima — a late row folds at arrival position, so those two
+    equal the batch twin only under in-order delivery. Pinned in
+    tests/test_streaming.py's replay-class table (cum invariance asserted
+    under shuffle, peak/dd under in-order replay)."""
     from pyspark.sql import functions as F
 
     return (
@@ -428,7 +456,16 @@ def _update_spike_state(
 
 def streaming_rate_spike(events: DataFrame) -> DataFrame:
     """Streaming hourly rate-spike alerts per event type with a bounded
-    trailing-24h count window of state."""
+    trailing-24h count window of state.
+
+    Late-arrival policy (BOUNDED-LATENESS class): hourly counts are
+    additive-commutative, so any arrival order WITHIN the retained
+    [max-24h, max] window converges to the same state (pinned in
+    tests/test_streaming.py's replay-class table); an event later than
+    that window re-opens a partial bucket — it can emit a superseded row
+    but cannot grow state past the calendar bound. That lateness horizon
+    is exactly the 24 h the baseline itself needs, i.e. the watermark an
+    operator would configure."""
     return (
         events.selectExpr(
             "event_type",
@@ -517,7 +554,13 @@ def _update_sfunnel_state(
 
 
 def streaming_sessionized_funnel(events: DataFrame) -> DataFrame:
-    """Streaming per-user in-session funnel with eight int64s of state."""
+    """Streaming per-user in-session funnel with eight int64s of state.
+
+    Late-arrival policy (ORDERED class, arrival-order fold): the 15-min
+    gap rule compares each row to the last APPLIED timestamp, so a late
+    row folds at arrival — it may open a spurious session boundary
+    relative to the batch answer; equality holds under in-order delivery.
+    Pinned in tests/test_streaming.py's replay-class table."""
     from pyspark.sql import functions as F
 
     return (
