@@ -1296,3 +1296,66 @@ def test_percentiles_price_is_distributed_not_value_collecting(spark):
     assert "ObjectHashAggregate" not in plan, plan
     assert "percentile(" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_all_22_plans_are_smj_free_at_sf01(spark):
+    """r10 verdict #6: the 22 TPC-H shapes must keep every dim chain
+    broadcast AT sf0.1 (not just the smoke SF the other pins use) — no
+    SortMergeJoin anywhere, and every multi-table plan carries at least
+    one BroadcastHashJoin. q2's min-cost re-join was the one SMJ at sf0.1
+    (compound (partkey, cost) keys); it now joins on partkey alone and
+    broadcasts the part-dimension-scale min-cost table."""
+    import os
+
+    from tmapreduce_spark.catalog import build_catalog
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.1 fixtures not present")
+    cat = build_catalog()
+    single_table = {"q1_pricing_summary", "q6_forecast_revenue"}
+    names = sorted(n for n in cat if n[0] == "q" and n[1].isdigit())
+    assert len(names) == 22
+    for n in names:
+        plan = physical_plan(cat[n].fn(spark, sf01))
+        assert "SortMergeJoin" not in plan, (n, plan)
+        assert "CartesianProduct" not in plan, n
+        if n not in single_table:
+            assert "BroadcastHashJoin" in plan, n
+
+
+def test_salted_skew_agg_keeps_two_level_shape_under_aqe(spark):
+    """r10 verdict #6: the salted-skew pattern's whole value is the
+    TWO-LEVEL aggregate — partial sums on the salted (key, salt) spread,
+    final sums after the unsalted regroup — and AQE must not replan it
+    away. Pin, in the FINAL adaptive plan: salt inside the join keys, and
+    both HashAggregate levels (partial + final) around the regroup
+    exchange."""
+    import re
+
+    from tmapreduce_spark.functions.scale import join_salted_skew
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled", None)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        df = join_salted_skew(spark, SF_SMOKE)
+        assert df.count() > 0
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert _join_keys_contain(final, "salt"), final
+    # two-level aggregate: a partial-mode HashAggregate below the exchange
+    # and a final-mode one above it (Spark prints keys=... functions=
+    # [partial_count... / count...])
+    assert re.search(r"HashAggregate.*partial_count", final), final
+    finals = [
+        ln for ln in final.splitlines()
+        if "HashAggregate" in ln and "partial_" not in ln
+    ]
+    assert finals, final
+    assert "Exchange" in final

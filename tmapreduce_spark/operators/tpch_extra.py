@@ -516,17 +516,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     eligible = ps.join(eur_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
-    # correlated min as a co-partitioned self-aggregation + equality re-join
-    # (exact integer costs — equality is safe)
+    # correlated min as a self-aggregation + re-join (exact integer costs —
+    # equality is safe). The re-join keys on partkey ONLY, with the
+    # min-cost equality as a post-join filter: a (partkey, cost) compound
+    # key would shuffle both sides on a distribution nothing else reuses,
+    # while partkey is the aggregation's own key. min_cost is
+    # part-DIMENSION-scale (one row per part, two ints), the same class as
+    # the broadcast part filter below, so it broadcasts explicitly; at a
+    # part cardinality past broadcast reach, drop the hint and this becomes
+    # the co-partitioned single-key shuffle join (r10 verdict #6 pin:
+    # tests/test_plans.py asserts all 22 TPC-H plans stay SMJ-free at
+    # sf0.1).
     min_cost = eligible.groupBy(F.col("ps_partkey").alias("mp")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
-        eligible.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mp"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        eligible.join(F.broadcast(min_cost), F.col("ps_partkey") == F.col("mp"))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(
             F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
             F.col("ps_partkey") == F.col("p_partkey"),
