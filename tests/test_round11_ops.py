@@ -103,9 +103,9 @@ def test_span_corruption_zero_sentinels_is_null(spark, tmp_path):
 def test_kmv_distinct_exact_branch_at_smoke(spark):
     """sf0.001 has 15 users/type (< k=32): the KMV sketch holds every hash,
     so the estimate is EXACT and rel_err is 0 on every row."""
-    from tmapreduce_spark.functions.scale import approx_distinct_sketch
+    from tmapreduce_spark.functions.scale import sketch_kmv_distinct
 
-    for r in approx_distinct_sketch(spark, SF_SMOKE).collect():
+    for r in sketch_kmv_distinct(spark, SF_SMOKE).collect():
         assert r["k_used"] == r["exact_users"] <= 32
         assert r["kmv_users"] == float(r["exact_users"])
         assert r["rel_err"] == 0.0
@@ -114,9 +114,9 @@ def test_kmv_distinct_exact_branch_at_smoke(spark):
 def test_quantile_sketch_full_sample_at_smoke(spark):
     """sf0.001 orders (~500/status) fit entirely in the k=1024 sample, so
     est_value == exact_value on every row (the sample IS the partition)."""
-    from tmapreduce_spark.functions.scale import approx_quantiles_sketch
+    from tmapreduce_spark.functions.scale import sketch_sample_quantiles
 
-    for r in approx_quantiles_sketch(spark, SF_SMOKE).collect():
+    for r in sketch_sample_quantiles(spark, SF_SMOKE).collect():
         assert r["est_value"] == r["exact_value"], r
         assert r["rel_err"] == 0.0
 

@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_CORRECT
 from tmapreduce_spark.functions.scale import (
     ann_lsh_topk,
-    approx_distinct_sketch,
-    approx_quantiles_sketch,
+    sketch_kmv_distinct,
+    sketch_sample_quantiles,
     salted_token_counts,
 )
 from tmapreduce_spark.functions.similarity import ann_topk_cosine
@@ -56,7 +56,7 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    rows = approx_distinct_sketch(spark, SF_CORRECT).collect()
+    rows = sketch_kmv_distinct(spark, SF_CORRECT).collect()
     for r in rows:
         n = exact[r["event_type"]]
         assert r["exact_users"] == n
@@ -76,7 +76,7 @@ def test_approx_quantiles_close_to_exact(spark):
         .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p"))
         .collect()
     }
-    rows = approx_quantiles_sketch(spark, SF_CORRECT).collect()
+    rows = sketch_sample_quantiles(spark, SF_CORRECT).collect()
     assert {tuple(sorted(r.asDict())) for r in rows} == {
         tuple(sorted(("o_orderstatus", "pct", "sample_n", "est_value",
                       "exact_value", "rel_err")))
@@ -195,7 +195,7 @@ def test_shard_output_is_balanced_and_deterministic(spark):
 
 
 def test_hll_partition_merge_accuracy_and_consistency(spark):
-    """sketch_hll_partition_merge: the day-merged md5-register HLL estimates
+    """sketch_hll_md5_merge: the day-merged md5-register HLL estimates
     true per-type distinct users within HLL(m=256) error (~6.5% rsd in the
     raw branch, tighter in linear counting; allow 15%), and merging is
     LOSSLESS — registers built per day and max-merged equal registers built
@@ -203,10 +203,10 @@ def test_hll_partition_merge_accuracy_and_consistency(spark):
     merged estimate equals the direct estimate exactly."""
     from pyspark.sql import functions as F
     from tmapreduce_spark.functions.scale import _hll_sql, SPARK
-    from tmapreduce_spark.functions.scale import sketch_hll_partition_merge
+    from tmapreduce_spark.functions.scale import sketch_hll_md5_merge
     from tmapreduce_spark.sources.catalog import load_table
 
-    rows = sketch_hll_partition_merge(spark, SF_CORRECT).collect()
+    rows = sketch_hll_md5_merge(spark, SF_CORRECT).collect()
     merged = {r["event_type"]: r["hll_users"] for r in rows}
     e = load_table(spark, SF_CORRECT, "events")
     exact = {

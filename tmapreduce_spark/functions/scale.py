@@ -236,7 +236,7 @@ FROM sk JOIN ev USING (event_type)
 """
 
 
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user estimate per event type, vs the exact count.
 
     Reworked r11 from approx_count_distinct (whose HLL estimate is
@@ -299,7 +299,7 @@ FROM est JOIN tru ON est.st = tru.st AND est.tag = tru.tag
 """
 
 
-def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled percentiles (p50/p90/p99) of order totals vs exact, per status.
 
     Reworked r11 from approx_percentile (Greenwald-Khanna internals are
@@ -390,7 +390,7 @@ FROM fin
 """
 
 
-def sketch_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_hll_md5_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the property that makes 100 TB distinct
     cubes feasible: per-(event_type, day) HLL registers built in one pass,
     then merged UPWARD by per-register max to per-type totals without
@@ -1197,14 +1197,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_pq_topk": QuerySpec(ann_pq_topk, _pq_sql(), "similarity"),
     "salted_token_counts": QuerySpec(salted_token_counts, SALTED_SQL, "aggregation"),
-    "approx_distinct_sketch": QuerySpec(
-        approx_distinct_sketch, _adk_sql(DUCK, "events"), "sketch"
+    "sketch_kmv_distinct": QuerySpec(
+        sketch_kmv_distinct, _adk_sql(DUCK, "events"), "sketch"
     ),
-    "sketch_hll_partition_merge": QuerySpec(
-        sketch_hll_partition_merge, _hll_sql(DUCK, "events"), "sketch"
+    "sketch_hll_md5_merge": QuerySpec(
+        sketch_hll_md5_merge, _hll_sql(DUCK, "events"), "sketch"
     ),
-    "approx_quantiles_sketch": QuerySpec(
-        approx_quantiles_sketch, _qsk_sql(DUCK, "orders"), "sketch"
+    "sketch_sample_quantiles": QuerySpec(
+        sketch_sample_quantiles, _qsk_sql(DUCK, "orders"), "sketch"
     ),
 }
 

@@ -448,7 +448,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row HOF arithmetic — codegen'd, shuffle-free, linear.
     (The quantized vectors themselves would be written as array<tinyint>;
     emitting scalars keeps the entry within the driver's hashable-column
-    contract, the approx_quantiles_sketch lesson.)"""
+    contract, the sketch_sample_quantiles lesson.)"""
     e = load_table(spark, sf_dir, "embeddings")
     err_elem = (
         "abs(CAST(v AS DOUBLE) - floor(CAST(v AS DOUBLE) * 127 / s + 0.5) * s / 127)"

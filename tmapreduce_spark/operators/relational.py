@@ -1936,7 +1936,7 @@ def diag_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one input row → one row per distinct-column) + two-level aggregation —
     a single scan and one shuffle of (column-tag, value) pairs instead of
     one scan per column; at petabyte scale swap the exact counts for the
-    mergeable HLL sketches (`sketch_hll_partition_merge`), same plan
+    mergeable HLL sketches (`sketch_hll_md5_merge`), same plan
     shape. This exact twin is the oracle-checkable form."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.agg(
