@@ -136,3 +136,134 @@ def test_hll_registers_are_md5_derived_and_engine_neutral(duck):
     ).fetchone()[0]
     rho_py = 33 - w.bit_length() if w else 33
     assert rho_sql == rho_py
+
+
+def _h_int(prefix: str, val, nhex: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{prefix}{val}".encode()).hexdigest()[:nhex], 16)
+
+
+def _mr6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_kmv_distinct_brute_force_recompute(spark):
+    """Recompute every sketch_kmv_distinct output value in pure Python from
+    the parquet fixture — exact equality, including the estimator branch's
+    one double division."""
+    import duckdb
+
+    from tmapreduce_spark.functions.scale import (
+        HASH60_MAX,
+        KMV_DISTINCT_K,
+        sketch_kmv_distinct,
+    )
+
+    got = {r["event_type"]: r for r in sketch_kmv_distinct(spark, SF_SMOKE).collect()}
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT event_type, user_id FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    by_type: dict = {}
+    n_events: dict = {}
+    for t, u in raw:
+        by_type.setdefault(t, set()).add(u)
+        n_events[t] = n_events.get(t, 0) + 1
+    assert set(got) == set(by_type)
+    for t, users in by_type.items():
+        hs = sorted(_h_int("adk:", u, 15) for u in users)
+        k_used = min(KMV_DISTINCT_K, len(hs))
+        h_k = hs[k_used - 1]
+        if k_used < KMV_DISTINCT_K:
+            est = float(k_used)
+        else:
+            est = (KMV_DISTINCT_K - 1) * float(HASH60_MAX) / float(h_k)
+        r = got[t]
+        assert r["n_events"] == n_events[t]
+        assert r["exact_users"] == len(users)
+        assert r["k_used"] == k_used
+        assert r["kmv_users"] == _mr6(est)
+        assert r["rel_err"] == _mr6(abs(est - len(users)) / len(users))
+
+
+def test_sample_quantiles_brute_force_recompute(spark):
+    """Recompute every sketch_sample_quantiles row in pure Python: same
+    bottom-k-by-hash sample, same type-1 discrete index, raw doubles."""
+    import duckdb
+    import math
+
+    from tmapreduce_spark.functions.scale import QSK_K, sketch_sample_quantiles
+
+    got = {
+        (r["o_orderstatus"], r["pct"]): r
+        for r in sketch_sample_quantiles(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT o_orderstatus, o_totalprice, o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    by_st: dict = {}
+    for st, v, k in raw:
+        by_st.setdefault(st, []).append((v, k))
+    assert {s for s, _ in got} == set(by_st)
+    for st, rows in by_st.items():
+        samp = sorted(rows, key=lambda vk: (_h_int("qsk:", vk[1], 15), vk[1]))[:QSK_K]
+        samp_sorted = sorted(samp)          # (v, okey) — value then key
+        full_sorted = sorted(rows)
+        for tag, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            i_s = int(math.floor((len(samp_sorted) - 1) * q))
+            i_f = int(math.floor((len(full_sorted) - 1) * q))
+            est, exact = samp_sorted[i_s][0], full_sorted[i_f][0]
+            r = got[(st, tag)]
+            assert r["sample_n"] == len(samp_sorted)
+            assert r["est_value"] == est
+            assert r["exact_value"] == exact
+            assert r["rel_err"] == _mr6(abs(est - exact) / exact)
+
+
+def test_hll_md5_merge_brute_force_recompute(spark):
+    """Recompute the full HLL pipeline in pure Python — registers, daily
+    max-merge, exact harmonic numerator, both estimator branches — and
+    match the Spark entry exactly."""
+    import duckdb
+    import math
+
+    from tmapreduce_spark.functions.scale import _HLL_A, sketch_hll_md5_merge
+
+    got = {r["event_type"]: r for r in sketch_hll_md5_merge(spark, SF_SMOKE).collect()}
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, user_id"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    regs: dict = {}
+    days: dict = {}
+    users: dict = {}
+    n_events: dict = {}
+    for t, day, u in raw:
+        n_events[t] = n_events.get(t, 0) + 1
+        days.setdefault(t, set()).add(day)
+        users.setdefault(t, set()).add(u)
+        h = _h_int("hll:", u, 10)
+        idx, w = h % 256, h // 256
+        rho = 33 - w.bit_length() if w else 33
+        key = (t, idx)
+        regs[key] = max(regs.get(key, 0), rho)  # daily->overall max merges
+    A = float(_HLL_A)
+    for t, r in got.items():
+        m = {i: v for (tt, i), v in regs.items() if tt == t}
+        v_zero = 256 - len(m)
+        num = sum(1 << (33 - v) for v in m.values()) + v_zero * (1 << 33)
+        raw_est = A / float(num)
+        est = 256.0 * math.log(256.0 / v_zero) if (raw_est <= 640.0 and v_zero > 0) else raw_est
+        exact = len(users[t])
+        assert r["n_days"] == len(days[t])
+        assert r["n_events"] == n_events[t]
+        assert r["exact_users"] == exact
+        assert r["v_zero"] == v_zero
+        assert r["harmonic_num"] == num
+        assert r["hll_users"] == _mr6(est)
+        assert r["rel_err"] == _mr6(abs(est - exact) / exact)
