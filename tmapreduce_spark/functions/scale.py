@@ -1926,7 +1926,11 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions hit (count = k). The 1-row (n, m) sizing aggregate broadcasts
     over both sides; nothing driver-side — the filter never leaves the
     executors."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # spread: the md5-per-key hashing + k-position explode are the entry's
+    # CPU, and the local single-row-group scan otherwise runs them on ONE
+    # core (the eval_mrr/text-entropy r11 lesson — no-op at production
+    # split counts)
+    o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"), spark)
     # the sizing row and the built filter are each consumed by multiple
     # branches — materialize both (a real Bloom build materializes the
     # filter by definition; without this the insert explode runs twice and
@@ -2042,11 +2046,12 @@ def _kmv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's whitespace vocabulary saturates at 31 types (probed; the
     text_heaps_law_fit lesson) while shingle sets are thousands per
     source."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"), spark)
     # the token ARRAY is projected ONCE before the explode: referencing
     # split() inside the transform lambda re-evaluates it per element —
     # O(tokens^2) per document, measured as ~4.5s of the entry's cost at
-    # sf0.1 before this projection
+    # sf0.1 before this projection; spread() fans the single-row-group scan
+    # across the cluster first (r11)
     sh = (
         d.selectExpr("source", r"split(trim(lower(text)), '\\s+') AS ts")
         .filter("size(ts) >= 3")

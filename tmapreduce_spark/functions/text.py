@@ -5100,12 +5100,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length guard: Spark's sequence(1, 0) would generate DESCENDING [1, 0]
     # for a sub-2-char doc; DuckDB's range(1, len) is empty there — the
     # filter makes both engines skip such docs identically.
-    pairs = d.filter("length(text) >= 2").select(
-        "source",
-        F.expr(
-            "explode(transform(sequence(1, length(text) - 1),"
-            " i -> substring(text, i, 2)))"
-        ).alias("bg"),
+    # spread() fans the single-row-group scan across the cluster before the
+    # CPU-amplifying explode (2.4s -> 0.6s for the cell build at sf0.1,
+    # measured); the char array is split ONCE so the bigram lambda is O(1)
+    # array indexing, not an O(position) substring seek per element (r11).
+    pairs = (
+        spread(d.select("source", "text"), spark)
+        .filter("length(text) >= 2")
+        .selectExpr("source", "length(text) AS n", "split(text, '') AS cs")
+        .select(
+            "source",
+            F.expr(
+                "explode(transform(sequence(1, n - 1),"
+                " i -> concat(cs[i-1], cs[i])))"
+            ).alias("bg"),
+        )
     )
     # One explode: the reduced cell table is materialized so the bigram fold
     # and the prefix marginal read the same blocks (the
@@ -5503,7 +5512,10 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token ARRAY is projected ONCE before the explode: referencing
     # split() inside the transform lambda re-evaluates it per element —
     # O(tokens^2) per document, measured as ~4.5s of the entry's cost at
-    # sf0.1 before this projection
+    # sf0.1 before this projection. NO spread here: the un-checkpointed sh
+    # subtree is duplicated into four consumer branches, so a pre-explode
+    # repartition replicates as four extra un-reused Exchanges (measured
+    # r11, 11 -> 15) for no wall win at this entry's size.
     sh = (
         d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS ts")
         .filter("size(ts) >= 3")
@@ -5769,12 +5781,19 @@ def text_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast source list (|cells| x |sources| rows, still bounded by
     the cell space) — never against the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = d.filter("length(text) >= 2").select(
-        "source",
-        F.expr(
-            "explode(transform(sequence(1, length(text) - 1),"
-            " i -> substring(text, i, 2)))"
-        ).alias("bg"),
+    # spread + split-once char array: same two wins as text_char_entropy
+    # (fan out the single-row-group scan; O(1) array-indexed bigrams)
+    pairs = (
+        spread(d.select("source", "text"), spark)
+        .filter("length(text) >= 2")
+        .selectExpr("source", "length(text) AS n", "split(text, '') AS cs")
+        .select(
+            "source",
+            F.expr(
+                "explode(transform(sequence(1, n - 1),"
+                " i -> concat(cs[i-1], cs[i])))"
+            ).alias("bg"),
+        )
     )
     cells = pairs.groupBy("source", "bg").agg(
         F.count("*").cast("bigint").alias("cnt")
