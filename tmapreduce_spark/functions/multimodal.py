@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tmapreduce_spark.catalog import QuerySpec
 from tmapreduce_spark.parity import mround
-from tmapreduce_spark.sources.catalog import load_table
+from tmapreduce_spark.sources.catalog import load_table, spread
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, fake_width bigint, fake_height bigint, "
@@ -39,8 +39,13 @@ DECODE_SCHEMA = (
 
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with an opaque binary payload column + typed metadata —
-    the storage shape for multimodal data (FIXTURES §4 documents as carrier)."""
-    d = load_table(spark, sf_dir, "documents")
+    the storage shape for multimodal data (FIXTURES §4 documents as carrier).
+
+    spread: every consumer runs an Arrow-batched decode/feature pass over
+    the payload — CPU-amplifying work that a local single-row-group scan
+    would otherwise serialize on one core (r11 scan-fan-out lesson; a
+    no-op at production split counts)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -517,7 +522,11 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmapreduce_spark.functions.scale import _buckets_of
     from tmapreduce_spark.functions.similarity import QUANT
 
-    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # spread: the bucketing matmul is an Arrow CPU pass over the
+    # single-row-group embeddings scan (r11 scan-fan-out lesson)
+    corpus = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
 
     def bucket_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

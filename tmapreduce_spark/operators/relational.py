@@ -2994,12 +2994,16 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs reach the json round-trip (and the scan — plan-test-asserted),
     # so the per-row construct cost is paid on the narrowest possible rows
     e = load_table(spark, sf_dir, "events").select("props", "user_id", "event_type")
-    v = e.selectExpr(
+    _V_EXPR = (
         "parse_json(to_json(named_struct("
         " 'k', coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), -1),"
         " 'ids', array(user_id % 7, user_id % 11),"
         " 'tag', event_type))) AS v"
     )
+    # spread: the json/variant expression stack is interpreted (no codegen
+    # for VARIANT) and the single-row-group scan otherwise runs all of it
+    # on one core (r11 scan-fan-out lesson)
+    v = spread(e, spark).selectExpr(_V_EXPR)
     agg = (
         v.selectExpr(
             "variant_get(v, '$.tag', 'string') AS tag",
@@ -3019,8 +3023,13 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema introspection is a per-DATASET fact under the coalesced
     # construction (every row carries the same variant shape) — run it on
     # ONE row and broadcast, instead of stringifying the schema per row
-    # and min-folding it through a SortAggregate
-    sch = v.limit(1).selectExpr("schema_of_variant(v) AS variant_schema")
+    # and min-folding it through a SortAggregate. Built from the UNSPREAD
+    # scan with limit BEFORE construct, so this branch reads one row group
+    # and parses one document (a limit above the repartition would pull
+    # every row through the exchange first).
+    sch = e.limit(1).selectExpr(_V_EXPR).selectExpr(
+        "schema_of_variant(v) AS variant_schema"
+    )
     return agg.crossJoin(F.broadcast(sch))
 
 
