@@ -284,6 +284,36 @@ _COVERED_R10: frozenset[str] = frozenset(
     }
 )
 
+# round 11 (CORRECTNESS_r11.json: 50 green, all three checks, 0 err — the 3
+# reworked-and-renamed sketches + the entire 46-entry r03-stale cohort + the
+# oldest r04 row; zero new entries by design, rotation-only round)
+_COVERED_R11: frozenset[str] = frozenset(
+    {
+        "ann_ivf_topk", "ann_ivf_topk_probe2", "ann_lsh_topk",
+        "ann_pq_topk", "dedup_embedding_cosine", "dedup_exact_groups",
+        "dedup_exact_keep_first", "dedup_minhash_pairs",
+        "dedup_minhash_signature", "dedup_simhash", "distinct_pairs",
+        "doc_fingerprint", "events_ohlc_hourly",
+        "graph_pagerank_neardup", "join_salted_skew",
+        "lang_id_heuristic", "multimodal_frame_sample",
+        "multimodal_meta_stats", "multimodal_resize",
+        "pipeline_clean_corpus", "pipeline_corpus_e2e",
+        "pipeline_decontaminate", "pipeline_pii_scrub",
+        "pipeline_quality_filter", "pipeline_upsert_latest",
+        "salted_token_counts", "sample_hash_bucket",
+        "sample_stratified_fixed", "set_except", "set_except_all",
+        "set_intersect_all", "sketch_hll_md5_merge",
+        "sketch_kmv_distinct", "sketch_sample_quantiles",
+        "text_quality", "text_repetition_stats", "token_bpe_ish",
+        "token_stats", "udf_grouped_demean", "udf_mapinpandas_running",
+        "udf_python_scalar", "udf_udtf_tokens",
+        "window_frame_following", "window_lag_lead",
+        "window_moving_avg", "window_ntile", "window_percentiles",
+        "window_range_centered", "window_rank_dense",
+        "window_running_sum",
+    }
+)
+
 # Terminal rows-only entries: no oracle BY DESIGN. EMPTY since r11 — the three
 # engine-native sketches (approx_distinct / approx_quantiles / hll_partition_
 # merge) that lived here through r10 were reworked onto md5-derived
@@ -314,6 +344,7 @@ for _rnd, _names in (
     (8, _COVERED_R8),
     (9, _COVERED_R9),
     (10, _COVERED_R10),
+    (11, _COVERED_R11),
 ):
     for _n in _names:
         _COVERED_ROUND[_n] = _rnd
