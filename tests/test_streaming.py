@@ -1590,3 +1590,50 @@ def test_launch_spool_rejects_unknown_protocol():
             LaunchSpool(d, protocol="s3-magic")
         with _pytest.raises(ValueError):
             LaunchStreamReader({"path": d, "protocol": "s3-magic"})
+
+
+def test_launch_spool_protocol_mismatch_fails_fast():
+    """Writer/reader protocol disagreement must raise, not silently read
+    zero payloads forever (r11 advice): the spool stamps a _PROTOCOL
+    sentinel at creation; reader and writer both check it, and a
+    pre-sentinel spool is inferred from its payload-file suffixes."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from tmapreduce_spark.sources.stream_launch import (
+        LaunchSpool,
+        LaunchStreamReader,
+    )
+
+    # sentinel-based: reader configured with the other protocol
+    for written, misread in (("rename", "marker"), ("marker", "rename")):
+        with tempfile.TemporaryDirectory() as d:
+            LaunchSpool(d, protocol=written)
+            with _pytest.raises(ValueError, match="was written with"):
+                LaunchStreamReader({"path": d, "protocol": misread})
+            # matching reader still constructs fine
+            LaunchStreamReader({"path": d, "protocol": written})
+            # a second writer with the other protocol is also rejected
+            with _pytest.raises(ValueError, match="was written with"):
+                LaunchSpool(d, protocol=misread)
+
+    # pre-sentinel spool (no _PROTOCOL file): inferred from suffixes
+    with tempfile.TemporaryDirectory() as d:
+        spool = LaunchSpool(d, protocol="marker")
+        spool.append("j", "wordcount", [("k", "v")])
+        os.remove(os.path.join(d, "_PROTOCOL"))
+        with _pytest.raises(ValueError, match="marker-protocol files"):
+            LaunchStreamReader({"path": d, "protocol": "rename"})
+
+    # empty spool dir, no sentinel: reader constructs (nothing to disagree
+    # with yet) and re-checks on every read until the layout confirms
+    with tempfile.TemporaryDirectory() as d:
+        rd = LaunchStreamReader({"path": d, "protocol": "rename"})
+        rows, off = rd.read({"seq": 0})
+        assert rows == [] and off == {"seq": 0}
+        # a marker-protocol writer then claims the dir: next poll must raise
+        LaunchSpool(d, protocol="marker")
+        with _pytest.raises(ValueError, match="was written with"):
+            rd.read({"seq": 0})

@@ -139,18 +139,19 @@ class Gateway:
                     # the master's admission rejection, proxied as ok=false
                     return self._reply(500, {"ok": False, "message": str(exc)})
                 if gateway.spool is not None:
-                    # The job is already launched: a spool failure (disk
-                    # full, unwritable dir) must NOT surface as a 500 — the
-                    # client would retry and duplicate the job. The spool is
-                    # a best-effort streaming mirror, so log and reply ok
-                    # (r10 advice).
+                    # The job is already launched: ANY spool failure (disk
+                    # full, unwritable dir, a pathological payload the spool
+                    # codec rejects) must NOT surface as a 500 — the client
+                    # would retry and duplicate the job. The spool is a
+                    # best-effort streaming mirror, so log and reply ok
+                    # (r10 advice; broadened beyond OSError per r11 advice).
                     try:
                         gateway.spool.append(
                             doc["name"],
                             doc["type"],
                             [(kv["key"], kv["value"]) for kv in doc["kvs"]],
                         )
-                    except OSError as exc:
+                    except Exception as exc:
                         logging.getLogger(__name__).warning(
                             "spool append failed for launched job %s: %s",
                             job_id, exc,

@@ -180,6 +180,11 @@ class MapReduceEngine:
         # equal keys keep payload order, matching std::sort's effect on the
         # observable contract (values later re-ordered by subjob/emission tag).
         kvs_sorted = sorted(kvs, key=lambda kv: kv[0])
+        # Deliberate deviation from Job::Partition (job.cc:10-43), which
+        # creates EMPTY subjobs when mapper_num > len(kvs): Spark rejects
+        # empty parallelize slices less gracefully than the reference's RPC
+        # fan-out, and an empty subjob emits nothing, so clamping is
+        # observationally identical (same emissions, same (part, seq) tags).
         mapper_num = min(mapper_num, len(kvs_sorted))
 
         job.stage = JobStage.MAPPING

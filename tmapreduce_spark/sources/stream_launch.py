@@ -61,6 +61,58 @@ LAUNCH_STREAM_SCHEMA = (
     "seq bigint, name string, job_type string, key string, value string"
 )
 
+# Sentinel recording which visibility protocol wrote a spool directory. A
+# writer/reader protocol mismatch is otherwise SILENT (a 'marker' spool read
+# as 'rename' sees zero .json files forever and the stream never advances
+# past seq 0 — r11 advice), so both sides fail fast on disagreement.
+_PROTOCOL_SENTINEL = "_PROTOCOL"
+
+
+def _check_spool_protocol(path: str, protocol: str, side: str) -> bool:
+    """Fail fast when ``protocol`` disagrees with the spool at ``path``.
+
+    Agreement is checked against the writer's sentinel file when present,
+    else inferred from existing payload-file suffixes (pre-sentinel spools).
+    Returns True when the on-disk layout positively CONFIRMS the protocol
+    (sentinel match or suffix evidence) so callers can cache the verdict;
+    False means "nothing on disk yet — check again later"."""
+    sentinel = os.path.join(path, _PROTOCOL_SENTINEL)
+    try:
+        with open(sentinel) as f:
+            written = f.read().strip()
+    except OSError:
+        written = None
+    if written is not None:
+        if written != protocol:
+            raise ValueError(
+                f"launchstream {side} configured protocol={protocol!r} but "
+                f"the spool at {path!r} was written with {written!r} — a "
+                f"mismatched reader would silently see zero payloads"
+            )
+        return True
+    # No sentinel (empty dir or pre-sentinel spool): infer from suffixes.
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return False
+    has_marker = any(n.endswith(".json.ok") for n in names)
+    has_rename = any(
+        n.endswith(".json") and n[:-5].isdigit() for n in names
+    )
+    if protocol == "rename" and has_marker and not has_rename:
+        raise ValueError(
+            f"launchstream {side} configured protocol='rename' but the "
+            f"spool at {path!r} contains only marker-protocol files "
+            f"(.json.ok) — payloads would be silently invisible"
+        )
+    if protocol == "marker" and has_rename and not has_marker:
+        raise ValueError(
+            f"launchstream {side} configured protocol='marker' but the "
+            f"spool at {path!r} contains only rename-protocol files "
+            f"(.json) — payloads would be silently invisible"
+        )
+    return has_marker or has_rename
+
 
 class LaunchSpool:
     """Writer side of the streaming launch queue: one JSON file per
@@ -87,6 +139,17 @@ class LaunchSpool:
         self.protocol = protocol
         self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
+        # Fail fast on an existing spool written with the other protocol,
+        # then stamp the sentinel so readers can check agreement (r11
+        # advice). Written once via the rename trick so a concurrent reader
+        # never sees a half-written sentinel.
+        _check_spool_protocol(path, protocol, side="writer")
+        sentinel = os.path.join(path, _PROTOCOL_SENTINEL)
+        if not os.path.exists(sentinel):
+            tmp = sentinel + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(protocol)
+            os.rename(tmp, sentinel)
 
     def _next_seq(self) -> int:
         seqs = [
@@ -148,6 +211,12 @@ class LaunchStreamReader(SimpleDataSourceStreamReader):
         if self.protocol not in ("rename", "marker"):
             raise ValueError(f"unknown spool protocol {self.protocol!r}")
         self.max_payloads = int(options.get("maxPayloadsPerTrigger", 0)) or None
+        # Protocol-agreement check (r11 advice): once at construction, then
+        # re-checked on every poll until the on-disk layout positively
+        # confirms it — the spool may be empty when the stream starts.
+        self._protocol_confirmed = _check_spool_protocol(
+            self.path, self.protocol, side="reader"
+        )
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
@@ -173,6 +242,10 @@ class LaunchStreamReader(SimpleDataSourceStreamReader):
         return seq
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        if not self._protocol_confirmed:
+            self._protocol_confirmed = _check_spool_protocol(
+                self.path, self.protocol, side="reader"
+            )
         lo = start["seq"]
         hi = self._max_contiguous(lo)
         return _read_seq_range(self.path, lo, hi, self.protocol), {"seq": hi}
