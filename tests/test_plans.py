@@ -152,6 +152,30 @@ def test_aqe_skew_join_splits(spark):
                 spark.conf.set(k, v)
 
 
+def test_ann_bucketed_join_is_exchange_free(spark):
+    """layout_ann_bucketed (r11 verdict #2): the at-rest LSH bucket layout
+    must make candidate generation a bucket-to-bucket join with ZERO
+    Exchange on either join side — both sides scan the bucketed table
+    (Bucketed: true), the join is SortMergeJoin (not broadcast: broadcast
+    would also be exchange-free at this SF but proves nothing about the
+    layout), and the ONLY Exchange in the whole plan is the final per-query
+    top-k window, which must carry the WindowGroupLimit pushdown."""
+    from tmapreduce_spark.sources.bucketing import layout_ann_bucketed
+
+    df = layout_ann_bucketed(spark, SF_SMOKE)
+    simple = physical_plan(df, mode="simple")
+    assert "SortMergeJoin" in simple, simple
+    assert "BroadcastHashJoin" not in simple, simple
+    assert simple.count("Exchange") - simple.count("ReusedExchange") == 1, simple
+    assert "Exchange hashpartitioning(query_id" in simple, simple
+    assert "WindowGroupLimit" in simple, simple
+    formatted = physical_plan(df)
+    assert "Bucketed: true" in formatted, formatted
+    assert "SelectedBucketsCount: 8 out of 8" in formatted, formatted
+    # query-set predicate reaches the bucketed scan
+    assert "LessThan(vec_id,64)" in formatted, formatted
+
+
 def test_bucketed_groupby_single_exchange(spark):
     """layout_bucketed_groupby: the per-orderkey aggregate over the bucketed
     table must be exchange-free (the at-rest layout already distributes by
