@@ -1632,7 +1632,7 @@ def test_launch_spool_protocol_mismatch_fails_fast():
     with tempfile.TemporaryDirectory() as d:
         rd = LaunchStreamReader({"path": d, "protocol": "rename"})
         rows, off = rd.read({"seq": 0})
-        assert rows == [] and off == {"seq": 0}
+        assert list(rows) == [] and off == {"seq": 0}
         # a marker-protocol writer then claims the dir: next poll must raise
         LaunchSpool(d, protocol="marker")
         with _pytest.raises(ValueError, match="was written with"):

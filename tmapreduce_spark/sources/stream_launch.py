@@ -248,7 +248,12 @@ class LaunchStreamReader(SimpleDataSourceStreamReader):
             )
         lo = start["seq"]
         hi = self._max_contiguous(lo)
-        return _read_seq_range(self.path, lo, hi, self.protocol), {"seq": hi}
+        # iter(list), not the list and not a generator: Spark's prefetch
+        # cache copy.copy()s the value for replay (generators don't copy or
+        # pickle — hit live in testing) AND calls next() on it when the
+        # offset did not advance (a bare list raises TypeError there — hit
+        # live in the r12 restart e2e). A list_iterator satisfies both.
+        return iter(_read_seq_range(self.path, lo, hi, self.protocol)), {"seq": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         return _read_seq_range(self.path, start["seq"], end["seq"], self.protocol)
