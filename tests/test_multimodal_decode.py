@@ -61,10 +61,20 @@ def test_ppm_header_comments_and_whitespace():
 
 
 def test_decode_image_dispatch_and_honest_failure():
+    from tmapreduce_spark.functions.multimodal import decode_png, encode_png
+
     bmp = encode_bmp(4, 4, _gradient)
     ppm = encode_ppm(4, 4, _gradient)
+    png = encode_png(4, 4, _gradient)
     assert decode_image(bmp) == decode_bmp(bmp)
     assert decode_image(ppm) == decode_ppm(ppm)
+    # PNG decodes natively since r12 (stdlib zlib codec) — the dispatch
+    # returns the shared 5-tuple contract, dropping PNG's filter_sig extra
+    assert decode_image(png) == decode_png(png)[:5]
+    # a PNG signature with garbage after it is a corrupt file, not an
+    # unsupported format
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
     try:
         import PIL  # noqa: F401
 
@@ -73,7 +83,7 @@ def test_decode_image_dispatch_and_honest_failure():
         has_pil = False
     if not has_pil:
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n....")  # PNG magic, no PIL
+            decode_image(b"\xff\xd8\xff\xe0....")  # JPEG magic needs PIL
 
 
 def test_real_decode_entry_no_notimplemented(spark):
