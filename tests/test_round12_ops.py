@@ -290,3 +290,47 @@ def test_multimodal_png_decode_oracle_parity(spark, duck):
     )
     orc = sorted(tuple(r) for r in duck.execute(MULTIMODAL_PNG_DECODE_SQL).fetchall())
     assert sp == orc
+
+
+def test_png_codec_property_random_images():
+    """Hypothesis: ANY pixel content, ANY size, ANY per-row filter schedule
+    round-trips bit-exactly through encode_png -> decode_png / decode_pixels
+    — the unfilter algebra is inverse for arbitrary bytes, not just the
+    deterministic fixture gradients."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmapreduce_spark.functions.multimodal import (
+        decode_pixels,
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        schedule=st.lists(st.integers(0, 4), min_size=12, max_size=12),
+    )
+    def prop(w, h, seed, schedule):
+        import random
+
+        rng = random.Random(seed)
+        grid = {
+            (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for y in range(h)
+            for x in range(w)
+        }
+        img = encode_png(w, h, lambda x, y: grid[(x, y)],
+                         filter_of_row=lambda y: schedule[y])
+        dw, dh, ch, psum, corner, fsig = decode_png(img)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert psum == sum(sum(v) for v in grid.values())
+        r, g, b = grid[(0, 0)]
+        assert corner == r + 256 * g + 65536 * b
+        assert fsig == sum(schedule[y] * (y + 1) for y in range(h))
+        pw, ph, px = decode_pixels(img)
+        assert px == [grid[(x, y)] for y in range(h) for x in range(w)]
+
+    prop()
