@@ -95,6 +95,9 @@ def test_results_identical_across_parallelism(spark):
         "window_ewma",
         "agg_welch_ttest",
         "events_cuped_adjusted_lift",
+        # r12: the bucketed ANN join's cosine is a double, but the int64
+        # quantized dot + 1e-6 grid must make it partition-count-invariant
+        "layout_ann_bucketed",
     ]
     saved = spark.conf.get("spark.sql.shuffle.partitions")
 
