@@ -152,6 +152,65 @@ def test_aqe_skew_join_splits(spark):
                 spark.conf.set(k, v)
 
 
+def test_ann_bucketed_corpus_never_shuffles_for_external_queries(spark):
+    """The 100 TB claim behind layout_ann_bucketed, second half: a FRESH
+    query batch that is NOT part of the bucketed table (the production
+    shape — new queries arrive after ingest) joins the at-rest corpus with
+    the shuffle landing on the QUERY side only. The corpus scan must stay
+    exchange-free (its bucketed layout already satisfies the join's
+    distribution requirement); exactly one Exchange may sit on the query
+    side of the SortMergeJoin."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tmapreduce_spark.sources.bucketing import (
+        ANN_LAYOUT_BUCKETS,
+        _cleanup_at_exit,
+        _spark_bucket_expr,
+        _spark_quant_expr,
+        write_bucketed,
+    )
+    from tmapreduce_spark.sources.catalog import load_table
+
+    app = re.sub(r"[^a-zA-Z0-9_]", "_", spark.sparkContext.applicationId)
+    tbl = f"embeddings_annbkt_ext_{app}"
+    _cleanup_at_exit(f"/tmp/tmrs_bucketed/{app}")
+    corpus = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.expr(_spark_quant_expr("embedding")).alias("qe"))
+        .select("vec_id", "qe", F.expr(_spark_bucket_expr()).alias("bucket"))
+    )
+    write_bucketed(
+        corpus, tbl, "bucket", ANN_LAYOUT_BUCKETS,
+        f"/tmp/tmrs_bucketed/{app}/{tbl}",
+    )
+    # external query batch: a plain in-memory frame, NOT from the table
+    ext = spark.range(8).select(
+        (F.col("id") + 10_000).alias("query_id"),
+        (F.col("id") % 7).alias("q_bucket"),
+    )
+    j = spark.table(tbl).join(
+        ext.hint("MERGE"), F.col("bucket") == F.col("q_bucket")
+    ).groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # keep only the adaptive FINAL plan (the string repeats every node in
+    # its == Initial Plan == section, which would double every count)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan
+    # the corpus side: a bucketed scan with NO Exchange between it and the
+    # join — split the plan at the join and check the bucketed-scan branch
+    assert "Bucketed: true" in plan, plan
+    join_idx = plan.index("SortMergeJoin")
+    corpus_branch = plan[join_idx : plan.index("FileScan parquet")]
+    assert "Exchange" not in corpus_branch, corpus_branch
+    # the query side carries the one pre-join Exchange (its shuffle to the
+    # corpus's bucket distribution); the post-join groupBy adds the other
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_ann_bucketed_join_is_exchange_free(spark):
     """layout_ann_bucketed (r11 verdict #2): the at-rest LSH bucket layout
     must make candidate generation a bucket-to-bucket join with ZERO
