@@ -125,6 +125,27 @@ def test_apply_df_matches_launch(engine, spark):
     assert flat == engine.get_result(job_id)
 
 
+def test_apply_df_construction_launches_no_jobs(engine, spark):
+    """Building the apply_df DataFrame must launch ZERO Spark jobs: the
+    output schema is declared explicitly, so no RDD sampling (rdd.first())
+    may execute the map+shuffle lineage before the caller's real action —
+    the r12 optimization that de-doubled every mr_* entry's map stage.
+    The schema itself stays the declared (key string, result string)."""
+    df = spark.createDataFrame(KVS, "key string, value string")
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs():
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    before = jobs()
+    out = engine.apply_df(df, "charcount")
+    assert jobs() == before, "apply_df construction fired a Spark job"
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("key", "string"),
+        ("result", "string"),
+    ]
+
+
 def test_combiner_results_identical_to_plain(spark):
     """The map-side combiner must not change results — only shuffle volume."""
     from tmapreduce_spark.mapreduce import MapReduceEngine

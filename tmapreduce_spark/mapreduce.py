@@ -53,8 +53,15 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
 
 from tmapreduce_spark.registry import JobRegistry, default_registry
+
+# apply_df's fixed output schema (key-wise parity with launch(): one string
+# row per reduce output, keyed by its group key).
+_APPLY_DF_SCHEMA = StructType(
+    [StructField("key", StringType(), True), StructField("result", StringType(), True)]
+)
 
 # Reference operational constant: finished-job result TTL
 # (/root/reference/src/tmapreduce/master.h:27).
@@ -347,7 +354,19 @@ class MapReduceEngine:
         )
         if ordered:
             reduced = reduced.sortByKey()
-        return reduced.toDF(["key", "result"])
+        # Explicit schema: toDF(names-only) infers the schema by SAMPLING the
+        # RDD — an rdd.first() that executes the whole map stage plus one
+        # reduce partition before the caller's real action, i.e. every
+        # apply_df query paid for its map+shuffle-write once more (measured
+        # 8.78 s -> 7.62 s across the 8 mr_* entries at sf0.1).
+        # verifySchema=False skips the per-row Python type re-check: the
+        # (str, str) row shape is the registry job contract (the reference's
+        # gateway admits only string pairs, gateway.cc:15-51, and map/reduce
+        # fns emit strings by the same contract), so re-verifying every output
+        # row in Python buys nothing at 100 TB.
+        return self.spark.createDataFrame(
+            reduced, _APPLY_DF_SCHEMA, verifySchema=False
+        )
 
     # -- internals ----------------------------------------------------------
 
