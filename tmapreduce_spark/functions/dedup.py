@@ -2265,11 +2265,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = und.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").alias("degree")
     )
+    # consumed by the k=2 and k=3 seed filters below plus the final output
+    # join — materialize the tiny (doc_id, degree) table once instead of
+    # re-aggregating the edge list under every consumer arm
+    nodes = nodes.localCheckpoint()
     out = nodes
     for k in _KCORE_KS:
-        alive = nodes.select("doc_id")
+        # Round 1 of the peel is ALWAYS the plain degree filter: with
+        # alive_0 = all nodes, the double join keeps every edge, so
+        # d == degree and alive_1 == {degree >= k} exactly. Seed from the
+        # materialized degree table and skip round 1's two edge joins —
+        # one full join round saved per k, same fixed-unroll contract
+        # (the remaining loop runs _KCORE_ROUNDS - 1 times; peeling is
+        # monotone, so rounds after the fixpoint were no-ops anyway).
+        alive = (
+            nodes.filter(F.col("degree") >= k).select("doc_id").localCheckpoint()
+        )
         prev_n = alive.count()
-        for _ in range(_KCORE_ROUNDS):
+        for _ in range(_KCORE_ROUNDS - 1):
             alive = (
                 und.join(alive.withColumnRenamed("doc_id", "src"), "src")
                 .join(alive.withColumnRenamed("doc_id", "dst"), "dst")
@@ -2374,11 +2387,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.filter(F.col("doc_id") % _LP_SEED_MOD == 0)
         .join(docs, "doc_id")
         .selectExpr("doc_id", "lang AS seed_label")
-        .localCheckpoint()
     )
-    labels = nodes.join(seeds, "doc_id", "left").selectExpr(
-        "doc_id", "seed_label AS label"
-    )
+    # Carry the clamp columns (seed_label, is_seed) INSIDE the label table
+    # instead of re-joining the seed set every round: one doc_id equi-join
+    # per round (labels x best) instead of two, and the final is_seed join
+    # disappears — 4 fewer shuffled joins over the fixed-round loop, with
+    # bit-identical clamping (r12 optimization; the update CASE is unchanged).
+    labels = nodes.join(
+        seeds.withColumn("in_seeds", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.col("doc_id"),
+        F.col("seed_label").alias("label"),
+        F.col("seed_label"),
+        # membership, NOT seed_label IS NOT NULL: a seed row whose document
+        # lang is NULL is still a seed for the is_seed output (the clamp CASE
+        # below keys on seed_label exactly like the pre-rewrite join did)
+        F.coalesce(F.col("in_seeds"), F.lit(False)).alias("is_seed"),
+        # checkpoint replaces the old per-round seeds checkpoint: round 1
+        # consumes this table under BOTH its join arms (msgs + update)
+    ).localCheckpoint()
     for _ in range(_LP_ROUNDS):
         msgs = (
             und.join(
@@ -2388,26 +2415,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"), F.col("nl"))
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("nl"))
-        best = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .selectExpr("doc_id", "nl AS best_label")
+        # majority with smallest-label tie-break as ONE aggregate:
+        # min_by over the (-cnt, nl) tuple == ORDER BY cnt DESC, nl ASC
+        # LIMIT 1 — replaces the row_number window (same two exchanges but
+        # partial map-side aggregation and NO per-partition sort).
+        best = msgs.groupBy("doc_id").agg(
+            F.expr("min_by(nl, struct(-cnt, nl))").alias("best_label")
         )
         labels = (
             labels.join(best, "doc_id", "left")
-            .join(seeds.selectExpr("doc_id", "seed_label"), "doc_id", "left")
             .selectExpr(
                 "doc_id",
                 "CASE WHEN seed_label IS NOT NULL THEN seed_label"
                 " ELSE coalesce(best_label, label) END AS label",
+                "seed_label",
+                "is_seed",
             )
             .localCheckpoint()
         )
-    return labels.join(
-        seeds.selectExpr("doc_id", "1 AS is_seed"), "doc_id", "left"
-    ).selectExpr(
-        "doc_id", "CAST(coalesce(is_seed, 0) AS BIGINT) AS is_seed", "label"
+    return labels.selectExpr(
+        "doc_id", "CAST(is_seed AS BIGINT) AS is_seed", "label"
     )
 
 

@@ -3096,25 +3096,51 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float reduction order cannot move a bit; top-10 docs per query by
     (score DESC, doc_id ASC).
 
-    Scale: identical postings/window substrate as text_bm25_topk plus one
-    broadcast equi-join (term dim ≪ corpus) and one (query, doc) groupBy —
-    at 100 TB this is exactly how batch retrieval over an inverted index
-    runs; the WindowGroupLimit top-k never materializes a global sort."""
+    Scale: the query workload is FIXED and known at plan time, so the only
+    postings that can ever reach the query join are the <=13 workload
+    terms' — ONE groupBy(doc_id) pass computes the doc-length table and
+    each workload term's per-doc tf as conditional sums (the r11 shape
+    shuffled the full-vocabulary (tok, doc_id) postings and ran TWO windows
+    over them — partition-by-term df and partition-by-doc dl — only to
+    discard every non-workload row at the join). df/dl/stats all derive
+    from the tiny wide table; one broadcast equi-join (term dim ≪ corpus)
+    and one (query, doc) groupBy follow — at 100 TB this is exactly how
+    batch retrieval over an inverted index runs; the WindowGroupLimit
+    top-k never materializes a global sort."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
-    stats = postings.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("tf").cast("bigint").alias("sum_dl"),
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # consumed by stats, the df aggregate, and the scored unpivot —
+        # materialize the 1-row-per-doc table once
+        .localCheckpoint()
     )
-    enriched = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
-    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
-    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    stack_args = ", ".join(f"'{t}', tf{i}" for i, t in enumerate(terms))
+    enriched_q = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(terms)}, {stack_args}) AS (tok, tf)"
+    ).filter("tf > 0")
+    dfs = enriched_q.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        enriched_q.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
+    ).selectExpr(
         "doc_id",
         "tok",
         "CAST(floor(("
@@ -4658,29 +4684,47 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pure int64, ties break on doc_id. Every workload term exists in the
     corpus vocabulary (pinned by test), so C is finite.
 
-    Scale: one tokenize + one postings groupBy (shared shape with BM25);
-    ctf is aggregated ONLY for the <=13 query terms after a broadcast
-    semi-join; the dense leg is doclen x 5 queries — linear in documents,
+    Scale: ONE tokenize + ONE groupBy(doc_id) pass computes the doc-length
+    table and the per-doc tf of every (fixed, known-at-plan-time) workload
+    term as conditional sums — the full-vocabulary (tok, doc_id) postings
+    shuffle the r11 shape paid (and then localCheckpoint-materialized) only
+    existed to be filtered back down to the <=13 query terms; the exchange
+    now carries 5k rows x 13 ints instead of every posting (r12 rewrite,
+    2.36 s -> measured below). ctf/matched unpivot the tiny wide table with
+    stack(); the dense leg is doclen x 5 queries — linear in documents,
     never in postings; top-10 per query via row_number, no global sort."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    postings = (
-        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # consumed by doclen, stats, and the qpost unpivot — materialize the
+        # 1-row-per-doc table once instead of re-tokenizing under each arm
+        .localCheckpoint()
     )
-    stats = postings.agg(F.sum("tf").cast("bigint").alias("n_c"))
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = per_doc.agg(F.sum("dl").cast("bigint").alias("n_c"))
+    doclen = per_doc.select("doc_id", "dl")
+    stack_args = ", ".join(f"'{t}', tf{i}" for i, t in enumerate(terms))
+    postings = per_doc.selectExpr(
+        "doc_id", f"stack({len(terms)}, {stack_args}) AS (tok, tf)"
+    ).filter("tf > 0")
     qterms = spark.createDataFrame(
         [(q, t) for q, ts in sorted(BM25_QUERIES.items()) for t in ts],
         "query_id string, tok string",
     )
-    ctf = (
-        postings.join(F.broadcast(qterms.select("tok").distinct()), "tok")
-        .groupBy("tok")
-        .agg(F.sum("tf").cast("bigint").alias("ctf"))
-    )
+    ctf = postings.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("ctf"))
     # A: matched-term kicker, grid-int per posting row
     a_term = _g9(
         f"ln(1 + CAST(tf AS DOUBLE) * n_c / (CAST({QL_MU} AS DOUBLE) * ctf))"
