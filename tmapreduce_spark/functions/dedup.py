@@ -2677,8 +2677,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pa").cast("bigint").alias("n_nodes"),
         )
     )
-    per = deg_c.join(internal, "brand", "left").selectExpr(
-        "brand", "n_nodes", "coalesce(e_c, 0) AS e_c", "d_c"
+    # broadcast the |brands|-row internal side (no SMJ exchange+sort for two
+    # tiny tables) and materialize per once: BOTH the output rows and the
+    # broadcast overall aggregate consume it, and without the checkpoint the
+    # whole deg_c/internal subtree executed twice under the crossJoin
+    per = (
+        deg_c.join(F.broadcast(internal), "brand", "left")
+        .selectExpr("brand", "n_nodes", "coalesce(e_c, 0) AS e_c", "d_c")
+        # lazy: materialized by the broadcast-side job of the final action
+        # (no extra blocking job), then reused by the output-row scan
+        .localCheckpoint(eager=False)
     )
     overall = per.agg(
         F.sum("e_c").cast("bigint").alias("sum_ec"),
