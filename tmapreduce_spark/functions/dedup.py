@@ -124,10 +124,15 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus itself: keep the lowest doc_id per distinct
     text (dropDuplicates with a deterministic keeper)."""
     d = load_table(spark, sf_dir, "documents")
-    w_min = (
-        d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # group on the 16-byte content hash, not the raw text: the shuffle (and
+    # the map-side partial aggregate) carries (hash, id, len) instead of
+    # document bodies — the same hash-first discipline as dedup_exact_groups
+    return (
+        d.select("doc_id", F.md5("text").alias("h"), F.length("text").alias("ln"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("ln").alias("text_len"))
+        .select("doc_id", "text_len")
     )
-    return w_min.select("doc_id", F.length("text").alias("text_len"))
 
 
 DEDUP_EXACT_KEEP_SQL = """
@@ -1803,9 +1808,11 @@ def _overlap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReusedExchange on the executed plan: exact keep-first window flags,
     MinHash-LSH candidates, SimHash hamming<=2 pairs."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # project the 16-byte hash BEFORE the window exchange — partitioning by
+    # md5(text) while still carrying text shuffled every document body
+    w = Window.partitionBy("h").orderBy("doc_id")
     exact_f = (
-        d.select("doc_id", "text")
+        d.select("doc_id", F.md5("text").alias("h"))
         .withColumn("rn", F.row_number().over(w))
         .filter("rn > 1")
         .select("doc_id")

@@ -284,7 +284,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partial aggregation; the final per-lang rollup is tiny. One pass
     over the corpus plus the dedup shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    keepers = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # group on md5(text) so the dedup shuffle really does carry (text-hash,
+    # id) pairs as documented, never document bodies
+    keepers = (
+        d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     q = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
     cleaned = (
         q.join(keepers, "doc_id", "left_semi")
