@@ -1167,17 +1167,27 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(span_drops, "doc_id", "left_anti")
         .select("doc_id", "source", "text")
     )
+    # only each chunk's SIZE survives this stage, so never materialize the
+    # sliced token arrays (unlike pipeline_chunk_documents, which fingerprints
+    # chunk contents): size(slice(t, s, L)) == least(L, size(t) - s + 1) for
+    # every generated start s <= size(t) — pure arithmetic on the token count
     chunks = (
-        survivors.selectExpr("doc_id", "source", r"split(trim(text), '\\s+') AS t")
-        .filter(F.size("t") >= 1)
+        survivors.selectExpr(
+            "doc_id", "source", r"size(split(trim(text), '\\s+')) AS nt"
+        )
+        .filter(F.col("nt") >= 1)
         .selectExpr(
             "doc_id",
             "source",
-            f"posexplode(transform(sequence(1, greatest(size(t) - {CHUNK_LEN}, 0) + 1, "
-            f"{CHUNK_STRIDE}), s -> slice(t, s, {CHUNK_LEN}))) AS (chunk_idx, chunk)",
+            "nt",
+            f"posexplode(sequence(1, greatest(nt - {CHUNK_LEN}, 0) + 1, "
+            f"{CHUNK_STRIDE})) AS (chunk_idx, s)",
         )
         .selectExpr(
-            "doc_id", "source", "chunk_idx", "CAST(size(chunk) AS BIGINT) AS n_tokens"
+            "doc_id",
+            "source",
+            "chunk_idx",
+            f"CAST(least({CHUNK_LEN}, nt - s + 1) AS BIGINT) AS n_tokens",
         )
     )
     w = (
