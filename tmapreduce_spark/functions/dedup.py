@@ -980,7 +980,10 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: PR_ITERS fixed rounds of (edge join + partial-agg sum) over a
     localCheckpoint'd edge list — the classic Pregel shape; each round is
-    one shuffle keyed on doc_id, lineage depth is linear in rounds."""
+    one shuffle keyed on doc_id, lineage depth is linear in rounds. The
+    source node's static out-degree is pre-attached to each edge ONCE
+    (outside the loop) so every round joins the rank table alone instead
+    of re-joining the degree table — one join per round, not two."""
     edges = _edges_neardup(spark, sf_dir, jaccard_min=CLUSTER_JACCARD_MIN).selectExpr(
         "src AS doc_a", "dst AS doc_b"
     )
@@ -989,13 +992,15 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_a", "doc_id")
     )
     nn = deg.agg(F.count("*").alias("n"))
+    ed = edges.join(
+        deg.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).localCheckpoint()
     ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
         "doc_id", f"{PR_SCALE} DIV n AS r"
     )
     for _ in range(PR_ITERS):
         contribs = (
-            edges.join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-            .join(deg.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            ed.join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
             .selectExpr("doc_b AS doc_id", "r DIV deg AS c")
             .groupBy("doc_id")
             .agg(F.sum("c").alias("s"))

@@ -4868,29 +4868,52 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-rounded onto the 1e-9 integer grid before the cross-doc sum, so
     w(t) is an int64 fold; term ties break lexicographically.
 
-    Scale: the corpus is tokenized once into the postings substrate; the
-    feedback join touches only the 50 (query, doc) seed pairs (broadcast),
-    so the relevance-model aggregation runs over <= 50 document term lists
-    — bounded by the workload, never the corpus."""
+    Scale: the seed ranking runs `text_bm25_search`'s single-pass shape —
+    the workload is fixed at plan time, so ONE groupBy(doc_id) computes dl
+    and each of the <=13 workload terms' per-doc tf as conditional sums
+    and the full-vocabulary postings NEVER shuffle (the r11 shape built
+    and localCheckpointed them, ran partition-by-term and partition-by-doc
+    windows over every posting, then discarded all non-workload rows at
+    the query join — and its feedback phase ran ANOTHER full-postings
+    window before the 50-doc filter). The feedback join now filters the
+    token stream FIRST (broadcast of the 50 (query, doc) seed pairs), so
+    the relevance-model aggregation — and its dl window — runs over <= 50
+    document term lists, bounded by the workload, never the corpus."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    postings = (
-        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # consumed by stats, the df aggregate, and the scored unpivot —
+        # materialize the 1-row-per-doc table once
+        .localCheckpoint()
     )
-    stats = postings.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("tf").cast("bigint").alias("sum_dl"),
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    enriched = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
-    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
-    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+    stack_args = ", ".join(f"'{t}', tf{i}" for i, t in enumerate(terms))
+    enriched_q = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(terms)}, {stack_args}) AS (tok, tf)"
+    ).filter("tf > 0")
+    dfs = enriched_q.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        enriched_q.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
+    ).selectExpr(
         "doc_id",
         "tok",
-        "dl",
         "CAST(floor(("
         "(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
         " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
@@ -4914,10 +4937,15 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_term = _g9("CAST(tf AS DOUBLE) / dl")
     fb_terms = (
-        postings.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+        toks.join(F.broadcast(feedback), "doc_id")
+        .groupBy("query_id", "doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "dl",
+            F.sum("tf")
+            .over(Window.partitionBy("query_id", "doc_id"))
+            .cast("bigint"),
         )
-        .join(F.broadcast(feedback), "doc_id")
         .selectExpr("query_id", "tok", f"{w_term} AS w9")
         .groupBy("query_id", "tok")
         .agg(

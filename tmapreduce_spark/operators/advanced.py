@@ -1452,7 +1452,14 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.explode(F.expr("split(p_name, ' ')")).alias("tok"),
     )
-    a = toks.repartition(32, "p_brand", "tok").alias("a")
+    # key-repartition to the session's parallelism so the candidate build —
+    # and with it the 1.9M-pair Python scoring stage downstream — spreads
+    # over every core at ANY cluster size (a bare join here was A/B-measured
+    # 1.6x slower: AQE under-parallelizes the UDF stage; a hard-coded
+    # partition count would couple the plan to the local core count)
+    a = toks.repartition(
+        spark.sparkContext.defaultParallelism, "p_brand", "tok"
+    ).alias("a")
     b = toks.alias("b")
     cand = (
         a.join(
@@ -1467,6 +1474,10 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("part_b"),
         )
         .distinct()
+        # AQE coalesces the distinct's output on BYTES (a few MB of id
+        # pairs), but the next stage pays Python-side Jaro-Winkler per row —
+        # spread the scoring over the session's full parallelism explicitly
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     named = cand.join(
         F.broadcast(p.selectExpr("p_partkey AS part_a", "p_name AS name_a")),

@@ -2866,7 +2866,15 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums stay in int64 to ~5e5 rows per group (sf0.1 is ~2e5); past that
     swap the sum accumulators to DECIMAL(38,0), the combination is
     unchanged (parity.py scale note). There is no per-pair work anywhere —
-    Spearman via ranks is O(n log n), never the O(n^2) of Kendall."""
+    Spearman via ranks is O(n log n), never the O(n^2) of Kendall.
+
+    (r12 A/B, rejected: computing the doubled ranks on the distinct-value
+    histograms — groupBy(group, value) + cumulative-count window + two
+    broadcast joins back onto the rows — measured 1.55 → 2.07 s at sf0.1:
+    l_extendedprice is near-unique, so its histogram barely collapses and
+    the ~450k-row broadcast build costs more than the 3-partition window
+    sorts it removes. The window form stays until groups shrink relative
+    to distinct values.)"""
     from tmapreduce_spark.parity import pearson_txt
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -3980,60 +3988,67 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary can flip a replicate between engines. The two final columns
     are presentation-only divisions.
 
-    Scale: the replicate explosion is MAP-SIDE (each row emits B tagged
-    (bit, price) rows that immediately partial-aggregate onto 2·B running
-    sums), so the shuffle carries B·groups rows, not B·N — the classic
-    replicate-as-aggregation-key pattern; the observed stat is one more
-    aggregate over the same scan, and the verdict join is a broadcast of
-    one row. B is the knob; work is B× map arithmetic, constant reduce."""
+    Scale: the whole test is ONE global aggregate over ONE scan — replicate
+    b's group sums are the bit-sliced running sums s_b = Σ price·bit_b(h)
+    and n_b = Σ bit_b(h) (the side-0 sums fall out of the totals: s0 = S −
+    s_b, n0 = N − n_b), so each row contributes 2·B+4 map-side additions
+    and the shuffle carries one 124-long buffer per partition — no row
+    explosion, no per-replicate aggregation key, and the observed stat
+    rides the same buffer. B is the knob; work is B× map arithmetic,
+    constant reduce. (The prior explode(1..B) + groupBy(b) shape ran a
+    second scan for the observed stat and materialized B× the input
+    through the partial aggregate; at sf0.1 the single-pass form is
+    modestly faster — 1.74 → 1.69 s — but needs codegen.maxFields ≥ 124
+    (session.py) to stay in whole-stage codegen, and at scale it removes
+    a full input pass plus the B× generated row flow.)"""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
-    base = l.selectExpr(
-        "l_orderkey",
-        "l_linenumber",
+    hashed = l.selectExpr(
         "l_returnflag AS flag",
         f"{cents('l_extendedprice', 100)} AS price_c",
+        "CAST(conv(substring(md5(concat(l_orderkey, '-', l_linenumber)),"
+        " 1, 15), 16, 10) AS BIGINT) AS h",
     )
-    obs = base.groupBy().agg(
+    bit_aggs = []
+    for b in range(1, PERM_B + 1):
+        bit = f"(shiftright(h, {b - 1}) & 1)"
+        bit_aggs.append(F.sum(F.expr(f"price_c * {bit}")).alias(f"s{b}"))
+        bit_aggs.append(F.sum(F.expr(bit)).alias(f"n{b}"))
+    one = hashed.groupBy().agg(
         F.sum(F.expr("CASE WHEN flag = 'R' THEN price_c ELSE 0 END")).alias("sr"),
         F.sum(F.expr("CASE WHEN flag = 'R' THEN 1 ELSE 0 END")).alias("nr"),
         F.sum(F.expr("CASE WHEN flag = 'A' THEN price_c ELSE 0 END")).alias("sa"),
         F.sum(F.expr("CASE WHEN flag = 'A' THEN 1 ELSE 0 END")).alias("na"),
-    ).selectExpr(
-        "nr AS obs_n_r",
-        "na AS obs_n_a",
-        "(1000 * sr) div nr - (1000 * sa) div na AS obs_milli",
+        *bit_aggs,
     )
-    perms = base.selectExpr(
-        "price_c",
-        "CAST(conv(substring(md5(concat(l_orderkey, '-', l_linenumber)),"
-        " 1, 15), 16, 10) AS BIGINT) AS h",
-    ).selectExpr(
-        f"explode(sequence(1, {PERM_B})) AS b",
-        "price_c",
-        "h",
-    ).selectExpr("b", "price_c", "shiftright(h, b - 1) & 1 AS side")
-    stats = perms.groupBy("b").agg(
-        F.sum(F.expr("CASE WHEN side = 1 THEN price_c ELSE 0 END")).alias("s1"),
-        F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias("n1"),
-        F.sum(F.expr("CASE WHEN side = 0 THEN price_c ELSE 0 END")).alias("s0"),
-        F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END")).alias("n0"),
-    ).selectExpr("b", "(1000 * s1) div n1 - (1000 * s0) div n0 AS stat_milli")
-    verdict = stats.crossJoin(F.broadcast(obs)).groupBy(
-        "obs_n_r", "obs_n_a", "obs_milli"
-    ).agg(
-        F.sum(
-            F.expr("CASE WHEN abs(stat_milli) >= abs(obs_milli) THEN 1 ELSE 0 END")
-        ).alias("n_extreme")
+
+    def stat_milli(b: int) -> str:
+        # side-1 sums are the bit-sliced aggregates; side-0 sums derive
+        # from the totals (every base row is R or A, so S = sr + sa)
+        return (
+            f"((1000 * s{b}) div n{b}"
+            f" - (1000 * (sr + sa - s{b})) div (nr + na - n{b}))"
+        )
+
+    extreme = " + ".join(
+        f"(CASE WHEN abs({stat_milli(b)}) >= abs(obs_milli) THEN 1 ELSE 0 END)"
+        for b in range(1, PERM_B + 1)
     )
-    return verdict.selectExpr(
-        "CAST(obs_n_r AS BIGINT) AS n_r",
-        "CAST(obs_n_a AS BIGINT) AS n_a",
-        "CAST(obs_milli AS DOUBLE) / 100000 AS obs_mean_diff",
-        f"CAST({PERM_B} AS BIGINT) AS n_permutations",
-        "CAST(n_extreme AS BIGINT) AS n_extreme",
-        mround(f"CAST(1 + n_extreme AS DOUBLE) / {PERM_B + 1}", 6) + " AS p_value",
+    return (
+        one.selectExpr(
+            "*", "(1000 * sr) div nr - (1000 * sa) div na AS obs_milli"
+        )
+        .selectExpr("nr", "na", "obs_milli", f"{extreme} AS n_extreme")
+        .selectExpr(
+            "CAST(nr AS BIGINT) AS n_r",
+            "CAST(na AS BIGINT) AS n_a",
+            "CAST(obs_milli AS DOUBLE) / 100000 AS obs_mean_diff",
+            f"CAST({PERM_B} AS BIGINT) AS n_permutations",
+            "CAST(n_extreme AS BIGINT) AS n_extreme",
+            mround(f"CAST(1 + n_extreme AS DOUBLE) / {PERM_B + 1}", 6)
+            + " AS p_value",
+        )
     )
 
 

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep partitions in the 128 MB sweet spot -----------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # wide single-pass aggregates (agg_permutation_test folds 124
+        # bit-sliced sums in one HashAggregate) must stay inside
+        # whole-stage codegen; the default 100-field cutoff dropped that
+        # plan to interpreted eval (measured 1.5x slower at sf0.1). This
+        # bounds generated-code size per plan, not cluster size — the
+        # hugeMethodLimit JIT fallback still guards pathological plans.
+        .config("spark.sql.codegen.maxFields", "200")
         # --- deterministic session timezone for oracle parity ----------------
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark has no
