@@ -1104,17 +1104,28 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a residual range filter (state per key is the bounded version
     history, not the fact). The matrix fold is a partial-agg groupBy on a
     bounded key."""
+    # dates ride RAW through the whole pipeline — no date_format round
+    # trip: 'yyyy-MM-dd' strings compare exactly like the DATEs they
+    # render (ISO order), so the window order, the version intervals, and
+    # the point-in-time predicate are bit-identical on 4-byte dates while
+    # the oracle keeps its strftime text form; no date reaches the output
+    # (guide §2.3 narrower types — the exchanges carry ints, not 10-char
+    # strings, and 6M fact rows skip the per-row format call)
     o = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        "date_format(o_orderdate, 'yyyy-MM-dd') AS od",
+        "o_orderdate AS od",
     )
     w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
     # the INITIAL version is back-dated to the beginning of time (the
-    # standard SCD2 initial-load convention) so facts that predate the
-    # first recorded change — here lineitems whose synthetic ship date
-    # precedes the customer's first order — still resolve to a version
+    # standard SCD2 initial-load convention; DATE'0001-01-01' precedes
+    # every shippable date just as the old '0000-00-00' sentinel preceded
+    # every date string, and keeps the join residual a single null-free
+    # comparison — an IS NULL OR disjunct was A/B-measured ~0.2 s slower)
+    # so facts that predate the first recorded change — here lineitems
+    # whose synthetic ship date precedes the customer's first order —
+    # still resolve to a version
     dim = (
         o.withColumn("prev", F.lag("o_orderstatus").over(w))
         .filter("prev IS NULL OR prev <> o_orderstatus")
@@ -1122,7 +1133,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_orderstatus").alias("status_asof"),
             F.expr(
-                "CASE WHEN prev IS NULL THEN '0000-00-00' ELSE od END"
+                "CASE WHEN prev IS NULL THEN DATE'0001-01-01' ELSE od END"
             ).alias("valid_from"),
             F.lead("od").over(w).alias("valid_to"),
         )
@@ -1136,7 +1147,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_returnflag",
             "CAST(l_quantity AS BIGINT) AS qty",
-            "date_format(l_shipdate, 'yyyy-MM-dd') AS sd",
+            "l_shipdate AS sd",
         )
         .join(
             o.selectExpr("o_orderkey", "o_custkey AS f_ck"),
