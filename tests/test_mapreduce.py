@@ -377,3 +377,37 @@ def test_mr_sort_output_globally_key_ordered(spark):
     keys = [r["key"] for r in mr_sort(spark, SF_SMOKE).collect()]
     assert len(keys) > 0
     assert keys == sorted(keys)
+
+
+def test_apply_df_ordered_groups_each_key_once_across_partitions(spark):
+    """ordered=True reduces CONTIGUOUS key runs after one range-partitioned
+    sorted shuffle (the TeraSort shape) instead of groupByKey+sortByKey.
+    The internals risk of run-grouping is a key split across partitions
+    reaching reduce as two groups — range partitioning must send every copy
+    of a key to one partition. Pin it with an aggregating reducer over keys
+    deliberately scattered across 16 input partitions: each key must emit
+    exactly one (key, key-marker) + one fully-concatenated row, in global
+    key order."""
+    from tmapreduce_spark.mapreduce import MapReduceEngine
+
+    rows = [
+        (f"k{i % 7}", f"{i:03d}|v{i:03d}") for i in range(140)
+    ]
+    df = spark.createDataFrame(rows, "key string, value string").repartition(16)
+    out = [
+        (r["key"], r["result"])
+        for r in MapReduceEngine(spark).apply_df(
+            df, "secondarysort", ordered=True
+        ).collect()
+    ]
+    keys = [k for k, _ in out]
+    assert keys == sorted(keys)
+    # exactly two rows per key: the marker and ONE concatenation of all 20
+    # payloads in sortkey order — a split reduce group would emit extras
+    for k in {k for k, _ in out}:
+        vals = [v for kk, v in out if kk == k]
+        assert len(vals) == 2, (k, vals)
+        expected = "".join(
+            f"v{i:03d}" for i in sorted(j for j in range(140) if f"k{j % 7}" == k)
+        )
+        assert k in vals and expected in vals, (k, vals)

@@ -349,11 +349,32 @@ class MapReduceEngine:
                         yield k, v
 
             mapped = mapped.mapPartitions(combine_partition)
-        reduced = mapped.groupByKey().flatMap(
-            lambda kv: [(kv[0], out) for out in reduce_fn(kv[0], list(kv[1]))]
-        )
         if ordered:
-            reduced = reduced.sortByKey()
+            # TeraSort shape: sort the MAP output once and reduce contiguous
+            # key runs in-partition. sortByKey range-partitions (all equal
+            # keys land in one partition, keys sorted within it), so a
+            # single sorted shuffle replaces the old groupByKey shuffle +
+            # post-reduce sortByKey — whose PySpark implementation runs a
+            # count() job and a sample() job over the whole map+group+reduce
+            # lineage before the real range shuffle, i.e. the reduce ran
+            # three times and the data shuffled twice. Within-key value
+            # order remains shuffle-arrival (the documented contract above);
+            # order-sensitive reducers sort inside the UDF.
+            import itertools
+
+            def reduce_runs(it):
+                for k, group in itertools.groupby(it, key=lambda kv: kv[0]):
+                    vals = [v for _, v in group]
+                    for out in reduce_fn(k, vals):
+                        yield k, out
+
+            reduced = mapped.sortByKey().mapPartitions(
+                reduce_runs, preservesPartitioning=True
+            )
+        else:
+            reduced = mapped.groupByKey().flatMap(
+                lambda kv: [(kv[0], out) for out in reduce_fn(kv[0], list(kv[1]))]
+            )
         # Explicit schema: toDF(names-only) infers the schema by SAMPLING the
         # RDD — an rdd.first() that executes the whole map stage plus one
         # reduce partition before the caller's real action, i.e. every
