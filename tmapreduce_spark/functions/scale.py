@@ -1945,11 +1945,21 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jseq = f"explode(sequence(0, {BLOOM_K - 1})) AS j"
     keyed = o.crossJoin(F.broadcast(size_row))
-    bits = (
+    # the filter is materialized as 64-bit WORDS, not a distinct position
+    # set: bit_or collapses the n*k insert positions map-side onto m/64
+    # mask rows (idempotent, so no distinct exchange), the probe join's
+    # build side shrinks 64x, and n_bits_set is a popcount fold — the
+    # same filter, stored the way a real Bloom filter stores it
+    words = (
         keyed.selectExpr("m", *_bloom_h12(SPARK, "o_orderkey"))
         .selectExpr("m", "h1", "h2", jseq)
         .selectExpr(f"{_BLOOM_POS_J} AS pos")
-        .distinct()
+        .selectExpr(
+            "pos div 64 AS widx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b",
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(b)").alias("mask"))
         .localCheckpoint()
     )
     probes = (
@@ -1957,16 +1967,23 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("pk", "m", *_bloom_h12(SPARK, "pk"))
         .selectExpr("pk", "m", "h1", "h2", jseq)
         .selectExpr("pk", f"{_BLOOM_POS_J} AS pos")
+        .selectExpr("pk", "pos div 64 AS widx", "CAST(pos % 64 AS INT) AS bit")
     )
     hits = (
-        probes.join(bits, "pos")
+        probes.join(words, "widx")
+        # arithmetic shift keeps bit `bit` intact for any sign of mask
+        .filter("(shiftright(mask, bit) & 1) = 1")
         .groupBy("pk")
         .agg(F.count("*").cast("bigint").alias("h"))
         .filter(f"h = {BLOOM_K}")
         .agg(F.count("*").cast("bigint").alias("n_fp"))
     )
     stats = size_row.crossJoin(
-        F.broadcast(bits.agg(F.count("*").cast("bigint").alias("n_bits_set")))
+        F.broadcast(
+            words.agg(
+                F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_bits_set")
+            )
+        )
     )
     return stats.crossJoin(F.broadcast(hits)).selectExpr(*_bloom_out_exprs())
 

@@ -1215,20 +1215,45 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelopes and skip more on 2-D predicates (what Databricks liquid
     clustering moved to over Z-order).
 
-    The xy2d bit loop runs as an integer-only aggregate() fold over the 10
-    bit positions — per-row arithmetic, whole-stage codegen, no shuffle;
-    the oracle replays the identical loop as a recursive CTE.
+    The xy2d bit loop runs UNROLLED as 10 chained integer projections —
+    every step is plain codegen'd column arithmetic (the aggregate() HOF
+    fold this replaces evaluated its struct lambda interpreted per row,
+    outside whole-stage codegen; CollapseProject keeps the steps separate
+    because each rotated coordinate is a non-cheap alias referenced
+    multiple times downstream). The oracle replays the identical loop as
+    a recursive CTE.
 
     Scale: identical write path to Z-order — `repartitionByRange(hkey)`
     once at layout time."""
     o = load_table(spark, sf_dir, "orders")
     x = "o_custkey % 1024"
     y = "CAST(least(floor(o_totalprice / 1000), 1023) AS BIGINT)"
-    return o.selectExpr(
+    df = o.selectExpr(
         "o_orderkey",
-        f"{x} AS cust_bucket",
-        f"{y} AS price_bucket",
-        f"CAST({_hilbert_spark(x, y)} AS BIGINT) AS hkey",
+        f"CAST({x} AS BIGINT) AS cust_bucket",
+        f"CAST({y} AS BIGINT) AS price_bucket",
+        f"CAST({x} AS BIGINT) AS hx",
+        f"CAST({y} AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for i in range(HILBERT_BITS - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        df = df.selectExpr(
+            "o_orderkey",
+            "cust_bucket",
+            "price_bucket",
+            f"(CASE WHEN (hy & {s}) = 0"
+            f" THEN (CASE WHEN (hx & {s}) > 0 THEN {s} - 1 - hy ELSE hy END)"
+            f" ELSE hx END) AS hx",
+            f"(CASE WHEN (hy & {s}) = 0"
+            f" THEN (CASE WHEN (hx & {s}) > 0 THEN {s} - 1 - hx ELSE hx END)"
+            f" ELSE hy END) AS hy",
+            f"(hd + {s * s} * CAST(((3 * {rx}) ^ {ry}) AS BIGINT)) AS hd",
+        )
+    return df.selectExpr(
+        "o_orderkey", "cust_bucket", "price_bucket", "hd AS hkey"
     )
 
 
