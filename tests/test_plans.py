@@ -311,19 +311,27 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
 
 
 def test_rrf_hybrid_tokenizes_corpus_once(spark):
-    """retrieval_rrf_hybrid must ride ONE postings materialization: the
+    """retrieval_rrf_hybrid must ride ONE per-doc materialization: the
     corpus tokenize+groupBy runs in the localCheckpoint job, so the final
-    query plan carries ZERO `Generate`s and every consumer (corpus stats,
-    the df/dl windows, the query-term join) scans the same checkpointed
-    RDD. The r07 shape — 3 Generates / 16 Exchanges from re-tokenizing per
-    ranker plus a vestigial full-outer fusion join — is the regression this
-    pins against. Both ranks are windows over one (query_id) exchange, so
-    no SortMergeJoin appears either."""
+    query plan's only `Generate` is the stack() unpivot of the tiny
+    checkpointed wide table (workload-bounded — it scans ExistingRDD, not
+    the corpus) and every consumer (corpus stats, the df aggregate, the
+    query-term join) scans the same checkpointed RDD. The r07 shape — 3
+    corpus-side Generates / 16 Exchanges from re-tokenizing per ranker
+    plus a vestigial full-outer fusion join — is the regression this pins
+    against. Both ranks are windows over one (query_id) exchange, so no
+    SortMergeJoin appears either."""
     from tmapreduce_spark.functions.text import retrieval_rrf_hybrid
+
+    import re
 
     df = retrieval_rrf_hybrid(spark, SF_SMOKE)
     plan = physical_plan(df)
-    assert "Generate" not in plan, plan
+    # exactly the stack() unpivot, duplicated across its two consumers
+    # (the df aggregate and the scored join) — both over the checkpointed
+    # per-doc table, never the corpus
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
+    assert "Scan parquet" not in plan, plan  # corpus never re-tokenized
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan
 

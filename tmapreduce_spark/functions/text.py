@@ -3550,35 +3550,54 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-micro via 1000000 div (60+rank) — exact integers, so the
     fused ordering is reduction-order-proof; ties break on doc_id.
 
-    Scale: the corpus is tokenized EXACTLY ONCE — postings is
-    localCheckpoint-ed and every downstream consumer (corpus stats, the
-    df/dl windows, the query join) reads the materialized blocks, so the
-    final plan carries zero `Generate`s (plan-asserted in
-    tests/test_plans.py). Both rankers rank the SAME candidate set (docs
-    matching >=1 query term), so both ranks are two row_number windows
-    over the ONE (query_id)-partitioned exchange of the per-(query,doc)
-    hit aggregate — no second tokenize, no full-outer fusion join; rows
-    outside a ranker's top-10 keep a NULL rank exactly as the outer join
-    produced."""
+    Scale: the workload is fixed at plan time, so the corpus is tokenized
+    once into the conditional-sum per-doc table (`text_bm25_search`'s
+    single-pass shape: ONE groupBy(doc_id) computes dl and each of the
+    <=13 workload terms' tf; the full-vocabulary postings NEVER
+    materialize or shuffle — the r11 shape checkpointed them and ran
+    partition-by-term and partition-by-doc windows over every posting
+    only to discard all non-workload rows at the query join). The one
+    Generate left in the plan is the stack() unpivot of the tiny
+    checkpointed wide table — workload-bounded, not corpus-bounded
+    (plan-asserted in tests/test_plans.py). Both rankers rank the SAME
+    candidate set (docs matching >=1 query term), so both ranks are two
+    row_number windows over the ONE (query_id)-partitioned exchange of
+    the per-(query,doc) hit aggregate — no second tokenize, no full-outer
+    fusion join; rows outside a ranker's top-10 keep a NULL rank exactly
+    as the outer join produced."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    # One tokenize for the whole query: stats, the df/dl windows, and the
-    # query-term join all read these materialized blocks (reused 3x — the
-    # same deliberate-materialization call as dedup's _edges_neardup).
-    postings = (
-        toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf")).localCheckpoint()
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # consumed by stats, the df aggregate, and the scored unpivot —
+        # materialize the 1-row-per-doc table once
+        .localCheckpoint()
     )
-    stats = postings.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("tf").cast("bigint").alias("sum_dl"),
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    enriched = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
-    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint"))
-    scored = enriched.crossJoin(F.broadcast(stats)).selectExpr(
+    stack_args = ", ".join(f"'{t}', tf{i}" for i, t in enumerate(terms))
+    enriched_q = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(terms)}, {stack_args}) AS (tok, tf)"
+    ).filter("tf > 0")
+    dfs = enriched_q.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        enriched_q.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
+    ).selectExpr(
         "doc_id",
         "tok",
         "tf",
