@@ -61,21 +61,44 @@ def _h60_duck(e: str) -> str:
 # split() result via a column means it is computed ONCE per document — inlining
 # split() into the lambda would re-tokenize the document for every shingle
 # index (measured ~2x on the minhash pipeline).
+#
+# Validity is decided ONCE per document from size(toks) instead of per shingle:
+# elements of split(trim(lower(text)), '\\s+') are non-empty and contain no
+# whitespace (trim kills the leading empty, \\s+ forbids interior/trailing
+# ones), so when size(toks) >= 3 EVERY window i in [0, size-3] renders as
+# exactly 'x y z' (3 parts, non-empty) and the old per-shingle re-split filter
+# (size(split(s, ' ')) = 3) accepted it; when size(toks) < 3 (or toks is NULL)
+# the single degenerate window concat_ws'd to < 3 parts and was rejected. The
+# per-shingle regex split this replaces was the dominant non-hash cost of the
+# shingle substrate (guide §1.2: per-task work after the shape is right).
 _SHINGLES_SPARK_TOKS = """
-filter(
-  transform(sequence(0, greatest(size(toks) - 3, 0)),
-            i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
-  s -> s IS NOT NULL AND s <> '' AND size(split(s, ' ')) = 3)
+CASE WHEN size(toks) >= 3
+     THEN transform(sequence(0, size(toks) - 3),
+                    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+     ELSE CAST(array() AS ARRAY<STRING>) END
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str, with_source: bool = False) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    with_source: bool = False,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
     """One row per (doc_id, distinct shingle): tokenize once per document,
     then explode the 3-gram array. The compact (id, text) rows spread
     across the cluster BEFORE the CPU-amplifying shingle explode (no-op on
-    well-partitioned production inputs, see `spread`)."""
+    well-partitioned production inputs, see `spread`).
+
+    ``doc_filter`` (a one-column doc_id DataFrame) restricts the scan to
+    those documents via a broadcast semi-join BEFORE tokenization — shingle
+    output per doc is doc-local, so the retained rows are bit-identical to
+    the unfiltered run's (consumers that inner-join on those ids downstream
+    get the same result for a fraction of the tokenize/shingle cost)."""
     d = load_table(spark, sf_dir, "documents")
     cols = ["doc_id"] + (["source"] if with_source else [])
+    if doc_filter is not None:
+        d = d.join(F.broadcast(doc_filter.select("doc_id")), "doc_id")
     d = spread(d.select(*cols, "text"), spark, "doc_id")
     toks = d.selectExpr(*cols, r"split(trim(lower(text)), '\\s+') AS toks")
     return toks.selectExpr(
@@ -146,13 +169,17 @@ GROUP BY text
 # MinHash signatures + LSH banding + verified near-dup pairs
 # ---------------------------------------------------------------------------
 
-def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shingle_rows(spark, sf_dir).selectExpr(
+def _exploded_shingle_hashes(
+    spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None
+) -> DataFrame:
+    return _shingle_rows(spark, sf_dir, doc_filter=doc_filter).selectExpr(
         "doc_id", f"pmod({_h60_spark('sh')}, {P}) AS h"
     )
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None
+) -> DataFrame:
     """Wide signature: one row per doc, NUM_PERMS min columns (m0..m15).
 
     The NUM_PERMS minimum aggregates run as ONE map-side partial aggregation
@@ -160,7 +187,7 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation, and the shuffle carries only 5k-rows × 16 columns of partial
     minima instead of docs × shingles × perms rows. This is the shape that
     survives a 100 TB corpus."""
-    hashes = _exploded_shingle_hashes(spark, sf_dir)
+    hashes = _exploded_shingle_hashes(spark, sf_dir, doc_filter=doc_filter)
     return hashes.groupBy("doc_id").agg(
         *[
             F.expr(f"min(pmod({PERM_A[i]}L * h + {PERM_B[i]}L, {P}))").alias(f"m{i}")
@@ -258,13 +285,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle array (zero-shuffle to build; array_intersect per CANDIDATE pair
     only — the all-pairs entries must stay relational, but LSH has already
     pruned to near-dup candidates here, and one array op per candidate beats
-    re-exploding the corpus). Signature aggregation now runs once, documents
-    is scanned 3x."""
-    cands = _minhash_candidates(spark, sf_dir)
-    d = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        spark,
-        "doc_id",
+    re-exploding the corpus).
+
+    Verify cost is proportional to CANDIDATES, not corpus (guide §8 "decide
+    with small rows"): the candidate pairs are localCheckpointed once (tiny —
+    LSH has already pruned), their doc ids broadcast back into the documents
+    scan, and the exact shingle SETS are built only for rows surviving that
+    semi-join — before this, both verify joins re-tokenized and re-shingled
+    the ENTIRE corpus (once per side) to serve a handful of candidate rows.
+    At 100 TB the broadcast carries one int64 per near-dup candidate doc
+    (millions of ids = tens of MB); if the near-dup mass ever outgrew a
+    broadcast, the same pruning works as a Bloom filter (guide §3.2)."""
+    # Lazy checkpoint: the cand_docs broadcast build (first job to run)
+    # materializes the banding pipeline once; the verify probe then scans
+    # the checkpointed rows. Eager was A/B-tested and lost ~0.3 s locally
+    # (the blocking materialization job) — same verdict as graph_modularity.
+    cands = _minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
+    return _verified_pairs(spark, sf_dir, cands)
+
+
+def _verified_pairs(
+    spark: SparkSession, sf_dir: str, cands: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of an (already materialized) candidate
+    pair set — the verify stage of ``dedup_minhash_pairs``, factored out so
+    consumers that also need the candidate set elsewhere (the estimator
+    audit's signature joins) share ONE checkpointed candidates job instead
+    of re-running the banding substrate per use."""
+    cand_docs = (
+        cands.selectExpr("doc_a AS doc_id")
+        .unionAll(cands.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(F.broadcast(cand_docs), "doc_id")
     )
     sets = d.selectExpr(
         "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
@@ -1695,11 +1751,21 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the already-mrounded pair Jaccard, and the error is one abs() of
     IEEE-identical doubles.
 
-    Scale: signatures are computed once (one partial-agg groupBy) and
-    joined to the CANDIDATE pairs only — the audit costs two doc-id hash
+    Scale: the banding substrate runs ONCE (the shared checkpointed
+    candidate set — before r12 the pairs path and the signature path each
+    re-ran it from the corpus), and the a/b signature tables are computed
+    only over candidate documents (signatures are doc-local, the joins are
+    inner on candidate ids, so restricting the scan first is bit-identical
+    — guide §8 "decide with small rows"). The audit costs two doc-id hash
     joins over the banding-bounded pair set, never an all-pairs pass."""
-    pairs = dedup_minhash_pairs(spark, sf_dir)
-    wide = _minhash_wide(spark, sf_dir)
+    cands = _minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _verified_pairs(spark, sf_dir, cands)
+    cand_docs = (
+        cands.selectExpr("doc_a AS doc_id")
+        .unionAll(cands.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    wide = _minhash_wide(spark, sf_dir, doc_filter=cand_docs)
     n_match = " + ".join(
         f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERMS)
     )

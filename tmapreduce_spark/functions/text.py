@@ -369,10 +369,15 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.selectExpr("source", r"split(trim(lower(text)), '\\s+') AS toks")
     bigrams = toks.selectExpr(
         "source",
-        """explode(filter(
-             transform(sequence(0, greatest(size(toks) - 2, 0)),
-                       i -> concat_ws(' ', toks[i], toks[i + 1])),
-             s -> s IS NOT NULL AND size(split(s, ' ')) = 2)) AS bigram""",
+        # validity decided once per document from size(toks) — split tokens
+        # are non-empty and whitespace-free, so every window of a >=2-token
+        # doc renders as exactly 2 parts and the old per-bigram re-split
+        # filter accepted it; <2-token docs had their single degenerate
+        # window rejected (same contract as dedup._SHINGLES_SPARK_TOKS)
+        """explode(CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i + 1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram""",
     )
     counts = bigrams.groupBy("source", "bigram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
@@ -1503,10 +1508,12 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.selectExpr(r"split(trim(lower(text)), '\\s+') AS toks")
     bigrams = toks.selectExpr(
-        """explode(filter(
-             transform(sequence(0, greatest(size(toks) - 2, 0)),
-                       i -> concat_ws(' ', toks[i], toks[i + 1])),
-             s -> s IS NOT NULL AND size(split(s, ' ')) = 2)) AS bigram"""
+        # per-document validity check instead of a per-bigram regex re-split
+        # (equivalence argument at dedup._SHINGLES_SPARK_TOKS)
+        """explode(CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i + 1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram"""
     )
     bi = bigrams.groupBy("bigram").agg(F.count("*").alias("n_ab"))
     uni = (
