@@ -310,6 +310,25 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
 
 
+def test_ngram_jaccard_no_inlined_shingle_isnotnull(spark):
+    """The shingle expression must stay statically NON-nullable: if it is
+    nullable, dedup_ngram_jaccard's null-intolerant scoring arithmetic
+    (sz_a + sz_b - icnt) makes Catalyst infer an isnotnull(size(<shingles>))
+    constraint and push it into the documents scan Filter with the toks
+    alias inlined — every toks[i] access then re-runs split(), re-tokenizing
+    per shingle index, O(tokens^2) per document (measured 11x at sf0.1).
+    The coalesce() wrapper in _SHINGLES_SPARK_TOKS prevents the inference;
+    this pins that no shingle expression is ever evaluated inside a Filter
+    condition."""
+    from tmapreduce_spark.functions.dedup import dedup_ngram_jaccard
+
+    df = dedup_ngram_jaccard(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "concat_ws" not in line, line
+
+
 def test_rrf_hybrid_tokenizes_corpus_once(spark):
     """retrieval_rrf_hybrid must ride ONE per-doc materialization: the
     corpus tokenize+groupBy runs in the localCheckpoint job, so the final

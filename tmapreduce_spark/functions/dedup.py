@@ -71,11 +71,26 @@ def _h60_duck(e: str) -> str:
 # the single degenerate window concat_ws'd to < 3 parts and was rejected. The
 # per-shingle regex split this replaces was the dominant non-hash cost of the
 # shingle substrate (guide §1.2: per-task work after the shape is right).
+#
+# The outer coalesce() is LOAD-BEARING for the plan, not the value: the CASE
+# alone is statically nullable (its THEN branch inherits toks' nullability)
+# though it never evaluates to NULL (NULL toks takes the ELSE arm), and a
+# consumer that filters on null-intolerant arithmetic over size(<this>) —
+# dedup_ngram_jaccard's sz_a + sz_b - icnt — makes Catalyst infer an
+# isnotnull(size(<this>)) constraint and push it into the scan Filter with
+# the toks alias INLINED, so every toks[i] access re-runs split(): the
+# pushed filter re-tokenizes per shingle index, O(tokens^2) per document
+# (measured 11x on dedup_ngram_jaccard at sf0.1). coalesce with an array()
+# literal makes the expression statically non-nullable, so the constraint
+# is never inferred and the filter never materializes; the value is
+# bit-identical because the CASE is dynamically never NULL.
 _SHINGLES_SPARK_TOKS = """
-CASE WHEN size(toks) >= 3
-     THEN transform(sequence(0, size(toks) - 3),
-                    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
-     ELSE CAST(array() AS ARRAY<STRING>) END
+coalesce(
+  CASE WHEN size(toks) >= 3
+       THEN transform(sequence(0, size(toks) - 3),
+                      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+       ELSE CAST(array() AS ARRAY<STRING>) END,
+  CAST(array() AS ARRAY<STRING>))
 """
 
 
