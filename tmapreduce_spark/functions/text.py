@@ -4395,10 +4395,13 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one tokenize feeds everything; islands are a per-doc window
     (partitioned by doc_id — never global); word stats are one
-    partial-agg groupBy on tokens; phrase assembly groups (doc, island)
-    with sort_array on row-local structs; the top-k is
-    TakeOrderedAndProject over the distinct-phrase aggregate, never a
-    global sort of members."""
+    partial-agg groupBy on tokens; phrase assembly AND phrase scoring are
+    ONE (doc, island) aggregation — the word-score broadcast join runs
+    map-side on the member stream BEFORE the groupBy, so no second
+    phrase-level table exists and no corpus-scale phrases⋈scores join ever
+    happens (every member token appears in wscore by construction, so the
+    inner join drops nothing); the top-k is TakeOrderedAndProject over the
+    distinct-phrase aggregate, never a global sort of members."""
     d = load_table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
     toks = d.select(
@@ -4421,21 +4424,20 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     wscore = members.groupBy("tok").agg(
         F.count("*").alias("freq"), F.sum("plen").alias("deg")
     ).selectExpr("tok", "(1000 * deg) div freq AS w_milli")
-    phrases = members.groupBy("doc_id", "isl").agg(
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
-            " x -> x.tok))"
-        ).alias("phrase"),
-        F.count("*").alias("n_words"),
-    )
-    scored = (
+    combined = (
         members.join(F.broadcast(wscore), "tok")
         .groupBy("doc_id", "isl")
-        .agg(F.sum("w_milli").alias("score_milli"))
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok))"
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("w_milli").alias("score_milli"),
+        )
     )
     return (
-        phrases.join(scored, ["doc_id", "isl"])
-        .filter(F.col("n_words") <= RAKE_MAX_PHRASE)
+        combined.filter(F.col("n_words") <= RAKE_MAX_PHRASE)
         .groupBy("phrase", "n_words", "score_milli")
         .agg(F.count("*").alias("n_occurrences"))
         .selectExpr(
