@@ -1130,15 +1130,17 @@ def test_hilbert_key_is_shuffle_free_scan(spark):
 
 
 def test_dsir_model_joins_are_broadcast(spark):
-    """DSIR weighting: both hashed-count model tables and the totals row
-    join as broadcasts — the raw token stream never shuffles for the
-    model; the only hash exchange is the final doc_id groupBy."""
+    """DSIR weighting: the (single, since r12) hashed-count model histogram
+    and the totals row join as broadcasts — the raw token stream never
+    shuffles for the model. Exactly ONE BroadcastHashJoin: a second one
+    reappearing means the model split back into per-table aggregations
+    that each re-hash the corpus."""
     from tmapreduce_spark.functions.text import pipeline_importance_weights
 
     df = pipeline_importance_weights(spark, SF_SMOKE)
     plan = physical_plan(df, mode="simple")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
 
 
 def test_drift_is_tiny_partial_aggregate(spark):

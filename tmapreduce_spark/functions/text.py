@@ -2147,9 +2147,21 @@ def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 micro-units per token, integer-summed (order-independent), one
     final division.
 
-    Scale: the 'model' is two 1024-row hashed-count tables — broadcast
-    joins, exactly how DSIR ships its n-gram tables to workers; one
-    groupBy(doc_id) with partial aggregation. Raw corpus never shuffles."""
+    Scale: the 'model' is ONE 1024-row hashed-count histogram — target and
+    raw bucket counts as conditional sums of a single groupBy(b) over the
+    tokenized corpus (before this the tgt/raw/tot model tables were three
+    separate aggregations whose subtrees differed by scan filter, so the
+    tokenize+md5 pass ran once per table); the totals derive from the
+    histogram itself, and the lazy localCheckpoint means the corpus is
+    hashed ONCE for the whole model. Broadcast joins ship it, exactly how
+    DSIR ships its n-gram tables to workers; one groupBy(doc_id) with
+    partial aggregation. Raw corpus never shuffles.
+
+    Equivalence of the single histogram: every probe-side bucket (a bucket
+    of some source<>'src0' token) has a histogram row by construction, so
+    the left join's coalesce(n_t, 0) sees n_t = 0 exactly where the old
+    per-table join saw a missing row, and tot_t/tot_r are the same sums
+    taken over buckets instead of tokens."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.selectExpr(
         "doc_id",
@@ -2158,22 +2170,16 @@ def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter("tok <> ''")
     bucket = f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % {DSIR_DIM}"
     bucketed = toks.selectExpr("doc_id", "source", f"{bucket} AS b")
-    tgt = (
-        bucketed.filter("source = 'src0'")
-        .groupBy("b")
-        .agg(F.count("*").alias("n_t"))
-    )
-    raw = (
-        bucketed.filter("source <> 'src0'")
-        .groupBy("b")
-        .agg(F.count("*").alias("n_r"))
-    )
-    tot = (
-        bucketed.groupBy()
+    hist = (
+        bucketed.groupBy("b")
         .agg(
-            F.sum(F.expr("CASE WHEN source = 'src0' THEN 1 ELSE 0 END")).alias("tot_t"),
-            F.sum(F.expr("CASE WHEN source <> 'src0' THEN 1 ELSE 0 END")).alias("tot_r"),
+            F.sum(F.expr("CASE WHEN source = 'src0' THEN 1 ELSE 0 END")).alias("n_t"),
+            F.sum(F.expr("CASE WHEN source <> 'src0' THEN 1 ELSE 0 END")).alias("n_r"),
         )
+        .localCheckpoint(eager=False)
+    )
+    tot = hist.groupBy().agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
     )
     ratio = (
         f"least(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) * (tot_r + {DSIR_DIM}) "
@@ -2182,8 +2188,7 @@ def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bucketed.filter("source <> 'src0'")
-        .join(F.broadcast(tgt), "b", "left")
-        .join(F.broadcast(raw), "b", "left")
+        .join(F.broadcast(hist), "b", "left")
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "doc_id",
