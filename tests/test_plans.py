@@ -497,13 +497,16 @@ def test_inverted_index_aggregates_before_window(spark):
 
 
 def test_funnel_pushes_stage_filters(spark):
-    """Each funnel stage must push its event_type literal into the parquet
-    scan — at 100 TB the three stage scans read only their own event type."""
+    """The funnel's single scan (one pass since r12 — the stage chain is
+    stacked window aggregates, not per-stage joins) must push the
+    three-type membership filter into the parquet scan, and only ONE
+    events scan may appear — at 100 TB the pass reads only funnel-type
+    rows, once."""
     from tmapreduce_spark.operators.relational import events_funnel
 
     plan = physical_plan(events_funnel(spark, SF_SMOKE))
-    for stage in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{stage})" in plan
+    assert "In(event_type, [click,purchase,view])" in plan, plan
+    assert plan.count("events.parquet") == 1, plan
 
 
 def test_lateral_topn_decorrelates_to_window_group_limit(spark):

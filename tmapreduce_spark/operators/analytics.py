@@ -1319,9 +1319,17 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-respecting without any sequence scan.
 
     Scale: sessionization is the gaps-and-islands window
-    (`events_sessionize_islands`' split rule); the three stage aggregates
-    and their joins all key on (user_id, session_id) — one partitioning
-    carried end to end, per-user output rows."""
+    (`events_sessionize_islands`' split rule); the stage chain is THREE
+    stacked whole-partition window aggregates over (user_id, sid) — each
+    stage time is a per-session constant, so t_click reads t_view as a
+    window value instead of joining a per-stage aggregate back onto the
+    event stream (before r12 the sess subtree fed four consumers through
+    three joins: 7 events scans in the declared plan, now 1). min() over
+    a CASE with no ELSE skips NULLs, so a session with no view yields
+    t_view NULL, which nulls the t_click condition — exactly the inner
+    joins' drop semantics. ONE exchange on user_id carries the whole
+    query: the (user_id, sid) windows and both groupBys are
+    subset-satisfied by it. Per-user output rows."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
@@ -1343,52 +1351,53 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = marked.withColumn("sid", F.sum("new_session").over(w)).selectExpr(
         "user_id", "sid", "event_type", "unix_micros(ts) AS us"
     )
-    key = ["user_id", "sid"]
-    tv = (
-        sess.filter("event_type = 'view'")
-        .groupBy(*key)
-        .agg(F.min("us").alias("t_view"))
+    ws = Window.partitionBy("user_id", "sid")
+    staged = (
+        sess.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(ws),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("t_view")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t_click")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
     )
-    tc = (
-        sess.join(tv, key)
-        .filter("event_type = 'click' AND us >= t_view")
-        .groupBy(*key)
-        .agg(F.min("us").alias("t_click"))
-    )
-    tp = (
-        sess.join(tc, key)
-        .filter("event_type = 'purchase' AND us >= t_click")
-        .groupBy(*key)
-        .agg(F.min("us").alias("t_purchase"))
-    )
-    n_sess = sess.groupBy("user_id").agg(
-        F.countDistinct("sid").alias("n_sessions")
+    per_sess = staged.groupBy("user_id", "sid").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
     )
     return (
-        n_sess.join(
-            tv.groupBy("user_id").agg(F.count("*").alias("n_view_sessions")),
-            "user_id",
-            "left",
-        )
-        .join(
-            tc.groupBy("user_id").agg(F.count("*").alias("n_click_sessions")),
-            "user_id",
-            "left",
-        )
-        .join(
-            tp.groupBy("user_id").agg(F.count("*").alias("n_converted")),
-            "user_id",
-            "left",
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count("t_view").alias("n_view_sessions"),
+            F.count("t_click").alias("n_click_sessions"),
+            F.count("t_purchase").alias("n_converted"),
         )
         .selectExpr(
             "user_id",
             "n_sessions",
-            "coalesce(n_view_sessions, CAST(0 AS BIGINT)) AS n_view_sessions",
-            "coalesce(n_click_sessions, CAST(0 AS BIGINT)) AS n_click_sessions",
-            "coalesce(n_converted, CAST(0 AS BIGINT)) AS n_converted",
-            mround(
-                "CAST(coalesce(n_converted, 0) AS DOUBLE) / n_sessions", 6
-            )
+            "n_view_sessions",
+            "n_click_sessions",
+            "n_converted",
+            mround("CAST(n_converted AS DOUBLE) / n_sessions", 6)
             + " AS session_cvr",
         )
     )
@@ -1453,7 +1462,16 @@ def _two_sample_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket totals (bucket table bounded by the VALUE RANGE / width,
     independent of row count) feed exclusive offsets; in-bucket running
     sums are a window PARTITIONED by bucket — no single task ever sees
-    the whole axis."""
+    the whole axis.
+
+    The per-value table is lazily localCheckpointed: it is value-grid
+    bounded (one row per distinct value-micros, never per event) and feeds
+    the bucket totals, the offsets, the totals row, AND each consumer's
+    own re-reads (KS reads its scored table twice for the argmax) — before
+    r12 every one of those arms re-scanned events (6 scans in
+    diag_ks_drift's declared plan, now 1), and the totals row was a SECOND
+    full corpus aggregation; n1/n2 are now the same integer sums folded
+    from the bucket table."""
     e = load_table(spark, sf_dir, "events")
     s = e.filter(
         "event_type IN ('click', 'purchase') AND value IS NOT NULL"
@@ -1461,9 +1479,12 @@ def _two_sample_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{cents('value')} AS vq",
         "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a",
     )
-    pv = s.groupBy("vq").agg(
-        F.sum("is_a").alias("c1"), F.sum(F.expr("1 - is_a")).alias("c2")
-    ).withColumn("bk", F.expr(f"vq div {_KS_BUCKET_MICROS}"))
+    pv = (
+        s.groupBy("vq")
+        .agg(F.sum("is_a").alias("c1"), F.sum(F.expr("1 - is_a")).alias("c2"))
+        .withColumn("bk", F.expr(f"vq div {_KS_BUCKET_MICROS}"))
+        .localCheckpoint(eager=False)
+    )
     bt = pv.groupBy("bk").agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
     wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
     off = bt.select(
@@ -1476,7 +1497,7 @@ def _two_sample_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = s.agg(F.sum("is_a").alias("n1"), F.sum(F.expr("1 - is_a")).alias("n2"))
+    tot = bt.groupBy().agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
     return (
         pv.join(F.broadcast(off), "bk")
         .select(

@@ -1535,37 +1535,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1 hour after that click — the product-analytics conversion query
     (cf. MATCH_RECOGNIZE / funnel UDFs in other engines).
 
-    Shape: three stage aggregations, each a groupBy(user_id) min(ts) feeding
-    the next stage as an equi-join on user_id with a range predicate on ts —
-    every stage shuffles on user_id only, so at 100 TB the per-stage state is
-    one row per surviving user and the event scan is filtered to one type
-    before the join. No window over the full event stream, no per-user
-    collect_list."""
-    e = load_table(spark, sf_dir, "events")
+    Shape: ONE pass — the scan filters to the three funnel types, one
+    exchange on user_id, and the stage chain is three stacked
+    whole-partition window aggregates (each stage time is a per-user
+    constant, so t_click reads t_view as a window value; min() over a CASE
+    with no ELSE skips NULLs, so a user with no view nulls the click
+    condition — exactly the old inner joins' drop semantics). Before r12
+    this was three stage aggregations re-joined onto per-type scans: 6
+    events scans in the declared plan, now 1, and the one shuffle carries
+    only funnel-type rows. Final counts are one global aggregate of
+    non-null stage times — the stage tables and their crossJoined 1-row
+    counts no longer exist."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
     hour = F.expr("INTERVAL 1 HOUR")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    wu = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + hour),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + hour),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + hour))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
     )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + hour))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        views.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(clicks.agg(F.count("*").alias("n_clicked")))
-        .crossJoin(purchases.agg(F.count("*").alias("n_purchased")))
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
     )
 
 
