@@ -2974,16 +2974,28 @@ def _dense_hourly(spark: SparkSession, sf_dir: str, event_type: str | None = Non
     partial-agg groupBy collapses the stream to (hour, n); the calendar
     spine is sequence(min, max) off a 1-row range aggregate — series length
     is bounded by wall-clock hours, not event volume, so everything
-    downstream runs on a reduced table."""
+    downstream runs on a reduced table.
+
+    ONE events pass builds everything (r12): the per-type count is a
+    conditional sum of an UNFILTERED groupBy(hidx) — so every event's hour
+    has a row and min/max over the table IS the all-types clock, replacing
+    the second full-corpus range aggregate — and the hour table (calendar-
+    bounded) is lazily localCheckpointed so consumers that use the series
+    twice (ACF's lag self-join) re-read it instead of re-scanning events."""
     e = load_table(spark, sf_dir, "events")
     hidx = "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
-    counted = (
-        e.selectExpr(f"{hidx} AS hidx", "event_type")
-        .filter("event_type = '%s'" % event_type if event_type else "true")
-        .groupBy("hidx")
-        .agg(F.count("*").alias("n"))
+    one = (
+        f"CASE WHEN event_type = '{event_type}' THEN 1 ELSE 0 END"
+        if event_type
+        else "1"
     )
-    rng = e.selectExpr(f"{hidx} AS hidx").agg(
+    counted = (
+        e.selectExpr(f"{hidx} AS hidx", f"{one} AS one")
+        .groupBy("hidx")
+        .agg(F.sum("one").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    rng = counted.groupBy().agg(
         F.min("hidx").alias("lo"), F.max("hidx").alias("hi")
     )
     spine = rng.selectExpr("explode(sequence(lo, hi)) AS hidx")
@@ -3094,14 +3106,36 @@ def events_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly spine so they are aligned on one clock; each lag's coefficient
     is Pearson over the overlap pairs from exact int64 moment sums.
 
-    Scale: identical shape to events_autocorrelation — one corpus groupBy
-    per series, then a 13-lag equi-join on the reduced calendar-bounded
+    Scale: identical shape to events_autocorrelation, but BOTH series come
+    from one conditional-sum groupBy(hidx) over a single events pass (the
+    lazily checkpointed two-column hour table; before r12 each series ran
+    its own count pass plus its own full-corpus range aggregate — 4 scans,
+    now 1), then a 13-lag equi-join on the reduced calendar-bounded
     series."""
     from tmapreduce_spark.parity import pearson_txt
 
-    va = _dense_hourly(spark, sf_dir, "view").selectExpr("hidx", "n AS x")
-    pb = _dense_hourly(spark, sf_dir, "purchase").selectExpr(
-        "hidx AS hidx_b", "n AS y"
+    e = load_table(spark, sf_dir, "events")
+    hidx = "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+    wide = (
+        e.selectExpr(f"{hidx} AS hidx", "event_type")
+        .groupBy("hidx")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")
+            ).alias("nv"),
+            F.sum(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            ).alias("np"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = wide.groupBy().agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
+    spine = rng.selectExpr("explode(sequence(lo, hi)) AS hidx")
+    va = spine.join(wide, "hidx", "left").selectExpr(
+        "hidx", "CAST(coalesce(nv, 0) AS BIGINT) AS x"
+    )
+    pb = spine.join(wide, "hidx", "left").selectExpr(
+        "hidx AS hidx_b", "CAST(coalesce(np, 0) AS BIGINT) AS y"
     )
     lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).selectExpr(
         "CAST(id AS BIGINT) AS lag"
