@@ -5,6 +5,8 @@ degrades top-k to a global sort."""
 
 from __future__ import annotations
 
+import re
+
 from tests.conftest import SF_SMOKE
 from tmapreduce_spark.operators.relational import (
     filter_project,
@@ -505,7 +507,14 @@ def test_funnel_pushes_stage_filters(spark):
     from tmapreduce_spark.operators.relational import events_funnel
 
     plan = physical_plan(events_funnel(spark, SF_SMOKE))
-    assert "In(event_type, [click,purchase,view])" in plan, plan
+    # Order-insensitive pushed-filter match (r12 advice): Spark's plan-string
+    # formatting and value ordering for In(...) are not contract — assert the
+    # predicate reached the scan and names all three funnel types.
+    m = re.search(r"PushedFilters: \[(.*)\]", plan)
+    assert m, plan
+    assert re.search(r"In\(event_type, \[[^\]]*\]\)", m.group(1)), plan
+    for v in ("click", "purchase", "view"):
+        assert v in m.group(1), plan
     assert plan.count("events.parquet") == 1, plan
 
 

@@ -2983,14 +2983,18 @@ def _dense_hourly(spark: SparkSession, sf_dir: str, event_type: str | None = Non
     bounded) is lazily localCheckpointed so consumers that use the series
     twice (ACF's lag self-join) re-read it instead of re-scanning events."""
     e = load_table(spark, sf_dir, "events")
-    hidx = "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)"
+    hidx = F.expr("CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)")
+    # r12 advice: build the per-type indicator as a column expression, not an
+    # f-string CASE — a caller-supplied event_type containing a quote must
+    # never reach SQL text. (Callers are currently module-internal literals;
+    # this hardens the helper, the plan is identical.)
     one = (
-        f"CASE WHEN event_type = '{event_type}' THEN 1 ELSE 0 END"
+        F.when(F.col("event_type") == F.lit(event_type), F.lit(1)).otherwise(F.lit(0))
         if event_type
-        else "1"
+        else F.lit(1)
     )
     counted = (
-        e.selectExpr(f"{hidx} AS hidx", f"{one} AS one")
+        e.select(hidx.alias("hidx"), one.alias("one"))
         .groupBy("hidx")
         .agg(F.sum("one").alias("n"))
         .localCheckpoint(eager=False)

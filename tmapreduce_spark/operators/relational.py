@@ -1545,7 +1545,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events scans in the declared plan, now 1, and the one shuffle carries
     only funnel-type rows. Final counts are one global aggregate of
     non-null stage times — the stage tables and their crossJoined 1-row
-    counts no longer exist."""
+    counts no longer exist.
+
+    Skew trade-off (recorded per the r12 advice): whole-partition windows
+    buffer/sort every funnel-type event of a user inside ONE WindowExec
+    partition, where the old per-stage groupBys pre-aggregated map-side. A
+    pathologically hot user (bot traffic at 100 TB) therefore spills here
+    before it would have under the old shape — if a hot-key regression ever
+    lands on this entry, this shape change is the first suspect; the fix is
+    a pre-aggregation to (user_id, event_type, min-candidates) before the
+    window, not a revert to six scans."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
