@@ -73,29 +73,49 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (guide §2.3/§3.2): the nation-pair predicate implies
+    supp_nation ∈ {N1, N2} AND cust_nation ∈ {N1, N2}, so both broadcast
+    dims are pre-filtered to the two nations and their membership is
+    applied to each fact side BEFORE the lineitem⋈orders exchange — the
+    supplier-nation join moves below it, and the orders side gets a
+    broadcast LEFT SEMI on the two-nation customer keys — each side of
+    the fact-fact shuffle then carries ~2/25 of its rows instead of
+    filtering after the join. (A full cn pre-JOIN was A/B-rejected: the
+    joined-orders subtree inflates Catalyst's size estimate past the
+    broadcast threshold at small SFs and the initial plan degrades to
+    SMJ; the semi keeps the estimate, so local plans keep the broadcast
+    while at fact-fact scale the SMJ shuffles the pruned sides.) The
+    cross-side pair disjunction still applies post-join (it cannot be
+    pushed below either single side). Inner equi-joins with implied
+    single-side predicates: results identical."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     sn = F.broadcast(
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     cn = F.broadcast(
-        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    o_two = o.join(
+        cn.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") <= F.lit("1997-12-31"))
         )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_two, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
@@ -141,6 +161,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
+    # r13 A/B-REJECTED: pre-filtering the orders side with a broadcast
+    # ASIA-customer LEFT SEMI before the lineitem⋈orders join (the q7
+    # treatment) measured +12% at sf1 and a wash at sf0.1 — the PROMO part
+    # join already cuts the lineitem side far enough that the fact-fact
+    # join stays broadcast at tested scales, so the semi adds an orders
+    # pass without saving a shuffle. The shape flips to a win only where
+    # the orders subtree actually shuffles (true fact-fact scale); kept
+    # the original post-join membership pair until that is demonstrable.
     vol = (
         l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
                F.col("l_partkey") == F.col("p_partkey"))
