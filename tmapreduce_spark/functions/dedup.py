@@ -337,9 +337,15 @@ def _verified_pairs(
         .select("doc_id", "text")
         .join(F.broadcast(cand_docs), "doc_id")
     )
-    sets = d.selectExpr(
-        "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
-    ).selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
+    # r13: checkpoint the candidate shingle sets — the doc_a and doc_b joins
+    # below each consumed this subtree, so the documents scan + broadcast
+    # semi + tokenize + shingle of the candidate docs ran TWICE per verify
+    # (sf1 A/B: the duplicated pass was half the verify stage's cost).
+    sets = (
+        d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
+        .localCheckpoint(eager=False)
+    )
     return (
         cands.join(sets.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
         .join(sets.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
