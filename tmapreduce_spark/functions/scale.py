@@ -919,8 +919,13 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted fact-dim equi-join: events.user_id is Zipf-hot (150 users,
-    10k+ events), so a plain shuffle join lands hot keys on single tasks. The
+    """Skew-salted fact-dim equi-join — the manual hot-key pattern. (Honesty
+    note, r13: the driver testdata's user_id fan-in is NEAR-UNIFORM —
+    max/median 1.5 over 1500 keys at sf0.1, plans/r13/skew_evidence.txt —
+    so this entry demonstrates the salted SHAPE, salt-invariant and
+    oracle-checked, not a measured skew win on this data. Apply it when
+    diag_key_skew reports max/median past the guide's ~5-10x bound.) With a
+    genuinely hot key a plain shuffle join lands that key on one task. The
     salting pattern: the fact side gets a deterministic per-row salt in
     [0, SALT_N); the dim side is replicated SALT_N× via explode(sequence);
     the join key becomes (key, salt), spreading each hot key over SALT_N
