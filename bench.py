@@ -324,15 +324,20 @@ def main() -> None:
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # Outlier-gate baseline: prefer the record cut at THIS core count (a
-    # CPU-bound query is legitimately slower at 8 cores than the committed
-    # 32-core warm — comparing across counts would trip the 2x gate on every
-    # such entry), falling back to the default record for first runs.
+    # Outlier-gate baseline: a 32-core run gates against the committed
+    # FOLDED record (the strictest baseline — the per-cpu file may hold a
+    # raw, noisier run); any other core count gates against its own per-cpu
+    # record, because a CPU-bound query is legitimately slower at 8 cores
+    # than the committed 32-core warm and comparing across counts would
+    # trip the 2x gate on every such entry.
     prior_warm: dict[str, float] = {}
-    for cand in (
+    candidates = [
         os.path.join(bench_dir, f"bench_sf{sf_tag}_c{cpus_tag}.json"),
         os.path.join(bench_dir, f"bench_sf{sf_tag}.json"),
-    ):
+    ]
+    if cpus_tag == "32":
+        candidates.reverse()
+    for cand in candidates:
         if os.path.exists(cand):
             try:
                 with open(cand) as f:

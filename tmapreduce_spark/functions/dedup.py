@@ -337,15 +337,20 @@ def _verified_pairs(
         .select("doc_id", "text")
         .join(F.broadcast(cand_docs), "doc_id")
     )
-    # r13: checkpoint the candidate shingle sets — the doc_a and doc_b joins
-    # below each consumed this subtree, so the documents scan + broadcast
-    # semi + tokenize + shingle of the candidate docs ran TWICE per verify
-    # (sf1 A/B: the duplicated pass was half the verify stage's cost).
-    sets = (
-        d.selectExpr("doc_id", r"split(trim(lower(text)), '\\s+') AS toks")
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
-        .localCheckpoint(eager=False)
-    )
+    # r13 A/B boundary: the doc_a and doc_b joins below each consume this
+    # subtree, so the candidate-doc scan+semi+tokenize+shingle runs twice
+    # per verify. A lazy localCheckpoint of the sets was measured BOTH ways:
+    # it wins at sf1 and beyond (pairs -22%, est_vs_exact -17% -- the
+    # duplicated pass is real CPU there) but costs ~+0.2 s per consumer at
+    # the driver's sf0.1 (the materialization serializes work that the
+    # duplicated branches otherwise run concurrently on idle cores -- the
+    # same local-vs-scale verdict as r12's orders-basket checkpoint
+    # rejection). The bench contract is sf0.1, so the duplicated
+    # candidate-BOUNDED subtree stays; at 100 TB flip it to a checkpoint
+    # (one-line change, boundary recorded in OPTIMIZATION_r13.md).
+    sets = d.selectExpr(
+        "doc_id", r"split(trim(lower(text)), '\\s+') AS toks"
+    ).selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK_TOKS}) AS sh")
     return (
         cands.join(sets.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
         .join(sets.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
