@@ -78,3 +78,35 @@ def test_residue_bucket_expr_non64_width_takes_fallback(spark):
     want = _buckets_of(Q).tolist()
     for (i, _), w in zip(rows, want):
         assert got[i] == w, (i, got[i], w)
+
+
+def test_jw_char_prune_never_drops_a_match():
+    """The join_jaro_winkler JVM prune (2*c*(la+lb) >= 3*la*lb with c the
+    common-char multiset bound) must keep every pair the exact scorer
+    admits at >= 0.9 — brute-force over random word-like pairs plus
+    adversarial near-misses."""
+    import random
+
+    from collections import Counter
+
+    from tmapreduce_spark.operators.advanced import _jaro_winkler_py
+
+    rng = random.Random(13)
+    words = ["old", "cold", "bold", "rod", "rot", "red", "spark", "spork",
+             "table", "cable", "a", "ab", ""]
+    cases = []
+    for _ in range(4000):
+        a = " ".join(rng.choices(words, k=rng.randint(1, 5))).strip()
+        b = " ".join(rng.choices(words, k=rng.randint(1, 5))).strip()
+        cases.append((a, b))
+    # adversarial: identical, near-identical, prefix-shifted
+    cases += [("old rod", "old rod"), ("old rod", "cold rod"),
+              ("abcd", "abce"), ("aaaa", "aaab"), ("x", "x")]
+    for a, b in cases:
+        ca, cb = Counter(a), Counter(b)
+        c = sum((ca & cb).values())
+        la, lb = len(a), len(b)
+        kept = 2 * c * (la + lb) >= 3 * la * lb
+        sim = _jaro_winkler_py(a, b)
+        if sim >= 0.9:
+            assert kept, (a, b, sim, c, la, lb)

@@ -1511,14 +1511,62 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread the scoring over the session's full parallelism explicitly
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # r13 (guide §4 "pass fewer rows across the boundary"): a provably
+    # conservative JVM prune before the Python stage. w >= 0.9 needs
+    # J >= 5/6 — the Winkler boost adds at most 4*0.1*(1-J) — and Jaro's
+    # match count m never exceeds the common-character multiset count c
+    # (window-limited matching only removes matches), so
+    #   J <= (c/la + c/lb + 1)/3 < 5/6  ⟺  2*c*(la+lb) < 3*la*lb
+    # proves a pair is below threshold without scoring it. c is bounded
+    # above by per-letter count minima (a-z + space, covering the corpus
+    # charset) plus min of the leftover counts (any other characters).
+    # All-integer arithmetic, so no float-boundary hazard; the pruned
+    # pairs are exactly pairs the >= 0.9 filter would drop, results
+    # unchanged (pin: test_jw_char_prune_never_drops_a_match). The 27
+    # per-letter counts are computed ONCE per part row inside the
+    # broadcast dims, not per pair; the per-pair work is one least()
+    # fold — nanoseconds against the ~µs Python crossing it saves. At
+    # sf1 (10x parts per (brand, token) bucket → ~100x pairs) this cut
+    # the entry 105 s → [see OPTIMIZATION_r13.md]; the Arrow stage sees
+    # only plausible pairs.
+    _chars = "abcdefghijklmnopqrstuvwxyz "
+    _cv = "array(" + ", ".join(
+        f"CAST(length(p_name) - length(replace(p_name, '{ch}', '')) AS BIGINT)"
+        for ch in _chars
+    ) + ")"
+    pv = p.selectExpr("p_partkey", "p_name", f"{_cv} AS cv").selectExpr(
+        "p_partkey",
+        "p_name",
+        "cv",
+        "CAST(length(p_name) AS BIGINT)"
+        " - aggregate(cv, CAST(0 AS BIGINT), (acc, v) -> acc + v) AS oth",
+    )
     named = cand.join(
-        F.broadcast(p.selectExpr("p_partkey AS part_a", "p_name AS name_a")),
+        F.broadcast(
+            pv.selectExpr(
+                "p_partkey AS part_a", "p_name AS name_a",
+                "cv AS cv_a", "oth AS oth_a",
+            )
+        ),
         "part_a",
     ).join(
-        F.broadcast(p.selectExpr("p_partkey AS part_b", "p_name AS name_b")),
+        F.broadcast(
+            pv.selectExpr(
+                "p_partkey AS part_b", "p_name AS name_b",
+                "cv AS cv_b", "oth AS oth_b",
+            )
+        ),
         "part_b",
     )
-    scored = named.withColumn("sim", jw_udf(F.col("name_a"), F.col("name_b")))
+    plausible = named.filter(
+        F.expr(
+            "2 * (aggregate(zip_with(cv_a, cv_b, (x, y) -> least(x, y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) + least(oth_a, oth_b)) "
+            "* (length(name_a) + length(name_b)) "
+            ">= 3 * CAST(length(name_a) AS BIGINT) * length(name_b)"
+        )
+    ).select("brand", "part_a", "part_b", "name_a", "name_b")
+    scored = plausible.withColumn("sim", jw_udf(F.col("name_a"), F.col("name_b")))
     return scored.filter(F.col("sim") >= JW_THRESHOLD).selectExpr(
         "brand",
         "part_a",
